@@ -1,0 +1,98 @@
+"""Vector similarity operators over `array<float>` embedding columns.
+
+Built-in higher-order functions (`zip_with` / `aggregate`) keep the dot
+product JVM-side and codegen'd — no Python UDF in the hot path. The
+sequential left-to-right fold order of `F.aggregate` makes results
+bit-deterministic (and matchable by an oracle that sums in the same
+order).
+
+Scale design: brute-force top-k is O(Q·N) — fine for bounded query
+sets; the LSH path (random-hyperplane signatures → equi-join on bucket)
+turns all-pairs search into a shuffle on bucket keys, which is the
+100 TB-shaped plan. Plane vectors are fixed literals so the bucketing
+is reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> → array<double> (do all math in double)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def vec_norm(vec_d: Column) -> Column:
+    """L2 norm via sequential fold (deterministic order)."""
+    return F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def dot(a_d: Column, b_d: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a_d, b_d, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a_d: Column, b_d: Column, a_norm: Column, b_norm: Column) -> Column:
+    return dot(a_d, b_d) / F.nullif(a_norm * b_norm, F.lit(0.0))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach `_vec` (double array) and `_norm` columns."""
+    return df.withColumn("_vec", as_double(F.col(vec_col))).withColumn(
+        "_norm", vec_norm(F.col("_vec"))
+    )
+
+
+def hyperplane_signature(vec_d: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH: bucket id = bits of sign(v·p_i).
+
+    ``planes`` are literal doubles (callers generate them with a seeded
+    RNG) so the signature is reproducible anywhere.
+    """
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot(vec_d, p)
+        sig = sig + F.when(d >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries × corpus cross join → per-query row_number. The corpus side
+    is the big one; Spark broadcasts the (small) query side so the scan
+    stays embarrassingly parallel.
+    """
+    from pyspark.sql import Window as W
+
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("_norm").alias("_qnorm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_vec").alias("_cvec"),
+        F.col("_norm").alias("_cnorm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        cosine(F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,88 @@
+"""Shared plumbing for the query registry."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+@dataclass(frozen=True)
+class Query:
+    """One registry entry: a Spark query plus its DuckDB oracle."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to REGISTRY."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → Catalyst gets pushdown
+    and column pruning for free.
+
+    events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
+    read it as int64 nanos and floor-truncate to microseconds — exactly
+    what DuckDB's µs timestamps do on the oracle side. Integer `div`
+    (not `/`) avoids double-precision loss on epoch-nanos magnitudes.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent double sum.
+
+    Casting each row to DECIMAL before summing makes the aggregate
+    exact (decimal addition is associative), so Spark's parallel
+    partial/final aggregation and DuckDB's single-threaded sum produce
+    bit-identical results. Cast back to DOUBLE for a stable schema.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB-side mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent average: exact decimal sum / count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+        / F.count(c).cast("double")
+    )
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE)"
+    )

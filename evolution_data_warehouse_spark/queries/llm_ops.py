@@ -1,0 +1,379 @@
+"""LLM training-data pipeline operators as oracle-checked queries.
+
+Beyond the reference's own surface (driver north star): deduplication,
+similarity search, text analysis, multimodal plumbing — each over the
+documents / embeddings testdata tables.
+
+Oracle-parity notes:
+* md5 is the cross-engine hash primitive (identical hex in Spark and
+  DuckDB) — all content hashing routes through it.
+* vector math is done in DOUBLE with an explicit sequential fold order
+  on both sides, so cosines are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators import similarity as sim
+from evolution_data_warehouse_spark.operators import textops
+from evolution_data_warehouse_spark.operators.multimodal import decode_documents
+from evolution_data_warehouse_spark.queries.common import register, t
+
+DIM = 64  # embedding dimensionality of the testdata
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_doc_id, "
+    "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)",
+    doc="Exact dedup: hash-groupBy on content. One shuffle on the hash; "
+    "map-side partial aggregation collapses copies early — the plan that "
+    "holds at 100 TB.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    "SELECT doc_id, "
+    "CAST(len(str_split(text, ' ')) AS INT) AS n_tokens_ws, "
+    f"CAST(len(regexp_extract_all(text, '{textops.TOKEN_RE}')) AS INT) AS n_tokens_re "
+    "FROM documents",
+    doc="Token counting: whitespace + BPE-ish regex tokenizer.",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_ws, n_re = textops.token_counts(F.col("text"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", n_ws.alias("n_tokens_ws"), n_re.alias("n_tokens_re")
+    )
+
+
+_EN_STOPS_SQL = "['the','and','of','to','a']"
+_QUALITY_ORACLE = f"""
+WITH q AS (
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_obs,
+           CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_filter(str_split(lower(text), ' '),
+                    x -> list_contains({_EN_STOPS_SQL}, x))) AS INT) AS stop_hits
+    FROM documents
+)
+SELECT doc_id, n_chars_obs, n_tokens,
+       CAST(stop_hits AS DOUBLE) / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)
+           AS stopword_ratio,
+       CAST(n_chars_obs - (n_tokens - 1) AS DOUBLE)
+           / NULLIF(CAST(n_tokens AS DOUBLE), 0.0) AS avg_token_len
+FROM q
+"""
+
+
+@register(
+    "text_quality",
+    _QUALITY_ORACLE,
+    doc="Quality scoring: length / stopword-ratio / token-shape features — "
+    "pure column expressions, streams at scan speed.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("n_chars_obs"),
+        F.size(textops.tokens_ws(F.col("text"))).alias("n_tokens"),
+        textops.stopword_hits(F.col("text"), textops.STOPWORDS["en"]).alias(
+            "stop_hits"
+        ),
+    )
+    nt = F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0))
+    return df.select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        (F.col("stop_hits").cast("double") / nt).alias("stopword_ratio"),
+        ((F.col("n_chars_obs") - (F.col("n_tokens") - 1)).cast("double") / nt).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def _langid_oracle() -> str:
+    langs = sorted(textops.STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(str_split(lower(text), ' '), "
+        f"x -> list_contains([{', '.join(repr(w) for w in textops.STOPWORDS[lang])}], x))) AS INT)"
+        f" AS s_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    chain = " ".join(
+        f"WHEN s_{lang} >= {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (SELECT doc_id, lang AS labeled_lang, {score_cols} FROM documents)
+SELECT doc_id, labeled_lang, CASE {chain} END AS predicted_lang FROM s
+"""
+
+
+@register(
+    "text_langid",
+    _langid_oracle(),
+    doc="Language ID via stopword-hit heuristic, deterministic argmax "
+    "(first-wins in lang order).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = textops.lang_scores(F.col("text"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        textops.predict_lang(scores).alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+    "str_split(lower(text), ' '))), ' ')) AS fingerprint FROM documents",
+    doc="Document fingerprint: md5 over the sorted distinct token set "
+    "(bag-of-words canonicalization key).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", textops.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+_JACCARD_MIN = 0.1
+
+_SHINGLES_SQL = """
+SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ))) AS shingle
+    FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
+)
+"""
+
+_NGRAM_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE)
+       / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE)
+      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {_JACCARD_MIN}
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → distinct 3-gram word shingles (exploded)."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    doc="n-gram Jaccard near-dup: distinct 3-gram shingles, self-join on "
+    "shingle for intersection counts, |A∪B| = |A|+|B|-|A∩B|. The "
+    "shingle self-join is the sf-small path; at 100 TB the minhash-LSH "
+    "operator prunes candidate pairs first.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup + ANN
+# ---------------------------------------------------------------------------
+
+_COS_MIN = 0.7
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}.embedding[{i}] AS DOUBLE) * CAST({b}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _sqnorm_sql(alias: str) -> str:
+    return " + ".join(
+        f"CAST({alias}.embedding[{i}] AS DOUBLE) * CAST({alias}.embedding[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+_COSINE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding,
+           sqrt({_sqnorm_sql('embeddings')}) AS norm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({_dot_sql('a', 'b')}) / NULLIF(a.norm * b.norm, 0.0) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ({_dot_sql('a', 'b')}) / NULLIF(a.norm * b.norm, 0.0) >= {_COS_MIN}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _COSINE_ORACLE,
+    doc="Embedding-cosine near-dup with label blocking (pairs only within "
+    "a label bucket — the blocking key that keeps all-pairs sub-quadratic; "
+    "at scale the LSH signature replaces the label as bucket).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = sim.with_norm(t(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")),
+    )
+    out = pairs.withColumn(
+        "cosine", sim.cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+    )
+    return out.filter(F.col("cosine") >= _COS_MIN).select("vec_a", "vec_b", "cosine")
+
+
+_ANN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding, sqrt({_sqnorm_sql('embeddings')}) AS norm
+    FROM embeddings
+),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ({_dot_sql('q', 'c')}) / NULLIF(q.norm * c.norm, 0.0) AS cosine
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "sim_ann_bruteforce",
+    _ANN_ORACLE,
+    doc="Exact top-k cosine neighbors (brute force baseline): query side "
+    "broadcast, corpus scan stays parallel; per-query row_number top-k.",
+)
+def sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(queries, emb, k=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (mapInPandas, fake decode)
+# ---------------------------------------------------------------------------
+
+_MM_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(16 + octet_length(encode(text)) % 32 AS INT) AS fake_width,
+       CAST(16 + (octet_length(encode(text)) // 32) % 32 AS INT) AS fake_height,
+       'fake/png' AS format
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_stub",
+    _MM_ORACLE,
+    doc="Multimodal decode plumbing: binary payload column → mapInPandas "
+    "(Arrow batches) → typed feature rows. Decode itself is a "
+    "deterministic fake (real decoder raises NotImplementedError); the "
+    "Spark-side schema/batching/partitioning is real and oracle-checked.",
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_documents(t(spark, sf_dir, "documents"))

@@ -1,0 +1,106 @@
+"""Structured Streaming over the events table — engine extension.
+
+The reference is batch-only (SURVEY §2.9); this module adds the
+streaming shapes a landing-zone pipeline needs: tumbling-window
+aggregation with a watermark, and a stateful per-user operator via
+``applyInPandasWithState``. The batch-mode twin of the windowed
+aggregation lives in queries/streaming_ops.py and is oracle-checked;
+the streaming machinery itself is exercised in tests with the
+file-source + ``availableNow`` trigger (the incremental / idempotent
+load analog of load_facts.py:162-166).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The testdata's events.ts is TIMESTAMP(NANOS) parquet → read as int64
+# nanos, then truncate to µs timestamps (same as queries/common.py:t).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window per-type counts + value sums (works on both batch
+    and streaming DataFrames — same logical plan)."""
+    return (
+        events.groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_windowed_counts(
+    spark: SparkSession, src_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """readStream variant with a watermark for late data."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", watermark)
+    )
+    return windowed_counts(stream)
+
+
+def run_available_now(agg: DataFrame, query_name: str) -> None:
+    """Drain everything currently in the source into a memory sink —
+    the availableNow triggered-batch pattern for incremental loads."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user session aggregation with
+    applyInPandasWithState (streaming) — see tests for the harness."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n_events long, total_value double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
