@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect) so the number measures the distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the scans/joins/aggs/windows that dominate warehouse load,
+# plus the scale-relevant LLM ops. Chosen to exercise every shuffle-shaped
+# plan (star join, hash agg, window, full-outer merge, SCD merge, ANN).
+HEADLINE = [
+    "join_inner_equi",
+    "agg_groupby_sum",
+    "join_broadcast_lookup",
+    "agg_filtered_multi",
+    "agg_pivot",
+    "join_full_merge_events",
+    "win_version_latest",
+    "win_running_sum",
+    "join_asof",
+    "proc_scd2",
+    "stream_window_counts",
+    "dedup_exact",
+    "text_quality",
+    "sim_ann_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from evolution_data_warehouse_spark.session import get_spark
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + file listing outside the timed region.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what DuckDB's µs timestamps do on the oracle side. Integer `div`
     (not `/`) avoids double-precision loss on epoch-nanos magnitudes.
     """
+    # Session-scoped safety knobs (idempotent; also applied when the caller
+    # owns the session, e.g. the driver's verify harness):
+    # ICU title-case map construction (CollationAwareUTF8String <clinit>)
+    # can stall interpreted string expressions for ~90s in sandboxed envs.
+    spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

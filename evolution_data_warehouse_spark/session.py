@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ICU case-mapping init (CollationAwareUTF8String <clinit>) can burn
+        # ~90s of CPU in sandboxed environments when an interpreted-mode
+        # string expression first runs; JVM case mappings are identical for
+        # ASCII and match DuckDB's simple casing.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
