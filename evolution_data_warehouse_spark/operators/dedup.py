@@ -1,0 +1,131 @@
+"""Probabilistic near-duplicate detection: MinHash+LSH and SimHash.
+
+Scale design (the reason these exist next to the exact n-gram Jaccard):
+all-pairs similarity is O(n²); MinHash-LSH reduces it to one shuffle on
+(band, band_key) — only documents sharing a band bucket are paired, so
+the candidate set scales with the number of true near-dups, not n².
+That is the 100 TB-shaped plan.
+
+Cross-engine determinism: the base shingle/token hash is
+``bigint(hex_prefix(md5(s)))`` — identical in Spark (conv) and DuckDB
+(0x-cast) — and the K universal-hash functions (a·h+b mod p) use
+literal coefficients from a fixed seed, so signatures are reproducible
+anywhere (and oracle-checkable).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2147483647  # 2^31 - 1; keeps a·h+b within int64
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SIMHASH_BITS = 16
+
+_rng = random.Random(20260813)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MERSENNE_P), _rng.randrange(0, MERSENNE_P))
+    for _ in range(N_MINHASH)
+]
+
+
+def content_hash64(col: Column) -> Column:
+    """60-bit content hash: bigint of the first 15 md5 hex chars.
+    Matches DuckDB's CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def content_hash64_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) rows → one row per id with mh0..mh{K-1}.
+
+    One hash-aggregate: all K permutation-mins computed in a single
+    groupBy pass (map-side partial min, then one shuffle on id)."""
+    hm = (content_hash64(F.col("shingle")) % MERSENNE_P).alias("_hm")
+    h = shingled.select(F.col(id_col), hm)
+    aggs = [
+        F.min((F.lit(a) * F.col("_hm") + F.lit(b)) % MERSENNE_P).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return h.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature rows → (id, band, band_key) rows, one per band."""
+    parts = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        parts.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs + estimated Jaccard (fraction of equal
+    minhashes). The pair join runs on (band, band_key) — the LSH bucket —
+    never all-pairs."""
+    sig = minhash_signature(shingled, id_col).cache()
+    bands = lsh_bands(sig, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    eq_terms = sum(
+        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq_terms.cast("double") / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, token) rows → (id, simhash) with a 16-bit signature.
+
+    bit_k = sign of Σ_tokens (2·((h>>k)&1) − 1); single hash-aggregate."""
+    h = tokens.select(id_col, content_hash64(F.col("token")).alias("_h"))
+    aggs = []
+    for k in range(SIMHASH_BITS):
+        bit = F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s{k}"))
+    sums = h.groupBy(id_col).agg(*aggs)
+    sig = sum(
+        F.when(F.col(f"s{k}") > 0, F.lit(2**k)).otherwise(F.lit(0))
+        for k in range(SIMHASH_BITS)
+    )
+    return sums.select(F.col(id_col), sig.cast("int").alias("simhash"))

@@ -377,3 +377,158 @@ FROM documents
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_documents(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup, SimHash, hyperplane-LSH ANN
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    MERSENNE_P,
+    MINHASH_COEFFS,
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    content_hash64_sql,
+    minhash_lsh_pairs,
+    simhash,
+)
+
+
+def _minhash_oracle() -> str:
+    hm = f"{content_hash64_sql('shingle')} % {MERSENNE_P}"
+    mh_cols = ", ".join(
+        f"MIN(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = "concat_ws('|', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM mh"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {hm} AS hm FROM sh),
+mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(({eq}) AS DOUBLE) / CAST({N_MINHASH} AS DOUBLE) AS est_jaccard
+FROM cand
+JOIN mh sa ON doc_a = sa.doc_id
+JOIN mh sb ON doc_b = sb.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc="MinHash + banded LSH near-dup detection: shingles → K=16 "
+    "universal-hash minima → 4 bands of 4 → candidate pairs share a "
+    "band bucket → estimated Jaccard = equal-minhash fraction. The "
+    "pair join runs on the LSH bucket, never all-pairs — the plan that "
+    "survives 100 TB. Coefficients are fixed literals (seeded) so "
+    "signatures reproduce across engines.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_doc_shingles(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    h = content_hash64_sql("token")
+    sums = ", ".join(
+        f"SUM(((h >> {k}) & 1) * 2 - 1) AS s{k}" for k in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {2**k} ELSE 0 END)" for k in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token FROM documents
+),
+hh AS (SELECT doc_id, {h} AS h FROM tk),
+s AS (SELECT doc_id, {sums} FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST(({sig}) AS INT) AS simhash FROM s)
+SELECT doc_id, simhash,
+       MIN(doc_id) OVER (PARTITION BY simhash) AS canonical_doc_id
+FROM sig
+"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc="SimHash fingerprinting: 16-bit majority-vote signature over "
+    "token hashes; identical signatures → dup group (canonical = min "
+    "doc_id). Hamming-ball search at scale uses bit-band LSH on the "
+    "signature, same shape as dedup_minhash_lsh.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    sig = simhash(tokens)
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(W.partitionBy("simhash")).alias("canonical_doc_id"),
+    )
+
+
+import numpy as _np  # noqa: E402
+
+_PLANES = _np.random.default_rng(20260813).normal(size=(8, DIM)).tolist()
+
+
+def _ann_lsh_oracle() -> str:
+    plane_terms = []
+    for i, plane in enumerate(_PLANES):
+        dot = " + ".join(
+            f"(CAST(embedding[{j+1}] AS DOUBLE) * {plane[j]:.17e})"
+            for j in range(DIM)
+        )
+        plane_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2**i} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    return f"""
+WITH b AS (SELECT vec_id, CAST(({bucket}) AS INT) AS bucket FROM embeddings)
+SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket
+FROM b
+"""
+
+
+@register(
+    "sim_ann_lsh",
+    _ann_lsh_oracle(),
+    doc="Random-hyperplane LSH bucketing for ANN: 8 fixed literal planes "
+    "→ 8-bit sign signature → equi-joinable bucket id. Neighbor search "
+    "becomes a shuffle on bucket (plus probing adjacent buckets), "
+    "replacing the O(n²) scan of sim_ann_bruteforce at scale.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        as_double,
+        hyperplane_signature,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("_vec")
+    )
+    b = e.select(
+        "vec_id", hyperplane_signature(F.col("_vec"), _PLANES).alias("bucket")
+    )
+    return b.select(
+        "vec_id",
+        "bucket",
+        F.count("*").over(W.partitionBy("bucket")).alias("n_in_bucket"),
+    )
