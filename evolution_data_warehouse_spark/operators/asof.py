@@ -64,12 +64,13 @@ def asof_join_pandas(
 
     lcols = left.columns
 
-    def merge(key, dfs):
-        pdf_l, pdf_r = dfs
+    def merge(key, pdf_l: pd.DataFrame, pdf_r: pd.DataFrame) -> pd.DataFrame:
         pdf_l = pdf_l.sort_values(left_ts)
         pdf_r = pdf_r.sort_values(right_ts)
         if pdf_l.empty:
-            return pd.DataFrame(columns=lcols + [c for c in pdf_r.columns if c != on])
+            return pd.DataFrame(
+                columns=lcols + [c for c in pdf_r.columns if c != on]
+            )
         return pd.merge_asof(
             pdf_l, pdf_r.drop(columns=[on]), left_on=left_ts, right_on=right_ts
         )

@@ -1,0 +1,54 @@
+"""Data-quality validators as first-class engine operators.
+
+The reference's integrity tests (analytics/tests/test_dwh.py:199-236:
+orphan FKs via LEFT JOIN ... IS NULL, non-negative measures) become
+anti-join/filter operators returning the violating rows — composable,
+lazily planned, and cheap at scale (anti-join broadcasts the dim side).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def orphan_keys(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str | None = None
+) -> DataFrame:
+    """Fact rows whose key has no match in the dimension."""
+    dim_key = dim_key or fact_key
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return fact.join(F.broadcast(keys), fact_key, "left_anti")
+
+
+def negative_values(df: DataFrame, col: str) -> DataFrame:
+    """Rows violating a non-negativity invariant."""
+    return df.filter(F.col(col) < 0)
+
+
+def duplicate_keys(df: DataFrame, *cols: str) -> DataFrame:
+    """Key tuples appearing more than once (unique-constraint check,
+    the UK_dim_* analog of 002_create_dimensions.sql:26,70,108)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@dataclass(frozen=True)
+class ValidationResult:
+    name: str
+    violations: int
+    ok: bool
+
+
+def run_validations(checks: dict[str, DataFrame]) -> list[ValidationResult]:
+    """Evaluate named violation DataFrames → pass/fail report."""
+    out = []
+    for name, df in checks.items():
+        n = df.count()
+        out.append(ValidationResult(name=name, violations=n, ok=n == 0))
+    return out

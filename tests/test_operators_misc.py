@@ -1,0 +1,120 @@
+"""Misc operator tests: as-of pandas path, multimodal stub gating,
+security generation, datamart views, surrogate keys."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+)
+from evolution_data_warehouse_spark.operators.multimodal import (
+    decode_documents,
+    decode_image_batch,
+)
+from evolution_data_warehouse_spark.operators.security import (
+    build_agencies,
+    build_employees,
+    build_zones,
+)
+from evolution_data_warehouse_spark.plans.datamarts import create_datamarts
+from evolution_data_warehouse_spark.queries.common import t
+
+
+def test_asof_pandas_matches_join_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    a = asof_join(
+        purchases, views, on="user_id", left_ts="purchase_ts",
+        right_ts="view_ts", left_key="purchase_id",
+        right_cols=["view_id", "view_ts"], tie_breaker="view_id",
+    )
+    b = asof_join_pandas(
+        purchases, views, on="user_id", left_ts="purchase_ts",
+        right_ts="view_ts",
+        out_schema="purchase_id long, user_id long, purchase_ts timestamp, "
+        "view_id long, view_ts timestamp",
+    )
+    am = {r.purchase_id: r.view_ts for r in a.collect()}
+    bm = {r.purchase_id: r.view_ts for r in b.collect()}
+    # merge_asof picks the same latest-prior timestamp (ties may pick a
+    # different id; timestamps must agree).
+    assert am == bm
+
+
+def test_multimodal_real_decode_is_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(real=True)
+
+
+def test_multimodal_fake_decode_schema(spark, sf_dir):
+    out = decode_documents(t(spark, sf_dir, "documents"))
+    assert set(out.columns) == {
+        "doc_id", "n_bytes", "fake_width", "fake_height", "format",
+    }
+    row = out.first()
+    assert 16 <= row.fake_width < 48 and row.format == "fake/png"
+
+
+def test_security_generation(spark):
+    communes = spark.createDataFrame(
+        [
+            ("59350", "Lille", "59", 236_000),
+            ("59suburb", "Petit", "59", 900),
+            ("62041", "Arras", "62", 42_000),
+            ("80021", "Amiens", "80", 134_000),
+        ],
+        schema="commune_code string, commune_nom string, "
+        "departement_code string, population long",
+    )
+    agencies = build_agencies(communes)
+    assert agencies.count() == 3  # pop >= 10k only
+    tiers = {r.agence_code: r.taille for r in agencies.collect()}
+    assert tiers == {"59350": "GRANDE", "62041": "MOYENNE", "80021": "GRANDE"}
+
+    employees = build_employees(agencies)
+    roles = {r.role for r in employees.collect()}
+    assert roles == {
+        "directeur_regional", "directeur_departement", "directeur_agence",
+    }
+    # 1 regional + 3 dept + 3 agency directors
+    assert employees.count() == 7
+
+    zones = build_zones(employees)
+    region_scope = zones.filter(
+        F.col("login") == "direction.regionale"
+    ).first()
+    assert region_scope.scope is None  # sees everything
+    assert zones.filter(F.col("scope") == "59").count() >= 2
+
+
+def test_datamart_views(spark, sf_dir):
+    names = create_datamarts(spark, sf_dir)
+    assert len(names) == 6
+    demo = spark.table("vm_demographie")
+    assert demo.count() > 0
+    board = spark.table("vm_tableau_bord")
+    assert board.count() > 0
+    assert "avg_balance" in board.columns
+
+
+def test_surrogate_key_stability(spark, sf_dir):
+    # win_surrogate_key must assign identical ids across runs.
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    fn = REGISTRY["win_surrogate_key"].fn
+    a = {r.segment: r.segment_id for r in fn(spark, sf_dir).collect()}
+    b = {r.segment: r.segment_id for r in fn(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0

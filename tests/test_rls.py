@@ -1,0 +1,59 @@
+"""Behavioral RLS tests mirroring analytics/tests/test_rls.py:123-237:
+dept-scoped user sees only their department, region user sees all,
+unregistered user sees all (011_security_rls.sql:171-189), and
+cross-department isolation is empty."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.rls import secured
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    return spark.createDataFrame(
+        [("c1", "59"), ("c2", "59"), ("c3", "62"), ("c4", "80")],
+        schema="commune string, departement_code string",
+    )
+
+
+@pytest.fixture(scope="module")
+def zones(spark):
+    return spark.createDataFrame(
+        [("agent59", "59"), ("multi", "59"), ("multi", "62"), ("region", None)],
+        schema="login string, scope string",
+    )
+
+
+def _depts(df):
+    return {r.departement_code for r in df.select("departement_code").collect()}
+
+
+def test_scoped_user_sees_own_department(spark, dim, zones):
+    out = secured(dim, zones, "agent59", "departement_code")
+    assert _depts(out) == {"59"}
+    assert out.count() == 2
+
+
+def test_multi_zone_user(spark, dim, zones):
+    assert _depts(secured(dim, zones, "multi", "departement_code")) == {"59", "62"}
+
+
+def test_region_user_sees_all(spark, dim, zones):
+    assert secured(dim, zones, "region", "departement_code").count() == 4
+
+
+def test_unregistered_user_sees_all(spark, dim, zones):
+    # 011:171-175: a login with no zone rows is unrestricted.
+    assert secured(dim, zones, "ghost", "departement_code").count() == 4
+
+
+def test_cross_department_isolation(spark, dim, zones):
+    # test_rls.py:200-237: agent59 ∩ dept 62 = ∅.
+    out = secured(dim, zones, "agent59", "departement_code").filter(
+        F.col("departement_code") == "62"
+    )
+    assert out.count() == 0
