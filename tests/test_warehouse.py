@@ -1,0 +1,120 @@
+"""End-to-end warehouse tests: dimension seeds, the six fact builders,
+and the full ETL DAG over FIXTURES.md-shaped staging CSVs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.sources.staging import prepare_tables
+from evolution_data_warehouse_spark.warehouse import dimensions as dims_mod
+from evolution_data_warehouse_spark.warehouse import facts as facts_mod
+from evolution_data_warehouse_spark.warehouse.etl import run_full_etl
+from tests.warehouse_fixtures import DEPTS, YEARS, make_specs, write_fixtures
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("warehouse_fixtures"))
+    paths = write_fixtures(root)
+    return prepare_tables(spark, make_specs(paths))
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    return dims_mod.build_all(spark)
+
+
+def test_dimension_seeds(spark, dims):
+    assert dims["dim_temps"].count() == 15  # 2010-2024 (BASELINE: 14+1)
+    census = dims["dim_temps"].filter(F.col("est_annee_recensement"))
+    assert {r.annee for r in census.collect()} == {2010, 2015, 2021}
+    assert dims["dim_geographie"].count() == 5
+    assert dims["dim_demographie"].count() == 12  # 3 sexes × 4 ages
+    assert dims["dim_activite"].count() == 27  # 20 NAF + 7 legal forms
+    # surrogate keys dense + deterministic
+    ids = sorted(r.temps_id for r in dims["dim_temps"].collect())
+    assert ids == list(range(1, 16))
+
+
+def test_fait_population(spark, staged, dims):
+    fact = facts_mod.fait_population(staged["stg_population"], dims)
+    assert fact.count() > 0
+    # every key resolves against its dimension (FK integrity)
+    assert (
+        fact.join(dims["dim_temps"], "temps_id", "left_anti").count() == 0
+    )
+    assert fact.filter(F.col("population") < 0).count() == 0
+
+
+def test_fait_evenements_solde(spark, staged, dims):
+    fact = facts_mod.fait_evenements_demo(
+        staged["stg_naissances"], staged["stg_deces"], dims
+    )
+    rows = fact.collect()
+    assert len(rows) == len(YEARS) * len(DEPTS)
+    for r in rows:
+        assert r.solde_naturel == r.naissances - r.deces
+
+
+def test_fait_entreprises_excludes_unknown_naf(spark, staged, dims):
+    fact = facts_mod.fait_entreprises(staged["stg_creation_entreprises"], dims)
+    act = dims["dim_activite"]
+    assert fact.join(act, "activite_id", "left_anti").count() == 0
+    assert fact.count() > 0
+
+
+def test_fait_revenus_pivot(spark, staged, dims):
+    fact = facts_mod.fait_revenus(staged["stg_ds_filosofi"], dims)
+    assert {
+        "niveau_vie_median", "decile_1", "decile_9", "taux_pauvrete",
+    } <= set(fact.columns)
+    assert fact.count() == len(YEARS) * len(DEPTS)
+    assert fact.filter(F.col("niveau_vie_median").isNull()).count() == 0
+
+
+def test_fait_emploi_rate(spark, staged, dims):
+    fact = facts_mod.fait_emploi(staged["stg_emploi_chomage"], dims)
+    row = fact.first()
+    assert row.taux_chomage == pytest.approx(
+        row.population_chomage / row.population_active * 100.0
+    )
+
+
+def test_fait_menages_taille(spark, staged, dims):
+    fact = facts_mod.fait_menages(staged["stg_menage"], dims)
+    row = fact.first()
+    assert row.taille_moyenne == pytest.approx(row.nb_personnes / row.nb_menages)
+
+
+def test_fait_logement_rate(spark, staged, dims):
+    fact = facts_mod.fait_logement(staged["stg_logement"], dims)
+    assert fact.filter(F.col("taux_suroccupation") > 100.0).count() == 0
+
+
+def test_full_etl_end_to_end(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("etl_src"))
+    out = str(tmp_path_factory.mktemp("etl_out"))
+    specs = make_specs(write_fixtures(root))
+    communes = spark.createDataFrame(
+        [
+            ("59350", "Lille", "59", 236_000),
+            ("62041", "Arras", "62", 42_000),
+            ("59001", "Petit", "59", 500),
+        ],
+        schema="commune_code string, commune_nom string, "
+        "departement_code string, population long",
+    )
+    report, validations = run_full_etl(spark, specs, out, communes)
+    statuses = {r.name: r.status for r in report.results}
+    assert statuses == {
+        "staging": "OK", "security": "OK", "dimensions": "OK",
+        "facts": "OK", "refresh": "OK",
+    }
+    assert all(v.ok for v in validations), [v for v in validations if not v.ok]
+    # written tables readable + communes landed in dim_geographie
+    geo = spark.read.parquet(f"{out}/dim_geographie")
+    assert geo.filter(F.col("niveau_geo") == "COMMUNE").count() == 3
+    pop = spark.read.parquet(f"{out}/fait_population")
+    assert pop.count() > 0
