@@ -51,8 +51,21 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # Warm the JVM + file listing outside the timed region.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM, file listing, codegen and broadcast machinery outside
+    # the timed region (steady-state throughput is what's being measured;
+    # the one-time Janino/broadcast init otherwise lands on the first query).
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -24,5 +24,6 @@ from evolution_data_warehouse_spark.queries import scd as _scd  # noqa: E402,F40
 from evolution_data_warehouse_spark.queries import llm_ops as _llm_ops  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import streaming_ops as _streaming_ops  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import sources_ext as _sources_ext  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import extensions as _extensions  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query"]

@@ -1,0 +1,163 @@
+"""Engine extensions beyond the reference's operator surface: set ops
+the reference lacks, sessionization, cube, exact percentiles, unpivot,
+approximate distinct. Each is a natural next step from a SURVEY §2
+operator family and is oracle-checked where semantics allow."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.queries.common import register, t
+
+
+@register(
+    "set_intersect",
+    "SELECT c_nationkey FROM customer INTERSECT "
+    "SELECT s_nationkey FROM supplier",
+    doc="INTERSECT (absent from the reference; SURVEY §2.7 notes only "
+    "anti-join EXCEPT-alikes). Nations having both customers and "
+    "suppliers.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey"))
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    "SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier",
+    doc="EXCEPT — nations with customers but no suppliers.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey"))
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("c_nationkey")
+    )
+    return c.subtract(s)  # EXCEPT DISTINCT semantics, like the SQL EXCEPT
+
+
+_SESSION_ORACLE = """
+WITH g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       CAST(SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+FROM g
+"""
+
+
+@register(
+    "win_session_gap",
+    _SESSION_ORACLE,
+    doc="Sessionization: lag(ts) + cumulative sum over gap>30min markers "
+    "(the batch twin of session_window streaming aggregation).",
+)
+def win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marker = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn("session_id", F.sum(marker).over(run).cast("long"))
+    )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "agg_cube",
+    _CUBE_ORACLE,
+    doc="CUBE over two grouping columns (SURVEY §2.4 notes the dashboard "
+    "view recomputes measures at two grains — cube does all four in one "
+    "pass with a single shuffle).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    "SELECT o_orderpriority, "
+    "quantile_cont(o_totalprice, 0.5) AS median_price, "
+    "quantile_cont(o_totalprice, 0.9) AS p90_price "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="Exact interpolated percentiles (median/p90 of order value). At "
+    "100 TB swap percentile() for approx_percentile — same plan shape, "
+    "mergeable sketches instead of a full sort per group.",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT c_custkey, measure_name, measure_value FROM (
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           CAST(c_nationkey AS DOUBLE) AS nationkey
+    FROM customer
+) UNPIVOT (measure_value FOR measure_name IN (acctbal, nationkey))
+"""
+
+
+@register(
+    "fn_unpivot",
+    _UNPIVOT_ORACLE,
+    doc="Wide→long unpivot (the inverse of agg_pivot; stack()/unpivot).",
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "measure_name", "measure_value"
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketch values are engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) — the 100 TB substitute "
+    "for COUNT(DISTINCT): mergeable sketches, no expand. Exactness is "
+    "asserted against the exact count in tests (±5%).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

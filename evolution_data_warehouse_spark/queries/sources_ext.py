@@ -127,7 +127,14 @@ def udf_extra_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 def proc_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     tbl = f"stats_region_{tag}"
-    t(spark, sf_dir, "region").write.mode("overwrite").saveAsTable(tbl)
+    # External table at a scratch location: survives catalog resets
+    # (a fresh session's in-memory catalog doesn't know about leftover
+    # managed-table dirs and refuses the location otherwise).
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    path = _scratch("refresh_stats", sf_dir)
+    t(spark, sf_dir, "region").write.mode("overwrite").option(
+        "path", path
+    ).saveAsTable(tbl)
     spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
     stats = (
         spark.sql(f"DESC EXTENDED {tbl}")
