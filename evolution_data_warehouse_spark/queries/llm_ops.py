@@ -178,11 +178,14 @@ SELECT doc_id, shingle FROM (
 """
 
 _NGRAM_ORACLE = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle_h
+       FROM sh0),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, n_common,
@@ -224,14 +227,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operator prunes candidate pairs first.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    # Join on the 60-bit shingle hash, not the string: ~10x smaller
+    # shuffle payload for the self-join, identical counts (and the same
+    # hash on the oracle side).
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", content_hash64(F.col("shingle")).alias("shingle_h"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

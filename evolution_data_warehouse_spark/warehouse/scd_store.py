@@ -1,0 +1,97 @@
+"""SCD2 write path over plain parquet: read-merge-overwrite, plus the
+streaming (foreachBatch) upsert form.
+
+The reference's batch MERGE (010_scd_dimensions.sql:391-522) runs
+inside Azure SQL; on plain parquet the same semantics are
+read → scd2_apply → overwrite-to-new-location → swap. Writing to a
+versioned subdirectory and swapping a pointer file avoids reading and
+overwriting the same files in one job (not allowed) and gives
+snapshot-isolation reads — on Delta/Iceberg this whole module collapses
+into MERGE INTO (jars not present in this image; SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from evolution_data_warehouse_spark.operators.scd import scd2_apply
+
+_POINTER = "_CURRENT"
+
+
+def _current_version(table_dir: str) -> int | None:
+    ptr = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    return int(open(ptr).read().strip())
+
+
+def read_dimension(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    v = _current_version(table_dir)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+
+
+def _publish(df: DataFrame, table_dir: str) -> int:
+    v = (_current_version(table_dir) or 0) + 1
+    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{v}"))
+    tmp = os.path.join(table_dir, _POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+    os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic swap
+    return v
+
+
+def upsert_scd2(
+    spark: SparkSession,
+    table_dir: str,
+    staged: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_ts: Column,
+) -> int:
+    """Merge a staged snapshot into the stored dimension; returns the
+    published version. First call bootstraps version 1 rows."""
+    current = read_dimension(spark, table_dir)
+    if current is None:
+        from pyspark.sql import functions as F
+
+        bootstrap = staged.select(
+            key,
+            *attrs,
+            F.lit(1).alias("version"),
+            F.lit(True).alias("est_actif"),
+            effective_ts.alias("date_debut_validite"),
+            F.lit(None).cast("timestamp").alias("date_fin_validite"),
+        )
+        return _publish(bootstrap, table_dir)
+    merged = scd2_apply(current, staged, key, attrs, effective_ts)
+    return _publish(merged, table_dir)
+
+
+def scd2_foreach_batch(
+    table_dir: str, key: str, attrs: list[str], ts_col: str = "_effective_ts"
+):
+    """foreachBatch sink applying the SCD2 merge per micro-batch — the
+    Structured Streaming form of the reference's MERGE (SURVEY §2.9)."""
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # One deterministic effective timestamp per batch.
+        if ts_col in batch_df.columns:
+            eff = batch_df.agg(F.max(ts_col)).first()[0]
+            eff_col = F.lit(eff).cast("timestamp")
+            snapshot = batch_df.drop(ts_col)
+        else:
+            eff_col = F.current_timestamp()
+            snapshot = batch_df
+        upsert_scd2(
+            batch_df.sparkSession, table_dir, snapshot, key, attrs, eff_col
+        )
+
+    return apply_batch
