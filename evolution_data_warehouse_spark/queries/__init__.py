@@ -25,5 +25,6 @@ from evolution_data_warehouse_spark.queries import llm_ops as _llm_ops  # noqa: 
 from evolution_data_warehouse_spark.queries import streaming_ops as _streaming_ops  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import sources_ext as _sources_ext  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions as _extensions  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import tpch_style as _tpch_style  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query"]
