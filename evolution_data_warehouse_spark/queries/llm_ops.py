@@ -544,3 +544,121 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.count("*").over(W.partitionBy("bucket")).alias("n_in_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text redaction + vector centroid / k-means assignment step
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_redact",
+    "SELECT doc_id, regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'), "
+    "'(key|customer)', '<ENT>', 'g') AS redacted FROM documents",
+    doc="PII-style redaction: numeric spans and entity tokens replaced "
+    "inline — a streaming-safe scrub pass (pure regexp, scan speed).",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[0-9]+", "<NUM>"),
+            "(key|customer)",
+            "<ENT>",
+        ).alias("redacted"),
+    )
+
+
+# Fixed-point sums (floor(v·1e12) as int64) instead of decimal casts:
+# double→decimal rounding modes differ between engines at representation
+# boundaries, while floor(x*1e12) is pure IEEE arithmetic — identical
+# everywhere — and the integer sum is exact and order-independent.
+_CENTROID_ORACLE = """
+SELECT label, CAST(i AS INT) AS dim,
+       (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT))
+             AS DOUBLE) / 1e12) / CAST(COUNT(*) AS DOUBLE) AS centroid
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+"""
+
+
+@register(
+    "sim_centroid",
+    _CENTROID_ORACLE,
+    doc="Per-label centroid (long form: label, dim, value) — the k-means "
+    "update step as one posexplode + hash aggregate; fixed-point sums "
+    "keep it order-independent.",
+)
+def sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    return (
+        e.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            (
+                (
+                    F.sum(F.floor(F.col("v") * 1e12).cast("long")).cast("double")
+                    / F.lit(1e12)
+                )
+                / F.count("*").cast("double")
+            ).alias("centroid")
+        )
+    )
+
+
+_KM_CENTROIDS = _np.random.default_rng(7).normal(size=(4, DIM)).tolist()
+
+
+def _km_oracle() -> str:
+    dists = []
+    for c in _KM_CENTROIDS:
+        terms = " + ".join(
+            f"((CAST(embedding[{j+1}] AS DOUBLE) - {c[j]:.17e}) "
+            f"* (CAST(embedding[{j+1}] AS DOUBLE) - {c[j]:.17e}))"
+            for j in range(DIM)
+        )
+        dists.append(f"({terms})")
+    least = f"least({', '.join(f'd{k}' for k in range(4))})"
+    chain = " ".join(
+        f"WHEN d{k} <= {least} THEN {k}" for k in range(4)
+    )
+    d_cols = ", ".join(f"{d} AS d{k}" for k, d in enumerate(dists))
+    return f"""
+WITH d AS (SELECT vec_id, {d_cols} FROM embeddings)
+SELECT vec_id, CAST(CASE {chain} END AS INT) AS cluster FROM d
+"""
+
+
+@register(
+    "sim_kmeans_assign",
+    _km_oracle(),
+    doc="k-means assignment step: nearest of 4 fixed literal centroids "
+    "by squared L2, deterministic first-wins argmin. One scan, no "
+    "shuffle — the iterative-ML step shape (centroid update is "
+    "sim_centroid).",
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("_v")
+    )
+    dist_cols = []
+    for k, c in enumerate(_KM_CENTROIDS):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col("_v"), cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_cols.append(d.alias(f"d{k}"))
+    d = e.select("vec_id", *dist_cols)
+    best = F.least(*[F.col(f"d{k}") for k in range(4)])
+    assign = None
+    for k in range(4):
+        cond = F.col(f"d{k}") <= best
+        assign = F.when(cond, k) if assign is None else assign.when(cond, k)
+    return d.select("vec_id", assign.cast("int").alias("cluster"))

@@ -104,3 +104,35 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_events(
+    spark: SparkSession, src_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once event dedup: dropDuplicatesWithinWatermark
+    on the event id — the streaming form of dedup_exact for at-least-once
+    sources (state is bounded by the watermark, so it runs forever)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", watermark)
+    )
+    return stream.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (gap-based) per user — works on batch and
+    streaming inputs; the built-in counterpart of win_session_gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -83,3 +83,46 @@ def test_stateful_sessionize(spark, sf_dir, tmp_path):
     bmap = {r.user_id: r.n for r in batch.collect()}
     gmap = {r.user_id: r.n_events for r in got.collect()}
     assert gmap == bmap
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    import shutil, os
+    from evolution_data_warehouse_spark.streaming.events import (
+        stream_dedup_events,
+    )
+
+    src = str(tmp_path / "dup_events")
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/b.parquet")  # dup batch
+    dedup = stream_dedup_events(spark, src)
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_out")
+    n_unique = t(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got.count() == n_unique  # the duplicated file adds no rows
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_session_window_batch(spark, sf_dir):
+    from evolution_data_warehouse_spark.streaming.events import (
+        session_window_counts,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    sessions = session_window_counts(ev)
+    assert sessions.count() > 0
+    # Conservation: session event counts sum to the total event count.
+    total = sessions.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    # Sessions per user never exceed that user's event count.
+    per_user = sessions.groupBy("user_id").count()
+    ev_user = ev.groupBy("user_id").count().withColumnRenamed("count", "n")
+    j = per_user.join(ev_user, "user_id")
+    assert j.filter(F.col("count") > F.col("n")).count() == 0
