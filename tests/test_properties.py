@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) — the upgrade over the reference's
+example-only test strategy (SURVEY §5)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.functions.naming import ascii_fold, normalize_name
+from evolution_data_warehouse_spark.operators.scd import scd2_apply
+
+# ---------------------------------------------------------------------------
+# pure-python function properties (fast, many examples)
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(max_size=60))
+def test_normalize_name_idempotent_and_clean(name):
+    out = normalize_name(name)
+    assert normalize_name(out) == out  # idempotent
+    assert re.fullmatch(r"[a-z0-9_]*", out)  # snake_case ascii only
+    assert not out.startswith("_") and not out.endswith("_")
+
+
+@given(st.text(max_size=60))
+def test_ascii_fold_strips_combining_marks(s):
+    out = ascii_fold(s)
+    import unicodedata
+
+    assert not any(unicodedata.combining(ch) for ch in out)
+    # folding is idempotent
+    assert ascii_fold(out) == out
+
+
+@given(st.text(alphabet="éèêàçöüÉnoabc-", min_size=1, max_size=20))
+def test_ascii_fold_preserves_length_for_precomposed(s):
+    # NFKD then dropping marks never lengthens the printable text
+    assert len(ascii_fold(s)) <= len(s) * 2
+
+
+# ---------------------------------------------------------------------------
+# SCD2 invariants over generated snapshots (few examples — Spark jobs)
+# ---------------------------------------------------------------------------
+
+_keys = st.sampled_from(["k1", "k2", "k3", "k4", "k5"])
+_vals = st.sampled_from(["a", "b", "c"])
+_snapshot = st.dictionaries(_keys, _vals, min_size=0, max_size=5)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(current_map=_snapshot, staged_map=_snapshot)
+def test_scd2_invariants(spark, current_map, staged_map):
+    ts = F.lit("2025-01-01 00:00:00").cast("timestamp")
+    current_rows = [
+        (k, v, 1, True, None, None) for k, v in sorted(current_map.items())
+    ]
+    schema = (
+        "k string, attr string, version int, est_actif boolean, "
+        "date_debut_validite timestamp, date_fin_validite timestamp"
+    )
+    current = spark.createDataFrame(current_rows, schema=schema)
+    staged = spark.createDataFrame(
+        sorted(staged_map.items()) or [("__none__", "x")], schema="k string, attr string"
+    ).filter(F.col("k") != "__none__")
+
+    out = scd2_apply(current, staged, "k", ["attr"], ts).collect()
+
+    # Invariant 1: at most one active row per key, and every key that was
+    # ever seen has exactly one active row.
+    active = [r for r in out if r.est_actif]
+    assert len({r.k for r in active}) == len(active)
+    seen_keys = set(current_map) | set(staged_map)
+    assert {r.k for r in active} == seen_keys
+
+    # Invariant 2: active rows carry the staged value when staged, else
+    # the current value.
+    for r in active:
+        expected = staged_map.get(r.k, current_map.get(r.k))
+        assert r.attr == expected
+
+    # Invariant 3: no rows are lost — closed rows keep their old value.
+    closed = [r for r in out if not r.est_actif]
+    for r in closed:
+        assert r.k in current_map and r.attr == current_map[r.k]
+        assert r.date_fin_validite is not None
+
+    # Invariant 4: versions are 1 or 2 here (single merge), new versions
+    # only for changed keys.
+    changed = {
+        k for k in set(current_map) & set(staged_map)
+        if current_map[k] != staged_map[k]
+    }
+    assert {r.k for r in out if r.version == 2} == changed
