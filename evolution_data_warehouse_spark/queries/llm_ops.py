@@ -662,3 +662,136 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.col(f"d{k}") <= best
         assign = F.when(cond, k) if assign is None else assign.when(cond, k)
     return d.select("vec_id", assign.cast("int").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal breadth: resize / frame-sample / audio features; grouped
+# applyInPandas normalization
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.operators.multimodal import (  # noqa: E402
+    audio_features_documents,
+    frame_sample_documents,
+    resize_documents,
+)
+
+_OB = "octet_length(encode(text))"
+
+_RESIZE_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           16 + {_OB} % 32 AS w,
+           16 + ({_OB} // 32) % 32 AS h
+    FROM documents
+)
+SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(((w + 15) // 16) * ((h + 15) // 16) AS INT) AS n_tiles
+FROM b
+"""
+
+
+@register(
+    "mm_resize_stub",
+    _RESIZE_ORACLE,
+    doc="Multimodal resize plumbing: mapInPandas batch op deriving the "
+    "target tile grid (real path: PIL resize with the same signature).",
+)
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_documents(t(spark, sf_dir, "documents"))
+
+
+_FRAME_ORACLE = f"""
+WITH b AS (SELECT doc_id, {_OB} AS n FROM documents)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(least(256, n - i * 256) AS INT) AS frame_bytes
+FROM (
+    SELECT doc_id, n,
+           unnest(generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1, 4)) AS i
+    FROM b
+)
+"""
+
+
+@register(
+    "mm_frame_sample",
+    _FRAME_ORACLE,
+    doc="Video frame-sampling plumbing: payload split into fixed-size "
+    "frames, every 4th emitted — the row-explosion batch shape of real "
+    "frame extraction (decode itself stubbed).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample_documents(t(spark, sf_dir, "documents"))
+
+
+_AUDIO_ORACLE = f"""
+SELECT doc_id,
+       CAST({_OB} AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS INT) AS first_byte,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE 0 END AS INT) AS last_byte,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE 0 END
+            + CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE 0 END
+            AS DOUBLE) / 2.0 AS loudness_fake
+FROM documents
+"""
+
+
+@register(
+    "mm_audio_features",
+    _AUDIO_ORACLE,
+    doc="Audio feature-extraction plumbing: deterministic fake features "
+    "from the byte payload via mapInPandas (librosa slot in production).",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_features_documents(t(spark, sf_dir, "documents"))
+
+
+_ZSCORE_ORACLE = """
+WITH g AS (
+    SELECT source, COUNT(*) AS n,
+           SUM(n_chars) AS s, SUM(n_chars * n_chars) AS ss
+    FROM documents GROUP BY source
+)
+SELECT doc_id, d.source,
+       CASE WHEN n > 1 AND (n * ss - s * s) > 0 THEN
+            (CAST(n_chars AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       END AS z
+FROM documents d JOIN g USING (source)
+"""
+
+
+@register(
+    "pandas_zscore",
+    _ZSCORE_ORACLE,
+    doc="Grouped applyInPandas operator (per-source z-score of document "
+    "length). Statistics come from exact integer sums so the Arrow "
+    "round-trip is bit-deterministic — the pattern for any custom "
+    "per-group pandas op that must stay reproducible.",
+)
+def pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        s = int(pdf["n_chars"].sum())
+        ss = int((pdf["n_chars"].astype("int64") ** 2).sum())
+        num = n * ss - s * s
+        if n > 1 and num > 0:
+            mean = float(s) / float(n)
+            std = math.sqrt(float(num) / (float(n) * float(n)))
+            z = (pdf["n_chars"].astype("float64") - mean) / std
+        else:
+            z = pd.Series([None] * n, dtype="float64")
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "source": pdf["source"], "z": z}
+        )
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .groupBy("source")
+        .applyInPandas(per_group, "doc_id long, source string, z double")
+    )
