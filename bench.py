@@ -38,6 +38,12 @@ HEADLINE = [
     "dedup_exact",
     "text_quality",
     "sim_ann_bruteforce",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "sim_kmeans_assign",
+    "mm_decode_stub",
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 
