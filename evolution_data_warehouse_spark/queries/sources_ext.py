@@ -147,3 +147,23 @@ def proc_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = re.search(r"(\d+) rows", stats.data_type if stats else "")
     num_rows = int(m.group(1)) if m else -1
     return spark.createDataFrame([(num_rows,)], schema="num_rows long")
+
+
+_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+"""
+
+
+@register(
+    "src_orc",
+    _ORC_ORACLE,
+    doc="ORC scan round trip — format breadth beyond the reference's "
+    "CSV/JSON/parquet/xlsx (SURVEY §2.1); same columnar pushdown "
+    "properties as parquet.",
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("src_orc", sf_dir)
+    t(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
