@@ -73,3 +73,29 @@ def monitoring_summary(log: DataFrame) -> DataFrame:
         F.max("date_execution").alias("derniere_execution"),
         F.sum("lignes_traitees").alias("total_lignes"),
     )
+
+
+def render_report_html(report_dict: dict) -> str:
+    """HTML pipeline report — the observable effect of the reference's
+    email notifier (analytics/etl/etl_notifier.py:156-303), minus SMTP
+    (transport is infrastructure, SURVEY §7.4)."""
+    status_color = {
+        "OK": "#2e7d32", "SKIP": "#757575", "IGNORE": "#f9a825",
+        "ERREUR": "#c62828",
+    }
+    rows = "".join(
+        f"<tr><td>{s['name']}</td>"
+        f"<td style='color:{status_color.get(s['status'], '#000')}'>"
+        f"{s['status']}</td>"
+        f"<td>{s['rows'] if s['rows'] is not None else ''}</td>"
+        f"<td>{s['duration_sec']}s</td><td>{s['error']}</td></tr>"
+        for s in report_dict["steps"]
+    )
+    overall = "SUCCES" if report_dict["ok"] else "ECHEC"
+    return (
+        "<html><body><h2>Rapport ETL — "
+        f"{overall}</h2><table border='1' cellpadding='4'>"
+        "<tr><th>Etape</th><th>Statut</th><th>Lignes</th>"
+        "<th>Duree</th><th>Erreur</th></tr>"
+        f"{rows}</table></body></html>"
+    )

@@ -116,3 +116,15 @@ def test_etl_logging(spark, tmp_path):
     summary = monitoring_summary(log)
     facts = summary.filter(summary.nom_table == "fait_population").first()
     assert facts.n_executions == 2 and facts.n_erreurs == 1
+
+
+def test_report_html_render():
+    from evolution_data_warehouse_spark.operators.etl_log import (
+        render_report_html,
+    )
+
+    report = run_pipeline([Step("a", lambda: 3), Step("b", lambda: 1/0)])
+    html = render_report_html(report.as_dict())
+    assert "ECHEC" in html and "ERREUR" in html and "<table" in html
+    ok_report = run_pipeline([Step("a", lambda: 3)])
+    assert "SUCCES" in render_report_html(ok_report.as_dict())
