@@ -40,6 +40,28 @@ def write_table(df: DataFrame, out_dir: str, name: str, partition_by: str | None
     return df.count()
 
 
+def write_fact_incremental(
+    df: DataFrame, out_dir: str, name: str, partition_by: str = "temps_id"
+) -> int:
+    """Partition-scoped idempotent load: with dynamic partitionOverwriteMode,
+    an overwrite only replaces the partitions present in ``df`` — re-running
+    one period never clobbers the others. The 100 TB idiom for incremental
+    fact loads (facts are partitioned by the time key, mirroring the
+    reference's composite fact indexes, 003_create_facts.sql:39-42)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(partition_by)
+            .parquet(os.path.join(out_dir, name))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return df.count()
+
+
 def run_full_etl(
     spark: SparkSession,
     specs: list[TableSpec],
@@ -115,7 +137,8 @@ def run_full_etl(
                 continue
             with logged_step(spark, log_dir, "facts", name) as info:
                 state["facts"][name] = df
-                info["lignes"] = write_table(df, out_dir, name)
+                # Facts partition by the time key (dims stay single-dir).
+                info["lignes"] = write_fact_incremental(df, out_dir, name)
                 total += info["lignes"]
         return total
 

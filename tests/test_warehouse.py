@@ -118,3 +118,30 @@ def test_full_etl_end_to_end(spark, tmp_path_factory):
     assert geo.filter(F.col("niveau_geo") == "COMMUNE").count() == 3
     pop = spark.read.parquet(f"{out}/fait_population")
     assert pop.count() > 0
+
+
+def test_incremental_fact_partition_overwrite(spark, tmp_path):
+    from evolution_data_warehouse_spark.warehouse.etl import (
+        write_fact_incremental,
+    )
+
+    out = str(tmp_path / "wh")
+    full = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 110.0), (2, 10, 200.0), (2, 20, 210.0)],
+        schema="temps_id int, geo_id int, measure double",
+    )
+    write_fact_incremental(full, out, "fait_x")
+    assert spark.read.parquet(f"{out}/fait_x").count() == 4
+
+    # Re-load ONLY period 2 with corrected numbers: period 1 untouched.
+    fixed = spark.createDataFrame(
+        [(2, 10, 999.0)], schema="temps_id int, geo_id int, measure double"
+    )
+    write_fact_incremental(fixed, out, "fait_x")
+    got = spark.read.parquet(f"{out}/fait_x")
+    assert got.count() == 3  # 2 rows of period 1 + 1 corrected row
+    assert got.filter("temps_id = 1").count() == 2
+    assert got.filter("temps_id = 2").first().measure == 999.0
+    # partition pruning: a period-1 read lists only its partition
+    plan = got.filter("temps_id = 1")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(temps_id" in plan
