@@ -147,6 +147,7 @@ def scd3_apply(
     Ref: 010_scd_dimensions.sql:312-373; load_dimensions.py:224-270.
     """
     prev_col = prev_col or f"ancien_{attr}"
+    attr_type = dict(current.dtypes)[attr]
     j = _prep(current, staged, key, [attr])
     changed = (
         F.col("_c_present") & F.col("_s_present") & ~F.col(attr).eqNullSafe(F.col(f"_s_{attr}"))
@@ -162,7 +163,9 @@ def scd3_apply(
         .otherwise(F.coalesce(F.col(attr), F.col(f"_s_{attr}")))
         .alias(attr),
         F.when(changed, F.col(attr)).otherwise(
-            F.col(prev_col) if prev_col in current.columns else F.lit(None).cast("string")
+            F.col(prev_col)
+            if prev_col in current.columns
+            else F.lit(None).cast(attr_type)
         ).alias(prev_col),
         F.when(changed, effective_ts)
         .otherwise(

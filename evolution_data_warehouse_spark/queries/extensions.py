@@ -161,3 +161,48 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "fn_map_ops",
+    "SELECT event_id, "
+    "CAST(json_extract_string(props, '$.k') AS INT) AS k_value, "
+    "CAST(len(json_keys(props)) AS INT) AS n_keys FROM events",
+    doc="Map/JSON payload operators: parse to a typed map, element "
+    "access, key cardinality (the props column as map<string,int>).",
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.from_json("props", "map<string,int>")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+_LAG_ORACLE = """
+SELECT event_id, user_id, ts,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       first_value(event_type) OVER w AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "win_lag_lead",
+    _LAG_ORACLE,
+    doc="lag/lead/first_value over per-user event sequences — the "
+    "building blocks behind sessionization and change detection.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+    )

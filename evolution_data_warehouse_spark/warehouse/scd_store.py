@@ -28,11 +28,18 @@ def _current_version(table_dir: str) -> int | None:
     return int(open(ptr).read().strip())
 
 
-def read_dimension(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    v = _current_version(table_dir)
+def read_dimension(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """Read the current dimension, or time-travel to an earlier published
+    version (every merge keeps its full predecessor snapshot)."""
+    v = version if version is not None else _current_version(table_dir)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(table_dir, f"v{v}"))
+    path = os.path.join(table_dir, f"v{v}")
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no snapshot v{v} under {table_dir}")
+    return spark.read.parquet(path)
 
 
 def _publish(df: DataFrame, table_dir: str) -> int:

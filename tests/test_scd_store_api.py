@@ -129,3 +129,21 @@ def test_read_api(spark, sf_dir):
     assert len(json.loads(body[0])) == 2
     api.wsgi_app({"PATH_INFO": "/tables/secret", "QUERY_STRING": ""}, start_response)
     assert captured["status"] == "403 Forbidden"
+
+
+def test_scd2_time_travel(spark, tmp_path):
+    d = str(tmp_path / "dim_tt")
+    upsert_scd2(
+        spark, d, _snap(spark, [("59", "Lille")]),
+        "code", ["nom"], F.lit(TS1).cast("timestamp"),
+    )
+    upsert_scd2(
+        spark, d, _snap(spark, [("59", "Lille-Metropole")]),
+        "code", ["nom"], F.lit(TS2).cast("timestamp"),
+    )
+    v1 = read_dimension(spark, d, version=1)
+    assert v1.count() == 1 and v1.first().nom == "Lille"
+    cur = read_dimension(spark, d)
+    assert cur.count() == 2  # closed + new version
+    with pytest.raises(FileNotFoundError):
+        read_dimension(spark, d, version=99)
