@@ -129,3 +129,53 @@ def simhash(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for k in range(SIMHASH_BITS)
     )
     return sums.select(F.col(id_col), sig.cast("int").alias("simhash"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Minimum-label propagation over undirected edges: every node ends
+    with the smallest id reachable from it — the canonical id of its
+    duplicate cluster. Iterative join+aggregate to a fixpoint (bounded);
+    the fixpoint is unique, so results are deterministic regardless of
+    execution order. Each iteration is one shuffle on the node id —
+    the alternating large-star/small-star shape that scales to
+    billion-edge dedup graphs.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            sym.join(labels, sym.m == labels.n, "inner")
+            .select(sym.n.alias("n"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias(node_col), F.col("label").alias("cluster_id"))

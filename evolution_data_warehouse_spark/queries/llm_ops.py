@@ -795,3 +795,119 @@ def pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .applyInPandas(per_group, "doc_id long, source string, z double")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering (connected components) + TF-IDF scoring
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    minhash_lsh_pairs,
+)
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, ({content_hash64_sql('shingle')}) % {MERSENNE_P} AS hm FROM sh),
+mh AS (SELECT doc_id, {", ".join(
+    f"MIN(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)} FROM h GROUP BY doc_id),
+bands AS ({" UNION ALL ".join(
+    "SELECT doc_id, %d AS band, concat_ws('|', %s) AS band_key FROM mh"
+    % (b, ", ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    ))
+    for b in range(N_BANDS)
+)}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS n, doc_b AS m FROM cand
+    UNION SELECT doc_b, doc_a FROM cand
+),
+reach(node, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.n, r.label FROM reach r JOIN edges e ON e.m = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_ORACLE,
+    doc="Duplicate-cluster assignment: connected components (min-label "
+    "propagation to a fixpoint) over the MinHash-LSH candidate graph — "
+    "the final step that turns pairwise candidates into canonical "
+    "cluster ids for keep-one-per-cluster dedup.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(_doc_shingles(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(docs, pairs)
+
+
+_TFIDF_TOP_K = 5
+# Linear inverse document frequency (tf * N / df) instead of log-idf:
+# ln() is only ~1-ulp reproducible across libm implementations, which
+# breaks bit-exact oracle matching; the linear variant is exact integer
+# arithmetic and preserves the ranking behavior needed here.
+_TFIDF_ORACLE = f"""
+WITH tk AS (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, token,
+           CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)
+               AS score
+    FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+    FROM scored
+) WHERE rank <= {_TFIDF_TOP_K}
+"""
+
+
+@register(
+    "text_tfidf",
+    _TFIDF_ORACLE,
+    doc="Top-k characteristic terms per document by tf·(N/df) weighting "
+    "(linear idf — see oracle note), fully tie-broken ranking.",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tk.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("tf").cast("double")
+            * F.lit(float(n_docs))
+            / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOP_K)
+        .select("doc_id", "token", "score", "rank")
+    )
