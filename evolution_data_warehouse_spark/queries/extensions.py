@@ -206,3 +206,54 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"),
     )
+
+
+_RANGE_ORACLE = """
+SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+"""
+
+
+@register(
+    "join_range_bucketed",
+    _RANGE_ORACLE,
+    doc="Range join (events within 60s of a prior same-user event) "
+    "executed as a BUCKETED equi-join: each left row targets its own "
+    "and the next 60s bucket, so the theta condition becomes an "
+    "equi-join on (user, bucket) + residual filter — one hash shuffle "
+    "instead of the O(n·m) nested-loop a naive range join plans "
+    "(the pattern from the PySpark guide's as-of/range-join note).",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    bucket = (F.col("us") / F.lit(60_000_000)).cast("long")
+    left = ev.withColumn(
+        "bucket", F.explode(F.array(bucket, bucket + 1))
+    ).select(
+        F.col("event_id").alias("event_a"),
+        "user_id",
+        F.col("us").alias("us_a"),
+        "bucket",
+    )
+    right = ev.withColumn("bucket", bucket).select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("us").alias("us_b"),
+        "bucket",
+    )
+    return (
+        left.join(
+            right,
+            (left.user_id == right.user_b) & (left.bucket == right.bucket),
+        )
+        .filter(
+            (F.col("us_b") > F.col("us_a"))
+            & (F.col("us_b") <= F.col("us_a") + 60_000_000)
+        )
+        .select("event_a", "event_b", "user_id")
+    )

@@ -911,3 +911,77 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOP_K)
         .select("doc_id", "token", "score", "rank")
     )
+
+
+_EMB_LSH_COS_MIN = 0.15
+
+
+def _emb_lsh_pairs_oracle() -> str:
+    plane_terms = []
+    for i, plane in enumerate(_PLANES):
+        dot = " + ".join(
+            f"(CAST(embedding[{j+1}] AS DOUBLE) * {plane[j]:.17e})"
+            for j in range(DIM)
+        )
+        plane_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2**i} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+           CAST(({bucket}) AS INT) AS bucket,
+           sqrt({_sqnorm_sql('embeddings')}) AS norm
+    FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({_dot_sql('a', 'b')}) / NULLIF(a.norm * b.norm, 0.0) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({_dot_sql('a', 'b')}) / NULLIF(a.norm * b.norm, 0.0)
+      >= {_EMB_LSH_COS_MIN}
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    _emb_lsh_pairs_oracle(),
+    doc="Embedding near-dup at scale: candidate pairs come from the "
+    "hyperplane-LSH bucket (equi-join, no all-pairs), then exact cosine "
+    "over the candidates — composes sim_ann_lsh's bucketing with "
+    "dedup_embedding_cosine's scoring.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        as_double,
+        cosine,
+        hyperplane_signature,
+        vec_norm,
+    )
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("_vec"))
+        .withColumn("bucket", hyperplane_signature(F.col("_vec"), _PLANES))
+        .withColumn("_norm", vec_norm(F.col("_vec")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    )
+    out = pairs.withColumn(
+        "cosine", cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+    )
+    return out.filter(F.col("cosine") >= _EMB_LSH_COS_MIN).select(
+        "vec_a", "vec_b", "cosine"
+    )
