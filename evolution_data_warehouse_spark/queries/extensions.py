@@ -257,3 +257,83 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_a", "event_b", "user_id")
     )
+
+
+_NTILE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       ntile(4) OVER w AS balance_quartile,
+       percent_rank() OVER w AS balance_pct_rank,
+       dense_rank() OVER w AS balance_dense_rank
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register(
+    "win_ntile_rank",
+    _NTILE_ORACLE,
+    doc="ntile / percent_rank / dense_rank — ranking family beyond "
+    "row_number (fully tie-broken ordering).",
+)
+def win_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.percent_rank().over(w).alias("balance_pct_rank"),
+        F.dense_rank().over(w).alias("balance_dense_rank"),
+    )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    _GSETS_ORACLE,
+    doc="Explicit GROUPING SETS (marginals + grand total without the "
+    "full cube) — one shuffle for all three grains.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gsets_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM _gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "fn_string_suite",
+    "SELECT o_orderkey, trim(o_orderpriority) AS pri_trim, "
+    "upper(o_orderstatus) AS status_up, lower(o_orderpriority) AS pri_low, "
+    "substr(o_orderpriority, 1, 1) AS pri_code, "
+    "CAST(length(o_orderpriority) AS INT) AS pri_len, "
+    "replace(o_orderpriority, '-', '_') AS pri_norm, "
+    "CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos "
+    "FROM orders",
+    doc="String-function suite: trim/upper/lower/substr/length/replace/"
+    "position — the remaining §2.8 scalar surface in one pass.",
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.trim("o_orderpriority").alias("pri_trim"),
+        F.upper("o_orderstatus").alias("status_up"),
+        F.lower("o_orderpriority").alias("pri_low"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("pri_norm"),
+        F.instr(F.col("o_orderpriority"), "-").alias("dash_pos"),
+    )
