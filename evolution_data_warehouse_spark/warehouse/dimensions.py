@@ -133,6 +133,27 @@ def dim_indicateur(spark: SparkSession) -> DataFrame:
     )
 
 
+LOGEMENT_CODES = [  # 004_populate_dimensions.sql:190-209 (overocc + occupancy)
+    ("0", "OVEROCC", "Sans suroccupation"),
+    ("1", "OVEROCC", "En suroccupation"),
+    ("_T", "OVEROCC", "Ensemble"),
+    ("DW_MAIN", "OCS", "Residence principale"),
+    ("DW_SEC", "OCS", "Residence secondaire"),
+    ("DW_VAC", "OCS", "Logement vacant"),
+]
+
+
+def dim_logement(spark: SparkSession) -> DataFrame:
+    """Sixth dimension (002_create_dimensions.sql:184-205): housing
+    occupancy/overcrowding code combinations."""
+    df = spark.createDataFrame(
+        LOGEMENT_CODES, schema="code string, type_code string, libelle string"
+    )
+    return add_surrogate_key(df, "logement_id", ["type_code", "code"]).select(
+        "logement_id", "code", "type_code", "libelle"
+    )
+
+
 def build_all(spark: SparkSession, communes: DataFrame | None = None):
     return {
         "dim_temps": dim_temps(spark),
@@ -140,4 +161,5 @@ def build_all(spark: SparkSession, communes: DataFrame | None = None):
         "dim_demographie": dim_demographie(spark),
         "dim_activite": dim_activite(spark),
         "dim_indicateur": dim_indicateur(spark),
+        "dim_logement": dim_logement(spark),
     }
