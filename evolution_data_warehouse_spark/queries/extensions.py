@@ -151,15 +151,28 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    None,  # HLL sketch values are engine-specific → rows-only check
+    "SELECT l_returnflag, "
+    "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts, "
+    "TRUE AS approx_within_5pct "
+    "FROM lineitem GROUP BY l_returnflag",
     doc="approx_count_distinct (HyperLogLog++) — the 100 TB substitute "
-    "for COUNT(DISTINCT): mergeable sketches, no expand. Exactness is "
-    "asserted against the exact count in tests (±5%).",
+    "for COUNT(DISTINCT): mergeable sketches, no expand. Raw HLL values "
+    "are engine-specific, so the checked projection keeps the sketch in "
+    "the plan and asserts its documented ±5% envelope against the exact "
+    "count, which IS oracle-comparable.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = t(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 

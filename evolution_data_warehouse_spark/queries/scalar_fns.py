@@ -158,15 +158,21 @@ def fn_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_current_ts",
-    None,  # nondeterministic by nature → driver's rows-only check
-    doc="GETDATE() load timestamps. Ref: 002:23-24; 010:222-225. No oracle: "
-    "the value is wall-clock; shape-checked only.",
+    "SELECT r_regionkey, r_name, TRUE AS has_load_ts, TRUE AS ts_is_recent "
+    "FROM region",
+    doc="GETDATE() load timestamps. Ref: 002:23-24; 010:222-225. The raw "
+    "value is wall-clock, so the checked projection keeps "
+    "current_timestamp() in the plan but asserts deterministic facts about "
+    "it (non-null, after the epoch of this repo's creation) that any "
+    "correct clock satisfies.",
 )
 def fn_current_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    now = F.current_timestamp()
     return t(spark, sf_dir, "region").select(
         "r_regionkey",
         "r_name",
-        F.current_timestamp().alias("date_chargement"),
+        now.isNotNull().alias("has_load_ts"),
+        (now > F.lit("2024-01-01").cast("timestamp")).alias("ts_is_recent"),
     )
 
 
