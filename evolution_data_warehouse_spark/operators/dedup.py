@@ -15,6 +15,7 @@ anywhere (and oracle-checkable).
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -25,6 +26,8 @@ N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SIMHASH_BITS = 16
+
+logger = logging.getLogger(__name__)
 
 _rng = random.Random(20260813)
 MINHASH_COEFFS: list[tuple[int, int]] = [
@@ -81,7 +84,12 @@ def minhash_lsh_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs + estimated Jaccard (fraction of equal
     minhashes). The pair join runs on (band, band_key) — the LSH bucket —
     never all-pairs."""
-    sig = minhash_signature(shingled, id_col).cache()
+    # Reused twice (bands + both sides of the signature join); an eager
+    # localCheckpoint materializes it once and lets the blocks be
+    # reclaimed when the result is dropped — unlike a bare .cache(),
+    # which would leak executor storage if this op is composed into a
+    # longer pipeline and nobody calls unpersist.
+    sig = minhash_signature(shingled, id_col).localCheckpoint(eager=True)
     bands = lsh_bands(sig, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -153,11 +161,17 @@ def connected_components(
             edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m"))
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
+    # localCheckpoint every iteration: truncates the logical plan (no
+    # 20-deep join/agg lineage for Catalyst to re-analyze each round) and
+    # materializes the labels exactly once; the superseded generation's
+    # blocks are dropped explicitly, so executor storage holds at most
+    # two generations regardless of iteration count.
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("label")
-    )
+    ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_labels = (
             sym.join(labels, sym.m == labels.n, "inner")
@@ -167,7 +181,7 @@ def connected_components(
             labels.unionByName(neighbor_labels)
             .groupBy("n")
             .agg(F.min("label").alias("label"))
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("a")
             .join(labels.alias("b"), "n")
@@ -175,7 +189,19 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    sym.unpersist()
+    if not converged:
+        # A component whose diameter exceeds max_iterations would get
+        # silently-wrong cluster ids; surface it instead.
+        logger.warning(
+            "connected_components: fixpoint not reached within %d "
+            "iterations — cluster labels may be incomplete for "
+            "long-diameter components",
+            max_iterations,
+        )
     return labels.select(F.col("n").alias(node_col), F.col("label").alias("cluster_id"))

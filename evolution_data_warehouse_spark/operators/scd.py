@@ -89,7 +89,13 @@ def scd2_apply(
     history = current.filter(~F.col("est_actif")).select(*out_cols)
     active = current.filter(F.col("est_actif"))
 
-    j = _prep(active, staged, key, attrs).cache()
+    # Four branches project the same full-outer join; an eager
+    # localCheckpoint computes it once and lets the blocks be reclaimed
+    # when the merge result is dropped. (A bare .cache() is pinned in
+    # the CacheManager until an explicit unpersist, which nothing here
+    # could issue — repeated streaming merges via scd2_foreach_batch
+    # would accumulate cached blocks in executor storage forever.)
+    j = _prep(active, staged, key, attrs).localCheckpoint(eager=True)
     changed = F.col("_c_present") & F.col("_s_present") & _changed(attrs)
 
     unchanged_rows = j.filter(

@@ -23,7 +23,23 @@ def salted_join(
     """Equi-join with the hot-key fan-out trick: the (large, skewed)
     left side gets a random salt in [0, n_salts); the (smaller) right
     side is replicated once per salt value, so one hot key spreads over
-    n_salts reducers instead of one."""
+    n_salts reducers instead of one.
+
+    Only join types where the replicated right side can't surface
+    unmatched rows are allowed: a right/full outer join would emit each
+    unmatched right row once per salt after ``_salt`` is dropped."""
+    allowed = {
+        "inner", "cross",
+        "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "right side duplicates its unmatched rows under right/full "
+            "outer semantics"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")
     )

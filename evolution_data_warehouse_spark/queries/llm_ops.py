@@ -895,13 +895,16 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tk.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df_, "token").select(
+    # Corpus size folded into the plan as a broadcast 1-row aggregate
+    # (mirrors the oracle's CROSS JOIN n): the whole query is one job,
+    # instead of a separate driver-side count() scan of documents.
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
         (
             F.col("tf").cast("double")
-            * F.lit(float(n_docs))
+            * F.col("n_docs").cast("double")
             / F.col("df").cast("double")
         ).alias("score"),
     )

@@ -115,15 +115,21 @@ def prepare_tables(
 
 def tables_summary(tables: dict[str, DataFrame]) -> DataFrame:
     """name / n_rows / n_cols summary (analytics/export_to_sql.py
-    tables_summary analog). Runs one count job per table."""
-    first = next(iter(tables))
-    spark = tables[first].sparkSession
-    rows = [
-        (name, df.count(), len(df.columns)) for name, df in tables.items()
+    tables_summary analog). Lazy union of per-table 1-row aggregates:
+    a single Spark job when collected, instead of one driver-side
+    count() job per table."""
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit(name).alias("table_name"),
+            "n_rows",
+            F.lit(len(df.columns)).cast("int").alias("n_cols"),
+        )
+        for name, df in tables.items()
     ]
-    return spark.createDataFrame(
-        rows, schema="table_name string, n_rows long, n_cols int"
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def resolve_column(df: DataFrame, *candidates: str) -> str | None:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.operators.etl_log import logged_step
@@ -32,12 +32,17 @@ from evolution_data_warehouse_spark.warehouse import facts as facts_mod
 
 def write_table(df: DataFrame, out_dir: str, name: str, partition_by: str | None = None) -> int:
     """Idempotent overwrite write (the skip-if-loaded guards of
-    load_facts.py:162-166 become INSERT OVERWRITE semantics)."""
-    w = df.write.mode("overwrite")
+    load_facts.py:162-166 become INSERT OVERWRITE semantics).
+
+    The row count piggybacks on the write job via ``df.observe`` —
+    a separate post-write ``count()`` would recompute the whole plan,
+    doubling every load at scale."""
+    obs = Observation()
+    w = df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(os.path.join(out_dir, name))
-    return df.count()
+    return int(obs.get["rows"])
 
 
 def write_fact_incremental(
@@ -51,15 +56,17 @@ def write_fact_incremental(
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    obs = Observation()
     try:
         (
-            df.write.mode("overwrite")
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("overwrite")
             .partitionBy(partition_by)
             .parquet(os.path.join(out_dir, name))
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return df.count()
+    return int(obs.get["rows"])
 
 
 def run_full_etl(
@@ -75,7 +82,16 @@ def run_full_etl(
     def staging() -> int:
         with logged_step(spark, log_dir, "staging", "all") as info:
             state["staged"] = prepare_tables(spark, specs)
-            info["lignes"] = sum(df.count() for df in state["staged"].values())
+            # Log-only row total: one job over a union of 1-row
+            # aggregates, not one count() job per table.
+            counts = [
+                df.agg(F.count(F.lit(1)).alias("n"))
+                for df in state["staged"].values()
+            ]
+            total = counts[0]
+            for c in counts[1:]:
+                total = total.unionAll(c)
+            info["lignes"] = sum(r.n for r in total.collect()) if counts else 0
             return info["lignes"]
 
     def security() -> int:

@@ -13,12 +13,15 @@ into MERGE INTO (jars not present in this image; SURVEY §2.10).
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from evolution_data_warehouse_spark.operators.scd import scd2_apply
 
 _POINTER = "_CURRENT"
+_VDIR = re.compile(r"^v(\d+)$")
 
 
 def _current_version(table_dir: str) -> int | None:
@@ -43,13 +46,58 @@ def read_dimension(
 
 
 def _publish(df: DataFrame, table_dir: str) -> int:
+    """Write the next snapshot and swap the pointer.
+
+    The version directory is claimed with an atomic ``mkdir`` before
+    the write: two concurrent publishers can no longer pick the same
+    v{N} (the loser's mkdir raises and it retries with the next number),
+    so no snapshot is silently overwritten. The pointer swap stays
+    last-writer-wins, which is the same linearization a MERGE gives.
+    """
+    os.makedirs(table_dir, exist_ok=True)
     v = (_current_version(table_dir) or 0) + 1
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, f"v{v}"))
-    tmp = os.path.join(table_dir, _POINTER + ".tmp")
+    while True:
+        path = os.path.join(table_dir, f"v{v}")
+        try:
+            os.mkdir(path)  # atomic claim; O_EXCL-equivalent for dirs
+            break
+        except FileExistsError:
+            v += 1
+    df.write.mode("overwrite").parquet(path)
+    tmp = os.path.join(table_dir, _POINTER + f".tmp.{v}")
     with open(tmp, "w") as f:
         f.write(str(v))
     os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic swap
     return v
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Published snapshot versions, ascending."""
+    if not os.path.isdir(table_dir):
+        return []
+    vs = [
+        int(m.group(1))
+        for d in os.listdir(table_dir)
+        if (m := _VDIR.match(d)) and os.path.isdir(os.path.join(table_dir, d))
+    ]
+    return sorted(vs)
+
+
+def retention_cleanup(table_dir: str, keep_last: int) -> list[int]:
+    """Delete all but the newest ``keep_last`` snapshots; the pointer
+    target is always kept. Mirrors operators/backup.retention_cleanup
+    (backup_to_datalake.py:133,250-251). Returns the deleted versions."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    current = _current_version(table_dir)
+    doomed = [
+        v
+        for v in list_versions(table_dir)[:-keep_last]
+        if v != current
+    ]
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v{v}"))
+    return doomed
 
 
 def upsert_scd2(

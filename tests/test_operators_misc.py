@@ -118,3 +118,35 @@ def test_surrogate_key_stability(spark, sf_dir):
     a = {r.segment: r.segment_id for r in fn(spark, sf_dir).collect()}
     b = {r.segment: r.segment_id for r in fn(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
+
+
+def test_connected_components_bounded_plan(spark, caplog):
+    import logging
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    chain = [(i, i + 1) for i in range(1, 7)]
+    edges = spark.createDataFrame(chain, "doc_a long, doc_b long")
+
+    out = connected_components(nodes, edges)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {i: 1 for i in range(1, 8)}
+
+    # Lineage must be truncated per iteration: the final plan reads the
+    # checkpointed labels (one RDD scan, zero joins), not a stack of
+    # max_iterations join+aggregate layers.
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("LogicalRDD") == 1
+
+    # Exhausting the iteration budget on a long-diameter component must
+    # be surfaced, not silent.
+    with caplog.at_level(
+        logging.WARNING,
+        logger="evolution_data_warehouse_spark.operators.dedup",
+    ):
+        connected_components(nodes, edges, max_iterations=1)
+    assert any("fixpoint" in r.message for r in caplog.records)

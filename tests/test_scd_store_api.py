@@ -147,3 +147,35 @@ def test_scd2_time_travel(spark, tmp_path):
     assert cur.count() == 2  # closed + new version
     with pytest.raises(FileNotFoundError):
         read_dimension(spark, d, version=99)
+
+
+def test_scd2_retention_and_version_claim(spark, tmp_path):
+    import os
+
+    from evolution_data_warehouse_spark.warehouse.scd_store import (
+        list_versions,
+        retention_cleanup,
+    )
+
+    d = str(tmp_path / "dim_ret")
+    for i, nom in enumerate(["A", "B", "C", "D"]):
+        upsert_scd2(
+            spark, d, _snap(spark, [("59", nom)]),
+            "code", ["nom"], F.lit(TS1).cast("timestamp"),
+        )
+    assert list_versions(d) == [1, 2, 3, 4]
+
+    # A concurrent publisher that already claimed v5 forces the next
+    # merge to skip to v6 instead of silently overwriting v5.
+    os.mkdir(os.path.join(d, "v5"))
+    v = upsert_scd2(
+        spark, d, _snap(spark, [("59", "E")]),
+        "code", ["nom"], F.lit(TS2).cast("timestamp"),
+    )
+    assert v == 6
+
+    deleted = retention_cleanup(d, keep_last=2)
+    assert deleted == [1, 2, 3, 4]
+    assert list_versions(d) == [5, 6]
+    # current pointer target survives and stays readable
+    assert read_dimension(spark, d).count() > 0

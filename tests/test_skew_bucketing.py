@@ -56,3 +56,13 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_salted_join_rejects_right_outer(spark, sf_dir):
+    # Replicating the right side once per salt would emit each unmatched
+    # right row n_salts times under right/full outer semantics.
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(nation, region, "n_regionkey", how=how)
