@@ -80,16 +80,32 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
-def minhash_lsh_pairs(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_lsh_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    sig_storage: str = "cache",
+) -> DataFrame:
     """Candidate near-dup pairs + estimated Jaccard (fraction of equal
     minhashes). The pair join runs on (band, band_key) — the LSH bucket —
-    never all-pairs."""
-    # Reused twice (bands + both sides of the signature join); an eager
-    # localCheckpoint materializes it once and lets the blocks be
-    # reclaimed when the result is dropped — unlike a bare .cache(),
-    # which would leak executor storage if this op is composed into a
-    # longer pipeline and nobody calls unpersist.
-    sig = minhash_signature(shingled, id_col).localCheckpoint(eager=True)
+    never all-pairs.
+
+    The signature table is reused three times (band expansion + both
+    sides of the jaccard join); ``sig_storage`` picks its lifecycle:
+
+    * ``"cache"`` (default, interactive/repeated use): pinned in the
+      CacheManager, which dedupes identical plans — re-running the same
+      dedup reuses one entry, it does not accumulate.
+    * ``"checkpoint"`` (composition into longer pipelines): eager
+      localCheckpoint — blocks are reclaimed when the result is
+      dropped, nothing stays pinned.
+    * ``"none"``: recompute per use (when the input is already
+      materialized upstream).
+    """
+    sig = minhash_signature(shingled, id_col)
+    if sig_storage == "cache":
+        sig = sig.cache()
+    elif sig_storage == "checkpoint":
+        sig = sig.localCheckpoint(eager=True)
     bands = lsh_bands(sig, id_col)
     a = bands.alias("a")
     b = bands.alias("b")

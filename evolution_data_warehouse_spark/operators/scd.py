@@ -139,6 +139,74 @@ def scd2_apply(
     )
 
 
+def scd2_rekey_apply(
+    current: DataFrame,
+    mapping: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective_ts: Column,
+) -> DataFrame:
+    """SCD Type 2 re-keyed-entity merge — the commune-fusion case.
+
+    The reference's sp_scd_type2_geographie (010_scd_dimensions.sql:
+    179-268, close :210-225 + re-keyed insert :228-252) takes an
+    explicit old→new mapping: in ONE batch the active row of the old
+    business key is closed and a successor row is inserted under the
+    (possibly new) key at version+1 — semantics a snapshot diff cannot
+    express, because a changed key looks like an unrelated
+    delete+insert.
+
+    ``mapping`` columns: ``old_key``; ``new_key`` (NULL → key
+    unchanged, mirroring ISNULL(@nouveau_code, commune_code)); and
+    optionally ``new_<attr>`` overrides (NULL → carry the old value).
+    The mapping is dimension-change-sized (a handful of fusions per
+    load), so the join broadcasts; branches are projections of it —
+    no extra shuffle at any dimension size.
+    """
+    out_cols = [key, *attrs, *META_COLS]
+    override_cols = {
+        a: f"new_{a}" for a in attrs if f"new_{a}" in mapping.columns
+    }
+    m = mapping.select(
+        F.col("old_key"),
+        F.col("new_key"),
+        *[F.col(c).alias(f"_n_{a}") for a, c in override_cols.items()],
+    )
+    j = current.join(
+        F.broadcast(m), current[key] == m.old_key, "left"
+    )
+    hit = F.col("old_key").isNotNull() & F.col("est_actif")
+
+    untouched = j.filter(~F.coalesce(hit, F.lit(False))).select(*out_cols)
+
+    closed = j.filter(hit).select(
+        F.col(key),
+        *[F.col(a) for a in attrs],
+        F.col("version"),
+        F.lit(False).alias("est_actif"),
+        F.col("date_debut_validite"),
+        effective_ts.alias("date_fin_validite"),
+    )
+
+    successors = j.filter(hit).select(
+        F.coalesce(F.col("new_key"), F.col(key)).alias(key),
+        *[
+            (
+                F.coalesce(F.col(f"_n_{a}"), F.col(a))
+                if a in override_cols
+                else F.col(a)
+            ).alias(a)
+            for a in attrs
+        ],
+        (F.col("version") + F.lit(1)).alias("version"),
+        F.lit(True).alias("est_actif"),
+        effective_ts.alias("date_debut_validite"),
+        F.lit(None).cast("timestamp").alias("date_fin_validite"),
+    )
+
+    return untouched.unionByName(closed).unionByName(successors)
+
+
 def scd3_apply(
     current: DataFrame,
     staged: DataFrame,

@@ -60,6 +60,46 @@ def hyperplane_signature(vec_d: Column, planes: list[list[float]]) -> Column:
     return sig.cast("int")
 
 
+def sq_l2(a_d: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid (sequential fold —
+    bit-deterministic, oracle-matchable)."""
+    cvec = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(a_d, cvec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "_vec",
+) -> DataFrame:
+    """IVF coarse quantization: (id, centroid_id) for each vector's
+    ``n_probe`` nearest centroids (ties broken by centroid index).
+
+    n_probe=1 builds the inverted lists (each corpus vector lands in
+    exactly one list); n_probe>1 is the query side's multi-probe. One
+    narrow projection + a per-id window over ``len(centroids)`` rows —
+    no shuffle of the vectors themselves beyond the explode.
+    """
+    from pyspark.sql import Window as W
+
+    dists = F.array(*[sq_l2(F.col(vec_col), c) for c in centroids])
+    d = df.select(
+        F.col(id_col), F.posexplode(dists).alias("centroid_id", "_dist")
+    )
+    w = W.partitionBy(id_col).orderBy(F.asc("_dist"), F.asc("centroid_id"))
+    return (
+        d.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n_probe)
+        .select(id_col, F.col("centroid_id").cast("int").alias("centroid_id"))
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -57,31 +57,74 @@ _DATAMART_SQL = {
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
-    # vm_entreprises analog: per-sector rollup (005:56-80).
+    # vm_entreprises analog: per-(geo, year, sector) rollup (005:56-80,
+    # vm_entreprises_departement carries departement_code + annee +
+    # secteur so the dashboard can re-aggregate it).
     "vm_entreprises": """
-        SELECT p.p_brand AS secteur,
+        SELECT n.n_name AS geo_name, year(o.o_orderdate) AS annee,
+               p.p_brand AS secteur,
                COUNT(*) AS n_items,
                CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE)
                    AS chiffre_affaires
-        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        GROUP BY p.p_brand
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY n.n_name, year(o.o_orderdate), p.p_brand
     """,
-    # vm_emploi analog (005:136-160): conditional measure extraction.
+    # vm_emploi analog (005:136-160): per-(geo, year, statut) measures,
+    # population_active / population_chomeurs columns mirroring
+    # vm_emploi_departement so the dashboard's NULLIF-guarded ratio
+    # re-aggregation has the same inputs.
     "vm_emploi": """
-        SELECT user_id,
-               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_actifs,
-               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_chomeurs
-        FROM events GROUP BY user_id
+        SELECT n.n_name AS geo_name, year(o.o_orderdate) AS annee,
+               l.l_returnflag AS statut,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+                   AS population_active,
+               CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                             THEN CAST(l.l_quantity AS DECIMAL(28,2))
+                             ELSE CAST(0 AS DECIMAL(28,2)) END) AS DOUBLE)
+                   AS population_chomeurs
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate), l.l_returnflag
     """,
 }
 
-# Dashboard view: joins the datamarts (005:207-254 nests views the same way).
+# Dashboard view — the v_tableau_bord_territorial analog (005:207-254):
+# a geo × time spine, direct LEFT JOINs for same-grain datamarts, and
+# NULLIF-guarded LEFT JOINs on aggregated subqueries for the datamarts
+# kept at a finer grain (sector, statut) that must be re-rolled-up to
+# the dashboard's (geo, annee) grain.
 _DASHBOARD_SQL = """
-    SELECT d.geo_name, d.annee, d.total_spend, d.n_orders, r.avg_balance
-    FROM vm_demographie d
-    LEFT JOIN vm_revenus r ON d.geo_name = r.geo_name
+    SELECT g.n_name AS geo_name, t.annee,
+           demo.total_spend, demo.n_orders, demo.avg_order,
+           ent.chiffre_affaires AS ca_entreprises,
+           rev.avg_balance,
+           emp.taux_chomage_calc AS taux_chomage
+    FROM nation g
+    CROSS JOIN (SELECT DISTINCT year(o_orderdate) AS annee FROM orders) t
+    LEFT JOIN vm_demographie demo
+        ON demo.geo_name = g.n_name AND demo.annee = t.annee
+    LEFT JOIN (
+        SELECT annee, geo_name,
+               CAST(SUM(CAST(chiffre_affaires AS DECIMAL(28,2))) AS DOUBLE)
+                   AS chiffre_affaires
+        FROM vm_entreprises
+        GROUP BY annee, geo_name
+    ) ent ON ent.geo_name = g.n_name AND ent.annee = t.annee
+    LEFT JOIN vm_revenus rev ON rev.geo_name = g.n_name
+    LEFT JOIN (
+        SELECT annee, geo_name,
+               CAST(SUM(CAST(population_chomeurs AS DECIMAL(28,2))) AS DOUBLE)
+               / NULLIF(CAST(SUM(CAST(population_active AS DECIMAL(28,2)))
+                             AS DOUBLE), 0.0) * 100.0 AS taux_chomage_calc
+        FROM vm_emploi
+        GROUP BY annee, geo_name
+    ) emp ON emp.geo_name = g.n_name AND emp.annee = t.annee
 """
 
 

@@ -26,6 +26,7 @@ from evolution_data_warehouse_spark.queries import streaming_ops as _streaming_o
 from evolution_data_warehouse_spark.queries import sources_ext as _sources_ext  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions as _extensions  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import tpch_style as _tpch_style  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import dashboard as _dashboard  # noqa: E402,F401
 
 # Registration order is verification priority, not import order: the
 # driver walks the registry front-to-back, so queries that have never
@@ -36,6 +37,7 @@ from evolution_data_warehouse_spark.queries import tpch_style as _tpch_style  # 
 # last (their evidence is already on record in CORRECTNESS_r01.json).
 _PRIORITY_MODULES = (
     _scd,
+    _dashboard,
     _llm_ops,
     _streaming_ops,
     _sources_ext,

@@ -200,7 +200,20 @@ WHERE CAST(n_common AS DOUBLE)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → distinct 3-gram word shingles (exploded)."""
+    """doc_id → distinct 3-gram word shingles (exploded).
+
+    The shingle build (split + transform + array_distinct + explode) is
+    the CPU-heavy stage of every dedup pipeline; a corpus that arrives
+    in fewer input splits than the cluster has cores would serialize
+    it. Spread the raw docs to full width first — the raw-text shuffle
+    is tiny next to the exploded output, and the guard never *reduces*
+    an already-wide scan (the 100 TB case, where the scan brings
+    thousands of splits on its own).
+    """
+    docs = t(spark, sf_dir, "documents")
+    width = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < width:
+        docs = docs.repartition(width, "doc_id")
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     shingles = F.when(
@@ -212,9 +225,8 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 
@@ -231,11 +243,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Join on the 60-bit shingle hash, not the string: ~10x smaller
     # shuffle payload for the self-join, identical counts (and the same
-    # hash on the oracle side).
+    # hash on the oracle side). Reused three times (sizes + both join
+    # sides); eager localCheckpoint materializes once with reclaimable
+    # blocks instead of a cache pinned until an unpersist nobody owns.
     sh = (
         _doc_shingles(spark, sf_dir)
         .select("doc_id", content_hash64(F.col("shingle")).alias("shingle_h"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
@@ -664,6 +678,116 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("vec_id", assign.cast("int").alias("cluster"))
 
 
+def _ivf_oracle() -> str:
+    dist_exprs = []
+    for c in _KM_CENTROIDS:
+        terms = " + ".join(
+            f"((CAST(embedding[{j+1}] AS DOUBLE) - {c[j]:.17e}) "
+            f"* (CAST(embedding[{j+1}] AS DOUBLE) - {c[j]:.17e}))"
+            for j in range(DIM)
+        )
+        dist_exprs.append(f"({terms})")
+    d_cols = ", ".join(f"{d} AS d{k}" for k, d in enumerate(dist_exprs))
+    long_union = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS centroid_id, d{k} AS dist FROM d"
+        for k in range(len(_KM_CENTROIDS))
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, sqrt({_sqnorm_sql('embeddings')}) AS norm
+    FROM embeddings
+),
+d AS (SELECT vec_id, {d_cols} FROM embeddings),
+long AS ({long_union}),
+ranked AS (
+    SELECT vec_id, centroid_id, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rnk
+    FROM long
+),
+corpus_b AS (SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+             FROM ranked WHERE rnk = 1),
+probes AS (SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+           FROM ranked WHERE rnk <= 2 AND vec_id < 5),
+cand AS (
+    SELECT p.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM probes p JOIN corpus_b cb
+      ON p.centroid_id = cb.centroid_id AND p.vec_id <> cb.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           ({_dot_sql('q', 'c')}) / NULLIF(q.norm * c.norm, 0.0) AS cosine
+    FROM cand
+    JOIN e q ON q.vec_id = cand.query_id
+    JOIN e c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    _ivf_oracle(),
+    doc="IVF-style ANN: coarse-quantize the corpus into inverted lists "
+    "(nearest of 4 literal centroids — the codebook shared with "
+    "sim_kmeans_assign), multi-probe the query's 2 nearest lists, exact "
+    "cosine re-rank of candidates only. Search cost scales with list "
+    "size, not corpus size — the middle path between sim_ann_bruteforce "
+    "(exact, O(Q·N)) and sim_ann_lsh (hyperplane buckets).",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        with_norm,
+    )
+
+    e = with_norm(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "_vec", "_norm"
+    )
+    corpus_b = ivf_assign(e, _KM_CENTROIDS, n_probe=1)
+    queries_b = ivf_assign(
+        e.filter(F.col("vec_id") < 5), _KM_CENTROIDS, n_probe=2
+    )
+    cand = (
+        queries_b.alias("qb")
+        .join(corpus_b.alias("cb"), "centroid_id")
+        .filter(F.col("qb.vec_id") != F.col("cb.vec_id"))
+        .select(
+            F.col("qb.vec_id").alias("query_id"),
+            F.col("cb.vec_id").alias("neighbor_id"),
+        )
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_vec").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_vec").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .withColumn(
+            "cosine",
+            sim.cosine(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal breadth: resize / frame-sample / audio features; grouped
 # applyInPandas normalization
@@ -850,9 +974,12 @@ SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(_doc_shingles(spark, sf_dir)).select(
-        "doc_a", "doc_b"
-    )
+    # checkpoint storage: the signatures are consumed once here (the
+    # edge list is immediately checkpointed inside connected_components)
+    # and must not stay pinned in the CacheManager afterwards.
+    pairs = minhash_lsh_pairs(
+        _doc_shingles(spark, sf_dir), sig_storage="checkpoint"
+    ).select("doc_a", "doc_b")
     return connected_components(docs, pairs)
 
 

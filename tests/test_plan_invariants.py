@@ -9,7 +9,17 @@ from evolution_data_warehouse_spark.queries import REGISTRY
 
 # Queries where a BroadcastNestedLoopJoin is the intended plan (tiny
 # broadcast side by construction):
-_BNL_OK = {"join_cross", "sim_ann_bruteforce", "udtf_rls_predicate"}
+# - text_tfidf: 1-row corpus-size aggregate cross-joined into the plan
+#   (replaces a separate driver-side count job)
+# - view_dashboard_twograin: geo × year spine (|nation| × |years|,
+#   both bounded dimension-sized inputs)
+_BNL_OK = {
+    "join_cross",
+    "sim_ann_bruteforce",
+    "udtf_rls_predicate",
+    "text_tfidf",
+    "view_dashboard_twograin",
+}
 
 
 def _plan(spark, sf_dir, name: str) -> str:

@@ -101,3 +101,73 @@ def test_scd2_invariants(spark, current_map, staged_map):
         if current_map[k] != staged_map[k]
     }
     assert {r.k for r in out if r.version == 2} == changed
+
+
+_rekeys = st.dictionaries(
+    _keys,
+    st.tuples(
+        st.one_of(st.none(), st.sampled_from(["n1", "n2", "n3"])),  # new_key
+        st.one_of(st.none(), _vals),  # new_attr (None → carry old)
+    ),
+    min_size=0,
+    max_size=3,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(current_map=_snapshot, rekey_map=_rekeys)
+def test_scd2_rekey_invariants(spark, current_map, rekey_map):
+    from evolution_data_warehouse_spark.operators.scd import scd2_rekey_apply
+
+    ts = F.lit("2025-06-01 00:00:00").cast("timestamp")
+    current_rows = [
+        (k, v, 1, True, None, None) for k, v in sorted(current_map.items())
+    ]
+    schema = (
+        "k string, attr string, version int, est_actif boolean, "
+        "date_debut_validite timestamp, date_fin_validite timestamp"
+    )
+    current = spark.createDataFrame(current_rows, schema=schema)
+    mapping_rows = [
+        (k, nk, na) for k, (nk, na) in sorted(rekey_map.items())
+    ] or [("__none__", None, None)]
+    mapping = spark.createDataFrame(
+        mapping_rows, schema="old_key string, new_key string, new_attr string"
+    ).filter(F.col("old_key") != "__none__")
+
+    out = scd2_rekey_apply(current, mapping, "k", ["attr"], ts).collect()
+
+    hit = set(current_map) & set(rekey_map)
+
+    # Closed-and-succeeded in one batch: each hit key has exactly one
+    # closed row (old value, stamped end) and one successor at version 2
+    # under coalesce(new_key, old_key) carrying coalesce(new_attr, old).
+    closed = {r.k: r for r in out if not r.est_actif}
+    assert set(closed) == hit
+    for k in hit:
+        assert closed[k].attr == current_map[k]
+        assert closed[k].date_fin_validite is not None
+    # Multiset compare: two old keys may legitimately fuse into the
+    # same successor key (that IS the commune-fusion case).
+    successors = sorted(
+        (r.k, r.attr) for r in out if r.version == 2
+    )
+    expected_succ = sorted(
+        ((rekey_map[k][0] or k), (rekey_map[k][1] or current_map[k]))
+        for k in hit
+    )
+    assert successors == expected_succ
+    assert all(r.est_actif for r in out if r.version == 2)
+
+    # Row conservation: untouched + closed + successors.
+    assert len(out) == len(current_map) + len(hit)
+
+    # Mapping rows for unknown keys change nothing.
+    untouched = [r for r in out if r.est_actif and r.version == 1]
+    for r in untouched:
+        assert current_map[r.k] == r.attr and r.k not in hit
