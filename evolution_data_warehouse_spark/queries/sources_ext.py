@@ -11,8 +11,11 @@ from pyspark.sql import functions as F
 from evolution_data_warehouse_spark.queries.common import register, t
 from evolution_data_warehouse_spark.queries.relational import _scratch
 from evolution_data_warehouse_spark.sources.external import (
+    jdbc_available,
     list_blobs,
+    read_jdbc,
     rest_to_dataframe,
+    write_jdbc,
 )
 from evolution_data_warehouse_spark.sources.staging import TableSpec, load_table
 
@@ -147,6 +150,51 @@ def proc_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = re.search(r"(\d+) rows", stats.data_type if stats else "")
     num_rows = int(m.group(1)) if m else -1
     return spark.createDataFrame([(num_rows,)], schema="num_rows long")
+
+
+_DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+_JDBC_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register(
+    "snk_jdbc_roundtrip",
+    _JDBC_ORACLE,
+    doc="JDBC sink + source round trip over embedded Derby (the driver "
+    "jar Spark ships for its Hive metastore — no network, no install). "
+    "Exercises the same write_jdbc/read_jdbc path the reference uses "
+    "for Azure SQL (export_to_sql.py:160-203 chunked to_sql; "
+    "load_facts.py:105 read_sql): pandas if_exists modes → save modes, "
+    "chunked inserts → connector batchsize, distributed writers.",
+)
+def snk_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not jdbc_available(spark, _DERBY_DRIVER):
+        raise RuntimeError(
+            f"embedded Derby ({_DERBY_DRIVER}) missing from the Spark "
+            "classpath"
+        )
+    scratch = _scratch("jdbc_derby", sf_dir)
+    # Keep Derby's engine log out of the process CWD.
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.system.home", scratch
+    )
+    url = f"jdbc:derby:{os.path.join(scratch, 'db')};create=true"
+    src = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(
+        src, url, "nation_t", _DERBY_DRIVER,
+        if_exists="replace", driver=_DERBY_DRIVER,
+    )
+    back = read_jdbc(spark, url, "nation_t", _DERBY_DRIVER, driver=_DERBY_DRIVER)
+    # Derby round-trips INTEGER/CLOB; project back to the source dtypes
+    # so the schema check compares like for like.
+    src_types = dict(src.dtypes)
+    return back.select(
+        *[F.col(c).cast(src_types[c]).alias(c) for c in src.columns]
+    )
 
 
 _ORC_ORACLE = """

@@ -72,3 +72,27 @@ def test_backup_snapshot_retention(spark, sf_dir, tmp_path):
     assert restored.count() == df.count()
     with pytest.raises(FileNotFoundError):
         restore_snapshot(spark, root, "nope")
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
+    # Spark ships Derby for its Hive metastore, so the JDBC write/read
+    # path can execute for real — no network, no extra install.
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    if not jdbc_available(spark, drv):
+        pytest.skip("embedded Derby not on the Spark classpath")
+    spark._jvm.java.lang.System.setProperty(  # noqa: SLF001
+        "derby.system.home", str(tmp_path)
+    )
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    src = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_jdbc(src, url, "nation_t", drv, if_exists="replace", driver=drv)
+    # if_exists="replace" must be idempotent (DROP + CREATE), like
+    # pandas to_sql(if_exists="replace")
+    write_jdbc(src, url, "nation_t", drv, if_exists="replace", driver=drv)
+    back = read_jdbc(spark, url, "nation_t", drv, driver=drv)
+    assert sorted((r.n_nationkey, r.n_name) for r in back.collect()) == sorted(
+        (r.n_nationkey, r.n_name) for r in src.collect()
+    )
+    # append doubles the rows
+    write_jdbc(src, url, "nation_t", drv, if_exists="append", driver=drv)
+    assert read_jdbc(spark, url, "nation_t", drv, driver=drv).count() == 2 * src.count()
