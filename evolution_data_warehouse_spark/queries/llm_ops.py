@@ -983,6 +983,94 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs, pairs)
 
 
+_KEEP_CANONICAL_ORACLE = f"""
+WITH clusters AS ({_CLUSTERS_ORACLE})
+SELECT cluster_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM clusters GROUP BY cluster_id
+"""
+
+
+@register(
+    "dedup_keep_canonical",
+    _KEEP_CANONICAL_ORACLE,
+    doc="Keep-one-per-cluster dedup output: the canonical document of "
+    "each duplicate cluster (its min-label representative) with the "
+    "cluster's size — the table a training pipeline actually "
+    "materializes after near-dup clustering.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = dedup_clusters(spark, sf_dir)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("cluster_id").alias("doc_id"), "cluster_size")
+    )
+
+
+_QUANT_ORACLE = """
+WITH s AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+    FROM embeddings
+),
+q AS (
+    SELECT e.vec_id, s.scale,
+           list_transform(e.embedding,
+               x -> CAST(greatest(-127, least(127,
+                    floor(CAST(x AS DOUBLE) / s.scale + 0.5))) AS INT)) AS qv
+    FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    WHERE s.scale > 0
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_max(qv) AS INT) AS q_max,
+       CAST(list_min(qv) AS INT) AS q_min
+FROM q
+"""
+
+
+@register(
+    "mm_embedding_quantize",
+    _QUANT_ORACLE,
+    doc="Symmetric int8 quantization of the embedding column (per-vector "
+    "absmax/127 scale, floor(x/s+0.5) rounding, clamped) — the 4x "
+    "storage-compression path for 100 TB embedding tables; checked via "
+    "exact integer projections of the quantized vector plus the scale.",
+)
+def mm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("_v")
+    )
+    scale = (
+        F.array_max(F.transform(F.col("_v"), lambda x: F.abs(x)))
+        / F.lit(127.0)
+    ).alias("scale")
+    s = e.select("vec_id", "_v", scale).filter(F.col("scale") > 0)
+    qv = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(
+                F.lit(127),
+                F.floor(x / F.col("scale") + F.lit(0.5)),
+            ),
+        ).cast("int"),
+    )
+    q = s.select("vec_id", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_max("qv").alias("q_max"),
+        F.array_min("qv").alias("q_min"),
+    )
+
+
 _TFIDF_TOP_K = 5
 # Linear inverse document frequency (tf * N / df) instead of log-idf:
 # ln() is only ~1-ulp reproducible across libm implementations, which
@@ -1017,7 +1105,13 @@ SELECT doc_id, token, score, rank FROM (
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    tk = docs.select(
+    # Same single-split guard as _doc_shingles: the tokenize+explode is
+    # the heavy stage; never let one input split serialize it.
+    wide = docs
+    width = spark.sparkContext.defaultParallelism
+    if wide.rdd.getNumPartitions() < width:
+        wide = wide.repartition(width, "doc_id")
+    tk = wide.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
     tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))

@@ -152,6 +152,96 @@ def proc_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(num_rows,)], schema="num_rows long")
 
 
+@register(
+    "proc_log_etl",
+    "SELECT * FROM (VALUES "
+    "('staging', 'stg_x', 'OK', CAST(5 AS BIGINT)), "
+    "('facts', 'fait_y', 'ERREUR', CAST(0 AS BIGINT))"
+    ") AS t(etape, nom_table, statut, lignes_traitees)",
+    doc="Structured ETL event log: timed steps append OK/ERREUR rows "
+    "with row counts (sp_log_etl shape). Ref: 008_configure_logging.sql"
+    ":94-133; load_facts.py:43-57. Runs one success + one failing step "
+    "and reads the log back (duration excluded — wall-clock).",
+)
+def proc_log_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evolution_data_warehouse_spark.operators.etl_log import (
+        logged_step,
+        read_log,
+    )
+
+    log_dir = _scratch("log_etl_q", sf_dir)
+    shutil.rmtree(log_dir, ignore_errors=True)
+    with logged_step(spark, log_dir, "staging", "stg_x") as info:
+        info["lignes"] = 5
+    try:
+        with logged_step(spark, log_dir, "facts", "fait_y") as info:
+            raise ValueError("boom")
+    except ValueError:
+        pass
+    return read_log(spark, log_dir).select(
+        "etape", "nom_table", "statut", "lignes_traitees"
+    )
+
+
+@register(
+    "proc_backup",
+    "SELECT r_regionkey, r_name FROM region",
+    doc="Snapshot backup + keep-last-N retention + restore-latest "
+    "round trip. Ref: backup_to_datalake.py:74-189 (BACPAC export, "
+    "30-day retention) as stamped parquet snapshot copies.",
+)
+def proc_backup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evolution_data_warehouse_spark.operators.backup import (
+        restore_snapshot,
+        retention_cleanup,
+        snapshot_table,
+    )
+
+    root = _scratch("backup_q", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)
+    df = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    for stamp in ("20240101", "20240201", "20240301"):
+        snapshot_table(df, root, "region", stamp)
+    retention_cleanup(root, "region", keep_last=2)
+    return restore_snapshot(spark, root, "region")
+
+
+@register(
+    "proc_orchestration",
+    "SELECT * FROM (VALUES "
+    "('staging', 'OK'), ('optional', 'SKIP'), "
+    "('facts', 'ERREUR'), ('datamarts', 'IGNORE')"
+    ") AS t(step_name, status)",
+    doc="Cascade-skip orchestration DAG: OK / explicit SKIP / failing "
+    "step ERREUR / dependent IGNORE — run_etl.py:206-224 and "
+    "load_facts.py:726-734 semantics, returned as the step report.",
+)
+def proc_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.pipeline import Step, run_pipeline
+
+    def ok() -> int:
+        return t(spark, sf_dir, "region").count()
+
+    def boom() -> int:
+        raise ValueError("simulated load failure")
+
+    report = run_pipeline(
+        [
+            Step("staging", ok),
+            Step("optional", ok),
+            Step("facts", boom, depends_on=["staging"]),
+            Step("datamarts", ok, depends_on=["facts"]),
+        ],
+        skip=["optional"],
+    )
+    rows = [(r.name, r.status) for r in report.results]
+    return spark.createDataFrame(rows, "step_name string, status string")
+
+
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 _JDBC_ORACLE = """

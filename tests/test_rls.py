@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.operators.rls import secured
+from evolution_data_warehouse_spark.queries.common import t
 
 
 @pytest.fixture(scope="module")
@@ -57,3 +58,37 @@ def test_cross_department_isolation(spark, dim, zones):
         F.col("departement_code") == "62"
     )
     assert out.count() == 0
+
+
+def test_rls_on_streaming_read(spark, sf_dir, tmp_path):
+    # The view-factory RLS is pure plan rewriting (broadcast flag +
+    # zone joins), so the same `secured` call composes with a streaming
+    # scan as stream-static joins — per-batch row security on streams.
+    src = str(tmp_path / "stream_src")
+    t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).write.mode("overwrite").parquet(src)
+
+    zones = spark.createDataFrame(
+        [("analyst_a", 1), ("analyst_a", 2), ("manager", None)],
+        schema="login string, scope int",
+    )
+    stream = spark.readStream.schema(
+        "c_custkey long, c_name string, c_nationkey long"
+    ).parquet(src)
+    out = secured(stream, zones, "analyst_a", "c_nationkey")
+    assert out.isStreaming
+
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rls_stream_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM rls_stream_probe")
+    expected = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2)
+    )
+    assert got.count() == expected.count() > 0
+    assert {r.c_nationkey for r in got.select("c_nationkey").distinct().collect()} == {1, 2}

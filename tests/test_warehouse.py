@@ -145,3 +145,24 @@ def test_incremental_fact_partition_overwrite(spark, tmp_path):
     # partition pruning: a period-1 read lists only its partition
     plan = got.filter("temps_id = 1")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(temps_id" in plan
+
+
+def test_write_table_runs_single_job(spark, sf_dir, tmp_path):
+    # The row count must piggyback on the write job via observe() — a
+    # post-write count() would recompute the plan as a second job,
+    # doubling every load at scale. A shuffle-free write is exactly one
+    # job; only AQE shuffle-stage materialization may add more.
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.warehouse.etl import write_table
+
+    sc = spark.sparkContext
+    df = t(spark, sf_dir, "region")
+    sc.setJobGroup("wt_single_job_probe", "write_table probe")
+    try:
+        n = write_table(df, str(tmp_path), "region_copy")
+    finally:
+        sc.setJobGroup("wt_other", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("wt_single_job_probe")
+    assert len(jobs) == 1
+    assert n == df.count()
+    assert spark.read.parquet(str(tmp_path / "region_copy")).count() == n
