@@ -41,9 +41,9 @@ _PRIORITY_MODULES = (
     _llm_ops,
     _streaming_ops,
     _sources_ext,
+    _scalar_fns,  # §2.8 core ahead of beyond-reference extensions
     _tpch_style,
     _extensions,
-    _scalar_fns,
     _relational,
 )
 _r1_green_scalars = {
