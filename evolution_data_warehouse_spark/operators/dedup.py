@@ -84,6 +84,7 @@ def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
     sig_storage: str = "cache",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs + estimated Jaccard (fraction of equal
     minhashes). The pair join runs on (band, band_key) — the LSH bucket —
@@ -100,6 +101,15 @@ def minhash_lsh_pairs(
       dropped, nothing stays pinned.
     * ``"none"``: recompute per use (when the input is already
       materialized upstream).
+
+    ``max_bucket`` guards against degenerate buckets: a band_key shared
+    by m documents yields m·(m-1)/2 candidate pairs, so one hot bucket
+    (boilerplate, empty-ish docs, near-constant shingle sets) turns the
+    join quadratic at corpus scale. Buckets larger than ``max_bucket``
+    are dropped from candidate generation — their members are
+    near-identical and belong to the exact-dedup path (dedup_exact /
+    content-hash groupBy), which handles them in linear time. None
+    (default) keeps every bucket.
     """
     sig = minhash_signature(shingled, id_col)
     if sig_storage == "cache":
@@ -107,6 +117,15 @@ def minhash_lsh_pairs(
     elif sig_storage == "checkpoint":
         sig = sig.localCheckpoint(eager=True)
     bands = lsh_bands(sig, id_col)
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("_bucket_n")
+        )
+        bands = (
+            bands.join(sizes, ["band", "band_key"])
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

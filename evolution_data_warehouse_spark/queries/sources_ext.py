@@ -242,6 +242,65 @@ def proc_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step_name string, status string")
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_value,
+       CAST(MAX({c}) AS DOUBLE) AS max_value,
+       CAST(SUM(CAST({c} AS DECIMAL(28,4))) AS DOUBLE)
+           / CAST(COUNT({c}) AS DOUBLE) AS mean_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_columns",
+    _PROFILE_ORACLE,
+    doc="Column profiling: per-column row/non-null/distinct counts + "
+    "min/max/mean in ONE scan (all aggregates in a single hash "
+    "aggregate, stacked to long form) — the data-profiling step of "
+    "quality monitoring, vs the oracle's per-column scans. Mean is "
+    "decimal-exact (order-independent).",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            (
+                F.sum(F.col(c).cast("decimal(28,4)")).cast("double")
+                / F.count(c).cast("double")
+            ).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__mean").alias("mean_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("s")).select("s.*")
+
+
 _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 _JDBC_ORACLE = """

@@ -136,3 +136,44 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "n_events",
         )
     )
+
+
+def stream_stream_attribution(
+    purchases: DataFrame,
+    views: DataFrame,
+    max_gap: str = "1 hour",
+    purchase_watermark: str = "2 hours",
+    view_watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    views by the same user within ``max_gap`` before it.
+
+    The watermarks bound BOTH sides' join state (views held no longer
+    than view_watermark + max_gap), so state is finite on an unbounded
+    stream — the streaming form of the batch as-of/attribution join
+    (operators/asof.py). Works on batch inputs with the same plan
+    (watermarks are no-ops there).
+    """
+    p = (
+        purchases.withWatermark("purchase_ts", purchase_watermark)
+        .select("purchase_id", F.col("user_id").alias("p_user"), "purchase_ts")
+    )
+    v = views.withWatermark("view_ts", view_watermark).select(
+        "view_id", F.col("user_id").alias("v_user"), "view_ts"
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+    )

@@ -150,3 +150,48 @@ def test_connected_components_bounded_plan(spark, caplog):
     ):
         connected_components(nodes, edges, max_iterations=1)
     assert any("fixpoint" in r.message for r in caplog.records)
+
+
+def test_minhash_max_bucket_guards_degenerate_buckets(spark):
+    from evolution_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    # 40 copies of one boilerplate text (one hot LSH bucket: 40*39/2
+    # pairs) plus two genuinely similar docs that share their bucket
+    # with nothing else.
+    rows = [(i, "common boiler plate text repeated everywhere") for i in range(40)]
+    rows += [
+        (100, "a distinctive sentence about spark engines and oracles"),
+        (101, "a distinctive sentence about spark engines and robots"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+    unguarded = minhash_lsh_pairs(shingled, sig_storage="none").count()
+    guarded = minhash_lsh_pairs(
+        shingled, sig_storage="none", max_bucket=10
+    )
+    got = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    # hot bucket suppressed (exact-dedup path's job), similar pair kept
+    assert (100, 101) in got
+    assert len(got) == 1
+    assert unguarded >= 40 * 39 // 2

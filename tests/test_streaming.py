@@ -126,3 +126,51 @@ def test_session_window_batch(spark, sf_dir):
     ev_user = ev.groupBy("user_id").count().withColumnRenamed("count", "n")
     j = per_user.join(ev_user, "user_id")
     assert j.filter(F.col("count") > F.col("n")).count() == 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.streaming.events import (
+        stream_stream_attribution,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    p_dir, v_dir = str(tmp_path / "purchases"), str(tmp_path / "views")
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    ).write.mode("overwrite").parquet(p_dir)
+    ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    ).write.mode("overwrite").parquet(v_dir)
+
+    p_stream = spark.readStream.schema(
+        "purchase_id long, user_id long, purchase_ts timestamp"
+    ).parquet(p_dir)
+    v_stream = spark.readStream.schema(
+        "view_id long, user_id long, view_ts timestamp"
+    ).parquet(v_dir)
+    joined = stream_stream_attribution(p_stream, v_stream)
+    assert joined.isStreaming
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_attr_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM ss_attr_probe")
+
+    # Batch twin over the same inputs is the ground truth.
+    expected = stream_stream_attribution(
+        spark.read.parquet(p_dir), spark.read.parquet(v_dir)
+    )
+    assert got.count() == expected.count() > 0
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e
