@@ -206,6 +206,18 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
+
+    def _label_sum(df: DataFrame):
+        # Min-label propagation is monotone non-increasing per node, so
+        # an unchanged total label sum proves the fixpoint — a narrow
+        # aggregate over the checkpointed labels instead of a join
+        # against the previous generation. decimal(38,0) keeps the sum
+        # exact at any id magnitude / node count.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first().s
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iterations):
         neighbor_labels = (
@@ -217,18 +229,13 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "n")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     sym.unpersist()
     if not converged:
         # A component whose diameter exceeds max_iterations would get
