@@ -99,3 +99,57 @@ def render_report_html(report_dict: dict) -> str:
         "<th>Duree</th><th>Erreur</th></tr>"
         f"{rows}</table></body></html>"
     )
+
+
+ERROR_SCHEMA = (
+    "erreur_id long, date_erreur timestamp, source string, "
+    "type_erreur string, message_erreur string, est_resolu boolean"
+)
+
+
+def log_error(
+    spark: SparkSession,
+    err_dir: str,
+    erreur_id: int,
+    date_erreur: str,
+    source: str,
+    type_erreur: str,
+    message: str,
+    est_resolu: bool = False,
+) -> None:
+    """Append one row to the error log (dwh.log_erreurs analog,
+    008_configure_logging.sql:59-68)."""
+    spark.createDataFrame(
+        [(erreur_id, date_erreur, source, type_erreur, message, est_resolu)],
+        schema="erreur_id long, date_erreur string, source string, "
+        "type_erreur string, message_erreur string, est_resolu boolean",
+    ).withColumn("date_erreur", F.col("date_erreur").cast("timestamp")).select(
+        "erreur_id", "date_erreur", "source", "type_erreur",
+        "message_erreur", "est_resolu",
+    ).write.mode("append").parquet(err_dir)
+
+
+def read_error_log(spark: SparkSession, err_dir: str) -> DataFrame:
+    return spark.read.schema(ERROR_SCHEMA).parquet(err_dir)
+
+
+def open_errors(errors: DataFrame, as_of) -> DataFrame:
+    """v_erreurs_ouvertes analog (008:190-205): unresolved errors with
+    their age in whole hours relative to ``as_of`` (the reference uses
+    GETDATE(); a pinned as_of keeps the view deterministic and
+    backfill-safe)."""
+    hours = F.floor(
+        (F.unix_timestamp(as_of) - F.unix_timestamp(F.col("date_erreur")))
+        / F.lit(3600)
+    )
+    return (
+        errors.filter(~F.col("est_resolu"))
+        .select(
+            "erreur_id",
+            "date_erreur",
+            "source",
+            "type_erreur",
+            "message_erreur",
+            hours.alias("heures_depuis_erreur"),
+        )
+    )

@@ -185,6 +185,53 @@ def proc_log_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ERR_ROWS = [
+    (1, "2024-01-01 08:00:00", "staging", "SchemaError", "bad column", True),
+    (2, "2024-01-02 09:30:00", "facts", "FKViolation", "orphan geo_id", False),
+    (3, "2024-01-03 12:00:00", "api", "Timeout", "geo API timeout", False),
+]
+_ERR_AS_OF = "2024-01-04 00:00:00"
+
+_OPEN_ERRORS_ORACLE = f"""
+WITH log_erreurs(erreur_id, date_erreur, source, type_erreur,
+                 message_erreur, est_resolu) AS (VALUES
+    {", ".join(f"(CAST({i} AS BIGINT), TIMESTAMP '{d}', '{s}', '{ty}', '{m}', {str(r).upper()})" for i, d, s, ty, m, r in _ERR_ROWS)}
+)
+SELECT erreur_id, date_erreur, source, type_erreur, message_erreur,
+       CAST(floor((epoch(TIMESTAMP '{_ERR_AS_OF}') - epoch(date_erreur))
+                  / 3600) AS BIGINT) AS heures_depuis_erreur
+FROM log_erreurs WHERE NOT est_resolu
+"""
+
+
+@register(
+    "view_open_errors",
+    _OPEN_ERRORS_ORACLE,
+    doc="Unresolved-errors dashboard view: error log rows with "
+    "est_resolu = false and their age in whole hours. Ref: "
+    "008_configure_logging.sql:59-68 (log_erreurs), :190-205 "
+    "(v_erreurs_ouvertes); pinned as-of timestamp instead of GETDATE() "
+    "for determinism.",
+)
+def view_open_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from evolution_data_warehouse_spark.operators.etl_log import (
+        log_error,
+        open_errors,
+        read_error_log,
+    )
+
+    err_dir = _scratch("err_log_q", sf_dir)
+    shutil.rmtree(err_dir, ignore_errors=True)
+    for row in _ERR_ROWS:
+        log_error(spark, err_dir, *row[:5], est_resolu=row[5])
+    return open_errors(
+        read_error_log(spark, err_dir),
+        F.lit(_ERR_AS_OF).cast("timestamp"),
+    )
+
+
 @register(
     "proc_backup",
     "SELECT r_regionkey, r_name FROM region",

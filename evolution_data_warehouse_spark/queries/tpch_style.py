@@ -103,3 +103,80 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue, 4).alias("revenue"))
     )
+
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}
+           AS sum_charge,
+       {dsum_sql('l_quantity')} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       {dsum_sql('l_extendedprice')} / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       {dsum_sql('l_discount', 4)} / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "tpch_q1",
+    _Q1_ORACLE,
+    doc="Pricing-summary report (TPC-H Q1, full 8-measure form): one "
+    "scan, pushdown date filter, partial+final hash aggregation of "
+    "order-independent decimal sums — the canonical map-side-combine "
+    "plan.",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            (dsum("l_quantity") / n.cast("double")).alias("avg_qty"),
+            (dsum("l_extendedprice") / n.cast("double")).alias("avg_price"),
+            (dsum("l_discount", 4) / n.cast("double")).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_Q6_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "tpch_q6",
+    _Q6_ORACLE,
+    doc="Forecast-revenue-change shape (TPC-H Q6): pure scan + "
+    "conjunctive pushdown predicates + single global aggregate — the "
+    "minimal filter-agg plan whose entire cost is the pruned scan.",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
+    )
