@@ -84,7 +84,7 @@ def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
     sig_storage: str = "cache",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs + estimated Jaccard (fraction of equal
     minhashes). The pair join runs on (band, band_key) — the LSH bucket —
@@ -108,8 +108,11 @@ def minhash_lsh_pairs(
     join quadratic at corpus scale. Buckets larger than ``max_bucket``
     are dropped from candidate generation — their members are
     near-identical and belong to the exact-dedup path (dedup_exact /
-    content-hash groupBy), which handles them in linear time. None
-    (default) keeps every bucket.
+    content-hash groupBy), which handles them in linear time. The
+    guard defaults ON (1000): at 100 TB a single boilerplate bucket
+    with 10⁶ members would otherwise emit 5·10¹¹ pairs, so opt-out
+    (``max_bucket=None``) is the special case, not the default. Use
+    :func:`hot_buckets` to inspect what the guard would drop.
     """
     sig = minhash_signature(shingled, id_col)
     if sig_storage == "cache":
@@ -157,6 +160,24 @@ def minhash_lsh_pairs(
     )
 
 
+def hot_buckets(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The LSH buckets :func:`minhash_lsh_pairs` would drop under
+    ``max_bucket``: (band, band_key, bucket_n) for every bucket whose
+    membership exceeds the guard. Use this to audit/report what the
+    default-on guard excludes — at scale these rows are exactly the
+    boilerplate clusters that belong on the exact-dedup path."""
+    bands = lsh_bands(minhash_signature(shingled, id_col), id_col)
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+    )
+
+
 def simhash(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, token) rows → (id, simhash) with a 16-bit signature.
 
@@ -190,6 +211,19 @@ def connected_components(
     the alternating large-star/small-star shape that scales to
     billion-edge dedup graphs.
     """
+    # The label-sum convergence probe below is only sound for numeric
+    # node ids (the decimal cast of anything else is NULL, and a NULL
+    # sum must never read as "converged").  Fail loudly for non-numeric
+    # ids rather than silently mislabeling clusters.
+    numeric_prefixes = ("tinyint", "smallint", "int", "bigint", "decimal")
+    node_type = dict(nodes.dtypes)[node_col]
+    if not node_type.startswith(numeric_prefixes):
+        raise ValueError(
+            f"connected_components requires a numeric (integral/decimal) "
+            f"node id column for its label-sum convergence probe; "
+            f"{node_col!r} has type {node_type}. Map ids to bigint "
+            f"first (e.g. via a surrogate key or content_hash64)."
+        )
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
         .unionByName(
@@ -200,9 +234,11 @@ def connected_components(
     )
     # localCheckpoint every iteration: truncates the logical plan (no
     # 20-deep join/agg lineage for Catalyst to re-analyze each round) and
-    # materializes the labels exactly once; the superseded generation's
-    # blocks are dropped explicitly, so executor storage holds at most
-    # two generations regardless of iteration count.
+    # materializes the labels exactly once.  Superseded generations are
+    # reclaimed when ContextCleaner garbage-collects the checkpointed
+    # RDDs (an explicit DataFrame.unpersist is a CacheManager no-op for
+    # localCheckpoint blocks), so storage stays bounded over the loop
+    # without explicit frees.
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -230,13 +266,14 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
         cur_sum = _label_sum(new_labels)
-        labels.unpersist()
         labels = new_labels
-        if cur_sum == prev_sum:
+        # A NULL sum (empty node set aside, it means the probe could not
+        # observe the labels) must not compare equal to a NULL prev_sum
+        # and end the loop early.
+        if cur_sum is not None and cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
-    sym.unpersist()
     if not converged:
         # A component whose diameter exceeds max_iterations would get
         # silently-wrong cluster ids; surface it instead.

@@ -29,39 +29,43 @@ from evolution_data_warehouse_spark.queries import tpch_style as _tpch_style  # 
 from evolution_data_warehouse_spark.queries import dashboard as _dashboard  # noqa: E402,F401
 
 # Registration order is verification priority, not import order: the
-# driver walks the registry front-to-back, so queries that have never
-# had a driver verdict (round-1 stopped at entry 50) come first —
-# SCD/RLS procs, the §2.8 scalar-function tail, the LLM data-pipeline
-# family, streaming, external sources, TPC-H — followed by the
-# beyond-reference extensions, with round-1-green §2.2-§2.7 queries
-# last (their evidence is already on record in CORRECTNESS_r01.json).
-_PRIORITY_MODULES = (
-    _scd,
-    _dashboard,
-    _llm_ops,
-    _streaming_ops,
-    _sources_ext,
-    _scalar_fns,  # §2.8 core ahead of beyond-reference extensions
-    _tpch_style,
-    _extensions,
-    _relational,
+# driver verifies the FIRST 50 registry entries each round, so the
+# front of the registry is the set we most need a verdict on.  After
+# rounds 1+2, 99/126 queries have a green CORRECTNESS row; the 27
+# below never had one (the §2.8 scalar-fn tail, TPC-H, and the
+# beyond-reference extensions sat past entry 50 both rounds).  They
+# lead round 3, followed by the highest-value re-confirms (SCD/RLS
+# procs, the LLM dedup family, streaming) filling the window's
+# remaining 23 slots; everything already double-covered comes last.
+_R3_DARK = (
+    # §2.8 scalar-function tail (no driver verdict in r1/r2)
+    "fn_dateadd", "fn_date_format", "fn_concat", "fn_round_arith",
+    "fn_ascii_fold", "fn_array_join", "fn_explode", "fn_json_serialize",
+    "fn_struct_extract", "fn_derived_measure",
+    # TPC-H composite set
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    # beyond-reference extensions
+    "set_intersect", "set_except", "win_session_gap", "agg_cube",
+    "agg_percentile", "fn_unpivot", "agg_approx_distinct", "fn_map_ops",
+    "win_lag_lead", "join_range_bucketed", "win_ntile_rank",
+    "agg_grouping_sets", "fn_string_suite",
 )
-_r1_green_scalars = {
-    "fn_zfill", "fn_regex_extract", "fn_cast_numeric",
-    "fn_case_when", "fn_coalesce", "fn_nullif",
-}
+# High-value re-confirms for the window's remaining slots: the proc /
+# warehouse family and the LLM data-pipeline family (the operators a
+# 100 TB user leans on hardest).
+_R3_RECONFIRM_MODULES = (_scd, _dashboard, _llm_ops, _streaming_ops)
 
 
 def _module_names(mod) -> list[str]:
     return [n for n, q in REGISTRY.items() if q.fn.__module__ == mod.__name__]
 
 
-_ordered: list[str] = []
-for _mod in _PRIORITY_MODULES:
-    _names = _module_names(_mod)
-    if _mod is _scalar_fns:  # unverified tail ahead of round-1-green heads
-        _names.sort(key=lambda n: n in _r1_green_scalars)
-    _ordered.extend(_names)
+_ordered: list[str] = list(_R3_DARK)
+for _mod in _R3_RECONFIRM_MODULES:
+    _ordered.extend(n for n in _module_names(_mod) if n not in _ordered)
+_ordered.extend(n for n in REGISTRY if n not in _ordered)
+_missing = [n for n in _R3_DARK if n not in REGISTRY]
+assert not _missing, f"_R3_DARK names absent from REGISTRY: {_missing}"
 _reordered = {name: REGISTRY[name] for name in _ordered}
 assert len(_reordered) == len(REGISTRY)
 REGISTRY.clear()

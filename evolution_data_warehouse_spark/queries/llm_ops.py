@@ -439,11 +439,24 @@ def _minhash_oracle() -> str:
     eq = " + ".join(
         f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
     )
+    # Mirrors minhash_lsh_pairs' default-on hot-bucket guard
+    # (max_bucket=1000): buckets beyond the guard are excluded from
+    # candidate generation on both engines.
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 h AS (SELECT doc_id, {hm} AS hm FROM sh),
 mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
-bands AS ({bands}),
+bands_raw AS ({bands}),
+sizes AS (
+    SELECT band, band_key, COUNT(*) AS bucket_n
+    FROM bands_raw GROUP BY band, band_key
+),
+bands AS (
+    SELECT r.doc_id, r.band, r.band_key
+    FROM bands_raw r JOIN sizes s
+      ON r.band = s.band AND r.band_key = s.band_key
+    WHERE s.bucket_n <= 1000
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -938,7 +951,7 @@ mh AS (SELECT doc_id, {", ".join(
     f"MIN(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
     for j, (a, b) in enumerate(MINHASH_COEFFS)
 )} FROM h GROUP BY doc_id),
-bands AS ({" UNION ALL ".join(
+bands_raw AS ({" UNION ALL ".join(
     "SELECT doc_id, %d AS band, concat_ws('|', %s) AS band_key FROM mh"
     % (b, ", ".join(
         f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
@@ -946,6 +959,16 @@ bands AS ({" UNION ALL ".join(
     ))
     for b in range(N_BANDS)
 )}),
+sizes AS (
+    SELECT band, band_key, COUNT(*) AS bucket_n
+    FROM bands_raw GROUP BY band, band_key
+),
+bands AS (
+    SELECT r.doc_id, r.band, r.band_key
+    FROM bands_raw r JOIN sizes s
+      ON r.band = s.band AND r.band_key = s.band_key
+    WHERE s.bucket_n <= 1000
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b

@@ -126,6 +126,8 @@ def tables_summary(tables: dict[str, DataFrame]) -> DataFrame:
         )
         for name, df in tables.items()
     ]
+    if not parts:
+        raise ValueError("tables_summary: no staged tables to summarize")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

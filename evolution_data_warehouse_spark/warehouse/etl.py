@@ -88,10 +88,13 @@ def run_full_etl(
                 df.agg(F.count(F.lit(1)).alias("n"))
                 for df in state["staged"].values()
             ]
+            if not counts:
+                info["lignes"] = 0
+                return 0
             total = counts[0]
             for c in counts[1:]:
                 total = total.unionAll(c)
-            info["lignes"] = sum(r.n for r in total.collect()) if counts else 0
+            info["lignes"] = sum(r.n for r in total.collect())
             return info["lignes"]
 
     def security() -> int:

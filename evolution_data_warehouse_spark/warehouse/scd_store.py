@@ -63,7 +63,10 @@ def _publish(df: DataFrame, table_dir: str) -> int:
             break
         except FileExistsError:
             v += 1
-    df.write.mode("overwrite").parquet(path)
+    # append into the just-claimed empty directory: overwrite would
+    # delete and recreate it, briefly reopening the window in which a
+    # concurrent publisher's mkdir could re-claim the same version.
+    df.write.mode("append").parquet(path)
     tmp = os.path.join(table_dir, _POINTER + f".tmp.{v}")
     with open(tmp, "w") as f:
         f.write(str(v))

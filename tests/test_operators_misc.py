@@ -186,7 +186,9 @@ def test_minhash_max_bucket_guards_degenerate_buckets(spark):
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
-    unguarded = minhash_lsh_pairs(shingled, sig_storage="none").count()
+    unguarded = minhash_lsh_pairs(
+        shingled, sig_storage="none", max_bucket=None
+    ).count()
     guarded = minhash_lsh_pairs(
         shingled, sig_storage="none", max_bucket=10
     )
@@ -195,3 +197,21 @@ def test_minhash_max_bucket_guards_degenerate_buckets(spark):
     assert (100, 101) in got
     assert len(got) == 1
     assert unguarded >= 40 * 39 // 2
+
+    # The guard defaults ON (max_bucket=1000): a 40-doc bucket passes
+    # the default threshold, so the default equals the unguarded count
+    # here, while a degenerate 1001+-doc bucket would be dropped.
+    import inspect
+
+    from evolution_data_warehouse_spark.operators.dedup import hot_buckets
+
+    sig = inspect.signature(minhash_lsh_pairs)
+    assert sig.parameters["max_bucket"].default == 1000
+    assert minhash_lsh_pairs(shingled, sig_storage="none").count() == unguarded
+
+    # hot_buckets surfaces exactly what a given threshold would drop:
+    # the 40-copy boilerplate bucket (across all 4 bands), nothing else.
+    dropped = hot_buckets(shingled, max_bucket=10).collect()
+    assert len(dropped) == 4  # one hot bucket per band
+    assert all(r.bucket_n == 40 for r in dropped)
+    assert hot_buckets(shingled, max_bucket=1000).count() == 0
