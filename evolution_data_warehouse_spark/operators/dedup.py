@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE_P = 2147483647  # 2^31 - 1; keeps a·h+b within int64
@@ -26,6 +26,10 @@ N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 SIMHASH_BITS = 16
+# Hot-bucket guard default, shared with the DuckDB oracle
+# (queries/llm_ops.py interpolates this constant into the oracle SQL so
+# engine and oracle can never diverge silently).
+DEFAULT_MAX_BUCKET = 1000
 
 logger = logging.getLogger(__name__)
 
@@ -84,7 +88,7 @@ def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
     sig_storage: str = "cache",
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs + estimated Jaccard (fraction of equal
     minhashes). The pair join runs on (band, band_key) — the LSH bucket —
@@ -109,10 +113,19 @@ def minhash_lsh_pairs(
     are dropped from candidate generation — their members are
     near-identical and belong to the exact-dedup path (dedup_exact /
     content-hash groupBy), which handles them in linear time. The
-    guard defaults ON (1000): at 100 TB a single boilerplate bucket
-    with 10⁶ members would otherwise emit 5·10¹¹ pairs, so opt-out
-    (``max_bucket=None``) is the special case, not the default. Use
-    :func:`hot_buckets` to inspect what the guard would drop.
+    guard defaults ON (``DEFAULT_MAX_BUCKET`` = 1000): at 100 TB a
+    single boilerplate bucket with 10⁶ members would otherwise emit
+    5·10¹¹ pairs, so opt-out (``max_bucket=None``) is the special
+    case, not the default. Use :func:`hot_buckets` to inspect what
+    the guard would drop.
+
+    Guard plan: a window count over (band, band_key) + filter — NOT a
+    groupBy+join back onto the bands. The window shuffles on the same
+    key the pair self-join hashes next, and because both sides of the
+    self-join share the identical guarded subtree, Spark's
+    ReusedExchange computes that shuffle once. The groupBy+join
+    formulation added an extra aggregate + join that re-evaluated on
+    both sides (~2.1× measured at sf0.1).
     """
     sig = minhash_signature(shingled, id_col)
     if sig_storage == "cache":
@@ -121,11 +134,9 @@ def minhash_lsh_pairs(
         sig = sig.localCheckpoint(eager=True)
     bands = lsh_bands(sig, id_col)
     if max_bucket is not None:
-        sizes = bands.groupBy("band", "band_key").agg(
-            F.count("*").alias("_bucket_n")
-        )
+        w = Window.partitionBy("band", "band_key")
         bands = (
-            bands.join(sizes, ["band", "band_key"])
+            bands.withColumn("_bucket_n", F.count("*").over(w))
             .filter(F.col("_bucket_n") <= max_bucket)
             .drop("_bucket_n")
         )
@@ -163,7 +174,7 @@ def minhash_lsh_pairs(
 def hot_buckets(
     shingled: DataFrame,
     id_col: str = "doc_id",
-    max_bucket: int = 1000,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """The LSH buckets :func:`minhash_lsh_pairs` would drop under
     ``max_bucket``: (band, band_key, bucket_n) for every bucket whose
@@ -214,15 +225,18 @@ def connected_components(
     # The label-sum convergence probe below is only sound for numeric
     # node ids (the decimal cast of anything else is NULL, and a NULL
     # sum must never read as "converged").  Fail loudly for non-numeric
-    # ids rather than silently mislabeling clusters.
-    numeric_prefixes = ("tinyint", "smallint", "int", "bigint", "decimal")
-    node_type = dict(nodes.dtypes)[node_col]
-    if not node_type.startswith(numeric_prefixes):
+    # ids rather than silently mislabeling clusters.  The check is on
+    # the DataType class, not a dtype-string prefix: a prefix match
+    # would let e.g. 'interval day to second' slip past via 'int'.
+    from pyspark.sql import types as T
+
+    node_dt = nodes.schema[node_col].dataType
+    if not isinstance(node_dt, (T.IntegralType, T.DecimalType)):
         raise ValueError(
             f"connected_components requires a numeric (integral/decimal) "
             f"node id column for its label-sum convergence probe; "
-            f"{node_col!r} has type {node_type}. Map ids to bigint "
-            f"first (e.g. via a surrogate key or content_hash64)."
+            f"{node_col!r} has type {node_dt.simpleString()}. Map ids to "
+            f"bigint first (e.g. via a surrogate key or content_hash64)."
         )
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
@@ -254,6 +268,21 @@ def connected_components(
         ).first().s
 
     prev_sum = _label_sum(labels)
+    if prev_sum is None:
+        # SUM over zero rows is NULL: an empty node set is trivially
+        # converged — return instead of spinning max_iterations empty
+        # join/checkpoint rounds toward a spurious warning. A NULL sum
+        # over a NON-empty node set means NULL ids; fail loudly, the
+        # probe cannot observe those labels.
+        if labels.isEmpty():
+            return labels.select(
+                F.col("n").alias(node_col), F.col("label").alias("cluster_id")
+            )
+        raise ValueError(
+            "connected_components: node id column contains NULLs — the "
+            "label-sum convergence probe cannot track them. Drop or map "
+            "NULL ids before clustering."
+        )
     converged = False
     for _ in range(max_iterations):
         neighbor_labels = (

@@ -31,43 +31,38 @@ from evolution_data_warehouse_spark.queries import dashboard as _dashboard  # no
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  After
-# rounds 1+2, 99/126 queries have a green CORRECTNESS row; the 27
-# below never had one (the §2.8 scalar-fn tail, TPC-H, and the
-# beyond-reference extensions sat past entry 50 both rounds).  They
-# lead round 3, followed by the highest-value re-confirms (SCD/RLS
-# procs, the LLM dedup family, streaming) filling the window's
-# remaining 23 slots; everything already double-covered comes last.
-_R3_DARK = (
-    # §2.8 scalar-function tail (no driver verdict in r1/r2)
-    "fn_dateadd", "fn_date_format", "fn_concat", "fn_round_arith",
-    "fn_ascii_fold", "fn_array_join", "fn_explode", "fn_json_serialize",
-    "fn_struct_extract", "fn_derived_measure",
-    # TPC-H composite set
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    # beyond-reference extensions
-    "set_intersect", "set_except", "win_session_gap", "agg_cube",
-    "agg_percentile", "fn_unpivot", "agg_approx_distinct", "fn_map_ops",
-    "win_lag_lead", "join_range_bucketed", "win_ntile_rank",
-    "agg_grouping_sets", "fn_string_suite",
-)
-# High-value re-confirms for the window's remaining slots: the proc /
-# warehouse family and the LLM data-pipeline family (the operators a
-# 100 TB user leans on hardest).
-_R3_RECONFIRM_MODULES = (_scd, _dashboard, _llm_ops, _streaming_ops)
+# r1∪r2∪r3, every registry query has a driver verdict; the round-4
+# window leads with the two r3 errors (the TIMESTAMP_NTZ event-time
+# queries, fixed this round) and then refreshes the OLDEST evidence —
+# the §2.2-§2.7 relational block plus the first scalar fns, whose
+# only green rows date to r1 — so no green row goes >2 rounds stale.
+_R4_FIXED = ("win_session_gap", "join_range_bucketed")
 
 
 def _module_names(mod) -> list[str]:
     return [n for n, q in REGISTRY.items() if q.fn.__module__ == mod.__name__]
 
 
-_ordered: list[str] = list(_R3_DARK)
-for _mod in _R3_RECONFIRM_MODULES:
-    _ordered.extend(n for n in _module_names(_mod) if n not in _ordered)
+# r1-evidence scalar fns (fn_current_ts/fn_datediff were r2; the
+# fn_dateadd..fn_derived_measure tail was r3).
+_R1_SCALAR = (
+    "fn_zfill", "fn_regex_extract", "fn_cast_numeric", "fn_case_when",
+    "fn_coalesce", "fn_nullif",
+)
+_ordered: list[str] = list(_R4_FIXED)
+_ordered.extend(
+    n for n in _module_names(_relational) if n not in _ordered
+)  # 43 entries, all last verified r1
+_ordered.extend(n for n in _R1_SCALAR if n not in _ordered)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R3_DARK if n not in REGISTRY]
-assert not _missing, f"_R3_DARK names absent from REGISTRY: {_missing}"
+_missing = [n for n in (_R4_FIXED + _R1_SCALAR) if n not in REGISTRY]
+if _missing:
+    raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
-assert len(_reordered) == len(REGISTRY)
+if len(_reordered) != len(REGISTRY):
+    raise RuntimeError(
+        f"registry reorder dropped entries: {len(_reordered)} != {len(REGISTRY)}"
+    )
 REGISTRY.clear()
 REGISTRY.update(_reordered)
 

@@ -41,21 +41,31 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet scan → Catalyst gets pushdown
     and column pruning for free.
 
-    events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    read it as int64 nanos and floor-truncate to microseconds — exactly
-    what DuckDB's µs timestamps do on the oracle side. Integer `div`
-    (not `/`) avoids double-precision loss on epoch-nanos magnitudes.
+    events.ts is TIMESTAMP(NANOS) parquet. Engine versions differ in how
+    they surface it — older readers need `nanosAsLong` (int64 nanos we
+    floor-truncate to µs; integer `div`, not `/`, avoids double-precision
+    loss at epoch-nanos magnitudes), Spark 4.1.x reads it directly as
+    TIMESTAMP_NTZ (µs-truncated, the legacy conf is inert). Either way
+    the contract downstream is the same: `ts` is a TIMESTAMP_LTZ whose
+    epoch-µs equal DuckDB's µs timestamps on the oracle side, so epoch
+    casts (`cast(ts as long)`, `unix_micros`) and streaming watermarks
+    all work. The NTZ→LTZ cast interprets the wall-clock in the session
+    TZ, which we pin to UTC so the mapping is the identity everywhere.
     """
     # Session-scoped safety knobs (idempotent; also applied when the caller
     # owns the session, e.g. the driver's verify harness):
     # ICU title-case map construction (CollationAwareUTF8String <clinit>)
     # can stall interpreted string expressions for ~90s in sandboxed envs.
     spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

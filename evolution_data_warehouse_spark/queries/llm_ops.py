@@ -410,6 +410,7 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from evolution_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_BUCKET,
     MERSENNE_P,
     MINHASH_COEFFS,
     N_BANDS,
@@ -439,23 +440,21 @@ def _minhash_oracle() -> str:
     eq = " + ".join(
         f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
     )
-    # Mirrors minhash_lsh_pairs' default-on hot-bucket guard
-    # (max_bucket=1000): buckets beyond the guard are excluded from
-    # candidate generation on both engines.
+    # Mirrors minhash_lsh_pairs' default-on hot-bucket guard: the
+    # threshold is interpolated from operators/dedup.py's
+    # DEFAULT_MAX_BUCKET so engine and oracle cannot diverge silently,
+    # and the window-count formulation matches the engine's plan shape.
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 h AS (SELECT doc_id, {hm} AS hm FROM sh),
 mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
 bands_raw AS ({bands}),
-sizes AS (
-    SELECT band, band_key, COUNT(*) AS bucket_n
-    FROM bands_raw GROUP BY band, band_key
-),
 bands AS (
-    SELECT r.doc_id, r.band, r.band_key
-    FROM bands_raw r JOIN sizes s
-      ON r.band = s.band AND r.band_key = s.band_key
-    WHERE s.bucket_n <= 1000
+    SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM bands_raw
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -959,15 +958,12 @@ bands_raw AS ({" UNION ALL ".join(
     ))
     for b in range(N_BANDS)
 )}),
-sizes AS (
-    SELECT band, band_key, COUNT(*) AS bucket_n
-    FROM bands_raw GROUP BY band, band_key
-),
 bands AS (
-    SELECT r.doc_id, r.band, r.band_key
-    FROM bands_raw r JOIN sizes s
-      ON r.band = s.band AND r.band_key = s.band_key
-    WHERE s.bucket_n <= 1000
+    SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM bands_raw
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -30,6 +30,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP_LTZ — the only type
+    `withWatermark` accepts — regardless of how the source surfaced it:
+    int64 nanos (legacy nanosAsLong readers / our declared LongType
+    schema) or TIMESTAMP_NTZ (Spark 4.1.x reads TIMESTAMP(NANOS)
+    parquet as NTZ natively). Same contract as queries/common.py::t;
+    callers pin the session TZ to UTC so NTZ→LTZ is the identity."""
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window per-type counts + value sums (works on both batch
     and streaming DataFrames — same logical plan)."""
@@ -55,13 +70,10 @@ def stream_windowed_counts(
 ) -> DataFrame:
     """readStream variant with a watermark for late data."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", watermark)
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = normalize_event_time(
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir)
+    ).withWatermark("ts", watermark)
     return windowed_counts(stream)
 
 
@@ -113,13 +125,10 @@ def stream_dedup_events(
     on the event id — the streaming form of dedup_exact for at-least-once
     sources (state is bounded by the watermark, so it runs forever)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(src_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", watermark)
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = normalize_event_time(
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir)
+    ).withWatermark("ts", watermark)
     return stream.dropDuplicatesWithinWatermark(["event_id"])
 
 
