@@ -87,6 +87,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # 1-min load average at the end of the run: a sentinel for machine
+    # contention. With local[N] alone on the box this sits near N; a
+    # value far above the core count means other workloads overlapped
+    # the run and the timings measure contention, not the engine
+    # (BENCH_r03's 2.5x "regression" was exactly this).
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = -1.0
     print(
         json.dumps(
             {
@@ -95,6 +104,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_avg_1m": load1,
+                "cpus": os.cpu_count(),
             }
         )
     )

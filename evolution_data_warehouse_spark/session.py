@@ -30,9 +30,17 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so tests and bench share one code path.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Clamp to the machine's real core count: local[N] with N beyond the
+    # physical cores just oversubscribes the scheduler (context-switch
+    # overhead on small tasks), and shuffle partitions sized to a phantom
+    # core count fragment every stage. On a cluster the equivalent knob
+    # is executor cores × executor count, which the resource manager
+    # already bounds to hardware.
+    cpus = min(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32")), os.cpu_count() or 32
+    )
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus)
+    shuffle_partitions = shuffle_partitions or cpus
 
     builder = (
         SparkSession.builder.master(master)

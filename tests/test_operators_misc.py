@@ -152,6 +152,77 @@ def test_connected_components_bounded_plan(spark, caplog):
     assert any("fixpoint" in r.message for r in caplog.records)
 
 
+def test_connected_components_storage_bounded_long_loop(spark):
+    # The per-iteration localCheckpoint lifecycle relies on
+    # ContextCleaner GC (no explicit unpersist — see dedup.py): after a
+    # long-diameter run, superseded label generations must actually be
+    # reclaimed, not accumulate one cached RDD per iteration. A chain
+    # of L nodes converges in ~L-1 min-label rounds, so L=55 exercises
+    # 50+ checkpoint generations.
+    import gc
+    import time
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    L = 55
+    nodes = spark.createDataFrame([(i,) for i in range(1, L + 1)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, L)], "doc_a long, doc_b long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+
+    out = connected_components(nodes, edges, max_iterations=L + 5)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {i: 1 for i in range(1, L + 1)}
+
+    # Superseded generations are weakly referenced once the loop moves
+    # on; a GC nudge lets ContextCleaner (async) unpersist them. Bound:
+    # the live result + edge list + a straggler mid-cleanup.
+    deadline = time.time() + 60
+    live: set[int] = set()
+    while time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        live = {info.id() for info in jsc.getRDDStorageInfo()} - before
+        if len(live) <= 4:
+            break
+        time.sleep(2)
+    assert len(live) <= 4, (
+        f"{len(live)} checkpoint RDD generations still cached after a "
+        f"{L}-iteration run — localCheckpoint lifecycle is leaking"
+    )
+
+
+def test_connected_components_empty_and_null_ids(spark):
+    from evolution_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long")
+    no_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = connected_components(empty, no_edges)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0  # trivially converged, no iteration spin
+
+    # All-NULL ids: the label sum is NULL over a non-empty set — the
+    # probe cannot observe those labels, so it must fail loudly (SQL SUM
+    # skips NULLs, so mixed-NULL sets still sum the non-NULL ids).
+    all_null = spark.createDataFrame([(None,), (None,)], "doc_id long")
+    with pytest.raises(ValueError, match="NULL"):
+        connected_components(all_null, no_edges)
+
+    # Interval dtypes must hit the numeric-id guard, not slip past a
+    # string-prefix match on 'int'.
+    iv = spark.sql(
+        "SELECT INTERVAL '1' DAY AS doc_id"
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        connected_components(iv, no_edges)
+
+
 def test_minhash_max_bucket_guards_degenerate_buckets(spark):
     from evolution_data_warehouse_spark.operators.dedup import (
         minhash_lsh_pairs,
@@ -215,3 +286,17 @@ def test_minhash_max_bucket_guards_degenerate_buckets(spark):
     assert len(dropped) == 4  # one hot bucket per band
     assert all(r.bucket_n == 40 for r in dropped)
     assert hot_buckets(shingled, max_bucket=1000).count() == 0
+
+    # Plan lock: the guard is a window count over the band key, NOT a
+    # groupBy+join back onto the bands — same number of joins as the
+    # unguarded plan (candidate self-join + 2 signature joins), plus a
+    # Window. The groupBy+join formulation doubled the guarded subtree
+    # on both sides of the self-join (~2.1x at sf0.1).
+    def _njoins(df):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+
+    un = minhash_lsh_pairs(shingled, sig_storage="none", max_bucket=None)
+    gu = minhash_lsh_pairs(shingled, sig_storage="none", max_bucket=10)
+    assert _njoins(gu) == _njoins(un)
+    assert "Window" in gu._jdf.queryExecution().executedPlan().toString()

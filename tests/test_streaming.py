@@ -110,6 +110,34 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_unique
 
 
+def test_normalize_event_time_branches(spark):
+    # Both source shapes must land on TIMESTAMP_LTZ with identical
+    # epoch-µs: int64 nanos (declared-long schema readers) and
+    # TIMESTAMP_NTZ (Spark 4.1.x native read of TIMESTAMP(NANOS)).
+    from evolution_data_warehouse_spark.streaming.events import (
+        normalize_event_time,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = 1_704_067_200_123_456_789  # 2024-01-01T00:00:00.123456789Z
+    as_long = spark.createDataFrame([(nanos,)], "ts long")
+    out_long = normalize_event_time(as_long)
+    assert dict(out_long.dtypes)["ts"] == "timestamp"
+
+    as_ntz = spark.sql(
+        "SELECT make_timestamp_ntz(2024, 1, 1, 0, 0, 0.123456) AS ts"
+    )
+    assert dict(as_ntz.dtypes)["ts"] == "timestamp_ntz"
+    out_ntz = normalize_event_time(as_ntz)
+    assert dict(out_ntz.dtypes)["ts"] == "timestamp"
+
+    us = lambda df: df.selectExpr("unix_micros(ts) AS us").first().us  # noqa: E731
+    assert us(out_long) == us(out_ntz) == nanos // 1000
+
+    # Already-LTZ input passes through untouched.
+    assert normalize_event_time(out_ntz) is out_ntz
+
+
 def test_session_window_batch(spark, sf_dir):
     from evolution_data_warehouse_spark.streaming.events import (
         session_window_counts,
