@@ -1,0 +1,165 @@
+"""Training-data pipeline operators: splits, packing, decontamination,
+stratified sampling, incremental dedup.
+
+These are corpus-preparation steps a large-scale LLM data pipeline runs
+between raw ingestion and tokenization (beyond the reference's surface;
+driver north star). Every operator is deterministic — splits and
+samples are hash-based (md5, the cross-engine primitive), orderings are
+fully tie-broken — so each has an exact DuckDB oracle in
+queries/datapipe.py.
+
+Scale notes inline per operator; none of them shuffles more than once
+per logical step, and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+# Packing shards: a deterministic "packer id" that bounds every window
+# to one shard, so the running sum never needs a global sort. 32 shards
+# at test scale; at 100 TB this would be O(cluster cores).
+PACK_SHARDS = 32
+# Context-window capacity in whitespace tokens (small enough that the
+# ~25-token testdata docs produce multi-doc bins worth checking).
+PACK_CAPACITY = 64
+# Hash-split bucket space; cut points are percentages of it.
+SPLIT_BUCKETS = 100
+
+
+def hash_bucket(col, buckets: int = SPLIT_BUCKETS):
+    """Deterministic bucket in [0, buckets): md5-derived 60-bit int mod
+    buckets. Stable across engines, runs, partitionings — the property
+    a train/val/test split must have so re-runs never leak documents
+    across splits."""
+    return content_hash64(col.cast("string")) % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cuts: tuple[tuple[int, str], ...] = ((90, "train"), (95, "val"), (100, "test")),
+) -> DataFrame:
+    """Assign every row to a named split by hash bucket of its id.
+
+    One narrow projection — no shuffle at all; the split column is
+    computable inside the scan at any scale. ``cuts`` are cumulative
+    upper bounds over the bucket space (90/95/100 → 90% / 5% / 5%).
+    """
+    bucket = hash_bucket(F.col(id_col))
+    expr = None
+    for bound, name in cuts:
+        cond = bucket < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def pack_contiguous(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    capacity: int = PACK_CAPACITY,
+    shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: documents are sharded by a
+    deterministic hash of their id, ordered within the shard, and
+    assigned to fixed-capacity bins by their running token count
+    (bin = cumulative-tokens-before ÷ capacity).
+
+    This is the distributed form of greedy context-window packing: each
+    shard packs independently (window partitioned by shard — no global
+    sort, shards scale with the cluster), bins are globally unique via
+    (shard, local_bin). Contiguous fill admits one straddling document
+    per bin boundary — the standard trade accepted at scale, where a
+    perfect bin-packing pass would serialize the corpus.
+    """
+    shard = (content_hash64(F.col(id_col).cast("string")) % shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("cum_before", cum_before)
+        .withColumn(
+            "bin_id",
+            (F.col("shard") * F.lit(1_000_000)
+             + F.floor(F.col("cum_before") / capacity)).cast("bigint"),
+        )
+        .withColumn(
+            "bin_pos", (F.col("cum_before") % capacity).cast("bigint")
+        )
+        .drop("cum_before")
+    )
+
+
+def ngram_overlap(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Per-candidate count of distinct shingles shared with a benchmark
+    corpus — the decontamination primitive (drop or flag training docs
+    that overlap an eval set).
+
+    Plan: distinct benchmark shingles (small: eval sets are thousands
+    of docs) are joined to candidate shingles on the shingle value —
+    broadcastable in the common case — then one hash aggregate per
+    candidate. Never doc×doc; work scales with shingle matches.
+    """
+    bench = benchmark.select(shingle_col).distinct()
+    return (
+        candidates.join(bench, shingle_col)
+        .groupBy(id_col)
+        .agg(F.countDistinct(shingle_col).alias("n_shared"))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: within each stratum, rank
+    rows by (md5-hash of id, id) and keep the first k. The hash makes
+    the sample pseudorandom w.r.t. any natural ordering; the id
+    tie-break makes it exact. One shuffle on the stratum key.
+
+    At 100 TB strata can be huge, but rank≤k needs only a bounded
+    per-partition heap (WindowGroupLimit pushes the k-limit below the
+    sort), so no stratum ever materializes fully sorted.
+    """
+    h = hash_bucket(F.col(id_col), 1_000_000_007)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def incremental_new(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``batch`` whose content hash
+    does not already exist in ``corpus`` — the daily-ingest shape where
+    the corpus is petabytes and the batch is small.
+
+    Anti-join on the content hash: one shuffle keyed on the hash (or a
+    broadcast of the batch side at real scale). The corpus side prunes
+    to its hash column only — column pruning keeps the big scan narrow.
+    """
+    ch = F.md5(F.col(text_col)).alias("content_hash")
+    seen = corpus.select(ch).distinct()
+    return (
+        batch.withColumn("content_hash", F.md5(F.col(text_col)))
+        .join(seen, "content_hash", "left_anti")
+    )

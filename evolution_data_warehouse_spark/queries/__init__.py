@@ -27,6 +27,7 @@ from evolution_data_warehouse_spark.queries import sources_ext as _sources_ext  
 from evolution_data_warehouse_spark.queries import extensions as _extensions  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import tpch_style as _tpch_style  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import dashboard as _dashboard  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import datapipe as _datapipe  # noqa: E402,F401
 
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
@@ -50,6 +51,14 @@ _R1_SCALAR = (
     "fn_coalesce", "fn_nullif",
 )
 _ordered: list[str] = list(_R4_FIXED)
+# Never-verified beats stale-green: the round-4 additions (datapipe
+# splits/packing/decontamination/sampling/incremental dedup, plus the
+# four new TPC-H shapes) go next.
+_ordered.extend(n for n in _module_names(_datapipe) if n not in _ordered)
+_ordered.extend(
+    n for n in ("tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19")
+    if n not in _ordered
+)
 _ordered.extend(
     n for n in _module_names(_relational) if n not in _ordered
 )  # 43 entries, all last verified r1

@@ -1,0 +1,239 @@
+"""Registry queries for the training-data pipeline operators
+(operators/datapipe.py): deterministic splits, context-window packing,
+eval-set decontamination, stratified sampling, incremental dedup.
+
+All hash-based (md5) so every query has an exact DuckDB oracle; see
+operators/datapipe.py for the 100 TB plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.datapipe import (
+    PACK_CAPACITY,
+    PACK_SHARDS,
+    SPLIT_BUCKETS,
+    hash_split,
+    incremental_new,
+    ngram_overlap,
+    pack_contiguous,
+    stratified_hash_sample,
+)
+from evolution_data_warehouse_spark.operators.dedup import content_hash64_sql
+from evolution_data_warehouse_spark.queries.common import register, t
+
+# DuckDB mirror of operators.datapipe.hash_bucket.
+def _bucket_sql(expr: str, buckets: int) -> str:
+    return f"({content_hash64_sql(f'CAST({expr} AS VARCHAR)')} % {buckets})"
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       {_bucket_sql('doc_id', SPLIT_BUCKETS)} AS bucket,
+       CASE WHEN {_bucket_sql('doc_id', SPLIT_BUCKETS)} < 90 THEN 'train'
+            WHEN {_bucket_sql('doc_id', SPLIT_BUCKETS)} < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register(
+    "split_train_hash",
+    _SPLIT_ORACLE,
+    doc="Deterministic train/val/test split (90/5/5) by md5 hash bucket "
+    "of the document id — no shuffle, stable across runs and engines, "
+    "so re-ingestion can never leak documents across splits.",
+)
+def split_train_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split(t(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+# --------------------------------------------------------------------------
+# context-window packing
+# --------------------------------------------------------------------------
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+           {_bucket_sql('doc_id', PACK_SHARDS)} AS shard
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, n_tokens, shard,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM toks
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(shard * 1000000 + (cum_before // {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+       CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS bin_pos
+FROM runs
+"""
+
+
+@register(
+    "pack_sequences",
+    _PACK_ORACLE,
+    doc="Contiguous-fill context-window packing: docs shard by id hash, "
+    "each shard packs independently by running token count into "
+    f"{PACK_CAPACITY}-token bins — the distributed greedy packer (no "
+    "global sort; shards scale with the cluster).",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    return pack_contiguous(docs).select(
+        "doc_id", "n_tokens", "shard", "bin_id", "bin_pos"
+    )
+
+
+# --------------------------------------------------------------------------
+# eval-set decontamination
+# --------------------------------------------------------------------------
+
+_SHINGLES_SRC_SQL = """
+SELECT doc_id, source, shingle FROM (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           ))) AS shingle
+    FROM (SELECT doc_id, source, str_split(lower(text), ' ') AS toks
+          FROM documents)
+)
+"""
+
+_DECONTAM_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SRC_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+ov AS (
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared
+    FROM cand JOIN bench USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(ov.n_shared, 0) AS n_shared,
+       COALESCE(ov.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.source <> 'src0'
+"""
+
+
+def _shingles_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, shingle) — 3-gram word shingles, same recipe as
+    llm_ops._doc_shingles plus the source column."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", "source", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    _DECONTAM_ORACLE,
+    doc="Eval-set decontamination: per-training-doc count of distinct "
+    "3-gram shingles shared with the benchmark corpus (source 'src0' "
+    "stands in for the eval set). Shingle equi-join + hash aggregate — "
+    "work scales with matches, never doc x doc.",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_with_source(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select("shingle")
+    cand = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    ov = ngram_overlap(cand, bench)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source") != "src0")
+        .select("doc_id")
+    )
+    return docs.join(ov, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stratified deterministic sampling
+# --------------------------------------------------------------------------
+
+_STRAT_K = 5
+_STRAT_ORACLE = f"""
+SELECT doc_id, source, CAST(rn AS INT) AS rn FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_bucket_sql('doc_id', 1000000007)} ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+) WHERE rn <= {_STRAT_K}
+"""
+
+
+@register(
+    "sample_stratified_hash",
+    _STRAT_ORACLE,
+    doc=f"Deterministic stratified sample: {_STRAT_K} docs per source, "
+    "ranked by md5-hash order with an id tie-break. Rank-limit pushes "
+    "below the per-stratum sort (WindowGroupLimit), so no stratum ever "
+    "fully sorts at scale.",
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_hash_sample(
+        t(spark, sf_dir, "documents"), "source", k=_STRAT_K
+    ).select("doc_id", "source", "rn")
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (new batch vs corpus)
+# --------------------------------------------------------------------------
+
+_INCR_ORACLE = """
+SELECT d.doc_id, md5(d.text) AS content_hash
+FROM documents d
+WHERE d.source = 'src1' AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.source <> 'src1' AND md5(c.text) = md5(d.text)
+)
+"""
+
+
+@register(
+    "dedup_incremental",
+    _INCR_ORACLE,
+    doc="Incremental exact dedup: new-batch docs (source 'src1' stands "
+    "in for today's ingest) whose content hash is absent from the "
+    "existing corpus — anti-join on the hash, corpus side pruned to "
+    "one column.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src1")
+    corpus = docs.filter(F.col("source") != "src1")
+    return incremental_new(batch, corpus).select("doc_id", "content_hash")

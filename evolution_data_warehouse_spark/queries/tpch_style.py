@@ -180,3 +180,175 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue")
     )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "tpch_q4",
+    _Q4_ORACLE,
+    doc="Order-priority-checking shape (TPC-H Q4, adapted: the testdata "
+    "lineitem has no commit/receipt dates, so 'late' means shipped >60 "
+    "days after the order date): correlated EXISTS with an inequality "
+    "on the correlated column → left-semi join with a compound "
+    "condition, then count per priority.",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, n_name,
+       {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "tpch_q10",
+    _Q10_ORACLE,
+    doc="Returned-item-reporting shape (TPC-H Q10): fact-fact join "
+    "pruned by quarter + return flag, broadcast nation dim, grouped "
+    "revenue, tie-broken top-20 → TakeOrderedAndProject.",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT 100.00 * {dsum_sql(
+    "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+    "ELSE 0 END", 4)}
+       / {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register(
+    "tpch_q14",
+    _Q14_ORACLE,
+    doc="Promotion-effect shape (TPC-H Q14, adapted: p_type here is a "
+    "plain category, 'PROMO' matched exactly rather than by prefix): "
+    "month-pruned fact scan, broadcast part dim, conditional-sum ratio "
+    "in one aggregate.",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo_rev, 4) / dsum(rev, 4)).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register(
+    "tpch_q19",
+    _Q19_ORACLE,
+    doc="Discounted-revenue shape (TPC-H Q19, adapted to the reduced "
+    "part schema: brand/size/quantity bands instead of container/"
+    "shipmode): disjunction of conjunctive bands across both join "
+    "sides — the predicate Catalyst must keep joint (post-join filter) "
+    "while still pushing the per-side implied disjunctions down.",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(band)
+        .agg(dsum(rev, 4).alias("revenue"))
+    )

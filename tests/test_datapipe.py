@@ -1,0 +1,88 @@
+"""Semantic properties of the training-data pipeline operators
+(operators/datapipe.py) — beyond the DuckDB oracle parity that
+test_oracle_parity already enforces per query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.datapipe import (
+    PACK_CAPACITY,
+    hash_split,
+    pack_contiguous,
+    stratified_hash_sample,
+    incremental_new,
+)
+from evolution_data_warehouse_spark.queries.common import t
+
+
+def test_hash_split_partition_and_stability(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    out = hash_split(docs)
+    n = docs.count()
+    # Total preserved; every row lands in exactly one named split.
+    by_split = {r.split: r.n for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert sum(by_split.values()) == n
+    assert set(by_split) <= {"train", "val", "test"}
+    # 90/5/5 within a generous tolerance at 500 docs.
+    assert by_split["train"] / n > 0.75
+    # Deterministic: identical assignment across independent runs.
+    again = {r.doc_id: r.split for r in hash_split(docs).select("doc_id", "split").collect()}
+    first = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    assert first == again
+
+
+def test_pack_contiguous_fill_property(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    out = pack_contiguous(docs)
+    # Every row assigned to a bin; bins are per-shard (id prefix).
+    assert out.filter(F.col("bin_id").isNull()).count() == 0
+    assert out.filter(F.col("bin_id") / 1_000_000 < F.col("shard")).count() == 0
+    # Contiguous-fill invariant: a document whose bin_pos is not 0
+    # starts strictly inside the capacity window.
+    assert out.filter(F.col("bin_pos") >= PACK_CAPACITY).count() == 0
+    # A bin's documents occupy consecutive positions: within (shard,
+    # bin), positions strictly increase with doc order — pairwise
+    # distinct is the cheap check.
+    dup_pos = (
+        out.groupBy("bin_id", "bin_pos").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_pos == 0
+
+
+def test_stratified_sample_exact_k(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    k = 3
+    out = stratified_hash_sample(docs, "source", k=k)
+    sizes = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    got = {r.source: r.n for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert got == {s: min(k, n) for s, n in sizes.items()}
+    # rn is 1..k within each stratum.
+    assert out.filter((F.col("rn") < 1) | (F.col("rn") > k)).count() == 0
+
+
+def test_incremental_new_disjoint_from_corpus(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src1")
+    corpus = docs.filter(F.col("source") != "src1")
+    out = incremental_new(batch, corpus)
+    # Nothing returned may share a content hash with the corpus…
+    overlap = out.join(
+        corpus.select(F.md5("text").alias("content_hash")).distinct(),
+        "content_hash",
+    ).count()
+    assert overlap == 0
+    # …and everything batch-only must be returned.
+    batch_only = (
+        batch.select(F.md5("text").alias("content_hash"))
+        .distinct()
+        .join(
+            corpus.select(F.md5("text").alias("content_hash")).distinct(),
+            "content_hash",
+            "left_anti",
+        )
+        .count()
+    )
+    assert out.select("content_hash").distinct().count() == batch_only
