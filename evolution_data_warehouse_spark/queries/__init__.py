@@ -56,7 +56,8 @@ _ordered: list[str] = list(_R4_FIXED)
 # four new TPC-H shapes) go next.
 _ordered.extend(n for n in _module_names(_datapipe) if n not in _ordered)
 _ordered.extend(
-    n for n in ("tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19")
+    n for n in ("tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19",
+                "join_skew_salted", "agg_skew_salted")
     if n not in _ordered
 )
 _ordered.extend(

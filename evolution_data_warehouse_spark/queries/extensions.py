@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from evolution_data_warehouse_spark.queries.common import register, t
+from evolution_data_warehouse_spark.queries.common import dsum, dsum_sql, register, t
 
 
 @register(
@@ -350,3 +350,57 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pri_norm"),
         F.instr(F.col("o_orderpriority"), "-").alias("dash_pos"),
     )
+
+
+_SKEW_JOIN_ORACLE = f"""
+SELECT p_brand,
+       {dsum_sql('l_extendedprice', 2)} AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@register(
+    "join_skew_salted",
+    _SKEW_JOIN_ORACLE,
+    doc="Skew-salted equi-join under the correctness gate: the fact side "
+    "gets a random salt, the dimension side replicates per salt, the "
+    "join key becomes (key, salt) — one hot key spreads over n_salts "
+    "reducers. The salt routes rows but never changes the join result, "
+    "so the oracle is the plain join (operators/skew.py salted_join).",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, "l_partkey", n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        dsum("l_extendedprice", 2).alias("total_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SKEW_AGG_ORACLE = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "agg_skew_salted",
+    _SKEW_AGG_ORACLE,
+    doc="Two-phase salted aggregation under the correctness gate: count "
+    "per (hot key, salt) map-side, re-aggregate per key — bounds any "
+    "single reducer's load when a grouping key is pathologically hot "
+    "(operators/skew.py salted_count). Result is salt-independent.",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.skew import salted_count
+
+    return salted_count(t(spark, sf_dir, "events"), "event_type", n_salts=8)

@@ -110,6 +110,33 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == n_unique
 
 
+def test_stream_session_windows(spark, sf_dir, tmp_path):
+    # Gap-based session windows on the REAL readStream path (stateful
+    # session aggregation with a watermark), checked against the batch
+    # twin — the streaming form of win_session_gap/session_window_counts.
+    from evolution_data_warehouse_spark.streaming.events import (
+        run_available_now,
+        session_window_counts,
+    )
+
+    src = str(tmp_path / "events_sess_src")
+    ev = t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    run_available_now(session_window_counts(stream), "stream_sessions_out")
+    streamed = spark.table("stream_sessions_out")
+
+    batch = session_window_counts(ev)
+    key = lambda r: (r.session_start, r.session_end, r.user_id, r.n_events)  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
+    assert streamed.count() > 0
+
+
 def test_normalize_event_time_branches(spark):
     # Both source shapes must land on TIMESTAMP_LTZ with identical
     # epoch-µs: int64 nanos (declared-long schema readers) and
