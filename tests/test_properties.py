@@ -171,3 +171,72 @@ def test_scd2_rekey_invariants(spark, current_map, rekey_map):
     untouched = [r for r in out if r.est_actif and r.version == 1]
     for r in untouched:
         assert current_map[r.k] == r.attr and r.k not in hit
+
+
+# ---------------------------------------------------------------------------
+# datapipe invariants over generated corpora (few examples — Spark jobs)
+# ---------------------------------------------------------------------------
+
+_token_counts = st.lists(
+    st.integers(min_value=1, max_value=200), min_size=1, max_size=40
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(counts=_token_counts)
+def test_pack_contiguous_matches_sequential_model(spark, counts):
+    # The distributed packer must equal the obvious sequential model:
+    # per shard, walk docs in id order accumulating tokens; each doc's
+    # bin is cum_before // capacity.
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        PACK_CAPACITY,
+        PACK_SHARDS,
+        pack_contiguous,
+    )
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = {
+        r.doc_id: (r.shard, r.bin_id, r.bin_pos)
+        for r in pack_contiguous(df).collect()
+    }
+
+    shard_of = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id",
+            (content_hash64(F.col("doc_id").cast("string")) % PACK_SHARDS).alias("s"),
+        ).collect()
+    }
+    cum: dict[int, int] = {}
+    for doc_id, c in rows:  # already in doc_id order
+        s = shard_of[doc_id]
+        before = cum.get(s, 0)
+        expect = (s, s * 1_000_000 + before // PACK_CAPACITY, before % PACK_CAPACITY)
+        assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"
+        cum[s] = before + c
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50, unique=True))
+def test_hash_split_respects_cuts_and_total(spark, ids):
+    from evolution_data_warehouse_spark.operators.datapipe import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = hash_split(df).collect()
+    assert len(out) == len(ids)
+    for r in out:
+        assert 0 <= r.bucket < 100
+        expect = "train" if r.bucket < 90 else ("val" if r.bucket < 95 else "test")
+        assert r.split == expect
