@@ -57,7 +57,7 @@ _ordered: list[str] = list(_R4_FIXED)
 _ordered.extend(n for n in _module_names(_datapipe) if n not in _ordered)
 _ordered.extend(
     n for n in ("tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19",
-                "join_skew_salted", "agg_skew_salted")
+                "join_skew_salted", "agg_skew_salted", "text_repetition")
     if n not in _ordered
 )
 _ordered.extend(

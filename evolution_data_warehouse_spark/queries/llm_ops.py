@@ -1228,3 +1228,65 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cosine") >= _EMB_LSH_COS_MIN).select(
         "vec_a", "vec_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, unnest(str_split(lower(text), ' ')) AS token FROM documents
+),
+cnt AS (
+    SELECT doc_id, token, COUNT(*) AS c FROM tk GROUP BY doc_id, token
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS INT) AS n_tokens,
+           CAST(COUNT(*) AS INT) AS n_distinct,
+           CAST(MAX(c) AS INT) AS top_token_n
+    FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, top_token_n,
+       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS dup_word_ratio,
+       CAST(top_token_n AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS top_token_ratio
+FROM agg
+"""
+
+
+@register(
+    "text_repetition",
+    _REPETITION_ORACLE,
+    doc="Repetition signals for corpus quality filtering (the "
+    "Gopher-rule shape: excessive duplicate words / one dominant "
+    "token mark low-quality docs): duplicate-word fraction and "
+    "top-token frequency share per document. One explode + two hash "
+    "aggregates, partials combined map-side — linear at corpus scale. "
+    "Ratios are single IEEE divisions of exact integer counts, so "
+    "they are bit-identical across engines.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_tokens"),
+        F.count("*").cast("int").alias("n_distinct"),
+        F.max("c").cast("int").alias("top_token_n"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / nt).alias(
+            "dup_word_ratio"
+        ),
+        (F.col("top_token_n").cast("double") / nt).alias("top_token_ratio"),
+    )
