@@ -50,22 +50,26 @@ _R1_SCALAR = (
     "fn_zfill", "fn_regex_extract", "fn_cast_numeric", "fn_case_when",
     "fn_coalesce", "fn_nullif",
 )
+_R4_NEW = (
+    # round-4 additions beyond the datapipe module (picked up wholesale
+    # below): TPC-H shapes, driver-gated skew paths, repetition signals
+    "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19",
+    "join_skew_salted", "agg_skew_salted", "text_repetition",
+)
 _ordered: list[str] = list(_R4_FIXED)
 # Never-verified beats stale-green: the round-4 additions (datapipe
-# splits/packing/decontamination/sampling/incremental dedup, plus the
-# four new TPC-H shapes) go next.
+# splits/packing/decontamination/sampling/incremental dedup, plus
+# _R4_NEW) go next.
 _ordered.extend(n for n in _module_names(_datapipe) if n not in _ordered)
-_ordered.extend(
-    n for n in ("tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19",
-                "join_skew_salted", "agg_skew_salted", "text_repetition")
-    if n not in _ordered
-)
+_ordered.extend(n for n in _R4_NEW if n not in _ordered)
 _ordered.extend(
     n for n in _module_names(_relational) if n not in _ordered
 )  # 43 entries, all last verified r1
 _ordered.extend(n for n in _R1_SCALAR if n not in _ordered)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in (_R4_FIXED + _R1_SCALAR) if n not in REGISTRY]
+_missing = [
+    n for n in (_R4_FIXED + _R4_NEW + _R1_SCALAR) if n not in REGISTRY
+]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
