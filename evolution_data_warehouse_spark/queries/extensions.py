@@ -404,3 +404,80 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.skew import salted_count
 
     return salted_count(t(spark, sf_dir, "events"), "event_type", n_salts=8)
+
+
+@register(
+    "win_pct_dist",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+           ) AS pct_rank,
+           CUME_DIST() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+           ) AS cume
+    FROM orders
+    """,
+    doc="percent_rank / cume_dist distribution windows per priority "
+    "class. Ties share a rank, so the result is deterministic without "
+    "a full tie-break; both functions are single-pass over the sorted "
+    "partition.",
+)
+def win_pct_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "fn_date_trunc",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CAST(date_trunc('month', ts) AS DATE), event_type
+    """,
+    doc="Calendar-bucket rollup: date_trunc to month + hash aggregate "
+    "— the time-series downsampling shape (hour/day/month all share "
+    "this plan: truncation is computed in the scan, the aggregate "
+    "combines map-side).",
+)
+def fn_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date(F.date_trunc("month", F.col("ts"))).alias("month_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "fn_array_ops",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_toks,
+           array_to_string(toks[1:3], '-') AS first3,
+           CAST(COALESCE(list_position(toks, 'the'), 0) AS INT) AS pos_the,
+           list_sort(toks)[1] AS min_tok
+    FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
+    """,
+    doc="Array-function suite over tokenized text: size, slice, "
+    "position lookup, sorted head — the §2.8-adjacent collection "
+    "surface, all JVM-side column expressions.",
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.col("text")), " ")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("first3"),
+        F.array_position(toks, "the").cast("int").alias("pos_the"),
+        F.element_at(F.array_sort(toks), 1).alias("min_tok"),
+    )
