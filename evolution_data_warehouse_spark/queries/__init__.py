@@ -56,6 +56,7 @@ _R4_NEW = (
     "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19",
     "join_skew_salted", "agg_skew_salted", "text_repetition",
     "win_pct_dist", "fn_date_trunc", "fn_array_ops",
+    "agg_approx_percentile",
 )
 _ordered: list[str] = list(_R4_FIXED)
 # Never-verified beats stale-green: the round-4 additions (datapipe

@@ -481,3 +481,33 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(toks, "the").cast("int").alias("pos_the"),
         F.element_at(F.array_sort(toks), 1).alias("min_tok"),
     )
+
+
+@register(
+    "agg_approx_percentile",
+    "SELECT o_orderpriority, "
+    "quantile_cont(o_totalprice, 0.5) AS exact_median, "
+    "TRUE AS approx_within_5pct "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="approx_percentile (mergeable quantile sketch) — the 100 TB "
+    "substitute for exact percentiles: no per-group sort, sketches "
+    "merge map-side. Raw sketch outputs are engine-specific, so (same "
+    "pattern as agg_approx_distinct) the checked projection keeps the "
+    "sketch in the plan and asserts its ±5% envelope against the "
+    "exact interpolated median, which IS oracle-comparable.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact_median"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_median",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            <= F.abs(F.col("exact_median")) * F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )
