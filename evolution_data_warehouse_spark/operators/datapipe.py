@@ -47,8 +47,18 @@ def hash_split(
 
     One narrow projection — no shuffle at all; the split column is
     computable inside the scan at any scale. ``cuts`` are cumulative
-    upper bounds over the bucket space (90/95/100 → 90% / 5% / 5%).
+    upper bounds over the bucket space (90/95/100 → 90% / 5% / 5%);
+    the final bound must cover the whole bucket space, otherwise rows
+    hashing past it would silently get a NULL split.
     """
+    bounds = [bound for bound, _ in cuts]
+    if bounds != sorted(bounds) or len(set(bounds)) != len(bounds):
+        raise ValueError(f"split cuts must strictly increase, got {bounds}")
+    if bounds[-1] != SPLIT_BUCKETS:
+        raise ValueError(
+            f"final split cut must equal the bucket space {SPLIT_BUCKETS}, "
+            f"got {bounds[-1]} — rows past it would get a NULL split"
+        )
     bucket = hash_bucket(F.col(id_col))
     expr = None
     for bound, name in cuts:
@@ -72,9 +82,12 @@ def pack_contiguous(
     This is the distributed form of greedy context-window packing: each
     shard packs independently (window partitioned by shard — no global
     sort, shards scale with the cluster), bins are globally unique via
-    (shard, local_bin). Contiguous fill admits one straddling document
-    per bin boundary — the standard trade accepted at scale, where a
-    perfect bin-packing pass would serialize the corpus.
+    ``(shard << 40) | local_bin`` — 2^40 local bins per shard (~70
+    trillion tokens at the default capacity) before ids could collide
+    across shards, comfortably past a 100 TB corpus even with few
+    shards. Contiguous fill admits one straddling document per bin
+    boundary — the standard trade accepted at scale, where a perfect
+    bin-packing pass would serialize the corpus.
     """
     shard = (content_hash64(F.col(id_col).cast("string")) % shards).alias("shard")
     w = (
@@ -88,8 +101,10 @@ def pack_contiguous(
         .withColumn("cum_before", cum_before)
         .withColumn(
             "bin_id",
-            (F.col("shard") * F.lit(1_000_000)
-             + F.floor(F.col("cum_before") / capacity)).cast("bigint"),
+            (
+                F.shiftleft(F.col("shard").cast("bigint"), 40)
+                + F.floor(F.col("cum_before") / capacity)
+            ).cast("bigint"),
         )
         .withColumn(
             "bin_pos", (F.col("cum_before") % capacity).cast("bigint")

@@ -111,3 +111,26 @@ def davg_sql(expr: str, scale: int = 4) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE)"
     )
+
+
+def fpq(col: Column | str, digits: int = 6) -> Column:
+    """Fixed-point quantize an interpolated double for oracle comparison.
+
+    ``floor(x·10^digits + 0.5) / 10^digits`` — nearest-integer in fixed
+    point, spelled with floor so both engines share one rounding rule
+    (no native round(): its tie-break differs across engines). The +0.5
+    matters: interpolated percentiles over 2-decimal money land exactly
+    ON fine-grained quantization boundaries, where a raw floor would
+    AMPLIFY a 1-ulp engine difference instead of absorbing it; nearest-
+    integer puts every true value at the centre of its bucket. digits=6
+    keeps the product ~1e11 ≪ 2^53, so the multiply is ulp-clean.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    m = F.lit(float(10**digits))
+    return (F.floor(c * m + F.lit(0.5)) / m).cast("double")
+
+
+def fpq_sql(expr: str, digits: int = 6) -> str:
+    """DuckDB-side mirror of :func:`fpq`."""
+    m = float(10**digits)
+    return f"CAST(CAST(floor(({expr}) * {m} + 0.5) AS BIGINT) / {m} AS DOUBLE)"

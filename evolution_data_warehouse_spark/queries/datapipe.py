@@ -76,7 +76,7 @@ runs AS (
     FROM toks
 )
 SELECT doc_id, n_tokens, shard,
-       CAST(shard * 1000000 + (cum_before // {PACK_CAPACITY}) AS BIGINT) AS bin_id,
+       CAST((shard << 40) + (cum_before // {PACK_CAPACITY}) AS BIGINT) AS bin_id,
        CAST(cum_before % {PACK_CAPACITY} AS BIGINT) AS bin_pos
 FROM runs
 """

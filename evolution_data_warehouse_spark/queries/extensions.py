@@ -8,7 +8,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from evolution_data_warehouse_spark.queries.common import dsum, dsum_sql, register, t
+from evolution_data_warehouse_spark.queries.common import (
+    dsum,
+    dsum_sql,
+    fpq,
+    fpq_sql,
+    register,
+    t,
+)
 
 
 @register(
@@ -109,17 +116,19 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_percentile",
     "SELECT o_orderpriority, "
-    "quantile_cont(o_totalprice, 0.5) AS median_price, "
-    "quantile_cont(o_totalprice, 0.9) AS p90_price "
+    f"{fpq_sql('quantile_cont(o_totalprice, 0.5)')} AS median_price, "
+    f"{fpq_sql('quantile_cont(o_totalprice, 0.9)')} AS p90_price "
     "FROM orders GROUP BY o_orderpriority",
-    doc="Exact interpolated percentiles (median/p90 of order value). At "
+    doc="Exact interpolated percentiles (median/p90 of order value), "
+    "fixed-point-quantized on both sides (common.py::fpq) so the "
+    "ulp-sensitive interpolation can't drift across engine versions. At "
     "100 TB swap percentile() for approx_percentile — same plan shape, "
     "mergeable sketches instead of a full sort per group.",
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
-        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
-        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        fpq(F.percentile("o_totalprice", F.lit(0.5))).alias("median_price"),
+        fpq(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_price"),
     )
 
 
@@ -486,7 +495,7 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_percentile",
     "SELECT o_orderpriority, "
-    "quantile_cont(o_totalprice, 0.5) AS exact_median, "
+    f"{fpq_sql('quantile_cont(o_totalprice, 0.5)')} AS exact_median, "
     "TRUE AS approx_within_5pct "
     "FROM orders GROUP BY o_orderpriority",
     doc="approx_percentile (mergeable quantile sketch) — the 100 TB "
@@ -494,7 +503,8 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge map-side. Raw sketch outputs are engine-specific, so (same "
     "pattern as agg_approx_distinct) the checked projection keeps the "
     "sketch in the plan and asserts its ±5% envelope against the "
-    "exact interpolated median, which IS oracle-comparable.",
+    "exact interpolated median, which IS oracle-comparable once "
+    "fixed-point-quantized (common.py::fpq) against ulp drift.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
@@ -505,7 +515,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o_orderpriority",
-        "exact_median",
+        fpq("exact_median").alias("exact_median"),
         (
             F.abs(F.col("approx_median") - F.col("exact_median"))
             <= F.abs(F.col("exact_median")) * F.lit(0.05)

@@ -30,15 +30,27 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so tests and bench share one code path.
     """
-    # Clamp to the machine's real core count: local[N] with N beyond the
-    # physical cores just oversubscribes the scheduler (context-switch
-    # overhead on small tasks), and shuffle partitions sized to a phantom
-    # core count fragment every stage. On a cluster the equivalent knob
-    # is executor cores × executor count, which the resource manager
-    # already bounds to hardware.
-    cpus = min(
-        int(os.environ.get("SPARK_GRAFT_CPUS", "32")), os.cpu_count() or 32
-    )
+    # The DEFAULT core count is clamped to the machine's real cores:
+    # local[N] with N beyond the physical cores just oversubscribes the
+    # scheduler, and shuffle partitions sized to a phantom core count
+    # fragment every stage. An EXPLICIT SPARK_GRAFT_CPUS is honored
+    # as-is (deliberate oversubscription for IO-bound runs stays
+    # possible, and bench numbers stay comparable across hosts) — with
+    # a loud warning when it exceeds the hardware.
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    hw = os.cpu_count() or 32
+    if env_cpus is not None:
+        cpus = int(env_cpus)
+        if cpus > hw:
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_CPUS={cpus} exceeds the machine's {hw} cores; "
+                "honoring it (explicit override), expect oversubscription",
+                stacklevel=2,
+            )
+    else:
+        cpus = min(32, hw)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 

@@ -16,8 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The testdata's events.ts is TIMESTAMP(NANOS) parquet → read as int64
-# nanos, then truncate to µs timestamps (same as queries/common.py:t).
+# The testdata's events.ts is TIMESTAMP(NANOS) parquet. How a reader
+# surfaces that differs by engine version: with the legacy nanosAsLong
+# conf honored it's int64 nanos (LongType); on readers where that conf
+# is inert (or removed) it's TIMESTAMP_NTZ. EVENTS_SCHEMA is the
+# legacy-reader default; streaming entry points call
+# events_stream_schema() to declare whatever THIS engine actually
+# produces, so normalize_event_time's NTZ branch is exercised (not
+# dead) wherever the conf no longer applies.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -28,6 +34,30 @@ EVENTS_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def events_stream_schema(spark: SparkSession, src_dir: str) -> T.StructType:
+    """Schema to declare for streaming reads of the events table.
+
+    Streaming sources need an explicit schema, but the right declared
+    type for ``ts`` depends on how the installed engine reads
+    TIMESTAMP(NANOS) parquet under the legacy conf. Rather than guess
+    by version string, ask the batch reader (a footer-only read — no
+    data scanned) and declare what it reports; normalize_event_time
+    then converts either form to TIMESTAMP_LTZ.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        observed = spark.read.parquet(src_dir).schema
+        ts_type = {f.name: f.dataType for f in observed.fields}["ts"]
+    except Exception:  # no files yet (empty landing zone) → legacy default
+        ts_type = T.LongType()
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", ts_type)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
 
 
 def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -71,8 +101,9 @@ def stream_windowed_counts(
     """readStream variant with a watermark for late data."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = events_stream_schema(spark, src_dir)
     stream = normalize_event_time(
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir)
+        spark.readStream.schema(schema).format("parquet").load(src_dir)
     ).withWatermark("ts", watermark)
     return windowed_counts(stream)
 
@@ -126,8 +157,9 @@ def stream_dedup_events(
     sources (state is bounded by the watermark, so it runs forever)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = events_stream_schema(spark, src_dir)
     stream = normalize_event_time(
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir)
+        spark.readStream.schema(schema).format("parquet").load(src_dir)
     ).withWatermark("ts", watermark)
     return stream.dropDuplicatesWithinWatermark(["event_id"])
 
