@@ -136,6 +136,51 @@ def ngram_overlap(
     )
 
 
+# Decontamination decision thresholds on the shared-shingle fraction:
+# at/above DROP the doc is removed from training outright; between FLAG
+# and DROP it is kept but flagged for audit; below FLAG it is clean.
+DECONTAM_DROP_AT = 0.5
+DECONTAM_FLAG_AT = 0.1
+
+
+def decontaminate(
+    candidates: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    drop_at: float = DECONTAM_DROP_AT,
+    flag_at: float = DECONTAM_FLAG_AT,
+) -> DataFrame:
+    """Thresholded decontamination decision over :func:`ngram_overlap`
+    counts — the policy layer that turns "N shingles shared with the
+    eval set" into drop / flag / keep, with the audit columns
+    (per-doc shingle total, shared count, overlap fraction) carried in
+    the output so the report IS the result.
+
+    Plan: one aggregate for per-doc totals, the ngram_overlap
+    equi-join+aggregate for shared counts, then a join on the doc id —
+    each step one shuffle on a key that's unique per doc, never doc×doc.
+    The fraction is an int÷int double division, bit-identical across
+    engines, so the decision thresholds are oracle-exact.
+    """
+    totals = candidates.groupBy(id_col).agg(
+        F.countDistinct(shingle_col).alias("n_shingles")
+    )
+    shared = ngram_overlap(candidates, benchmark, id_col, shingle_col)
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    frac = n_shared.cast("double") / F.col("n_shingles").cast("double")
+    return totals.join(shared, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        n_shared.alias("n_shared"),
+        frac.alias("overlap_frac"),
+        F.when(frac >= drop_at, "drop")
+        .when(frac >= flag_at, "flag")
+        .otherwise("keep")
+        .alias("decision"),
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     strata_col: str,

@@ -32,45 +32,39 @@ from evolution_data_warehouse_spark.queries import datapipe as _datapipe  # noqa
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  After
-# r1∪r2∪r3, every registry query has a driver verdict; the round-4
-# window leads with the two r3 errors (the TIMESTAMP_NTZ event-time
-# queries, fixed this round) and then refreshes the OLDEST evidence —
-# the §2.2-§2.7 relational block plus the first scalar fns, whose
-# only green rows date to r1 — so no green row goes >2 rounds stale.
-_R4_FIXED = ("win_session_gap", "join_range_bucketed")
-
-
-def _module_names(mod) -> list[str]:
-    return [n for n, q in REGISTRY.items() if q.fn.__module__ == mod.__name__]
-
-
-# r1-evidence scalar fns (fn_current_ts/fn_datediff were r2; the
-# fn_dateadd..fn_derived_measure tail was r3).
-_R1_SCALAR = (
+# r1∪r2∪r3∪r4 every registry query has a green driver verdict; the
+# round-5 window is sized to exactly 50: the 6 never-verified round-5
+# additions (decontaminate_apply + five TPC-H shapes) lead, then the
+# 17 queries whose only green dates to r1 (windows/sorts/sets/scalar-fn
+# head — three rounds and one Spark minor version old, the one place a
+# silent behavior drift could hide), then the 27 r2-stale entries.
+_R5_NEW = (
+    "decontaminate_apply",
+    "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
+)
+_R1_STALE = (
+    "win_version_latest", "win_topn_recent", "win_surrogate_key",
+    "win_running_sum", "sort_multikey", "sort_view", "limit_topn",
+    "set_union_all", "set_concat_append", "agg_distinct", "agg_rollup",
     "fn_zfill", "fn_regex_extract", "fn_cast_numeric", "fn_case_when",
     "fn_coalesce", "fn_nullif",
 )
-_R4_NEW = (
-    # round-4 additions beyond the datapipe module (picked up wholesale
-    # below): TPC-H shapes, driver-gated skew paths, repetition signals
-    "tpch_q4", "tpch_q10", "tpch_q14", "tpch_q19",
-    "join_skew_salted", "agg_skew_salted", "text_repetition",
-    "win_pct_dist", "fn_date_trunc", "fn_array_ops",
-    "agg_approx_percentile",
+_R2_STALE = (
+    "dedup_clusters", "dedup_embedding_lsh", "dedup_keep_canonical",
+    "fn_current_ts", "fn_datediff", "mm_audio_features",
+    "mm_embedding_quantize", "mm_frame_sample", "mm_resize_stub",
+    "pandas_zscore", "proc_backup", "proc_log_etl", "proc_orchestration",
+    "proc_refresh_stats", "profile_columns", "sim_ann_ivf", "sim_centroid",
+    "sim_kmeans_assign", "snk_jdbc_roundtrip", "src_blob_list", "src_orc",
+    "src_rest_api", "stream_interval_join", "stream_window_counts",
+    "text_tfidf", "udf_extra_transform", "view_open_errors",
 )
-_ordered: list[str] = list(_R4_FIXED)
-# Never-verified beats stale-green: the round-4 additions (datapipe
-# splits/packing/decontamination/sampling/incremental dedup, plus
-# _R4_NEW) go next.
-_ordered.extend(n for n in _module_names(_datapipe) if n not in _ordered)
-_ordered.extend(n for n in _R4_NEW if n not in _ordered)
-_ordered.extend(
-    n for n in _module_names(_relational) if n not in _ordered
-)  # 43 entries, all last verified r1
-_ordered.extend(n for n in _R1_SCALAR if n not in _ordered)
+_ordered: list[str] = list(_R5_NEW)
+_ordered.extend(n for n in _R1_STALE if n not in _ordered)
+_ordered.extend(n for n in _R2_STALE if n not in _ordered)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
 _missing = [
-    n for n in (_R4_FIXED + _R4_NEW + _R1_SCALAR) if n not in REGISTRY
+    n for n in (_R5_NEW + _R1_STALE + _R2_STALE) if n not in REGISTRY
 ]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")

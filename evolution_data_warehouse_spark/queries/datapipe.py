@@ -12,9 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.operators.datapipe import (
+    DECONTAM_DROP_AT,
+    DECONTAM_FLAG_AT,
     PACK_CAPACITY,
     PACK_SHARDS,
     SPLIT_BUCKETS,
+    decontaminate,
     hash_split,
     incremental_new,
     ngram_overlap,
@@ -176,6 +179,69 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
         (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# Thresholds interpolated into the oracle from the operator constants
+# (same pattern as the minhash hot-bucket guard) so engine and oracle
+# can't drift apart.
+_DECONTAM_APPLY_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SRC_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+cand AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+tot AS (
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_shingles
+    FROM cand GROUP BY doc_id
+),
+ov AS (
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared
+    FROM cand JOIN bench USING (shingle) GROUP BY doc_id
+),
+j AS (
+    SELECT tot.doc_id, tot.n_shingles,
+           COALESCE(ov.n_shared, 0) AS n_shared,
+           CAST(COALESCE(ov.n_shared, 0) AS DOUBLE)
+               / CAST(tot.n_shingles AS DOUBLE) AS overlap_frac
+    FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(j.n_shingles, 0) AS n_shingles,
+       COALESCE(j.n_shared, 0) AS n_shared,
+       COALESCE(j.overlap_frac, 0.0) AS overlap_frac,
+       CASE WHEN COALESCE(j.overlap_frac, 0.0) >= {DECONTAM_DROP_AT} THEN 'drop'
+            WHEN COALESCE(j.overlap_frac, 0.0) >= {DECONTAM_FLAG_AT} THEN 'flag'
+            ELSE 'keep' END AS decision
+FROM documents d LEFT JOIN j ON d.doc_id = j.doc_id
+WHERE d.source <> 'src0'
+"""
+
+
+@register(
+    "decontaminate_apply",
+    _DECONTAM_APPLY_ORACLE,
+    doc="Decontamination policy layer over decontaminate_ngram's "
+    f"counts: per-doc overlap fraction thresholded into drop (≥"
+    f"{DECONTAM_DROP_AT}) / flag (≥{DECONTAM_FLAG_AT}) / keep, with "
+    "the audit columns (shingle total, shared count, fraction) in the "
+    "output — the report IS the result. Zero-shingle docs (too short "
+    "to fingerprint) are kept explicitly rather than dropped silently.",
+)
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_with_source(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select("shingle")
+    cand = sh.filter(F.col("source") != "src0").select("doc_id", "shingle")
+    res = decontaminate(cand, bench)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source") != "src0")
+        .select("doc_id")
+    )
+    return docs.join(res, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        F.coalesce(F.col("overlap_frac"), F.lit(0.0)).alias("overlap_frac"),
+        F.coalesce(F.col("decision"), F.lit("keep")).alias("decision"),
     )
 
 

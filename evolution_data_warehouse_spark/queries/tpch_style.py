@@ -352,3 +352,245 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(band)
         .agg(dsum(rev, 4).alias("revenue"))
     )
+
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {dsum_sql('volume', 4)} AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "tpch_q7",
+    _Q7_ORACLE,
+    doc="Volume-shipping shape (TPC-H Q7): bidirectional nation-pair "
+    "trade volume by ship year. The nation dim joins broadcast twice "
+    "under different roles (supplier vs customer side); the pair "
+    "disjunction stays a post-join filter while the date range pushes "
+    "into the fact scan.",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(volume, 4).alias("revenue"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_priority_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "tpch_q12",
+    _Q12_ORACLE,
+    doc="Shipping-modes-and-priority shape (TPC-H Q12, adapted: the "
+    "testdata lineitem has no shipmode, so the grouping is return flag "
+    "and 'late' means shipped 30+ days after ordering): join with an "
+    "inter-column date predicate, conditional counts per class.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+@register(
+    "tpch_q13",
+    _Q13_ORACLE,
+    doc="Customer-distribution shape (TPC-H Q13): outer join so "
+    "zero-order customers survive, two aggregation levels (orders per "
+    "customer, then the histogram of those counts) — the second agg is "
+    "near-free because its input is one row per customer.",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+    SELECT l_suppkey AS supplier_no,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@register(
+    "tpch_q15",
+    _Q15_ORACLE,
+    doc="Top-supplier shape (TPC-H Q15): quarter revenue per supplier, "
+    "then equality against the scalar max — all ties returned. The "
+    "decimal-exact dsum makes the max-equality deterministic (a plain "
+    "double sum could disagree with the oracle at the boundary).",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.supplier_no)
+        .join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {dsum_sql('l_quantity')} > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q18",
+    _Q18_ORACLE,
+    doc="Large-volume-customer shape (TPC-H Q18): HAVING subquery over "
+    "the fact becomes a semi join against the aggregated order keys, "
+    "then the customer join and a fully tie-broken top-100. The decimal "
+    "dsum keeps the HAVING threshold comparison exact on both engines.",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 250)
+        .select("l_orderkey")
+    )
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(
+            big_orders.withColumnRenamed("l_orderkey", "bo_orderkey"),
+            F.col("o_orderkey") == F.col("bo_orderkey"),
+            "left_semi",
+        )
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
