@@ -59,3 +59,44 @@ def test_column_pruning_on_projection(spark, sf_dir):
 def test_topn_avoids_full_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "win_topn_recent")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    # rank<=k must push below the per-stratum sort (bounded per-
+    # partition heaps) — a full per-stratum sort would not survive
+    # billion-row strata.
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "sample_stratified_hash")
+
+
+def test_hash_split_has_no_exchange(spark, sf_dir):
+    # The split is a pure projection over the scan: any Exchange means
+    # someone introduced a shuffle into a map-only operator.
+    assert "Exchange" not in _plan(spark, sf_dir, "split_train_hash")
+
+
+def test_minhash_guard_shares_pair_join_exchange(spark, sf_dir):
+    # The hot-bucket guard (window count over (band, band_key)) must
+    # reuse the pair self-join's shuffle, not add its own: both sides
+    # of the self-join share the guarded subtree, so ReusedExchange
+    # appears. Losing it re-created the r3 2.1x regression
+    # (groupBy+join guard formulation). Asserted under the static
+    # planner — with AQE on the same reuse happens at runtime via
+    # stage-level exchange reuse, which a plan-only test can't see.
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in plan
+    assert "Window" in plan
+
+
+def test_pack_sequences_sorts_per_shard_not_globally(spark, sf_dir):
+    # The running-sum window partitions by shard: the sort under it must
+    # be a local (non-global) sort after a hash repartition on shard —
+    # a global sort (Exchange rangepartitioning) would serialize the
+    # corpus at scale.
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan
