@@ -47,6 +47,79 @@ HEADLINE = [
 ]
 
 
+# Scale smoke: the most expensive headline queries re-run at sf1 (10×
+# the headline SF) against a locally generated copy — a measured data
+# point for the "survives a scale-up" claim, not just plan-shape
+# argument. Runs after the headline timings; never feeds `value`.
+SF1_QUERIES = [
+    "join_inner_equi",
+    "agg_groupby_sum",
+    "join_broadcast_lookup",
+    "tpch_q3",
+    "tpch_q5",
+    "dedup_minhash_lsh",
+]
+
+
+def _hot_guard_seconds(spark, sf_dir: str) -> float:
+    """Time the minhash pair generation on input that actually trips the
+    default hot-bucket guard: the corpus' shingles plus one synthetic
+    boilerplate bucket of 1200 identical docs (>DEFAULT_MAX_BUCKET).
+    Without the guard this bucket alone adds ~720k candidate pairs; the
+    timing demonstrates the guarded plan stays linear on hot data."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.dedup import minhash_lsh_pairs
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
+    btoks = "common boiler plate text repeated everywhere in this corpus".split()
+    bsh = [" ".join(btoks[i : i + 3]) for i in range(len(btoks) - 2)]
+    boiler = spark.range(1200).select(
+        (F.lit(10**12) + F.col("id")).alias("doc_id"),
+        F.explode(F.array(*[F.lit(s) for s in bsh])).alias("shingle"),
+    )
+    shingled = _doc_shingles(spark, sf_dir).unionByName(boiler)
+    # warm plan/codegen, then steady-state timing — sig_storage="cache"
+    # so the number is apples-to-apples with the dedup_minhash_lsh
+    # headline line (same signature lifecycle)
+    minhash_lsh_pairs(shingled).write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    minhash_lsh_pairs(shingled).write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
+def _sf1_timings(spark, registry) -> dict | None:
+    """Run SF1_QUERIES once each against the local sf1 copy (generated
+    on first use from sf0.1 — see tools/gen_sf1.py). Single timed run:
+    the plan shapes are identical to the just-run sf0.1 headline set,
+    so codegen is already warm. Disable with SPARK_GRAFT_SF1=0."""
+    import time
+
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench/sf1")
+    try:
+        if not os.path.exists(f"{sf1_dir}/_DONE"):
+            from tools.gen_sf1 import generate
+
+            generate(spark, dst_dir=sf1_dir)
+        timings: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            fn = registry[name].fn
+            t0 = time.time()
+            fn(spark, sf1_dir).write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+        return {
+            "sf": 1.0,
+            "queries": timings,
+            "total": round(sum(timings.values()), 3),
+        }
+    except Exception as ex:  # noqa: BLE001 — the smoke must not sink the bench
+        return {"error": f"{type(ex).__name__}: {ex}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -87,6 +160,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    extras = {"dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir)}
+    sf1 = _sf1_timings(spark, REGISTRY)
     # 1-min load average at the end of the run: a sentinel for machine
     # contention. With local[N] alone on the box this sits near N; a
     # value far above the core count means other workloads overlapped
@@ -104,8 +179,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "extras": extras,
+                "sf1": sf1,
                 "load_avg_1m": load1,
                 "cpus": os.cpu_count(),
+                "cpus_effective": int(
+                    os.environ.get("SPARK_GRAFT_CPUS")
+                    or min(32, os.cpu_count() or 32)
+                ),
             }
         )
     )
