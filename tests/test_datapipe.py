@@ -86,3 +86,38 @@ def test_incremental_new_disjoint_from_corpus(spark, sf_dir):
         .count()
     )
     assert out.select("content_hash").distinct().count() == batch_only
+
+
+def test_hash_split_rejects_uncovering_cuts(spark):
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.datapipe import hash_split
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    # final bound short of the bucket space → rows past it would get a
+    # NULL split; must fail loudly instead
+    with pytest.raises(ValueError, match="bucket space"):
+        hash_split(df, cuts=((80, "train"), (95, "val")))
+    # non-increasing bounds
+    with pytest.raises(ValueError, match="increase"):
+        hash_split(df, cuts=((95, "train"), (90, "val"), (100, "test")))
+    # a full covering split works and assigns every row
+    out = hash_split(df, cuts=((50, "a"), (100, "b"))).collect()
+    assert all(r.split in ("a", "b") for r in out)
+
+
+def test_pack_bin_ids_unique_across_shards(spark):
+    # The shard<<40 namespace: local bins from different shards can
+    # never collide even at bin counts far beyond the testdata's.
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        pack_contiguous,
+    )
+
+    rows = [(i, 30) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_contiguous(df).select("shard", "bin_id").distinct().collect()
+    by_bin = {}
+    for r in out:
+        assert r.bin_id >> 40 == r.shard  # namespace carries the shard
+        by_bin.setdefault(r.bin_id, set()).add(r.shard)
+    assert all(len(s) == 1 for s in by_bin.values())

@@ -218,7 +218,7 @@ def test_pack_contiguous_matches_sequential_model(spark, counts):
     for doc_id, c in rows:  # already in doc_id order
         s = shard_of[doc_id]
         before = cum.get(s, 0)
-        expect = (s, s * 1_000_000 + before // PACK_CAPACITY, before % PACK_CAPACITY)
+        expect = (s, (s << 40) + before // PACK_CAPACITY, before % PACK_CAPACITY)
         assert got[doc_id] == expect, f"doc {doc_id}: {got[doc_id]} != {expect}"
         cum[s] = before + c
 

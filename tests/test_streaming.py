@@ -229,3 +229,32 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expected.collect()}
     assert g == e
+
+
+def test_events_stream_schema_matches_batch_reader(spark, sf_dir):
+    # The declared streaming schema must track what THIS engine's batch
+    # reader surfaces for TIMESTAMP(NANOS) parquet (LongType under an
+    # honored nanosAsLong conf, TIMESTAMP_NTZ where that conf is inert),
+    # so normalize_event_time's branches stay live across versions.
+    from evolution_data_warehouse_spark.streaming.events import (
+        EVENTS_SCHEMA,
+        events_stream_schema,
+    )
+
+    src = f"{sf_dir}/events.parquet"
+    schema = events_stream_schema(spark, src)
+    observed = {f.name: f.dataType for f in spark.read.parquet(src).schema}
+    declared = {f.name: f.dataType for f in schema.fields}
+    assert declared["ts"] == observed["ts"]
+    # everything except ts keeps the pinned legacy schema
+    for f in EVENTS_SCHEMA.fields:
+        if f.name != "ts":
+            assert declared[f.name] == f.dataType
+
+    # empty landing zone (no files yet) falls back to the legacy default
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    with tempfile.TemporaryDirectory() as d:
+        assert events_stream_schema(spark, d)["ts"].dataType == T.LongType()
