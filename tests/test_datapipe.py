@@ -121,3 +121,44 @@ def test_pack_bin_ids_unique_across_shards(spark):
         assert r.bin_id >> 40 == r.shard  # namespace carries the shard
         by_bin.setdefault(r.bin_id, set()).add(r.shard)
     assert all(len(s) == 1 for s in by_bin.values())
+
+
+def test_gen_sf1_replication_integrity(spark, tmp_path):
+    # The sf1 generator must produce copies x rows with disjoint key
+    # spaces, fixed dims, and per-copy distinct document text (so
+    # near-dup density is preserved, not inflated 10x).
+    from tools.gen_sf1 import OFFSET, generate
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_scaled")
+    generate(spark, src_dir=src, dst_dir=dst, copies=3)
+
+    orders_src = spark.read.parquet(f"{src}/orders.parquet")
+    orders = spark.read.parquet(f"{dst}/orders.parquet")
+    assert orders.count() == 3 * orders_src.count()
+    assert orders.select("o_orderkey").distinct().count() == orders.count()
+
+    # copy i's keys live in [i*OFFSET, (i+1)*OFFSET)
+    from pyspark.sql import functions as F
+
+    per_copy = (
+        orders.groupBy((F.col("o_orderkey") / OFFSET).cast("int").alias("c"))
+        .count()
+        .collect()
+    )
+    assert {r.c for r in per_copy} == {0, 1, 2}
+    assert len({r["count"] for r in per_copy}) == 1
+
+    # dims don't scale
+    nation_src = spark.read.parquet(f"{src}/nation.parquet").count()
+    assert spark.read.parquet(f"{dst}/nation.parquet").count() == nation_src
+
+    # document text unique per copy: total distinct texts scale with
+    # copies (up to source-internal exact dups, which stay within-copy)
+    docs_src = spark.read.parquet(f"{src}/documents.parquet")
+    docs = spark.read.parquet(f"{dst}/documents.parquet")
+    d_src = docs_src.select("text").distinct().count()
+    assert docs.select("text").distinct().count() == 3 * d_src
+    # n_chars stays consistent with the rewritten text
+    bad = docs.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0

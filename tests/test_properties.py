@@ -240,3 +240,40 @@ def test_hash_split_respects_cuts_and_total(spark, ids):
         assert 0 <= r.bucket < 100
         expect = "train" if r.bucket < 90 else ("val" if r.bucket < 95 else "test")
         assert r.split == expect
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fpq_matches_duckdb_mirror(spark, vals):
+    # common.py::fpq and fpq_sql are the two halves of one contract:
+    # identical fixed-point quantization on arbitrary doubles, so
+    # ulp-sensitive interpolated results compare exactly across engines.
+    import duckdb
+
+    from evolution_data_warehouse_spark.queries.common import fpq, fpq_sql
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.q for r in df.select(fpq("x").alias("q")).collect()]
+
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {fpq_sql('CAST(? AS DOUBLE)')}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
