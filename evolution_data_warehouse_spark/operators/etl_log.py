@@ -76,9 +76,9 @@ def monitoring_summary(log: DataFrame) -> DataFrame:
 
 
 def render_report_html(report_dict: dict) -> str:
-    """HTML pipeline report — the observable effect of the reference's
-    email notifier (analytics/etl/etl_notifier.py:156-303), minus SMTP
-    (transport is infrastructure, SURVEY §7.4)."""
+    """HTML pipeline report body — the reference's email notifier
+    rendering (analytics/etl/etl_notifier.py:156-303); the SMTP
+    transport half lives in :func:`send_report` below."""
     status_color = {
         "OK": "#2e7d32", "SKIP": "#757575", "IGNORE": "#f9a825",
         "ERREUR": "#c62828",
@@ -98,6 +98,83 @@ def render_report_html(report_dict: dict) -> str:
         "<tr><th>Etape</th><th>Statut</th><th>Lignes</th>"
         "<th>Duree</th><th>Erreur</th></tr>"
         f"{rows}</table></body></html>"
+    )
+
+
+def send_report(
+    report_dict: dict,
+    smtp_config: dict,
+    subject: str | None = None,
+    use_tls: bool = True,
+    timeout: float = 10.0,
+) -> bool:
+    """SMTP transport for the pipeline report — the send half of the
+    reference's notifier (analytics/etl/etl_notifier.py:60-87): skip
+    with a warning when user/recipient are unconfigured, build a
+    multipart/alternative message carrying the HTML body, send over
+    smtplib (STARTTLS + login when configured), and return success as
+    a bool — a notification failure is logged, never raised, so it can
+    never fail the pipeline it reports on.
+    """
+    import logging
+    import smtplib
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    logger = logging.getLogger(__name__)
+    if not smtp_config.get("user") or not smtp_config.get("to"):
+        logger.warning(
+            "notification email skipped: smtp user or recipient unconfigured"
+        )
+        return False
+    if subject is None:
+        overall = "SUCCES" if report_dict.get("ok") else "ECHEC"
+        subject = f"Rapport ETL — {overall}"
+    try:
+        msg = MIMEMultipart("alternative")
+        msg["Subject"] = subject
+        msg["From"] = smtp_config["user"]
+        msg["To"] = smtp_config["to"]
+        msg.attach(MIMEText(render_report_html(report_dict), "html", "utf-8"))
+        with smtplib.SMTP(
+            smtp_config.get("host", "localhost"),
+            int(smtp_config.get("port", 587)),
+            timeout=timeout,
+        ) as server:
+            server.ehlo()
+            if use_tls:
+                server.starttls()
+                server.ehlo()
+            if smtp_config.get("password"):
+                server.login(smtp_config["user"], smtp_config["password"])
+            server.sendmail(
+                smtp_config["user"], [smtp_config["to"]], msg.as_string()
+            )
+        logger.info("report emailed to %s: %s", smtp_config["to"], subject)
+        return True
+    except Exception as exc:  # noqa: BLE001 — notify must never raise
+        logger.error("report email failed: %s", exc)
+        return False
+
+
+def notify_from_env(report_dict: dict, env=None) -> bool:
+    """Config-gated notification: read the reference's env contract
+    (ETL_SMTP_HOST/PORT/USER/PASSWORD, ETL_NOTIFY_EMAIL — etl_notifier
+    .py:77-81) and send the report; a missing user/recipient makes this
+    a logged no-op, exactly like the reference."""
+    import os
+
+    env = os.environ if env is None else env
+    return send_report(
+        report_dict,
+        {
+            "host": env.get("ETL_SMTP_HOST", "localhost"),
+            "port": env.get("ETL_SMTP_PORT", "587"),
+            "user": env.get("ETL_SMTP_USER"),
+            "password": env.get("ETL_SMTP_PASSWORD"),
+            "to": env.get("ETL_NOTIFY_EMAIL"),
+        },
+        use_tls=env.get("ETL_SMTP_STARTTLS", "1") != "0",
     )
 
 

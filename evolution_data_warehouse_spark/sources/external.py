@@ -111,13 +111,107 @@ def list_blobs(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
     return sorted(out)
 
 
+def _xlsx_cell(ref: str, value) -> str:
+    """One sheet cell: numbers as native numeric cells, booleans as the
+    boolean type, everything else as an inline string (no shared-string
+    table — self-contained rows, and the writer stays streaming)."""
+    from xml.sax.saxutils import escape
+
+    if value is None:
+        return f'<c r="{ref}"/>'
+    if isinstance(value, bool):
+        return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
+    if isinstance(value, (int, float)):
+        if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+            return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
+        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    return (
+        f'<c r="{ref}" t="inlineStr"><is>'
+        f"<t>{escape(str(value))}</t></is></c>"
+    )
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → A1-style letters."""
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
 def write_excel(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
-    """snk_excel (scrape_taux.py:126-130) — driver-side pandas egress,
-    bounded; openpyxl not in this image → clear gate."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel export needs openpyxl; install it or export parquet/csv"
-        ) from exc
-    df.limit(max_rows).toPandas().to_excel(path, index=False)
+    """snk_excel (scrape_taux.py:126-130) — driver-side spreadsheet
+    egress, bounded like every presentation-layer collect in this
+    engine. Implemented directly on the OOXML container format (an
+    .xlsx is a zip of XML parts) with only the stdlib, so the sink is
+    real in this image rather than gated on openpyxl; output is
+    deterministic (fixed zip timestamps, inline strings, no styles)."""
+    import zipfile
+
+    rows = df.limit(max_rows).collect()
+    cols = df.columns
+
+    def sheet_rows():
+        yield "".join(
+            _xlsx_cell(f"{_col_letter(i)}1", c) for i, c in enumerate(cols)
+        )
+        for r, row in enumerate(rows, start=2):
+            yield "".join(
+                _xlsx_cell(f"{_col_letter(i)}{r}", row[i])
+                for i in range(len(cols))
+            )
+
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(
+            f'<row r="{n}">{cells}</row>'
+            for n, cells in enumerate(sheet_rows(), start=1)
+        )
+        + "</sheetData></worksheet>"
+    )
+    parts = {
+        "[Content_Types].xml": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+            'content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="application/'
+            'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+            '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="'
+            "application/vnd.openxmlformats-officedocument.spreadsheetml."
+            'worksheet+xml"/></Types>'
+        ),
+        "_rels/.rels": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            'officeDocument" Target="xl/workbook.xml"/></Relationships>'
+        ),
+        "xl/workbook.xml": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.'
+            'org/officeDocument/2006/relationships"><sheets>'
+            '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        ),
+        "xl/_rels/workbook.xml.rels": (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships"><Relationship Id="rId1" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/worksheet\" "
+            'Target="worksheets/sheet1.xml"/></Relationships>'
+        ),
+        "xl/worksheets/sheet1.xml": sheet,
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, content)

@@ -128,3 +128,108 @@ def test_report_html_render():
     assert "ECHEC" in html and "ERREUR" in html and "<table" in html
     ok_report = run_pipeline([Step("a", lambda: 3)])
     assert "SUCCES" in render_report_html(ok_report.as_dict())
+
+
+class _MiniSMTP:
+    """Minimal in-process SMTP server: enough of RFC 5321 for smtplib's
+    EHLO/MAIL/RCPT/DATA/QUIT happy path, capturing the message body."""
+
+    def __init__(self):
+        import socket
+        import threading
+
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.messages: list[str] = []
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        conn, _ = self.sock.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 mini ESMTP\r\n")
+        data_mode, buf = False, []
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if data_mode:
+                if line == b".\r\n":
+                    self.messages.append(b"".join(buf).decode("utf-8"))
+                    conn.sendall(b"250 OK\r\n")
+                    data_mode, buf = False, []
+                else:
+                    buf.append(line)
+                continue
+            cmd = line.decode("latin-1").strip().upper()
+            if cmd.startswith("EHLO") or cmd.startswith("HELO"):
+                conn.sendall(b"250-mini\r\n250 OK\r\n")
+            elif cmd.startswith("MAIL") or cmd.startswith("RCPT"):
+                conn.sendall(b"250 OK\r\n")
+            elif cmd.startswith("DATA"):
+                conn.sendall(b"354 go\r\n")
+                data_mode = True
+            elif cmd.startswith("QUIT"):
+                conn.sendall(b"221 bye\r\n")
+                break
+            else:
+                conn.sendall(b"250 OK\r\n")
+        conn.close()
+
+
+def test_send_report_smtp_transport():
+    # Real SMTP conversation against an in-process server: the message
+    # must carry the HTML report; a failure path and the unconfigured
+    # path must return False without raising.
+    from evolution_data_warehouse_spark.operators.etl_log import (
+        notify_from_env,
+        send_report,
+    )
+
+    report = {
+        "ok": True,
+        "steps": [
+            {"name": "load", "status": "OK", "rows": 42,
+             "duration_sec": 1.5, "error": ""},
+        ],
+    }
+    srv = _MiniSMTP()
+    cfg = {
+        "host": "127.0.0.1", "port": srv.port,
+        "user": "etl@example.org", "to": "ops@example.org",
+    }
+    assert send_report(report, cfg, use_tls=False) is True
+    srv.thread.join(timeout=5)
+    assert len(srv.messages) == 1
+    import email
+    from email.header import decode_header
+
+    msg = email.message_from_string(srv.messages[0])
+    subj = "".join(
+        part.decode(enc or "utf-8") if isinstance(part, bytes) else part
+        for part, enc in decode_header(msg["Subject"])
+    )
+    assert "Rapport ETL" in subj and "SUCCES" in subj
+    html_parts = [
+        p for p in msg.walk() if p.get_content_type() == "text/html"
+    ]
+    assert len(html_parts) == 1
+    html = html_parts[0].get_payload(decode=True).decode("utf-8")
+    assert "Rapport ETL" in html and "load" in html and "42" in html
+
+    # unconfigured → logged no-op
+    assert send_report(report, {"host": "127.0.0.1"}) is False
+    assert notify_from_env(report, env={}) is False
+
+    # connection refused → False, never raises
+    assert (
+        send_report(
+            report,
+            {"host": "127.0.0.1", "port": 1, "user": "u", "to": "t"},
+            use_tls=False,
+            timeout=2,
+        )
+        is False
+    )
