@@ -58,6 +58,10 @@ SF1_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "dedup_minhash_lsh",
+    # one representative each from the window and SCD families, so the
+    # scale evidence isn't joins/aggs/dedup only
+    "win_version_latest",
+    "proc_scd2",
 ]
 
 
