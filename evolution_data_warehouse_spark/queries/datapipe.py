@@ -303,3 +303,148 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("source") == "src1")
     corpus = docs.filter(F.col("source") != "src1")
     return incremental_new(batch, corpus).select("doc_id", "content_hash")
+
+
+# --------------------------------------------------------------------------
+# packing efficiency report
+# --------------------------------------------------------------------------
+
+_PACK_EFF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+           {_bucket_sql('doc_id', PACK_SHARDS)} AS shard
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, n_tokens, shard,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM toks
+),
+packed AS (
+    SELECT shard, n_tokens,
+           CAST((shard << 40) + (cum_before // {PACK_CAPACITY}) AS BIGINT)
+               AS bin_id
+    FROM runs
+)
+SELECT shard,
+       COUNT(DISTINCT bin_id) AS n_bins,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE)
+           / (COUNT(DISTINCT bin_id) * {PACK_CAPACITY}.0) AS fill_rate
+FROM packed
+GROUP BY shard
+"""
+
+
+@register(
+    "pack_efficiency",
+    _PACK_EFF_ORACLE,
+    doc="Packing-efficiency report over pack_sequences: bins, docs, "
+    "token totals and fill rate per shard — the pipeline-health number "
+    "a packing job publishes (fill_rate can exceed 1.0 because "
+    "contiguous fill lets one doc straddle each bin boundary). Exact "
+    "integer arithmetic end-to-end; the only double is the final "
+    "int÷int ratio, bit-identical across engines.",
+)
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    packed = pack_contiguous(docs)
+    return packed.groupBy("shard").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (
+            F.sum("n_tokens").cast("double")
+            / (F.countDistinct("bin_id") * F.lit(float(PACK_CAPACITY)))
+        ).alias("fill_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-split contamination audit
+# --------------------------------------------------------------------------
+
+_LEAK_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               ))) AS shingle
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks
+              FROM documents)
+    )
+),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('doc_id', SPLIT_BUCKETS)} < 90 THEN 'train'
+                WHEN {_bucket_sql('doc_id', SPLIT_BUCKETS)} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+train_sh AS (
+    SELECT DISTINCT shingle FROM sh JOIN splits USING (doc_id)
+    WHERE split = 'train'
+),
+test_sh AS (
+    SELECT doc_id, shingle FROM sh JOIN splits USING (doc_id)
+    WHERE split = 'test'
+),
+ov AS (
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_in_train
+    FROM test_sh JOIN train_sh USING (shingle) GROUP BY doc_id
+),
+tot AS (
+    SELECT doc_id, COUNT(DISTINCT shingle) AS n_shingles
+    FROM test_sh GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_shingles,
+       COALESCE(ov.n_in_train, 0) AS n_in_train,
+       CAST(COALESCE(ov.n_in_train, 0) AS DOUBLE)
+           / CAST(tot.n_shingles AS DOUBLE) AS leak_frac
+FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+"""
+
+
+@register(
+    "split_leakage_audit",
+    _LEAK_ORACLE,
+    doc="Cross-split contamination audit: for every test-split document "
+    "(hash_split assignment), the fraction of its 3-gram shingles that "
+    "also occur in the train split — the leakage number a train/val/"
+    "test pipeline must publish before anyone trains on the split. "
+    "Distinct train shingles join test shingles on the shingle value; "
+    "work scales with matches, never doc x doc.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    splits = hash_split(docs).select("doc_id", "split")
+    sh = _shingles_with_source(spark, sf_dir).select("doc_id", "shingle")
+    sh_split = sh.join(splits, "doc_id")
+    train_sh = (
+        sh_split.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    test_sh = sh_split.filter(F.col("split") == "test").select(
+        "doc_id", "shingle"
+    )
+    tot = test_sh.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles")
+    )
+    ov = ngram_overlap(test_sh, train_sh)
+    n_in_train = F.coalesce(F.col("n_shared"), F.lit(0))
+    return tot.join(ov, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_in_train.alias("n_in_train"),
+        (
+            n_in_train.cast("double") / F.col("n_shingles").cast("double")
+        ).alias("leak_frac"),
+    )

@@ -521,3 +521,50 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.abs(F.col("exact_median")) * F.lit(0.05)
         ).alias("approx_within_5pct"),
     )
+
+
+_MOVAVG_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg_price
+FROM lineitem
+WHERE l_returnflag = 'R'
+WINDOW w AS (
+    PARTITION BY l_suppkey
+    ORDER BY l_shipdate, l_orderkey, l_linenumber
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register(
+    "win_moving_avg",
+    _MOVAVG_ORACLE,
+    doc="Sliding-frame moving average (4-row trailing window per "
+    "supplier over ship-date order, fully tie-broken by the lineitem "
+    "PK). The frame sum goes through per-row DECIMAL casts so the "
+    "sliding add/remove accumulation is exact — a plain double frame "
+    "sum drifts between engines as the frame slides.",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 0)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            "l_shipdate",
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+                .over(w)
+                .cast("double")
+                / F.count("*").over(w).cast("double")
+            ).alias("mov_avg_price"),
+        )
+    )

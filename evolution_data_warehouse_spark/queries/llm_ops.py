@@ -1290,3 +1290,130 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("top_token_n").cast("double") / nt).alias("top_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics + embedding hygiene
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH bg AS (
+    SELECT unnest(list_transform(
+               range(1, greatest(len(tk), 1)),
+               i -> tk[i] || ' ' || tk[i+1]
+           )) AS bigram
+    FROM (SELECT str_split(lower(text), ' ') AS tk FROM documents)
+),
+counted AS (
+    SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+)
+SELECT prefix, bigram, cnt, CAST(rnk AS INT) AS rnk FROM (
+    SELECT str_split(bigram, ' ')[1] AS prefix, bigram, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY str_split(bigram, ' ')[1]
+               ORDER BY cnt DESC, bigram ASC
+           ) AS rnk
+    FROM counted WHERE cnt >= 5
+) WHERE rnk <= 3
+"""
+
+
+@register(
+    "text_bigram_topk",
+    _BIGRAM_ORACLE,
+    doc="Corpus bigram language-model statistics: top-3 continuations "
+    "per prefix token by corpus count (min support 5) — the n-gram-LM "
+    "table a data pipeline derives for quality scoring and generation "
+    "heuristics. One explode + hash aggregate; the per-prefix rank is "
+    "bounded per partition (WindowGroupLimit shape), tie-broken by the "
+    "bigram text.",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    prefix = F.split(F.col("bigram"), " ").getItem(0)
+    w = W.partitionBy("prefix").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counted.withColumn("prefix", prefix)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("prefix", "bigram", "cnt", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+# Embedding-norm outlier audit: vector-hygiene report flagging vectors
+# whose L2 norm sits more than 3 sigma above the corpus mean (broken
+# encoders, corrupted rows, unnormalized batches). The norm is the
+# sequential-fold chain (bit-identical to the oracle's spelled-out
+# sum); mean/sigma come from fixed-point integer sums of the norms, so
+# the threshold — and therefore the flag — is bit-identical too.
+_NORM_SQL = f"sqrt({_sqnorm_sql('embeddings')})"
+_NORM_STATS_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, {_NORM_SQL} AS norm FROM embeddings
+),
+stats AS (
+    SELECT CAST(SUM(CAST(floor(norm * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+               / COUNT(*) AS mean_norm,
+           CAST(SUM(CAST(floor(norm * norm * 1e12) AS BIGINT)) AS DOUBLE)
+               / 1e12 / COUNT(*) AS mean_sq
+    FROM e
+)
+SELECT vec_id, norm,
+       norm > mean_norm + 3.0 * sqrt(greatest(mean_sq - mean_norm * mean_norm,
+                                              0.0)) AS is_outlier
+FROM e, stats
+"""
+
+
+@register(
+    "emb_norm_outliers",
+    _NORM_STATS_ORACLE,
+    doc="Embedding-norm outlier audit: per-vector L2 norm plus a "
+    "mean+3sigma flag computed from fixed-point integer sums (one "
+    "1-row broadcast of the corpus stats — the TF-IDF corpus-count "
+    "pattern, no driver collect).",
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = sim.with_norm(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("_norm").alias("norm")
+    )
+    stats = e.agg(
+        (
+            F.sum(F.floor(F.col("norm") * 1e12).cast("long")).cast("double")
+            / F.lit(1e12)
+            / F.count("*")
+        ).alias("mean_norm"),
+        (
+            F.sum(
+                F.floor(F.col("norm") * F.col("norm") * 1e12).cast("long")
+            ).cast("double")
+            / F.lit(1e12)
+            / F.count("*")
+        ).alias("mean_sq"),
+    )
+    thresh = F.col("mean_norm") + 3.0 * F.sqrt(
+        F.greatest(
+            F.col("mean_sq") - F.col("mean_norm") * F.col("mean_norm"),
+            F.lit(0.0),
+        )
+    )
+    return e.join(F.broadcast(stats)).select(
+        "vec_id", "norm", (F.col("norm") > thresh).alias("is_outlier")
+    )

@@ -8,6 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.queries.common import (
+    davg,
+    davg_sql,
     dsum,
     dsum_sql,
     register,
@@ -592,5 +594,151 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
+        )
+    )
+
+
+_Q17_ORACLE = f"""
+WITH pa AS (
+    SELECT l_partkey, {davg_sql('l_quantity', 2)} AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+"""
+
+
+@register(
+    "tpch_q17",
+    _Q17_ORACLE,
+    doc="Small-quantity-order revenue shape (TPC-H Q17): per-part "
+    "average quantity as a correlated threshold → re-join of the "
+    "aggregate against the fact, then one global sum. The decimal-exact "
+    "davg makes the 0.5·avg threshold comparison identical on both "
+    "engines — a raw double average could flip boundary rows.",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        davg("l_quantity", 2).alias("avg_qty")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pa_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_Q21_ORACLE = """
+WITH per_os AS (
+    SELECT l_orderkey, l_suppkey,
+           MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, l_suppkey
+),
+per_o AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+    FROM per_os GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_os
+JOIN per_o USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q21",
+    _Q21_ORACLE,
+    doc="Suppliers-who-kept-orders-waiting shape (TPC-H Q21, adapted: "
+    "'late' is shipped >60 days after ordering since the testdata has "
+    "no commit/receipt dates): the double EXISTS/NOT-EXISTS of the "
+    "original re-expressed as one per-(order,supplier) lateness "
+    "aggregate + per-order counts — two hash aggregates instead of two "
+    "correlated self-joins over the fact, the formulation that scales.",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+_Q22_ORACLE = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {dsum_sql('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT {davg_sql('c_acctbal', 2)} FROM customer WHERE c_acctbal > 0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+GROUP BY c_nationkey
+"""
+
+
+@register(
+    "tpch_q22",
+    _Q22_ORACLE,
+    doc="Global-sales-opportunity shape (TPC-H Q22, adapted: the "
+    "testdata has no phone column, so the segment key is the nation and "
+    "'no orders' means none since 2000): scalar above-average-balance "
+    "subquery (decimal-exact avg, 1-row broadcast) + anti-join against "
+    "recent orders, grouped balance totals per nation.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", 2).alias("avg_bal")
+    )
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
         )
     )

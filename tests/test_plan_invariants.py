@@ -13,12 +13,17 @@ from evolution_data_warehouse_spark.queries import REGISTRY
 #   (replaces a separate driver-side count job)
 # - view_dashboard_twograin: geo × year spine (|nation| × |years|,
 #   both bounded dimension-sized inputs)
+# - tpch_q22 / emb_norm_outliers: 1-row scalar-aggregate broadcast
+#   (above-average-balance threshold / corpus norm stats), same
+#   pattern as text_tfidf
 _BNL_OK = {
     "join_cross",
     "sim_ann_bruteforce",
     "udtf_rls_predicate",
     "text_tfidf",
     "view_dashboard_twograin",
+    "tpch_q22",
+    "emb_norm_outliers",
 }
 
 
