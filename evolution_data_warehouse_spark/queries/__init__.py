@@ -38,6 +38,11 @@ from evolution_data_warehouse_spark.queries import datapipe as _datapipe  # noqa
 # 17 queries whose only green dates to r1 (windows/sorts/sets/scalar-fn
 # head — three rounds and one Spark minor version old, the one place a
 # silent behavior drift could hide), then the 27 r2-stale entries.
+# The SECOND round-5 batch (tpch_q17/q21/q22, win_moving_avg,
+# text_bigram_topk, pack_efficiency, split_leakage_audit,
+# emb_norm_outliers) deliberately lands AFTER the window — drive_contract
+# verifies it locally this round, and it leads the round-6 window with
+# the r3-stale refresh behind it.
 _R5_NEW = (
     "decontaminate_apply",
     "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
