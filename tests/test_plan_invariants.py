@@ -105,3 +105,9 @@ def test_pack_sequences_sorts_per_shard_not_globally(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pack_sequences")
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning(shard" in plan
+
+
+def test_bigram_topk_uses_window_group_limit(spark, sf_dir):
+    # top-3 per prefix must push below the per-prefix sort, same
+    # bounded-heap property as the stratified sample.
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "text_bigram_topk")
