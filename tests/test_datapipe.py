@@ -162,3 +162,79 @@ def test_gen_sf1_replication_integrity(spark, tmp_path):
     # n_chars stays consistent with the rewritten text
     bad = docs.filter(F.length("text") != F.col("n_chars")).count()
     assert bad == 0
+
+
+def test_corpus_prep_end_to_end(spark, sf_dir):
+    # The operators are built to COMPOSE into the standard corpus-prep
+    # flow: exact dedup -> near-dup cluster + keep-canonical ->
+    # decontaminate vs the benchmark slice -> deterministic split ->
+    # pack. One pass over sf0.001 asserting the end-state properties a
+    # training pipeline depends on.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        decontaminate,
+        hash_split,
+        pack_contiguous,
+    )
+    from evolution_data_warehouse_spark.queries.datapipe import (
+        _shingles_with_source,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. exact dedup: one row per content hash
+    deduped = (
+        docs.withColumn("content_hash", F.md5("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("content_hash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert (
+        deduped.groupBy("content_hash").count().filter("count > 1").count() == 0
+    )
+
+    # 2. decontaminate against the src0 slice (stand-in eval set)
+    sh = _shingles_with_source(spark, sf_dir)
+    bench = sh.filter(F.col("source") == "src0").select("shingle")
+    cand = (
+        sh.join(deduped.select("doc_id"), "doc_id")
+        .filter(F.col("source") != "src0")
+        .select("doc_id", "shingle")
+    )
+    decisions = decontaminate(cand, bench)
+    kept_ids = decisions.filter(F.col("decision") != "drop").select("doc_id")
+    clean = deduped.join(kept_ids, "doc_id", "left_semi").filter(
+        F.col("source") != "src0"
+    )
+    # dropped docs are gone; and nothing kept exceeds the drop threshold
+    over = decisions.filter(
+        (F.col("decision") != "drop") & (F.col("overlap_frac") >= 0.5)
+    )
+    assert over.count() == 0
+
+    # 3. split: every clean doc in exactly one named split
+    split = hash_split(clean)
+    assert split.filter(F.col("split").isNull()).count() == 0
+    assert split.count() == clean.count()
+
+    # 4. pack: bins well-formed (bin_pos < capacity, shard consistent)
+    packed = pack_contiguous(
+        split.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        )
+    )
+    assert packed.filter(F.col("bin_pos") >= 64).count() == 0
+    assert (
+        packed.filter(
+            F.shiftright(F.col("bin_id"), 40) != F.col("shard")
+        ).count()
+        == 0
+    )
+    assert packed.count() == clean.count()
