@@ -136,3 +136,94 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd's k-means: returns (centroids, assignments).
+
+    The shape that scales: per iteration, ONE hash aggregate over the
+    corpus (assign each vector to its nearest centroid via literal
+    centroid arrays — broadcast by construction, no join — then
+    per-cluster per-dimension sums); only the k·dim centroid matrix
+    ever reaches the driver, never vectors. Determinism end-to-end:
+    init picks the k lowest-id vectors (no RNG), per-dimension means go
+    through fixed-point integer sums (floor(x·1e12) — exact, order-
+    independent), ties in the argmin break toward the lower centroid
+    index. Same checkpoint-free loop bound as connected_components:
+    each iteration's plan reads the source, not the previous
+    iteration's lineage.
+
+    Empty clusters keep their previous centroid (the standard Lloyd's
+    fallback) rather than dying or resampling nondeterministically.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    init_rows = (
+        with_norm(df, vec_col)
+        .select(id_col, "_vec")
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if not init_rows:
+        raise ValueError("kmeans_fit: input has no vectors")
+    centroids = [[float(x) for x in r._vec] for r in init_rows]
+    # fewer vectors than k: pad cyclically (deterministic) — the extra
+    # clusters stay empty and keep these centroids via the fallback
+    while len(centroids) < k:
+        centroids.append(list(centroids[len(centroids) % len(init_rows)]))
+
+    vecs = with_norm(df, vec_col).select(id_col, "_vec")
+    for _ in range(iterations):
+        dists = F.array(*[sq_l2(F.col("_vec"), c) for c in centroids])
+        # argmin with ties toward the lower index: array_position finds
+        # the FIRST element equal to the minimum
+        assigned = vecs.withColumn("_dists", dists).withColumn(
+            "cluster",
+            F.expr(
+                "cast(array_position(_dists, array_min(_dists)) - 1 as int)"
+            ),
+        )
+        sums = assigned.select(
+            "cluster",
+            *[
+                F.floor(F.element_at(F.col("_vec"), i + 1) * 1e12)
+                .cast("long")
+                .alias(f"s{i}")
+                for i in range(dim)
+            ],
+        ).groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+        )
+        stats = {r["cluster"]: r for r in sums.collect()}
+        new_centroids = []
+        for c in range(k):
+            r = stats.get(c)
+            if r is None or r["n"] == 0:
+                new_centroids.append(centroids[c])
+            else:
+                new_centroids.append(
+                    [(r[f"s{i}"] / 1e12) / r["n"] for i in range(dim)]
+                )
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    dists = F.array(*[sq_l2(F.col("_vec"), c) for c in centroids])
+    assignments = (
+        vecs.withColumn("_dists", dists)
+        .withColumn(
+            "cluster",
+            F.expr(
+                "cast(array_position(_dists, array_min(_dists)) - 1 as int)"
+            ),
+        )
+        .select(id_col, "cluster")
+    )
+    return centroids, assignments

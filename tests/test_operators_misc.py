@@ -498,3 +498,50 @@ def test_ivf_multiprobe_recall_monotone(spark, sf_dir):
     assert r1 > 0.1, f"single-probe recall implausibly low: {r1:.3f}"
     # 3 of 4 lists probed must recover most of the truth set.
     assert r3 > 0.6, f"probe3 recall too low: {r3:.3f}"
+
+
+def test_kmeans_fit_properties(spark, sf_dir):
+    # Distributed Lloyd's: deterministic across runs, inertia
+    # non-increasing over iterations, every vector assigned, empty-
+    # cluster fallback keeps the previous centroid.
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.similarity import (
+        kmeans_fit,
+        sq_l2,
+        with_norm,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    c1, a1 = kmeans_fit(emb, k=4, iterations=5)
+    c2, a2 = kmeans_fit(emb, k=4, iterations=5)
+    assert c1 == c2  # bit-deterministic centroids
+    assert {r.vec_id: r.cluster for r in a1.collect()} == {
+        r.vec_id: r.cluster for r in a2.collect()
+    }
+    assert a1.count() == emb.count()
+    assert a1.filter(F.col("cluster").isNull()).count() == 0
+    assert {r.cluster for r in a1.select("cluster").distinct().collect()} <= set(
+        range(4)
+    )
+
+    def inertia(centroids):
+        vecs = with_norm(emb).select("_vec")
+        d = F.array(*[sq_l2(F.col("_vec"), c) for c in centroids])
+        return (
+            vecs.select(F.array_min(d).alias("m"))
+            .agg(F.sum("m"))
+            .first()[0]
+        )
+
+    # more Lloyd iterations can only tighten (or hold) the objective
+    c0, _ = kmeans_fit(emb, k=4, iterations=1)
+    c5, _ = kmeans_fit(emb, k=4, iterations=5)
+    assert inertia(c5) <= inertia(c0) + 1e-9
+
+    # degenerate k > distinct vectors: empty clusters keep their init
+    # centroid and nothing crashes
+    tiny = emb.limit(2)
+    ck, ak = kmeans_fit(tiny, k=4, iterations=3)
+    assert len(ck) == 4 and ak.count() == 2
