@@ -111,10 +111,23 @@ def list_blobs(spark: SparkSession, path: str, suffix: str = "") -> list[str]:
     return sorted(out)
 
 
+import re as _re
+
+# XML 1.0 legal character ranges: tab/LF/CR, then 0x20+ minus the
+# surrogate block and the two non-characters. Anything else (control
+# chars that real text corpora do contain) must not reach the sheet —
+# escape() does NOT handle them and the file would be unreadable.
+_XML_ILLEGAL = _re.compile(
+    "[^\u0009\u000a\u000d\u0020-\ud7ff\ue000-\ufffd"
+    "\U00010000-\U0010ffff]"
+)
+
+
 def _xlsx_cell(ref: str, value) -> str:
     """One sheet cell: numbers as native numeric cells, booleans as the
     boolean type, everything else as an inline string (no shared-string
-    table — self-contained rows, and the writer stays streaming)."""
+    table — self-contained rows, and the writer stays streaming).
+    Characters illegal in XML 1.0 are replaced with U+FFFD."""
     from xml.sax.saxutils import escape
 
     if value is None:
@@ -125,9 +138,10 @@ def _xlsx_cell(ref: str, value) -> str:
         if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
             return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
+    text = _XML_ILLEGAL.sub("�", str(value))
     return (
         f'<c r="{ref}" t="inlineStr"><is>'
-        f"<t>{escape(str(value))}</t></is></c>"
+        f'<t xml:space="preserve">{escape(text)}</t></is></c>'
     )
 
 

@@ -142,3 +142,40 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     # append doubles the rows
     write_jdbc(src, url, "nation_t", drv, if_exists="append", driver=drv)
     assert read_jdbc(spark, url, "nation_t", drv, driver=drv).count() == 2 * src.count()
+
+
+def test_excel_survives_hostile_strings(spark, tmp_path):
+    # Corpus text contains control chars, XML metacharacters, quotes,
+    # and exotic unicode; the sheet must stay parseable and whitespace-
+    # preserving, with illegal XML chars replaced rather than emitted.
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    hostile = [
+        (1, "null\x00byte"),
+        (2, "bell\x07and\x1besc"),
+        (3, "<tag> & \"quotes\" 'single'"),
+        (4, "  leading and trailing  "),
+        (5, "tab\there\nnewline"),
+        (6, "emoji \U0001f600 and CJK 漢字"),
+    ]
+    df = spark.createDataFrame(hostile, "id long, s string")
+    path = str(tmp_path / "hostile.xlsx")
+    write_excel(df, path)
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))  # parses
+    texts = {}
+    for row in sheet.iter(f"{ns}row"):
+        cells = list(row.iter(f"{ns}c"))
+        if len(cells) == 2 and cells[0].find(f"{ns}v") is not None:
+            rid = int(float(cells[0].find(f"{ns}v").text))
+            t = cells[1].find(f"{ns}is/{ns}t")
+            texts[rid] = t.text if t is not None else None
+    assert texts[1] == "null�byte"
+    assert texts[2] == "bell�and�esc"
+    assert texts[3] == "<tag> & \"quotes\" 'single'"
+    assert texts[4] == "  leading and trailing  "  # xml:space preserved
+    assert texts[5] == "tab\there\nnewline"
+    assert texts[6] == "emoji \U0001f600 and CJK 漢字"
