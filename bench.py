@@ -129,7 +129,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from evolution_data_warehouse_spark.session import get_spark
+    from evolution_data_warehouse_spark.session import (
+        get_spark,
+        resolve_cpus as _resolve_cpus,
+    )
     from evolution_data_warehouse_spark.queries import REGISTRY
 
     spark = get_spark(app_name="bench")
@@ -187,10 +190,7 @@ def main() -> None:
                 "sf1": sf1,
                 "load_avg_1m": load1,
                 "cpus": os.cpu_count(),
-                "cpus_effective": int(
-                    os.environ.get("SPARK_GRAFT_CPUS")
-                    or min(32, os.cpu_count() or 32)
-                ),
+                "cpus_effective": _resolve_cpus(),
             }
         )
     )

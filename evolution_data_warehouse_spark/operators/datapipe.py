@@ -52,6 +52,8 @@ def hash_split(
     hashing past it would silently get a NULL split.
     """
     bounds = [bound for bound, _ in cuts]
+    if not bounds:
+        raise ValueError("split cuts must not be empty")
     if bounds != sorted(bounds) or len(set(bounds)) != len(bounds):
         raise ValueError(f"split cuts must strictly increase, got {bounds}")
     if bounds[-1] != SPLIT_BUCKETS:

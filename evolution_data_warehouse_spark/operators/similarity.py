@@ -162,7 +162,6 @@ def kmeans_fit(
     Empty clusters keep their previous centroid (the standard Lloyd's
     fallback) rather than dying or resampling nondeterministically.
     """
-    dim = len(df.select(vec_col).first()[0])
     init_rows = (
         with_norm(df, vec_col)
         .select(id_col, "_vec")
@@ -172,6 +171,7 @@ def kmeans_fit(
     )
     if not init_rows:
         raise ValueError("kmeans_fit: input has no vectors")
+    dim = len(init_rows[0]._vec)
     centroids = [[float(x) for x in r._vec] for r in init_rows]
     # fewer vectors than k: pad cyclically (deterministic) — the extra
     # clusters stay empty and keep these centroids via the fallback

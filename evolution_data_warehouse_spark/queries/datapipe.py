@@ -333,7 +333,7 @@ packed AS (
 SELECT shard,
        COUNT(DISTINCT bin_id) AS n_bins,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tokens) AS DOUBLE)
            / (COUNT(DISTINCT bin_id) * {PACK_CAPACITY}.0) AS fill_rate
 FROM packed

@@ -19,24 +19,18 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(
-    app_name: str = "evolution_data_warehouse_spark",
-    master: str | None = None,
-    shuffle_partitions: int | None = None,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or fetch) the engine's SparkSession.
+def resolve_cpus() -> int:
+    """Effective core count for local-mode sessions — the single source
+    of truth (bench.py reports this same number as ``cpus_effective``).
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
-    so tests and bench share one code path.
+    The DEFAULT is clamped to the machine's real cores: local[N] with N
+    beyond the physical cores just oversubscribes the scheduler, and
+    shuffle partitions sized to a phantom core count fragment every
+    stage. An EXPLICIT ``SPARK_GRAFT_CPUS`` is honored as-is
+    (deliberate oversubscription for IO-bound runs stays possible, and
+    bench numbers stay comparable across hosts) — with a loud warning
+    when it exceeds the hardware.
     """
-    # The DEFAULT core count is clamped to the machine's real cores:
-    # local[N] with N beyond the physical cores just oversubscribes the
-    # scheduler, and shuffle partitions sized to a phantom core count
-    # fragment every stage. An EXPLICIT SPARK_GRAFT_CPUS is honored
-    # as-is (deliberate oversubscription for IO-bound runs stays
-    # possible, and bench numbers stay comparable across hosts) — with
-    # a loud warning when it exceeds the hardware.
     env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
     hw = os.cpu_count() or 32
     if env_cpus is not None:
@@ -49,8 +43,22 @@ def get_spark(
                 "honoring it (explicit override), expect oversubscription",
                 stacklevel=2,
             )
-    else:
-        cpus = min(32, hw)
+        return cpus
+    return min(32, hw)
+
+
+def get_spark(
+    app_name: str = "evolution_data_warehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so tests and bench share one code path.
+    """
+    cpus = resolve_cpus()
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 

@@ -50,8 +50,18 @@ def events_stream_schema(spark: SparkSession, src_dir: str) -> T.StructType:
     try:
         observed = spark.read.parquet(src_dir).schema
         ts_type = {f.name: f.dataType for f in observed.fields}["ts"]
-    except Exception:  # no files yet (empty landing zone) → legacy default
-        ts_type = T.LongType()
+    except Exception:
+        # No files yet (empty landing zone): fall back by engine
+        # version, matching what the reader will produce when data
+        # lands — Spark ≥4.1 surfaces TIMESTAMP(NANOS) as NTZ (the
+        # legacy conf is inert there); older readers honor the conf
+        # and produce int64 nanos.
+        major, minor = (int(x) for x in spark.version.split(".")[:2])
+        ts_type = (
+            T.TimestampNTZType()
+            if (major, minor) >= (4, 1)
+            else T.LongType()
+        )
     return T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", ts_type)

@@ -39,7 +39,12 @@ def test_pack_contiguous_fill_property(spark, sf_dir):
     out = pack_contiguous(docs)
     # Every row assigned to a bin; bins are per-shard (id prefix).
     assert out.filter(F.col("bin_id").isNull()).count() == 0
-    assert out.filter(F.col("bin_id") / 1_000_000 < F.col("shard")).count() == 0
+    assert (
+        out.filter(
+            F.shiftright(F.col("bin_id"), 40) != F.col("shard")
+        ).count()
+        == 0
+    )
     # Contiguous-fill invariant: a document whose bin_pos is not 0
     # starts strictly inside the capacity window.
     assert out.filter(F.col("bin_pos") >= PACK_CAPACITY).count() == 0

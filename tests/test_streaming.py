@@ -251,10 +251,14 @@ def test_events_stream_schema_matches_batch_reader(spark, sf_dir):
         if f.name != "ts":
             assert declared[f.name] == f.dataType
 
-    # empty landing zone (no files yet) falls back to the legacy default
+    # empty landing zone (no files yet): the fallback must match what
+    # THIS engine will produce once data lands — NTZ on Spark >=4.1
+    # (legacy nanosAsLong inert), int64 nanos on older readers
     import tempfile
 
     from pyspark.sql import types as T
 
+    major, minor = (int(x) for x in spark.version.split(".")[:2])
+    expected = T.TimestampNTZType() if (major, minor) >= (4, 1) else T.LongType()
     with tempfile.TemporaryDirectory() as d:
-        assert events_stream_schema(spark, d)["ts"].dataType == T.LongType()
+        assert events_stream_schema(spark, d)["ts"].dataType == expected
