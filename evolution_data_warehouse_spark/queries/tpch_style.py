@@ -742,3 +742,328 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+_Q2_ORACLE = """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT c.l_partkey, c.l_suppkey, c.unit_cost, s_name, s_acctbal, n_name
+    FROM cost c
+    JOIN supplier ON s_suppkey = c.l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM eu GROUP BY l_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM eu
+JOIN best USING (l_partkey)
+JOIN part ON p_partkey = eu.l_partkey
+WHERE unit_cost = min_cost AND p_type = 'STANDARD' AND p_size <= 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q2",
+    _Q2_ORACLE,
+    doc="Minimum-cost-supplier shape (TPC-H Q2, adapted: the testdata "
+    "has no partsupp, so the part-supplier relation is derived from "
+    "lineitem with MIN(unit price) as the supply cost): region-filtered "
+    "correlated-min subquery re-expressed as aggregate + equality "
+    "re-join, dims broadcast, tie-broken top-100. MIN over doubles is "
+    "order-independent and IEEE division is engine-identical, so the "
+    "cost = min_cost equality is deterministic on both sides.",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("unit_price").alias("unit_cost")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        cost.join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("l_partkey", "l_suppkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    best = eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    return (
+        eu.join(best, eu.l_partkey == best.b_partkey)
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), eu.l_partkey == part.p_partkey)
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT o_year,
+       {dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", 4)}
+       / {dsum_sql('volume', 4)} AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+) GROUP BY o_year
+"""
+
+
+@register(
+    "tpch_q8",
+    _Q8_ORACLE,
+    doc="National-market-share shape (TPC-H Q8): seven joins with the "
+    "nation dim in two roles (customer-region gate vs supplier "
+    "nationality), share-of-total ratio per order year. Both sums are "
+    "decimal-exact so the ratio is bit-deterministic.",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((dsum(nat_vol, 4) / dsum(volume, 4)).alias("mkt_share"))
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {dsum_sql('amount', 4)} AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           l_extendedprice * (1 - l_discount)
+             - 0.5 * p_retailprice * l_quantity AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+) GROUP BY nation, o_year
+"""
+
+
+@register(
+    "tpch_q9",
+    _Q9_ORACLE,
+    doc="Product-type-profit shape (TPC-H Q9, adapted: no partsupp "
+    "supply cost in the testdata, so cost is modelled as half the part "
+    "retail price per unit): substring part filter, five joins, profit "
+    "per supplier nation per order year.",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(amount, 4).alias("sum_profit"))
+    )
+
+
+_Q11_ORACLE = f"""
+WITH v AS (
+    SELECT l_partkey, {dsum_sql('l_extendedprice')} AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM v
+WHERE part_value > 0.002 * (SELECT {dsum_sql('part_value')} FROM v)
+"""
+
+
+@register(
+    "tpch_q11",
+    _Q11_ORACLE,
+    doc="Important-stock shape (TPC-H Q11, adapted: shipped value from "
+    "lineitem stands in for partsupp stock value): per-part value for "
+    "one nation's suppliers, kept only above a fraction of the total — "
+    "the scalar subquery becomes a 1-row broadcast join, the fraction "
+    "threshold exact via decimal sums on both engines.",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    total = v.agg(dsum("part_value").alias("total_value"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.002) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register(
+    "tpch_q16",
+    _Q16_ORACLE,
+    doc="Parts-supplier-relationship shape (TPC-H Q16, adapted: the "
+    "part-supplier relation comes from lineitem and the complaint "
+    "exclusion is negative-balance suppliers): negated dim predicates, "
+    "anti-join against the excluded supplier set, exact distinct "
+    "supplier count per (brand, type, size).",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_supp = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_ORACLE = f"""
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    HAVING {dsum_sql('l_quantity')} > 30
+)
+"""
+
+
+@register(
+    "tpch_q20",
+    _Q20_ORACLE,
+    doc="Potential-promotion-suppliers shape (TPC-H Q20, adapted: with "
+    "no partsupp availqty, a supplier qualifies when its shipped "
+    "quantity of a prefix-named part in the year exceeds a volume "
+    "threshold): nested semi-join chain — prefix part filter → "
+    "year-pruned per-(part,supplier) quantity aggregate → HAVING "
+    "threshold (decimal-exact) → distinct suppliers gating the "
+    "region-filtered supplier scan.",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    qualified = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("ship_qty"))
+        .filter(F.col("ship_qty") > 30)
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_name", "s_acctbal")
+    )

@@ -13,9 +13,9 @@ from evolution_data_warehouse_spark.queries import REGISTRY
 #   (replaces a separate driver-side count job)
 # - view_dashboard_twograin: geo × year spine (|nation| × |years|,
 #   both bounded dimension-sized inputs)
-# - tpch_q22 / emb_norm_outliers: 1-row scalar-aggregate broadcast
-#   (above-average-balance threshold / corpus norm stats), same
-#   pattern as text_tfidf
+# - tpch_q22 / tpch_q11 / emb_norm_outliers: 1-row scalar-aggregate
+#   broadcast (above-average-balance threshold / total stock value /
+#   corpus norm stats), same pattern as text_tfidf
 _BNL_OK = {
     "join_cross",
     "sim_ann_bruteforce",
@@ -23,6 +23,7 @@ _BNL_OK = {
     "text_tfidf",
     "view_dashboard_twograin",
     "tpch_q22",
+    "tpch_q11",
     "emb_norm_outliers",
 }
 
