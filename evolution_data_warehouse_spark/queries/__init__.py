@@ -40,9 +40,10 @@ from evolution_data_warehouse_spark.queries import datapipe as _datapipe  # noqa
 # silent behavior drift could hide), then the 27 r2-stale entries.
 # The SECOND round-5 batch (tpch_q17/q21/q22, win_moving_avg,
 # text_bigram_topk, pack_efficiency, split_leakage_audit,
-# emb_norm_outliers) deliberately lands AFTER the window — drive_contract
-# verifies it locally this round, and it leads the round-6 window with
-# the r3-stale refresh behind it.
+# emb_norm_outliers) and the TPC-H completion set (tpch_q2/q8/q9/q11/
+# q16/q20) deliberately land AFTER the window — tools/drive_contract.py
+# verifies them locally this round, and they lead the round-6 window
+# with the r3-stale refresh behind them.
 _R5_NEW = (
     "decontaminate_apply",
     "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
