@@ -225,3 +225,51 @@ def incremental_new(
         batch.withColumn("content_hash", F.md5(F.col(text_col)))
         .join(seen, "content_hash", "left_anti")
     )
+
+
+# Corpus-mixing bucket space and the pinned language rebalance rates:
+# the dominant language (en, ~50% of the synthetic corpus) is
+# downsampled while the rest pass through — the standard "temperature"
+# rebalance a multilingual training mix applies before tokenization.
+MIX_BUCKETS = 10_000
+MIX_RATES: dict[str, float] = {
+    "en": 0.4,
+    "fr": 1.0,
+    "de": 1.0,
+    "es": 1.0,
+    "zh": 1.0,
+}
+
+
+def mix_sample(
+    df: DataFrame,
+    rates: dict[str, float] | None = None,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus-mixing sampler: keep a row iff the md5
+    bucket of its id falls under its group's rate — per-group Bernoulli
+    sampling that is exact, reproducible, and engine-independent
+    (re-runs and backfills select the same documents).
+
+    Zero shuffle: the keep decision is a projection computable inside
+    the scan, so rebalancing a 100 TB corpus is scan-bound. Groups
+    absent from ``rates`` pass through at rate 1.0 — mixing must never
+    silently drop an unlisted source.
+    """
+    rates = MIX_RATES if rates is None else rates
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"mix rate for {g!r} must be in [0, 1], got {r}")
+    bucket = hash_bucket(F.col(id_col), MIX_BUCKETS)
+    thresh = None
+    for g, r in sorted(rates.items()):
+        lim = F.lit(int(r * MIX_BUCKETS))
+        cond = F.col(group_col) == g
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = thresh.otherwise(F.lit(MIX_BUCKETS))
+    return (
+        df.withColumn("mix_bucket", bucket)
+        .withColumn("keep_under", thresh)
+        .filter(F.col("mix_bucket") < F.col("keep_under"))
+    )

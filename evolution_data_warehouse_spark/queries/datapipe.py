@@ -448,3 +448,106 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_in_train.cast("double") / F.col("n_shingles").cast("double")
         ).alias("leak_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus mixing (language rebalance)
+# --------------------------------------------------------------------------
+
+def _mix_case_sql() -> str:
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        MIX_BUCKETS,
+        MIX_RATES,
+    )
+
+    whens = " ".join(
+        f"WHEN lang = '{g}' THEN {int(r * MIX_BUCKETS)}"
+        for g, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE {MIX_BUCKETS} END"
+
+
+def _mix_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.datapipe import MIX_BUCKETS
+
+    return f"""
+SELECT doc_id, lang, source,
+       {_bucket_sql('doc_id', MIX_BUCKETS)} AS mix_bucket,
+       {_mix_case_sql()} AS keep_under
+FROM documents
+WHERE {_bucket_sql('doc_id', MIX_BUCKETS)} < {_mix_case_sql()}
+"""
+
+
+@register(
+    "corpus_mix_sample",
+    _mix_oracle(),
+    doc="Deterministic corpus-mixing sampler (language rebalance): "
+    "per-language keep rates applied as an md5-bucket threshold on the "
+    "doc id — exact, reproducible Bernoulli mixing with zero shuffle; "
+    "the rates are interpolated from operators/datapipe.py MIX_RATES "
+    "into the oracle so engine and oracle cannot drift.",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.datapipe import mix_sample
+
+    return mix_sample(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "mix_bucket", "keep_under"
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source curation report
+# --------------------------------------------------------------------------
+
+def _source_report_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.common import davg_sql
+
+    h = content_hash64_sql("text")
+    return f"""
+WITH hashed AS (
+    SELECT source, lang, n_chars,
+           COUNT(*) OVER (PARTITION BY {h}) AS n_same
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_docs,
+       {davg_sql('n_chars', 2)} AS avg_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM hashed
+GROUP BY source
+"""
+
+
+@register(
+    "source_quality_report",
+    _source_report_oracle(),
+    doc="Per-source curation rollup (the domain-level report a crawl "
+    "pipeline uses to drop whole sources): doc counts, exact-duplicate "
+    "counts via a window count over the content hash (shares one "
+    "shuffle keyed on the hash), decimal-exact mean length, distinct "
+    "languages. Two shuffles total regardless of corpus size.",
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+    from evolution_data_warehouse_spark.queries.common import davg
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", content_hash64(F.col("text")).alias("h")
+    )
+    n_same = F.count("*").over(Window.partitionBy("h"))
+    return (
+        docs.withColumn("n_same", n_same)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0)).alias(
+                "n_dup_docs"
+            ),
+            davg("n_chars", 2).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

@@ -568,3 +568,97 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mov_avg_price"),
         )
     )
+
+
+# Both engines compute the statistics from the SAME decimal-exact
+# moment sums with the SAME expression shapes, so every double op is
+# IEEE-identical; fpq then absorbs any residual 1-ulp representation
+# difference. The moments are plain distributive aggregates — one
+# map-side-combined shuffle however large the fact is — which is why
+# this beats calling corr()/covar_pop() directly (their one-pass
+# accumulators are order-dependent in the last ulps).
+_STATS_ORACLE = f"""
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           {dsum_sql('l_quantity')} AS sx,
+           {dsum_sql('l_extendedprice')} AS sy,
+           {dsum_sql('l_quantity * l_extendedprice', 4)} AS sxy,
+           {dsum_sql('l_quantity * l_quantity', 4)} AS sxx,
+           {dsum_sql('l_extendedprice * l_extendedprice', 4)} AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       {fpq_sql('(sxy - sx * sy / n) / n')} AS covar_pop_qty_price,
+       {fpq_sql('(sxy - sx * sy / n) / '
+                '(sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))')}
+           AS corr_qty_price,
+       {fpq_sql('sqrt((sxx - sx * sx / n) / (n - 1))')} AS stddev_qty
+FROM m
+"""
+
+
+@register(
+    "agg_stats_suite",
+    _STATS_ORACLE,
+    doc="Statistical aggregate suite (covariance / correlation / "
+    "stddev per return flag) computed from decimal-exact moment sums "
+    "rather than the engines' one-pass accumulators — order-independent "
+    "at any partitioning, one map-side-combined shuffle.",
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(p).alias("sy"),
+        dsum(q * p, 4).alias("sxy"),
+        dsum(q * q, 4).alias("sxx"),
+        dsum(p * p, 4).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov = (sxy - sx * sy / n) / n
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    sd = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        fpq(cov).alias("covar_pop_qty_price"),
+        fpq(corr).alias("corr_qty_price"),
+        fpq(sd).alias("stddev_qty"),
+    )
+
+
+_HIST_ORACLE = f"""
+SELECT CAST(floor(l_extendedprice / 5000.0) AS INT) AS price_bin,
+       COUNT(*) AS n,
+       {dsum_sql('l_extendedprice')} AS bin_revenue
+FROM lineitem
+GROUP BY price_bin
+"""
+
+
+@register(
+    "agg_histogram",
+    _HIST_ORACLE,
+    doc="Fixed-width histogram (5k price bins): floor-bucketed "
+    "group-by — the profiling distribution scan. IEEE division + floor "
+    "are engine-identical so bin edges are exact; one map-side-combined "
+    "shuffle whose cardinality is the bin count, not the row count.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("int")
+    return (
+        li.groupBy(bin_.alias("price_bin"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice").alias("bin_revenue"),
+        )
+    )

@@ -545,3 +545,40 @@ def test_kmeans_fit_properties(spark, sf_dir):
     tiny = emb.limit(2)
     ck, ak = kmeans_fit(tiny, k=4, iterations=3)
     assert len(ck) == 4 and ak.count() == 2
+
+
+def test_mix_sample_rates_and_passthrough(spark):
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        MIX_BUCKETS,
+        mix_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "xx"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = mix_sample(df, rates={"en": 0.0, "fr": 1.0}).collect()
+    langs = {r.lang for r in out}
+    # rate 0.0 drops everything; rate 1.0 and the unlisted group keep all
+    assert "en" not in langs
+    assert sum(r.lang == "fr" for r in out) == 100
+    assert sum(r.lang == "xx" for r in out) == 100
+    assert all(0 <= r.mix_bucket < MIX_BUCKETS for r in out)
+
+    # deterministic: same input, same kept set
+    again = {r.doc_id for r in mix_sample(df, rates={"en": 0.0, "fr": 1.0}).collect()}
+    assert again == {r.doc_id for r in out}
+
+    with pytest.raises(ValueError, match="must be in"):
+        mix_sample(df, rates={"en": 1.5})
+
+
+def test_mix_sample_rate_is_approximately_honored(spark):
+    from evolution_data_warehouse_spark.operators.datapipe import mix_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(2000)], "doc_id long, lang string"
+    )
+    kept = mix_sample(df, rates={"en": 0.4}).count()
+    # md5 buckets are uniform: 2000 docs at rate 0.4 → 800 ± a loose band
+    assert 700 <= kept <= 900
