@@ -1,0 +1,225 @@
+"""Event-analytics family over the events table: funnel conversion,
+cohort retention, forward-fill, and time-spine resampling — the
+product-analytics queries a warehouse's event stream serves (reference
+analog: the connection/usage tracking marts,
+analytics/etl/track_connexions.py + Terraform/sql/005 datamart shapes,
+re-expressed over the synthetic events stream).
+
+Determinism: timestamps are exact µs on both engines (see
+queries/common.py::t), sums go through dsum, every window order is
+fully tie-broken by event_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.queries.common import (
+    dsum,
+    dsum_sql,
+    register,
+    t,
+)
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+    SELECT user_id, MIN(ts) AS t_signup FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+    SELECT e.user_id, MIN(e.ts) AS t_view
+    FROM events e JOIN s ON e.user_id = s.user_id
+    WHERE e.event_type = 'view' AND e.ts > s.t_signup
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+    GROUP BY e.user_id
+)
+SELECT 'signup' AS stage, COUNT(*) AS users FROM s
+UNION ALL SELECT 'view_after_signup', COUNT(*) FROM v
+UNION ALL SELECT 'purchase_after_view', COUNT(*) FROM p
+"""
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    doc="Ordered funnel (signup → first view after → first purchase "
+    "after that): each stage is one conditional-min aggregate joined to "
+    "the previous stage's per-user timestamps — stage count shuffles on "
+    "user_id, never a self-join over raw events. At 100 TB every stage "
+    "input is the type-filtered slice (pushed to the scan) and the "
+    "per-user stage table, both far smaller than the stream.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+    return (
+        stage(s, "signup")
+        .unionAll(stage(v, "view_after_signup"))
+        .unionAll(stage(p, "purchase_after_view"))
+    )
+
+
+_COHORT_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', CAST(cohort_week AS DATE),
+                      CAST(date_trunc('week', ts) AS DATE)) // 7 AS INT)
+           AS week_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_ORACLE,
+    doc="Weekly cohort retention triangle: users bucket into the week "
+    "they were first seen, activity counts distinct users per (cohort, "
+    "week offset). Two aggregates — per-user first-seen, then the "
+    "cohort×offset rollup — both shuffling on keys whose cardinality "
+    "is users, not events. Week arithmetic is Monday-truncated dates "
+    "diffed in whole days ÷ 7, identical on both engines.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    # cast to DATE: DuckDB's date_trunc('week') yields DATE while
+    # Spark's yields TIMESTAMP — the values are identical week starts
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    offset = F.floor(
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"),
+            F.col("cohort_week"),
+        )
+        / 7
+    ).cast("int")
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+_FFILL_ORACLE = """
+SELECT event_id, user_id, ts, event_type,
+       LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                  IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_ffill
+FROM events
+"""
+
+
+@register(
+    "win_fill_forward",
+    _FFILL_ORACLE,
+    doc="Forward-fill over the event stream: error rows' values are "
+    "nulled and replaced by the user's last good value (last-ignore-"
+    "nulls over a tie-broken running frame) — the gap-repair pass a "
+    "sensor/metrics pipeline runs. One shuffle on user_id; the running "
+    "frame is O(1) state per row.",
+)
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(good, ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+_RESAMPLE_ORACLE = f"""
+WITH daily AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS day_value
+    FROM events GROUP BY user_id, day
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+    GROUP BY user_id
+),
+spine AS (
+    SELECT user_id,
+           unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+    FROM bounds
+)
+SELECT s.user_id, s.day,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(day_value, CAST(0.0 AS DOUBLE)) AS day_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@register(
+    "ts_resample_daily",
+    _RESAMPLE_ORACLE,
+    doc="Per-user daily resample with gap zero-fill: aggregate to the "
+    "day grain, build each user's calendar spine with sequence() (rows "
+    "generated executor-side, no driver loop), left-join the "
+    "aggregates back. Spine size is users × days — dimension-scale — "
+    "while the event stream is touched exactly once.",
+)
+def ts_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("day_value")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+    )
