@@ -551,3 +551,66 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# packed-sample rendering
+# --------------------------------------------------------------------------
+
+_PACK_RENDER_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, text,
+           CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+           {_bucket_sql('doc_id', PACK_SHARDS)} AS shard
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, text, n_tokens, shard,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM toks
+),
+packed AS (
+    SELECT doc_id, text, n_tokens, shard,
+           CAST((shard << 40) + (cum_before // {PACK_CAPACITY}) AS BIGINT)
+               AS bin_id
+    FROM runs
+)
+SELECT bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       string_agg(text, '<|endofdoc|>' ORDER BY doc_id) AS packed_text
+FROM packed
+GROUP BY bin_id
+"""
+
+
+@register(
+    "pack_render",
+    _PACK_RENDER_ORACLE,
+    doc="Packed-sample rendering — the output half of sequence packing: "
+    "each bin's documents concatenated in id order with a separator "
+    "token, one training row per bin. One hash aggregate keyed on "
+    "bin_id (collect_list is bounded by the bin capacity, so per-group "
+    "state is O(context window), never O(corpus)).",
+)
+def pack_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    packed = pack_contiguous(docs)
+    parts = F.array_sort(
+        F.collect_list(F.struct("doc_id", "text")),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        F.array_join(
+            F.transform(parts, lambda s: s.getField("text")),
+            "<|endofdoc|>",
+        ).alias("packed_text"),
+    )

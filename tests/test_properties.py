@@ -277,3 +277,52 @@ def test_fpq_matches_duckdb_mirror(spark, vals):
         for v in vals
     ]
     assert got == want
+
+
+def test_funnel_stages_monotone_and_resample_dense(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    stages = {
+        r.stage: r.users
+        for r in REGISTRY["funnel_conversion"].fn(spark, sf_dir).collect()
+    }
+    # each funnel stage can only lose users
+    assert stages["signup"] >= stages["view_after_signup"]
+    assert stages["view_after_signup"] >= stages["purchase_after_view"]
+
+    # the resampled spine is dense: every user covers exactly
+    # (last day - first day + 1) rows, no gaps and no duplicates
+    spine = REGISTRY["ts_resample_daily"].fn(spark, sf_dir)
+    bad = (
+        spine.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("day").alias("nd"),
+            (
+                F.datediff(F.max("day"), F.min("day")) + F.lit(1)
+            ).alias("span"),
+        )
+        .filter((F.col("n") != F.col("span")) | (F.col("nd") != F.col("n")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_render_bins_match_pack_sequences(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    rendered = REGISTRY["pack_render"].fn(spark, sf_dir)
+    packed = REGISTRY["pack_sequences"].fn(spark, sf_dir)
+    by_bin = packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+    )
+    # rendering reorganizes, never drops: same bins, same doc counts,
+    # same token totals
+    diff = (
+        rendered.select("bin_id", "n_docs", "bin_tokens")
+        .exceptAll(by_bin.select("bin_id", "n_docs", "bin_tokens"))
+        .count()
+    )
+    assert diff == 0
+    assert rendered.count() == by_bin.count()
