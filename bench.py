@@ -62,6 +62,10 @@ SF1_QUERIES = [
     # scale evidence isn't joins/aggs/dedup only
     "win_version_latest",
     "proc_scd2",
+    # event-analytics and corpus-prep representatives (user-cardinality
+    # shuffles / bin-keyed ordered concat)
+    "funnel_conversion",
+    "pack_render",
 ]
 
 
