@@ -223,3 +223,79 @@ def ts_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
     )
+
+
+_TRANSITION_ORACLE = """
+WITH nxt AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n_transitions
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+"""
+
+
+@register(
+    "event_transition_matrix",
+    _TRANSITION_ORACLE,
+    doc="Event-to-next-event transition matrix (the Markov-chain "
+    "summary behind path analysis): lead() per user over a tie-broken "
+    "order, then a type×type rollup whose cardinality is the square of "
+    "the event vocabulary — one user_id shuffle plus a tiny aggregate.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+_TWAP_ORACLE = """
+WITH spans AS (
+    SELECT user_id, value,
+           epoch_us(LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           )) - epoch_us(ts) AS w_us
+    FROM events
+)
+SELECT user_id,
+       CAST(floor(
+           (CAST(SUM(CAST(value * w_us AS DECIMAL(28,4))) AS DOUBLE)
+            / CAST(SUM(w_us) AS DOUBLE)) * 1000000.0 + 0.5
+       ) AS BIGINT) / 1000000.0 AS twap
+FROM spans WHERE w_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register(
+    "ts_time_weighted_avg",
+    _TWAP_ORACLE,
+    doc="Time-weighted average per user (the sensor/finance TWAP): "
+    "each observation weighted by the µs span until the next one "
+    "(lead over a tie-broken order), value·weight summed through "
+    "decimal casts so the accumulation is order-independent, the final "
+    "ratio fixed-point-quantized. One user_id shuffle end-to-end.",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.common import fpq
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    spans = ev.withColumn("w_us", w_us).filter(F.col("w_us").isNotNull())
+    twap = (
+        F.sum((F.col("value") * F.col("w_us")).cast("decimal(28,4)")).cast(
+            "double"
+        )
+        / F.sum("w_us").cast("double")
+    )
+    return spans.groupBy("user_id").agg(fpq(twap).alias("twap"))

@@ -662,3 +662,49 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("bin_revenue"),
         )
     )
+
+
+# The oracle is the FULL recompute; the Spark side takes the
+# incremental path (pre-aggregated base + delta partials merged by a
+# second aggregate). dsum's decimal accumulation is associative, so
+# partial-merge == full-recompute bit-for-bit — exactly the property
+# an incremental datamart refresh needs to be trustworthy: at 100 TB
+# the base partials are a stored table and only the delta is scanned.
+_INCR_MERGE_ORACLE = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_spend
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "agg_incremental_merge",
+    _INCR_MERGE_ORACLE,
+    doc="Incremental aggregate maintenance: the base slice (orders "
+    "before 2000-01-01) and the delta slice are partially aggregated "
+    "separately, then merged by re-aggregating the partials — the "
+    "materialized-view refresh path. Oracle is the full recompute; "
+    "decimal sums make partial-merge equal it exactly.",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("ps"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("pn").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total_spend"),
+        )
+    )
