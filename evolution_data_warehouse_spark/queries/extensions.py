@@ -708,3 +708,41 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps").cast("double").alias("total_spend"),
         )
     )
+
+
+@register(
+    "agg_sketch_union",
+    "SELECT CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)"
+    "    AS n_months, "
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers, "
+    "TRUE AS union_within_5pct "
+    "FROM orders",
+    doc="Mergeable-sketch rollup: one HLL sketch per order month "
+    "(hll_sketch_agg), unioned into a range estimate (hll_union_agg + "
+    "hll_sketch_estimate) — the pre-aggregated distinct-count pattern "
+    "that answers any date-range cardinality from month-grain state "
+    "without rescanning the fact. Sketch bytes are engine-specific, so "
+    "the checked projection asserts the unioned estimate's ±5% "
+    "envelope against the exact global distinct, which IS "
+    "oracle-comparable.",
+)
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    unioned = monthly.agg(
+        F.count("*").alias("n_months"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return unioned.join(F.broadcast(exact)).select(
+        "n_months",
+        "exact_customers",
+        (
+            F.abs(F.col("est_customers") - F.col("exact_customers"))
+            <= F.col("exact_customers") * F.lit(0.05)
+        ).alias("union_within_5pct"),
+    )

@@ -25,6 +25,7 @@ _BNL_OK = {
     "tpch_q22",
     "tpch_q11",
     "emb_norm_outliers",
+    "agg_sketch_union",
 }
 
 
