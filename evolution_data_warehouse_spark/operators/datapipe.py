@@ -267,7 +267,10 @@ def mix_sample(
         lim = F.lit(int(r * MIX_BUCKETS))
         cond = F.col(group_col) == g
         thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
-    thresh = thresh.otherwise(F.lit(MIX_BUCKETS))
+    # empty rates → every group passes through at rate 1.0
+    thresh = (
+        F.lit(MIX_BUCKETS) if thresh is None else thresh.otherwise(F.lit(MIX_BUCKETS))
+    )
     return (
         df.withColumn("mix_bucket", bucket)
         .withColumn("keep_under", thresh)

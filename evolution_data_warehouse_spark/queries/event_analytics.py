@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from evolution_data_warehouse_spark.queries.common import (
     dsum,
     dsum_sql,
+    fpq,
+    fpq_sql,
     register,
     t,
 )
@@ -258,7 +260,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TWAP_ORACLE = """
+_TWAP_ORACLE = f"""
 WITH spans AS (
     SELECT user_id, value,
            epoch_us(LEAD(ts) OVER (
@@ -267,10 +269,8 @@ WITH spans AS (
     FROM events
 )
 SELECT user_id,
-       CAST(floor(
-           (CAST(SUM(CAST(value * w_us AS DECIMAL(28,4))) AS DOUBLE)
-            / CAST(SUM(w_us) AS DOUBLE)) * 1000000.0 + 0.5
-       ) AS BIGINT) / 1000000.0 AS twap
+       {fpq_sql(f"{dsum_sql('value * w_us', 4)} / CAST(SUM(w_us) AS DOUBLE)")}
+           AS twap
 FROM spans WHERE w_us IS NOT NULL
 GROUP BY user_id
 """
@@ -286,16 +286,11 @@ GROUP BY user_id
     "ratio fixed-point-quantized. One user_id shuffle end-to-end.",
 )
 def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.queries.common import fpq
-
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
     spans = ev.withColumn("w_us", w_us).filter(F.col("w_us").isNotNull())
-    twap = (
-        F.sum((F.col("value") * F.col("w_us")).cast("decimal(28,4)")).cast(
-            "double"
-        )
-        / F.sum("w_us").cast("double")
-    )
+    twap = dsum(F.col("value") * F.col("w_us"), 4) / F.sum(
+        "w_us"
+    ).cast("double")
     return spans.groupBy("user_id").agg(fpq(twap).alias("twap"))

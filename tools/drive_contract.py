@@ -102,6 +102,18 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
+
+    # the driver also smoke-checks entry(spark): must run and return rows
+    entry_df = entrymod.entry(spark)
+    n_entry = entry_df.count()
+    print(f"entry() smoke: {n_entry} rows, schema {len(entry_df.columns)} cols")
+    if n_entry <= 0:
+        print("entry() returned no rows", file=sys.stderr)
+        return 2
 
     results: dict[str, dict] = {}
     fails = []
@@ -117,8 +129,9 @@ def main() -> int:
             srows = sdf.collect()
             rec["spark_rows"] = len(srows)
             if name in oracles:
-                ocols = [d[0] for d in con.execute(oracles[name]).description]
-                orows = con.execute(oracles[name]).fetchall()
+                cur = con.execute(oracles[name])
+                ocols = [d[0] for d in cur.description]
+                orows = cur.fetchall()
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)
                 rec["schema_match"] = sorted(scols) == sorted(ocols)

@@ -34,7 +34,10 @@ def main() -> None:
                 and rec.get("schema_match") is not False
                 and rec.get("hash_match") is not False
             )
-            latest[name] = (rnd, bool(ok))
+            # keep the highest round, not file order (lexicographic
+            # glob order breaks at r10 vs r2 / r100 vs r99)
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, bool(ok))
 
     rows = []
     n_pass = n_err = n_never = 0
