@@ -1113,3 +1113,33 @@ def set_concat_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("label"),
     )
     return seed.unionByName(derived)
+
+
+_SNK_CLUSTERED_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey < 50
+"""
+
+
+@register(
+    "snk_clustered_prune",
+    _SNK_CLUSTERED_ORACLE,
+    doc="Range-clustered parquet sink + selective re-read: the table is "
+    "written with each file owning a disjoint o_custkey range "
+    "(warehouse/etl.py write_clustered), so the key-range filter on the "
+    "re-read prunes whole files from footer stats before any IO — the "
+    "layout half of predicate pushdown. Footer disjointness itself is "
+    "asserted in tests/test_warehouse.py.",
+)
+def snk_clustered_prune(spark, sf_dir: str):
+    from evolution_data_warehouse_spark.warehouse.etl import write_clustered
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    path = write_clustered(
+        orders, _SCRATCH, f"snk_clustered_{os.path.basename(os.path.normpath(sf_dir))}",
+        ["o_custkey"],
+    )
+    return spark.read.parquet(path).filter(F.col("o_custkey") < 50)

@@ -198,3 +198,66 @@ def run_full_etl(
             ].filter(F.col("population") < 0)
         validations = run_validations(checks)
     return report, validations
+
+
+def write_clustered(
+    df: DataFrame,
+    out_dir: str,
+    name: str,
+    cluster_by: list[str],
+    n_files: int = 8,
+) -> str:
+    """Write ``df`` range-clustered on ``cluster_by``: rows are
+    range-partitioned so each output file owns a disjoint key range,
+    then sorted within the file so parquet row-group min/max stats are
+    tight. At 100 TB this is what makes selective reads prune at the
+    FILE level (the footer check rejects whole files before any IO) —
+    the layout half of predicate pushdown, which the planner alone
+    cannot provide.
+
+    repartitionByRange samples the key distribution, so file sizes stay
+    balanced under skew; the sort is per-partition (no global sort).
+    """
+    path = f"{out_dir}/{name}"
+    (
+        df.repartitionByRange(n_files, *cluster_by)
+        .sortWithinPartitions(*cluster_by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+) -> int:
+    """Rewrite a parquet directory into ``target_files`` files — the
+    maintenance pass a landing zone needs after many small incremental
+    appends (file-count growth is the classic small-files failure mode
+    at scale: planning time and NameNode/listing pressure grow with
+    file count, not data size).
+
+    coalesce (not repartition): merging partitions needs no shuffle.
+    The rewrite goes through a temp dir + rename so a crash mid-compact
+    never leaves the table truncated.
+    """
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p_old, True)
+    fs.rename(p_tmp, p_old)
+    n = len(
+        [
+            f
+            for f in fs.listStatus(p_old)
+            if f.getPath().getName().endswith(".parquet")
+        ]
+    )
+    return n

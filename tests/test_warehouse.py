@@ -166,3 +166,60 @@ def test_write_table_runs_single_job(spark, sf_dir, tmp_path):
     assert len(jobs) == 1
     assert n == df.count()
     assert spark.read.parquet(str(tmp_path / "region_copy")).count() == n
+
+
+def test_write_clustered_files_own_disjoint_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from evolution_data_warehouse_spark.warehouse.etl import write_clustered
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = write_clustered(df, str(tmp_path), "orders_clustered", ["o_custkey"])
+
+    # parquet footer stats per file: the clustered layout must give each
+    # file a key range that overlaps no other file — that is what lets a
+    # selective read prune whole files from the footer alone
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_custkey"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # and nothing was lost or duplicated
+    assert spark.read.parquet(path).count() == df.count()
+
+
+def test_compact_small_files_preserves_data(spark, sf_dir, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.warehouse.etl import compact_small_files
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_many")
+    src.repartition(16).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 16
+
+    n_files = compact_small_files(spark, path, target_files=2)
+    assert n_files <= 2
+    assert len(glob.glob(f"{path}/*.parquet")) == n_files
+    assert len(glob.glob(f"{path}__compacting/*")) == 0  # temp dir gone
+
+    after = spark.read.parquet(path)
+    assert after.count() == src.count()
+    assert after.exceptAll(src).count() == 0
