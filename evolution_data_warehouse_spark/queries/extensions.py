@@ -746,3 +746,52 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_customers") * F.lit(0.05)
         ).alias("union_within_5pct"),
     )
+
+
+_RANGE7D_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_suppkey, l_shipdate,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) OVER w AS DOUBLE)
+           AS qty_7d
+FROM lineitem
+WHERE l_returnflag = 'A'
+WINDOW w AS (
+    PARTITION BY l_suppkey
+    ORDER BY CAST(epoch_us(l_shipdate) AS BIGINT)
+    RANGE BETWEEN 518400000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register(
+    "win_range_7d",
+    _RANGE7D_ORACLE,
+    doc="Time-RANGE window frame (trailing 7 calendar days per "
+    "supplier, inclusive): the frame is defined by the ORDER-BY VALUE "
+    "(epoch µs within 6×86400s before the row), not a row count — "
+    "peers with equal timestamps share one frame, so no tie-break is "
+    "needed for determinism. The frame sum goes through per-row "
+    "DECIMAL casts like every sliding accumulation here.",
+)
+def win_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    # l_shipdate surfaces as TIMESTAMP_NTZ; the session TZ is pinned to
+    # UTC (queries/common.py::t) so the LTZ cast is the identity and
+    # epoch µs equal DuckDB's epoch_us
+    epoch = F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(epoch)
+        .rangeBetween(-6 * 86400 * 1_000_000, 0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_shipdate",
+        F.count("*").over(w).alias("n_7d"),
+        F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_7d"),
+    )

@@ -223,3 +223,32 @@ def test_compact_small_files_preserves_data(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == src.count()
     assert after.exceptAll(src).count() == 0
+
+
+def test_partitioned_fact_join_triggers_dynamic_partition_pruning(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    # fact partitioned on the join key's dim attribute: the classic
+    # warehouse layout where a selective dim filter must prune fact
+    # PARTITIONS at runtime (DPP), not just push a column predicate
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    fact_path = str(tmp_path / "orders_by_status")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
+        fact_path
+    )
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    ).filter(F.col("label") == "open")
+
+    joined = fact.join(dim, fact.o_orderstatus == dim.status)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # and the pruning is semantically right: only the 'O' partition rows
+    expected = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert joined.count() == expected
