@@ -1143,3 +1143,68 @@ def snk_clustered_prune(spark, sf_dir: str):
         ["o_custkey"],
     )
     return spark.read.parquet(path).filter(F.col("o_custkey") < 50)
+
+
+_EFF_DATED_ORACLE = f"""
+WITH dim AS (
+    SELECT s_suppkey, s_acctbal AS acctbal_v,
+           TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+           TIMESTAMP '1997-01-01 00:00:00' AS valid_to
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, s_acctbal + 100.0,
+           TIMESTAMP '1997-01-01 00:00:00',
+           TIMESTAMP '9999-12-31 00:00:00'
+    FROM supplier
+)
+SELECT s_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {dsum_sql('acctbal_v', 2)} AS sum_acctbal_asof
+FROM lineitem
+JOIN dim ON l_suppkey = s_suppkey
+        AND l_shipdate >= valid_from AND l_shipdate < valid_to
+GROUP BY s_suppkey
+"""
+
+
+@register(
+    "join_effective_dated",
+    _EFF_DATED_ORACLE,
+    doc="Effective-dated dimension join — the canonical SCD2 lookup: "
+    "each fact row joins the dimension version whose [valid_from, "
+    "valid_to) interval contains the fact date. The equi-key carries "
+    "the join (one shuffle/broadcast on s_suppkey); the interval "
+    "predicate rides along as a join filter, so cost is the equi-join's "
+    "regardless of version count. Versions here are synthesized "
+    "deterministically (pre/post 1997 split) so both engines build the "
+    "identical dimension.",
+)
+def join_effective_dated(spark, sf_dir: str):
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    v1 = supp.select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal_v"),
+        F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1997-01-01").cast("timestamp").alias("valid_to"),
+    )
+    v2 = supp.select(
+        "s_suppkey",
+        (F.col("s_acctbal") + F.lit(100.0)).alias("acctbal_v"),
+        F.lit("1997-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("9999-12-31").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_shipdate")
+    return (
+        li.join(
+            F.broadcast(dim),
+            (li.l_suppkey == dim.s_suppkey)
+            & (li.l_shipdate >= dim.valid_from)
+            & (li.l_shipdate < dim.valid_to),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("acctbal_v", 2).alias("sum_acctbal_asof"),
+        )
+    )
