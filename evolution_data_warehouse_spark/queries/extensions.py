@@ -795,3 +795,52 @@ def win_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("qty_7d"),
     )
+
+
+_SHARE_ORACLE = f"""
+WITH per_nation AS (
+    SELECT n_regionkey, n_name,
+           {dsum_sql('o_totalprice')} AS nation_rev
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey, n_name
+)
+SELECT n_name, nation_rev,
+       nation_rev / CAST(SUM(CAST(nation_rev AS DECIMAL(28,2)))
+                        OVER (PARTITION BY n_regionkey) AS DOUBLE)
+           AS share_in_region
+FROM per_nation
+"""
+
+
+@register(
+    "win_share_of_total",
+    _SHARE_ORACLE,
+    doc="Percent-of-total within group (each nation's share of its "
+    "region's revenue): aggregate first, then a window sum over the "
+    "aggregate — the window runs on dimension-cardinality rows, so the "
+    "fact is shuffled once for the group-by and never for the window. "
+    "The window denominator re-casts the exact 2-dp doubles to "
+    "decimal so its accumulation order is irrelevant — the ratio is "
+    "then bit-identical across engines without quantization.",
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(dsum("o_totalprice").alias("nation_rev"))
+    )
+    w = W.partitionBy("n_regionkey")
+    denom = (
+        F.sum(F.col("nation_rev").cast("decimal(28,2)")).over(w).cast("double")
+    )
+    return per_nation.select(
+        "n_name",
+        "nation_rev",
+        (F.col("nation_rev") / denom).alias("share_in_region"),
+    )
