@@ -228,3 +228,59 @@ def stream_stream_attribution(
         "view_id",
         "view_ts",
     )
+
+
+def transition_counts_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user event-type transition counts
+    with ``applyInPandasWithState`` — the streaming twin of the batch
+    ``event_transition_matrix`` query. State per user is the last seen
+    (ts, event_id, event_type); each micro-batch sorts its rows in
+    event order, chains them onto the stored last event, and emits the
+    batch's (prev_type, next_type, n) pairs. Summing the emitted pairs
+    over all batches equals the batch twin exactly — asserted in
+    tests/test_streaming.py, including across a checkpoint restart so
+    the cross-batch chaining (the part a naive per-batch lead() would
+    get wrong) is what the test actually proves.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, prev_type string, next_type string, n long"
+    )
+    state_schema = "last_ts long, last_event_id long, last_type string"
+
+    def update(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
+        types = list(rows["event_type"])
+        if state.exists:
+            _, _, last_type = state.get
+            types = [last_type] + types
+        last = rows.iloc[-1]
+        state.update(
+            (int(last["ts"].value), int(last["event_id"]), str(last["event_type"]))
+        )
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if not pairs:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "prev_type": [p[0] for p in pairs],
+                "next_type": [p[1] for p in pairs],
+                "n": list(pairs.values()),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

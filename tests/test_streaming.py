@@ -262,3 +262,53 @@ def test_events_stream_schema_matches_batch_reader(spark, sf_dir):
     expected = T.TimestampNTZType() if (major, minor) >= (4, 1) else T.LongType()
     with tempfile.TemporaryDirectory() as d:
         assert events_stream_schema(spark, d)["ts"].dataType == expected
+
+
+def test_stateful_transition_counts_match_batch_across_restarts(
+    spark, sf_dir, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.queries import REGISTRY
+    from evolution_data_warehouse_spark.streaming.events import (
+        transition_counts_stateful,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_chunk(chunk_df, batch_tag):
+        chunk_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            transition_counts_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName(f"transitions_{batch_tag}")
+            .start()
+        )
+        q.awaitTermination()
+
+    # two separate availableNow runs over one checkpoint: the second
+    # run's first transition per user must chain off state persisted by
+    # the first run — exactly what a per-batch lead() would miss
+    run_chunk(ev.filter(F.col("event_id") <= mid), "b1")
+    run_chunk(ev.filter(F.col("event_id") > mid), "b2")
+
+    streamed = (
+        spark.read.parquet(out)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").alias("n_transitions"))
+    )
+    batch = REGISTRY["event_transition_matrix"].fn(spark, sf_dir).withColumnRenamed(
+        "event_type", "prev_type"
+    )
+    s = {(r.prev_type, r.next_type): r.n_transitions for r in streamed.collect()}
+    b = {(r.prev_type, r.next_type): r.n_transitions for r in batch.collect()}
+    assert s == b and len(s) > 0
