@@ -294,3 +294,89 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_us"
     ).cast("double")
     return spans.groupBy("user_id").agg(fpq(twap).alias("twap"))
+
+
+_CDC_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts, value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "cdc_apply_log",
+    _CDC_ORACLE,
+    doc="CDC log apply: the events stream read as a change log per key "
+    "— keep each user's latest operation (fully tie-broken by ts then "
+    "event_id) and drop keys whose latest op is a tombstone ('error' "
+    "stands in for DELETE). One window shuffle on the key; at 100 TB "
+    "this is the compaction step a log-structured table runs, and "
+    "rn=1 compiles to a per-partition top-1 (WindowGroupLimit), never "
+    "a full sort of the log.",
+)
+def cdc_apply_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+),
+ranked AS (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type
+           ) AS rn
+    FROM counts
+)
+SELECT user_id, event_type AS mode_type, n AS mode_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "agg_mode_per_group",
+    _MODE_ORACLE,
+    doc="Deterministic mode (most frequent event type per user): count "
+    "per (key, value), then top-1 by (count desc, value asc) — the "
+    "explicit tie-break native mode() functions don't guarantee, which "
+    "is why engines disagree on raw mode(). Two hash aggregates; the "
+    "window runs on key×vocabulary rows, not events.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
