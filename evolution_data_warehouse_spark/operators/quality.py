@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,3 +52,36 @@ def run_validations(checks: dict[str, DataFrame]) -> list[ValidationResult]:
         n = df.count()
         out.append(ValidationResult(name=name, violations=n, ok=n == 0))
     return out
+
+
+def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative expectations in ONE scan: each rule is a boolean
+    Column; the report is one row per rule with pass/fail counts — all
+    computed as conditional sums inside a single aggregate, so a
+    100 TB table is read once however many rules run (per-rule
+    validator queries would each rescan it). A NULL predicate counts
+    as a failure — unknown is not a pass.
+
+    The long-form output comes from stack() over the aggregate's one
+    row — driver-free and constant-sized.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for name, pred in rules.items():
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            ).alias(f"__pass_{name}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __pass_{name}" for name in rules
+    )
+    n = len(rules)
+    return one.selectExpr(
+        "__n_rows", f"stack({n}, {stack_args}) AS (rule, n_pass)"
+    ).selectExpr(
+        "rule",
+        "CAST(n_pass AS BIGINT) AS n_pass",
+        "CAST(__n_rows - n_pass AS BIGINT) AS n_fail",
+        "CAST(__n_rows AS BIGINT) AS n_rows",
+    )

@@ -411,3 +411,57 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
     )
+
+
+_EXPECT_ORACLE = """
+WITH agg AS (
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS p_price,
+           SUM(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                     AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'
+                    THEN 1 ELSE 0 END) AS p_date,
+           SUM(CASE WHEN o_orderpriority IN
+                    ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                    THEN 1 ELSE 0 END) AS p_prio,
+           SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS p_cust
+    FROM orders
+)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n_rows - n_pass AS BIGINT) AS n_fail,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM (
+    SELECT 'positive_price' AS rule, p_price AS n_pass, n_rows FROM agg
+    UNION ALL SELECT 'date_in_range', p_date, n_rows FROM agg
+    UNION ALL SELECT 'known_priority', p_prio, n_rows FROM agg
+    UNION ALL SELECT 'custkey_not_null', p_cust, n_rows FROM agg
+)
+"""
+
+
+@register(
+    "quality_expectations",
+    _EXPECT_ORACLE,
+    doc="Declarative data-quality expectations (operators/quality.py "
+    "expectations_report): four rules over orders evaluated as "
+    "conditional sums in ONE aggregate — one scan however many rules "
+    "run, vs one rescan per rule in the validator-per-check shape. "
+    "NULL predicates count as failures.",
+)
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.quality import (
+        expectations_report,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    rules = {
+        "positive_price": F.col("o_totalprice") > 0,
+        "date_in_range": (
+            F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+        )
+        & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+        "known_priority": F.col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+        ),
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+    }
+    return expectations_report(orders, rules)
