@@ -1417,3 +1417,39 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(F.broadcast(stats)).select(
         "vec_id", "norm", (F.col("norm") > thresh).alias("is_outlier")
     )
+
+
+_NORM_DEDUP_ORACLE = """
+WITH canon AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash
+    FROM documents
+)
+SELECT norm_hash, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+FROM canon GROUP BY norm_hash
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    _NORM_DEDUP_ORACLE,
+    doc="Normalized exact dedup — the form production pipelines "
+    "actually run: lowercase, collapse every non-alphanumeric run to a "
+    "single space, trim, THEN hash — so case/punctuation/whitespace "
+    "variants of a document collapse to one group that raw-text "
+    "hashing (dedup_exact) treats as distinct. Same one-shuffle "
+    "hash-groupBy plan; normalization is a scan-side projection.",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
