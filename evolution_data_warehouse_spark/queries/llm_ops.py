@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from evolution_data_warehouse_spark.operators import similarity as sim
 from evolution_data_warehouse_spark.operators import textops
 from evolution_data_warehouse_spark.operators.multimodal import decode_documents
-from evolution_data_warehouse_spark.queries.common import register, t
+from evolution_data_warehouse_spark.queries.common import fpq, fpq_sql, register, t
 
 DIM = 64  # embedding dimensionality of the testdata
 
@@ -1451,5 +1451,97 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
             F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# Per-doc average bigram log-probability under the corpus' own bigram
+# model — the statistical quality filter (low score = improbable word
+# salad). Determinism: p = cnt/prefix_cnt is an int÷int double
+# (engine-identical); ln() could differ in the last ulp between libm
+# implementations, so each log is rounded to 12 decimals via a DECIMAL
+# cast before the (then exact) sum, and the final average is
+# fixed-point-quantized — a 1-ulp ln() disagreement moves the result
+# by ≤1e-12, absorbed by fpq's half-bucket margin.
+_LM_SCORE_ORACLE = f"""
+WITH bg AS (
+    SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1]
+           )) AS bigram
+    FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
+),
+counts AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram),
+prefixes AS (
+    SELECT str_split(bigram, ' ')[1] AS prefix, SUM(cnt) AS pcnt
+    FROM counts GROUP BY prefix
+),
+probs AS (
+    SELECT bigram,
+           ln(CAST(cnt AS DOUBLE) / CAST(pcnt AS DOUBLE)) AS logp
+    FROM counts JOIN prefixes ON str_split(bigram, ' ')[1] = prefix
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       {{fpq}} AS avg_logp
+FROM bg JOIN probs USING (bigram)
+GROUP BY doc_id
+""".format(
+    fpq=fpq_sql(
+        "CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE)"
+    )
+)
+
+
+@register(
+    "text_lm_score",
+    _LM_SCORE_ORACLE,
+    doc="Bigram-LM quality scoring: every document scored by its "
+    "average bigram log-probability under the corpus' own counts — "
+    "the statistical filter that ranks word salad below fluent text "
+    "without any external model. Plan: one explode for the bigram "
+    "relation, two hash aggregates for the model (bigram and prefix "
+    "counts), a model-sized join back, one aggregate per doc — the "
+    "corpus is never joined to itself.",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    counts = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    prefixes = counts.groupBy(
+        F.split(F.col("bigram"), " ").getItem(0).alias("prefix")
+    ).agg(F.sum("cnt").alias("pcnt"))
+    probs = counts.join(
+        prefixes,
+        F.split(counts.bigram, " ").getItem(0) == prefixes.prefix,
+    ).select(
+        "bigram",
+        F.log(
+            F.col("cnt").cast("double") / F.col("pcnt").cast("double")
+        ).alias("logp"),
+    )
+    avg_logp = (
+        F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
+        / F.count("*").cast("double")
+    )
+    return (
+        bg.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            fpq(avg_logp).alias("avg_logp"),
         )
     )
