@@ -8,6 +8,8 @@ lazily planned, and cheap at scale (anti-join broadcasts the dim side).
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -60,16 +62,32 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     computed as conditional sums inside a single aggregate, so a
     100 TB table is read once however many rules run (per-rule
     validator queries would each rescan it). A NULL predicate counts
-    as a failure — unknown is not a pass.
+    as a failure — unknown is not a pass; on an empty table every
+    count is 0, never NULL.
+
+    Rule names become column aliases and stack() literals, so they are
+    restricted to identifier form — rejecting the rest up front beats
+    a cryptic parse error (or a quote-injection) downstream.
 
     The long-form output comes from stack() over the aggregate's one
     row — driver-free and constant-sized.
     """
+    if not rules:
+        raise ValueError("expectations_report needs at least one rule")
+    for name in rules:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rule name {name!r} must be a bare identifier "
+                "([A-Za-z_][A-Za-z0-9_]*)"
+            )
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for name, pred in rules.items():
         aggs.append(
-            F.sum(
-                F.when(F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+                ),
+                F.lit(0),
             ).alias(f"__pass_{name}")
         )
     one = df.agg(*aggs)

@@ -1138,8 +1138,9 @@ def snk_clustered_prune(spark, sf_dir: str):
     orders = t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_totalprice"
     )
+    target = _scratch("snk_clustered", sf_dir)
     path = write_clustered(
-        orders, _SCRATCH, f"snk_clustered_{os.path.basename(os.path.normpath(sf_dir))}",
+        orders, os.path.dirname(target), os.path.basename(target),
         ["o_custkey"],
     )
     return spark.read.parquet(path).filter(F.col("o_custkey") < 50)

@@ -240,7 +240,9 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
     over all batches equals the batch twin exactly — asserted in
     tests/test_streaming.py, including across a checkpoint restart so
     the cross-batch chaining (the part a naive per-batch lead() would
-    get wrong) is what the test actually proves.
+    get wrong) is what the test actually proves. Rows arriving at or
+    before the stored last position are dropped (late data, same
+    discipline as a watermark) so state never regresses.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -255,9 +257,22 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
         if len(rows) == 0:
             return
         rows = rows.sort_values(["ts", "event_id"], ignore_index=True)
-        types = list(rows["event_type"])
+        last_type = None
         if state.exists:
-            _, _, last_type = state.get
+            last_ts, last_event_id, last_type = state.get
+            # Late-data guard: rows at or before the stored position
+            # would chain transitions backwards AND regress the stored
+            # last event — drop them (the same discipline a watermark
+            # applies), keeping state monotone.
+            ts_ns = rows["ts"].astype("int64")
+            rows = rows[
+                (ts_ns > last_ts)
+                | ((ts_ns == last_ts) & (rows["event_id"] > last_event_id))
+            ].reset_index(drop=True)
+            if len(rows) == 0:
+                return
+        types = list(rows["event_type"])
+        if last_type is not None:
             types = [last_type] + types
         last = rows.iloc[-1]
         state.update(

@@ -240,19 +240,34 @@ def compact_small_files(
     file count, not data size).
 
     coalesce (not repartition): merging partitions needs no shuffle.
-    The rewrite goes through a temp dir + rename so a crash mid-compact
-    never leaves the table truncated.
+    Crash-safe swap order: write tmp → rename live aside as backup →
+    rename tmp into place → drop backup. At every intermediate point a
+    complete copy of the data exists under a deterministic name, so a
+    crash can lose at most the *rewrite*, never the table; each rename
+    return value is checked because Hadoop rename reports failure as
+    False, not an exception.
     """
     df = spark.read.parquet(path)
     tmp = f"{path}__compacting"
+    bak = f"{path}__precompact"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
     p_old = jvm.org.apache.hadoop.fs.Path(path)
     p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p_old, True)
-    fs.rename(p_tmp, p_old)
+    p_bak = jvm.org.apache.hadoop.fs.Path(bak)
+    # resolve the filesystem FROM the path so non-default schemes
+    # (s3a://, abfs://) compact too
+    fs = p_old.getFileSystem(conf)
+    if fs.exists(p_bak):
+        fs.delete(p_bak, True)
+    if not fs.rename(p_old, p_bak):
+        raise IOError(f"compact: could not move {path} aside to {bak}")
+    if not fs.rename(p_tmp, p_old):
+        # roll the original back; the rewrite is the casualty, not the data
+        fs.rename(p_bak, p_old)
+        raise IOError(f"compact: could not move {tmp} into place at {path}")
+    fs.delete(p_bak, True)
     n = len(
         [
             f
