@@ -312,3 +312,59 @@ def test_stateful_transition_counts_match_batch_across_restarts(
     s = {(r.prev_type, r.next_type): r.n_transitions for r in streamed.collect()}
     b = {(r.prev_type, r.next_type): r.n_transitions for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stateful_transitions_drop_late_rows_without_state_regression(
+    spark, sf_dir, tmp_path
+):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.streaming.events import (
+        transition_counts_stateful,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(rows, tag):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = (
+            transition_counts_stateful(
+                spark.readStream.schema(
+                    spark.read.parquet(src).schema
+                ).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .queryName(f"late_{tag}")
+            .start()
+        )
+        q.awaitTermination()
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda eid, sec, typ: (
+        eid, t0 + datetime.timedelta(seconds=sec), 1, typ, 0.0, "{}",
+    )
+    # batch 1: view(10) -> click(20); state ends at click(20)
+    run([mk(1, 10, "view"), mk(2, 20, "click")], "b1")
+    # batch 2: a LATE row at sec 5 (before the stored position) plus an
+    # on-time purchase at 30 — the late row must be dropped, giving
+    # click->purchase, NOT click->signup->purchase
+    run([mk(3, 5, "signup"), mk(4, 30, "purchase")], "b2")
+
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "purchase"): 1,
+    }
