@@ -313,3 +313,65 @@ def connected_components(
             max_iterations,
         )
     return labels.select(F.col("n").alias(node_col), F.col("label").alias("cluster_id"))
+
+
+def minhash_lsh_pairs_incremental(
+    corpus_shingled: DataFrame,
+    batch_shingled: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs between a NEW batch and an
+    EXISTING corpus only — the daily-ingest shape where the corpus is
+    petabytes, the batch is small, and re-pairing the corpus against
+    itself would redo yesterday's work.
+
+    Both sides get signatures and band keys; the pair join runs
+    corpus-bands × batch-bands on (band, band_key), so work scales with
+    the BATCH's bucket matches, never corpus². The hot-bucket guard
+    applies to the corpus side (where degenerate boilerplate buckets
+    live); the batch side is assumed ingest-sized. At real scale the
+    corpus signatures/bands are a stored table maintained alongside the
+    corpus — here they are recomputed, which changes cost, not shape.
+    """
+    sig_c = minhash_signature(corpus_shingled, id_col).localCheckpoint(eager=True)
+    sig_b = minhash_signature(batch_shingled, id_col).localCheckpoint(eager=True)
+    bands_c = lsh_bands(sig_c, id_col).select(
+        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        bands_c = (
+            bands_c.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
+    bands_b = lsh_bands(sig_b, id_col).select(
+        F.col(id_col).alias("batch_id"), "band", "band_key"
+    )
+    cand = (
+        bands_c.join(bands_b, ["band", "band_key"])
+        .select("corpus_id", "batch_id")
+        .distinct()
+    )
+    sa = sig_c.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    sb = sig_b.select(
+        F.col(id_col).alias("batch_id"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    eq = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    return (
+        cand.join(sa, "corpus_id")
+        .join(sb, "batch_id")
+        .select(
+            "corpus_id",
+            "batch_id",
+            (eq.cast("double") / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+        )
+    )

@@ -1545,3 +1545,74 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             fpq(avg_logp).alias("avg_logp"),
         )
     )
+
+
+def _minhash_incr_oracle() -> str:
+    hm = f"{content_hash64_sql('shingle')} % {MERSENNE_P}"
+    mh_cols = ", ".join(
+        f"MIN(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        key = (
+            "concat_ws('|', "
+            + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ")"
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM mh"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {hm} AS hm FROM sh),
+mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+bands_all AS ({bands}),
+bands_c AS (
+    SELECT doc_id AS corpus_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM bands_all WHERE doc_id % 5 <> 0
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
+),
+bands_b AS (
+    SELECT doc_id AS batch_id, band, band_key FROM bands_all
+    WHERE doc_id % 5 = 0
+),
+cand AS (
+    SELECT DISTINCT corpus_id, batch_id
+    FROM bands_c JOIN bands_b USING (band, band_key)
+)
+SELECT corpus_id, batch_id,
+       CAST(({eq}) AS DOUBLE) / CAST({N_MINHASH} AS DOUBLE) AS est_jaccard
+FROM cand
+JOIN mh sa ON corpus_id = sa.doc_id
+JOIN mh sb ON batch_id = sb.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    _minhash_incr_oracle(),
+    doc="Incremental MinHash near-dup (operators/dedup.py "
+    "minhash_lsh_pairs_incremental): a new batch (doc_id % 5 == 0 "
+    "stands in for today's ingest) is banded against the existing "
+    "corpus only — work scales with the batch's bucket matches, never "
+    "corpus². Hot-bucket guard on the corpus side; the same guard "
+    "constant is interpolated into the oracle.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    from evolution_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = sh.filter(F.col("doc_id") % 5 != 0)
+    batch = sh.filter(F.col("doc_id") % 5 == 0)
+    return minhash_lsh_pairs_incremental(corpus, batch)
