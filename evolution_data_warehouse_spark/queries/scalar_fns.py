@@ -378,3 +378,35 @@ def fn_derived_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         net.alias("net_price"),
         (net * (1 + F.col("l_tax"))).alias("charge"),
     )
+
+
+_TRY_CAST_ORACLE = """
+SELECT doc_id,
+       TRY_CAST(split_part(text, ' ', 1) AS INT) AS first_token_as_int,
+       TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+       TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_roundtrip
+FROM documents
+"""
+
+
+@register(
+    "fn_try_cast",
+    _TRY_CAST_ORACLE,
+    doc="Safe casting (try_cast): malformed input yields NULL instead "
+    "of failing the job — the ingestion-hardening behavior that "
+    "matters under ANSI mode, where a single bad cell would otherwise "
+    "kill a 100 TB load. Three shapes: non-numeric text (all NULL), a "
+    "mixed column, and a round trip that always succeeds.",
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    first_tok = F.split(F.col("text"), " ").getItem(0)
+    return docs.select(
+        "doc_id",
+        first_tok.try_cast("int").alias("first_token_as_int"),
+        F.col("lang").try_cast("double").alias("lang_as_double"),
+        F.col("n_chars")
+        .cast("string")
+        .try_cast("bigint")
+        .alias("n_chars_roundtrip"),
+    )
