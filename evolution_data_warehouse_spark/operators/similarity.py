@@ -227,3 +227,100 @@ def kmeans_fit(
         .select(id_col, "cluster")
     )
     return centroids, assignments
+
+
+def ivf_index_save(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the inverted lists land as parquet
+    PARTITIONED BY centroid_id, the centroids as a small side table.
+
+    The layout IS the index — a query probing ``n_probe`` lists reads
+    only those partition directories (partition pruning at the file
+    level), so query IO scales with probed-list size, not corpus size.
+    Build once, query many: the corpus is scanned a single time here
+    and never again at query time.
+    """
+    vecs = df.select(id_col, vec_col).withColumn("_vec", as_double(F.col(vec_col)))
+    lists = ivf_assign(vecs, centroids, n_probe=1, id_col=id_col).join(
+        vecs.select(id_col, vec_col), id_col
+    )
+    (
+        lists.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    spark = df.sparkSession
+    cent_rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: assign each query to its n_probe
+    nearest stored centroids, scan ONLY those inverted-list partitions
+    (the centroid_id filter prunes at the directory level), exact
+    cosine re-rank within the probed lists.
+
+    Returns (query_id, neighbor_id, cosine, rank) — rank fully
+    tie-broken by (cosine desc, neighbor id); self-matches excluded,
+    same contract as brute_force_topk.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = [
+        r.centroid
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_vec", as_double(F.col("_qv")))
+    probes = ivf_assign(q, centroids, n_probe=n_probe, id_col="query_id")
+    probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    cand = (
+        probes.join(lists, "centroid_id")
+        .join(q.select("query_id", "_qv"), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("_cv"),
+            as_double(F.col("_qv")).alias("_qvd"),
+        )
+        .distinct()
+    )
+    scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine(
+            F.col("_qvd"),
+            F.col("_cv"),
+            vec_norm(F.col("_qvd")),
+            vec_norm(F.col("_cv")),
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

@@ -582,3 +582,36 @@ def test_mix_sample_rate_is_approximately_honored(spark):
     kept = mix_sample(df, rates={"en": 0.4}).count()
     # md5 buckets are uniform: 2000 docs at rate 0.4 → 800 ± a loose band
     assert 700 <= kept <= 900
+
+
+def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path):
+    from evolution_data_warehouse_spark.operators.similarity import (
+        as_double,
+        brute_force_topk,
+        ivf_index_save,
+        ivf_index_search,
+        kmeans_fit,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=8, iterations=5)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_save(emb, centroids, path)
+
+    # the layout IS the index: one directory per inverted list
+    import glob
+
+    dirs = glob.glob(f"{path}/lists/centroid_id=*")
+    assert len(dirs) >= 2
+
+    queries = emb.orderBy("vec_id").limit(5)
+    got = ivf_index_search(spark, path, queries, k=3, n_probe=8)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {r.vec_id for r in queries.collect()}
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+    # probing ALL lists must equal exact brute force
+    exact = brute_force_topk(queries, emb, k=3)
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    g = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+    assert g == e
