@@ -1209,3 +1209,30 @@ def join_effective_dated(spark, sf_dir: str):
             dsum("acctbal_v", 2).alias("sum_acctbal_asof"),
         )
     )
+
+
+_SNK_CSV_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "snk_csv",
+    _SNK_CSV_ORACLE,
+    doc="CSV sink + re-scan round trip (header, explicit schema on the "
+    "read back — CSV carries no types, so the reader must declare "
+    "them; completes the sink matrix beside parquet/JSON/JDBC/Excel). "
+    "Ref: the reference's per-table CSV exports in its staging flow.",
+)
+def snk_csv(spark, sf_dir: str):
+    path = _scratch("snk_csv", sf_dir)
+    agg = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    agg.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema("c_mktsegment string, n_customers long").option(
+        "header", True
+    ).csv(path)

@@ -326,3 +326,40 @@ def test_pack_render_bins_match_pack_sequences(spark, sf_dir):
     )
     assert diff == 0
     assert rendered.count() == by_bin.count()
+
+
+def test_twap_and_moving_avg_bounded_by_extremes(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries import REGISTRY
+    from evolution_data_warehouse_spark.queries.common import t
+
+    # TWAP is a convex combination of observed values: it must lie in
+    # [min(value), max(value)] per user
+    ev = REGISTRY["ts_time_weighted_avg"].fn(spark, sf_dir)
+    bounds = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        ev.join(bounds, "user_id")
+        .filter((F.col("twap") < F.col("lo")) | (F.col("twap") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+
+    # same invariant for the 4-row moving average per supplier
+    ma = REGISTRY["win_moving_avg"].fn(spark, sf_dir)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    b2 = li.groupBy("l_suppkey").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    bad2 = (
+        ma.join(b2, "l_suppkey")
+        .filter(
+            (F.col("mov_avg_price") < F.col("lo"))
+            | (F.col("mov_avg_price") > F.col("hi"))
+        )
+        .count()
+    )
+    assert bad2 == 0
