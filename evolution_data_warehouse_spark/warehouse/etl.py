@@ -276,3 +276,27 @@ def compact_small_files(
         ]
     )
     return n
+
+
+def zorder_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the bits of two rank-normalized
+    columns so rows close in EITHER dimension land close in the key.
+    Range-clustering by this key (write_clustered) gives every file a
+    bounded rectangle in (a, b) space — selective reads on either
+    column prune files from footer stats, the multi-column data-skipping
+    trick single-column sort cannot provide.
+
+    Inputs must already be non-negative integers in [0, 2^bits) — rank
+    or bucket the raw columns first (percent_rank × 2^bits is the usual
+    normalization).
+    """
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        key = (
+            key
+            + F.shiftleft(bit_a, 2 * i + 1)
+            + F.shiftleft(bit_b, 2 * i)
+        )
+    return key

@@ -252,3 +252,66 @@ def test_partitioned_fact_join_triggers_dynamic_partition_pruning(
     # and the pruning is semantically right: only the 'O' partition rows
     expected = orders.filter(F.col("o_orderstatus") == "O").count()
     assert joined.count() == expected
+
+
+def test_zorder_clustering_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.warehouse.etl import (
+        write_clustered,
+        zorder_key,
+    )
+
+    BITS = 8
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # rank-normalize both dims into [0, 2^BITS)
+    a = F.least(
+        F.floor(F.col("o_custkey") % (2**BITS)).cast("bigint"),
+        F.lit(2**BITS - 1),
+    )
+    b = F.least(
+        F.floor(F.col("o_totalprice") / 200000.0 * (2**BITS)).cast("bigint"),
+        F.lit(2**BITS - 1),
+    )
+    z = orders.withColumn("zk", zorder_key(a, b, bits=BITS))
+    path = write_clustered(z, str(tmp_path), "orders_z", ["zk"], n_files=8)
+
+    def file_ranges(col_name):
+        out = []
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.row_group(rg).num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col_name
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    # Z-order clustering must bound BOTH dimensions per file: the sum
+    # of per-file ranges should be well under n_files × the global
+    # range (which is what a random layout gives on both, and what a
+    # single-column sort gives on the second column)
+    n = len(glob.glob(f"{path}/*.parquet"))
+    assert n > 1
+    for col_name, global_range in (
+        ("o_custkey", None),
+        ("o_totalprice", None),
+    ):
+        ranges = file_ranges(col_name)
+        glo = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
+        covered = sum(hi - lo for lo, hi in ranges)
+        # random layout: covered ≈ n × glo; z-order must do better
+        assert covered < 0.8 * n * glo, (col_name, covered, n * glo)
+
+    assert spark.read.parquet(path).count() == orders.count()
