@@ -290,21 +290,33 @@ def ivf_index_search(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("_vec", as_double(F.col("_qv")))
-    probes = ivf_assign(q, centroids, n_probe=n_probe, id_col="query_id")
+    # checkpoint: probes back two actions (the driver-side probe-id
+    # collect and the candidate join) — don't run the assign job twice
+    probes = ivf_assign(
+        q, centroids, n_probe=n_probe, id_col="query_id"
+    ).localCheckpoint(eager=True)
     probe_ids = [r.centroid_id for r in probes.select("centroid_id").distinct().collect()]
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col("centroid_id").isin(probe_ids)
     )
-    cand = (
-        probes.join(lists, "centroid_id")
-        .join(q.select("query_id", "_qv"), "query_id")
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("_cv"),
-            as_double(F.col("_qv")).alias("_qvd"),
-        )
+    # dedup on the ID PAIR before attaching vectors — a safety net that
+    # shuffles two longs, not embedding payloads (each corpus vector
+    # lives in exactly one list, so this is a no-op in practice)
+    cand_ids = (
+        probes.join(lists.select("centroid_id", id_col), "centroid_id")
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
         .distinct()
+    )
+    corpus_vecs = lists.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("_cv"),
+    )
+    cand = (
+        cand_ids.join(corpus_vecs, "neighbor_id")
+        .join(
+            q.select("query_id", as_double(F.col("_qv")).alias("_qvd")),
+            "query_id",
+        )
     )
     scored = cand.filter(F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",

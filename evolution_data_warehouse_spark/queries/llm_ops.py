@@ -423,7 +423,12 @@ from evolution_data_warehouse_spark.operators.dedup import (  # noqa: E402
 )
 
 
-def _minhash_oracle() -> str:
+def _mh_sql_fragments() -> dict[str, str]:
+    """Shared SQL fragments for every MinHash oracle: the universal-hash
+    input, the K minima aggregate, the banded-key expansion, and the
+    equal-minhash count. One source of truth — a change to coefficient
+    handling or band-key formatting cannot silently diverge one oracle.
+    """
     hm = f"{content_hash64_sql('shingle')} % {MERSENNE_P}"
     mh_cols = ", ".join(
         f"MIN(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
@@ -432,14 +437,29 @@ def _minhash_oracle() -> str:
     band_selects = []
     for b in range(N_BANDS):
         cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        key = "concat_ws('|', " + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols) + ")"
+        key = (
+            "concat_ws('|', "
+            + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+            + ")"
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, {key} AS band_key FROM mh"
         )
-    bands = " UNION ALL ".join(band_selects)
     eq = " + ".join(
-        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(N_MINHASH)
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
     )
+    return {
+        "hm": hm,
+        "mh_cols": mh_cols,
+        "bands": " UNION ALL ".join(band_selects),
+        "eq": eq,
+    }
+
+
+def _minhash_oracle() -> str:
+    f = _mh_sql_fragments()
+    hm, mh_cols, bands, eq = f["hm"], f["mh_cols"], f["bands"], f["eq"]
     # Mirrors minhash_lsh_pairs' default-on hot-bucket guard: the
     # threshold is interpolated from operators/dedup.py's
     # DEFAULT_MAX_BUCKET so engine and oracle cannot diverge silently,
@@ -1548,27 +1568,8 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_incr_oracle() -> str:
-    hm = f"{content_hash64_sql('shingle')} % {MERSENNE_P}"
-    mh_cols = ", ".join(
-        f"MIN(({a} * hm + {b}) % {MERSENNE_P}) AS mh{j}"
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
-    )
-    band_selects = []
-    for b in range(N_BANDS):
-        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        key = (
-            "concat_ws('|', "
-            + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-            + ")"
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM mh"
-        )
-    bands = " UNION ALL ".join(band_selects)
-    eq = " + ".join(
-        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
-        for j in range(N_MINHASH)
-    )
+    f = _mh_sql_fragments()
+    hm, mh_cols, bands, eq = f["hm"], f["mh_cols"], f["bands"], f["eq"]
     return f"""
 WITH sh AS ({_SHINGLES_SQL}),
 h AS (SELECT doc_id, {hm} AS hm FROM sh),

@@ -383,7 +383,8 @@ def fn_derived_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRY_CAST_ORACLE = """
 SELECT doc_id,
        TRY_CAST(split_part(text, ' ', 1) AS INT) AS first_token_as_int,
-       TRY_CAST(lang AS DOUBLE) AS lang_as_double,
+       TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+                     ELSE lang END AS INT) AS mixed_as_int,
        TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_roundtrip
 FROM documents
 """
@@ -395,16 +396,22 @@ FROM documents
     doc="Safe casting (try_cast): malformed input yields NULL instead "
     "of failing the job — the ingestion-hardening behavior that "
     "matters under ANSI mode, where a single bad cell would otherwise "
-    "kill a 100 TB load. Three shapes: non-numeric text (all NULL), a "
-    "mixed column, and a round trip that always succeeds.",
+    "kill a 100 TB load. Three shapes: never-numeric text (all NULL), "
+    "a genuinely mixed column (integer strings succeed, language codes "
+    "null out — integer strings deliberately, since Spark truncates "
+    "and DuckDB rounds decimal strings cast to INT), and a round trip "
+    "that always succeeds.",
 )
 def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     first_tok = F.split(F.col("text"), " ").getItem(0)
+    mixed = F.when(
+        F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string")
+    ).otherwise(F.col("lang"))
     return docs.select(
         "doc_id",
         first_tok.try_cast("int").alias("first_token_as_int"),
-        F.col("lang").try_cast("double").alias("lang_as_double"),
+        mixed.try_cast("int").alias("mixed_as_int"),
         F.col("n_chars")
         .cast("string")
         .try_cast("bigint")

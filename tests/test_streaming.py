@@ -317,9 +317,6 @@ def test_stateful_transition_counts_match_batch_across_restarts(
 def test_stateful_transitions_drop_late_rows_without_state_regression(
     spark, sf_dir, tmp_path
 ):
-    import pandas as pd
-    from pyspark.sql import functions as F
-
     from evolution_data_warehouse_spark.streaming.events import (
         transition_counts_stateful,
     )

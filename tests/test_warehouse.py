@@ -266,20 +266,23 @@ def test_zorder_clustering_bounds_both_dimensions(spark, sf_dir, tmp_path):
         zorder_key,
     )
 
+    from pyspark.sql import Window as W
+
     BITS = 8
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    # rank-normalize both dims into [0, 2^BITS)
-    a = F.least(
-        F.floor(F.col("o_custkey") % (2**BITS)).cast("bigint"),
-        F.lit(2**BITS - 1),
+    # true rank normalization (zorder_key's documented contract) so the
+    # test holds at ANY fixture scale, not just custkey < 2^BITS
+    def ranked(col):
+        pr = F.percent_rank().over(W.orderBy(F.col(col)))
+        return F.least(
+            F.floor(pr * (2**BITS)).cast("bigint"), F.lit(2**BITS - 1)
+        )
+
+    z = orders.withColumn(
+        "zk", zorder_key(ranked("o_custkey"), ranked("o_totalprice"), bits=BITS)
     )
-    b = F.least(
-        F.floor(F.col("o_totalprice") / 200000.0 * (2**BITS)).cast("bigint"),
-        F.lit(2**BITS - 1),
-    )
-    z = orders.withColumn("zk", zorder_key(a, b, bits=BITS))
     path = write_clustered(z, str(tmp_path), "orders_z", ["zk"], n_files=8)
 
     def file_ranges(col_name):
@@ -304,10 +307,7 @@ def test_zorder_clustering_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # single-column sort gives on the second column)
     n = len(glob.glob(f"{path}/*.parquet"))
     assert n > 1
-    for col_name, global_range in (
-        ("o_custkey", None),
-        ("o_totalprice", None),
-    ):
+    for col_name in ("o_custkey", "o_totalprice"):
         ranges = file_ranges(col_name)
         glo = max(hi for _, hi in ranges) - min(lo for lo, _ in ranges)
         covered = sum(hi - lo for lo, hi in ranges)
