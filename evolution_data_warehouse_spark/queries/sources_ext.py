@@ -465,3 +465,45 @@ def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey_not_null": F.col("o_custkey").isNotNull(),
     }
     return expectations_report(orders, rules)
+
+
+_MAINT_ORACLE = """
+SELECT 'files_before' AS metric, CAST(16 AS BIGINT) AS value
+UNION ALL SELECT 'files_after', 4
+UNION ALL SELECT 'rows_preserved', (SELECT COUNT(*) FROM orders)
+"""
+
+
+@register(
+    "proc_maintenance_layout",
+    _MAINT_ORACLE,
+    doc="Layout maintenance — the immutable-parquet analog of the "
+    "reference's index-maintenance proc (Terraform/sql/"
+    "007_configure_performance.sql): fragment a table to 16 files, run "
+    "compact_small_files down to 4 with the crash-safe swap, and "
+    "report file counts + row preservation. On parquet the B-tree "
+    "rebuild becomes compaction + clustering + stats refresh; this is "
+    "the compaction leg, deterministic because coalesce targets are "
+    "exact.",
+)
+def proc_maintenance_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from evolution_data_warehouse_spark.warehouse.etl import (
+        compact_small_files,
+    )
+
+    path = _scratch("proc_maintenance_layout", sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    n_rows = orders.count()
+    orders.repartition(16).write.mode("overwrite").parquet(path)
+    before = len(glob.glob(f"{path}/*.parquet"))
+    compact_small_files(spark, path, target_files=4)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    preserved = spark.read.parquet(path).count()
+    rows = [
+        ("files_before", before),
+        ("files_after", after),
+        ("rows_preserved", preserved if preserved == n_rows else -1),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
