@@ -380,3 +380,74 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_count"),
         )
     )
+
+
+_SESSION_CONV_ORACLE = """
+WITH g AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM g
+),
+per_session AS (
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS sessions_with_view,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL
+                      AND last_purchase > first_view THEN 1 ELSE 0 END)
+            AS BIGINT) AS converted_sessions
+FROM per_session
+"""
+
+
+@register(
+    "session_conversion",
+    _SESSION_CONV_ORACLE,
+    doc="Sessionized conversion: gap-based sessions (the win_session_gap "
+    "operator) composed with funnel logic — a session converts when a "
+    "purchase follows its first view. Three window/aggregate passes all "
+    "keyed on user_id (one shuffle, reused), then a constant-size "
+    "rollup; demonstrates the session and funnel operators composing "
+    "without new shuffle keys.",
+)
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marker = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("session_id", F.sum(marker).over(run))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    has_view = F.col("first_view").isNotNull()
+    converted = has_view & (F.col("last_purchase") > F.col("first_view"))
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(has_view.cast("int")).alias("sessions_with_view"),
+        F.sum(converted.cast("int")).alias("converted_sessions"),
+    )

@@ -844,3 +844,75 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_rev",
         (F.col("nation_rev") / denom).alias("share_in_region"),
     )
+
+
+# AQP by deterministic hash sampling: a 10% md5-bucket sample of the
+# fact estimates the mean; the envelope check (estimate within 4
+# relative standard errors of the exact mean) is the oracle-comparable
+# projection, the same pattern as the HLL/approx-percentile envelopes.
+# The sample itself is identical on both engines (md5 bucketing), so
+# sample_mean matches bit-for-bit and the envelope is belt-and-braces.
+_AQP_ORACLE = f"""
+WITH s AS (
+    SELECT l_extendedprice FROM lineitem
+    WHERE ({{bucket}}) < 1000
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS sample_n,
+       (SELECT {{davg}} FROM s) AS sample_mean,
+       TRUE AS within_envelope
+"""
+
+
+def _aqp_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.common import davg_sql
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    bucket = (
+        f"{content_hash64_sql('CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)')}"
+        " % 10000"
+    )
+    return _AQP_ORACLE.format(
+        bucket=bucket, davg=davg_sql("l_extendedprice", 2)
+    )
+
+
+@register(
+    "agg_approx_sample_mean",
+    _aqp_oracle(),
+    doc="Approximate query processing by deterministic sampling: a 10% "
+    "md5-bucket sample of lineitem (keyed on the PK, so the same rows "
+    "sample on every engine and every run) estimates the mean price; "
+    "the result carries the sample size, the decimal-exact sample "
+    "mean, and a CLT envelope check against the exact mean. At 100 TB "
+    "the sample predicate is a scan-side projection — a 10× cheaper "
+    "answer whose error is quantified, the AQP trade.",
+)
+def agg_approx_sample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+    from evolution_data_warehouse_spark.queries.common import davg
+
+    li = t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    sample = li.filter((content_hash64(key) % 10000) < 1000)
+    stats = sample.agg(
+        F.count("*").alias("sample_n"),
+        davg("l_extendedprice", 2).alias("sample_mean"),
+        (davg(F.col("l_extendedprice") * F.col("l_extendedprice"), 4)).alias(
+            "_sample_msq"
+        ),
+    )
+    exact = li.agg(davg("l_extendedprice", 2).alias("_exact_mean"))
+    rel_se = F.sqrt(
+        (F.col("_sample_msq") - F.col("sample_mean") * F.col("sample_mean"))
+        / F.col("sample_n")
+    ) / F.col("sample_mean")
+    return stats.join(F.broadcast(exact)).select(
+        "sample_n",
+        "sample_mean",
+        (
+            F.abs(F.col("sample_mean") - F.col("_exact_mean"))
+            <= F.lit(4.0) * rel_se * F.col("_exact_mean")
+        ).alias("within_envelope"),
+    )

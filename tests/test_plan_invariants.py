@@ -26,6 +26,7 @@ _BNL_OK = {
     "tpch_q11",
     "emb_norm_outliers",
     "agg_sketch_union",
+    "agg_approx_sample_mean",
 }
 
 
