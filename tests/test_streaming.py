@@ -365,3 +365,44 @@ def test_stateful_transitions_drop_late_rows_without_state_regression(
         ("view", "click"): 1,
         ("click", "purchase"): 1,
     }
+
+
+def test_incremental_upsert_latest_matches_batch_cdc(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.queries import REGISTRY
+    from evolution_data_warehouse_spark.streaming.incremental import (
+        incremental_upsert_latest,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(chunk):
+        chunk.write.mode("append").parquet(src)
+        incremental_upsert_latest(
+            spark,
+            src,
+            store,
+            ckpt,
+            ev.schema,
+            tombstone_pred=lambda df: F.col("event_type") == "error",
+        )
+
+    # two drains over one checkpoint: the second must merge against the
+    # store, not rebuild from scratch
+    drain(ev.filter(F.col("event_id") <= mid))
+    drain(ev.filter(F.col("event_id") > mid))
+
+    got = {
+        r.user_id: (r.event_id, r.value)
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        r.user_id: (r.last_event_id, r.last_value)
+        for r in REGISTRY["cdc_apply_log"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
