@@ -11,7 +11,7 @@ operators/rls.secured.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.functions.naming import ascii_fold

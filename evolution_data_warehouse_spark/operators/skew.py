@@ -9,7 +9,7 @@ removes the shuffle entirely for repeated equi-joins on the same key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
