@@ -431,8 +431,9 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    marker = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact µs gap, matching the oracle's exact interval comparison
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marker = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     sess = ev.withColumn("session_id", F.sum(marker).over(run))
     per_session = sess.groupBy("user_id", "session_id").agg(

@@ -73,8 +73,10 @@ FROM g
 )
 def win_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    marker = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # exact µs gap — the oracle compares the exact interval, and a
+    # floored-second gap would disagree for gaps in (1800s, 1801s)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marker = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -74,30 +74,53 @@ def incremental_upsert_latest(
     s1, s2 = seq_cols
 
     def merge(batch_df, batch_id):
+        spark_l = batch_df.sparkSession
         w = W.partitionBy(key_col).orderBy(F.desc(s1), F.desc(s2))
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        spark_l = batch_df.sparkSession
-        try:
+        # explicit existence probe — a transient read failure must
+        # PROPAGATE, not silently rebuild the store from one batch
+        jvm = spark_l.sparkContext._jvm
+        conf = spark_l.sparkContext._jsc.hadoopConfiguration()
+        p_store = jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = p_store.getFileSystem(conf)
+        if fs.exists(p_store):
             store = spark_l.read.parquet(store_dir)
+            # same-seq ties (at-least-once redelivery in a new file)
+            # break toward the NEW row — '_src' asc puts "new" first
+            wm = W.partitionBy(key_col).orderBy(
+                F.desc(s1), F.desc(s2), F.asc("_src")
+            )
             merged = (
                 latest.withColumn("_src", F.lit("new"))
                 .unionByName(store.withColumn("_src", F.lit("old")))
-                .withColumn("_rn", F.row_number().over(w))
+                .withColumn("_rn", F.row_number().over(wm))
                 .filter(F.col("_rn") == 1)
                 .drop("_rn", "_src")
             )
-        except Exception:  # first batch: no store yet
+        else:
             merged = latest
         if tombstone_pred is not None:
             merged = merged.filter(~tombstone_pred(merged))
+        # crash-safe swap, same discipline as compact_small_files:
+        # write staging, move live aside, move staging in, drop backup
         tmp = f"{store_dir}__staging"
+        bak = f"{store_dir}__prev"
         merged.write.mode("overwrite").parquet(tmp)
-        final = spark_l.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(store_dir)
+        p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        p_bak = jvm.org.apache.hadoop.fs.Path(bak)
+        if fs.exists(p_bak):
+            fs.delete(p_bak, True)
+        if fs.exists(p_store) and not fs.rename(p_store, p_bak):
+            raise IOError(f"upsert: could not move {store_dir} aside")
+        if not fs.rename(p_tmp, p_store):
+            if fs.exists(p_bak):
+                fs.rename(p_bak, p_store)
+            raise IOError(f"upsert: could not publish {tmp}")
+        fs.delete(p_bak, True)
 
     q = (
         spark.readStream.schema(schema)
