@@ -114,3 +114,14 @@ def test_bigram_topk_uses_window_group_limit(spark, sf_dir):
     # top-3 per prefix must push below the per-prefix sort, same
     # bounded-heap property as the stratified sample.
     assert "WindowGroupLimit" in _plan(spark, sf_dir, "text_bigram_topk")
+
+
+def test_cdc_apply_uses_window_group_limit(spark, sf_dir):
+    # latest-op-per-key must compile to a per-partition top-1 heap —
+    # a full sort of the change log would not survive at scale.
+    assert "WindowGroupLimit" in _plan(spark, sf_dir, "cdc_apply_log")
+
+
+def test_quality_expectations_single_scan(spark, sf_dir):
+    # N rules in ONE scan is the operator's whole point.
+    assert _plan(spark, sf_dir, "quality_expectations").count("Scan parquet") == 1
