@@ -92,3 +92,51 @@ def test_rls_on_streaming_read(spark, sf_dir, tmp_path):
     )
     assert got.count() == expected.count() > 0
     assert {r.c_nationkey for r in got.select("c_nationkey").distinct().collect()} == {1, 2}
+
+
+def test_rbac_grant_matrix(spark):
+    from evolution_data_warehouse_spark.operators.rbac import (
+        GRANTS,
+        AccessDenied,
+        authorize,
+        can,
+    )
+
+    # the four roles of 006_configure_security.sql, line-for-line
+    assert set(GRANTS) == {
+        "role_admin", "role_etl_process", "role_analyst", "role_consultant",
+    }
+    assert can("role_admin", "write", "dm")
+    assert can("role_etl_process", "write", "stg")
+    assert not can("role_etl_process", "write", "dm")       # 006:64 read-only
+    assert can("role_analyst", "read", "dwh")
+    assert not can("role_analyst", "read", "stg")            # 006:75 no staging
+    assert can("role_consultant", "read", "analytics")
+    assert not can("role_consultant", "read", "dwh")         # 006:92-93 marts only
+    assert not can("ghost_role", "read", "dm")               # unknown → nothing
+    with pytest.raises(AccessDenied):
+        authorize("role_consultant", "write", "dm")
+    with pytest.raises(ValueError):
+        can("role_admin", "drop", "dm")
+
+
+def test_rbac_read_composes_rls_for_consultants(spark, dim, zones):
+    from evolution_data_warehouse_spark.operators.rbac import (
+        AccessDenied,
+        read_secured,
+    )
+
+    # consultant: grant passes for dm, RLS composes → only dept 59
+    out = read_secured(dim, zones, "role_consultant", "agent59", "dm",
+                       "departement_code")
+    assert _depts(out) == {"59"}
+
+    # analyst: same table, no RLS scoping → all rows
+    assert read_secured(
+        dim, zones, "role_analyst", "agent59", "dm", "departement_code"
+    ).count() == 4
+
+    # consultant may not touch the warehouse schema at all
+    with pytest.raises(AccessDenied):
+        read_secured(dim, zones, "role_consultant", "agent59", "dwh",
+                     "departement_code")
