@@ -1617,3 +1617,49 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.filter(F.col("doc_id") % 5 != 0)
     batch = sh.filter(F.col("doc_id") % 5 == 0)
     return minhash_lsh_pairs_incremental(corpus, batch)
+
+
+_MM_FILTER_ORACLE = """
+WITH decoded AS (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + octet_length(encode(text)) % 32 AS INT) AS fake_width,
+           CAST(16 + (octet_length(encode(text)) // 32) % 32 AS INT)
+               AS fake_height
+    FROM documents
+)
+SELECT CAST(fake_width >= 24 AS INT) AS wide_enough,
+       COUNT(*) AS n_images,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(fake_height) AS INT) AS min_height
+FROM decoded
+GROUP BY wide_enough
+"""
+
+
+@register(
+    "mm_filter_by_meta",
+    _MM_FILTER_ORACLE,
+    doc="Multimodal curation step: decode (stub) → filter/bucket on the "
+    "extracted metadata → per-bucket size accounting — the 'drop images "
+    "under the resolution floor' pass a multimodal training pipeline "
+    "runs between decode and packing. The metadata predicate runs on "
+    "the mapInPandas OUTPUT columns, so only decode touches the binary "
+    "payload; everything after is columnar.",
+)
+def mm_filter_by_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_documents,
+    )
+
+    decoded = decode_documents(t(spark, sf_dir, "documents"))
+    return (
+        decoded.groupBy(
+            (F.col("fake_width") >= 24).cast("int").alias("wide_enough")
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("fake_height").cast("int").alias("min_height"),
+        )
+    )

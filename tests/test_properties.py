@@ -363,3 +363,60 @@ def test_twap_and_moving_avg_bounded_by_extremes(spark, sf_dir):
         .count()
     )
     assert bad2 == 0
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rates=st.dictionaries(
+        st.sampled_from(["en", "fr", "de", "es", "zh"]),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        max_size=5,
+    )
+)
+def test_mix_sample_rate_monotonic_and_subset(spark, rates):
+    from evolution_data_warehouse_spark.operators.datapipe import mix_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de", "es", "zh"][i % 5]) for i in range(200)],
+        "doc_id long, lang string",
+    )
+    kept = mix_sample(df, rates=rates).select("doc_id").collect()
+    kept_ids = {r.doc_id for r in kept}
+    # raising every rate to 1.0 must be a superset (bucket thresholds
+    # are monotone in the rate)
+    all_kept = {
+        r.doc_id
+        for r in mix_sample(df, rates={g: 1.0 for g in rates}).select("doc_id").collect()
+    }
+    assert kept_ids <= all_kept
+    assert len(all_kept) == 200
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 1000), st.booleans()), min_size=0, max_size=40
+    )
+)
+def test_expectations_report_counts_match_python_model(spark, data):
+    from evolution_data_warehouse_spark.operators.quality import (
+        expectations_report,
+    )
+
+    df = spark.createDataFrame(
+        [(v, ok) for v, ok in data] or [(0, True)],
+        "x int, ok boolean",
+    )
+    if not data:
+        df = df.limit(0)
+    rep = {
+        r.rule: (r.n_pass, r.n_fail, r.n_rows)
+        for r in expectations_report(
+            df, {"x_small": F.col("x") < 500, "flagged": F.col("ok")}
+        ).collect()
+    }
+    n = len(data)
+    exp_small = sum(1 for v, _ in data if v < 500)
+    exp_ok = sum(1 for _, ok in data if ok)
+    assert rep["x_small"] == (exp_small, n - exp_small, n)
+    assert rep["flagged"] == (exp_ok, n - exp_ok, n)
