@@ -39,12 +39,15 @@ from evolution_data_warehouse_spark.queries import event_analytics as _event_ana
 # 17 queries whose only green dates to r1 (windows/sorts/sets/scalar-fn
 # head — three rounds and one Spark minor version old, the one place a
 # silent behavior drift could hide), then the 27 r2-stale entries.
-# The SECOND round-5 batch (tpch_q17/q21/q22, win_moving_avg,
-# text_bigram_topk, pack_efficiency, split_leakage_audit,
-# emb_norm_outliers) and the TPC-H completion set (tpch_q2/q8/q9/q11/
-# q16/q20) deliberately land AFTER the window — tools/drive_contract.py
-# verifies them locally this round, and they lead the round-6 window
-# with the r3-stale refresh behind them.
+# Everything registered after the 50-window (the second round-5 batch,
+# the TPC-H completion set, and the round-5 additions: event analytics,
+# corpus mixing/curation, stats/sketch/AQP aggregates, data-layout and
+# maintenance queries, CDC, LM scoring, incremental near-dup — 49
+# never-verified entries in the COVERAGE.md ledger) deliberately lands
+# AFTER the window: tools/drive_contract.py verifies all of it locally
+# this round (plus vanilla-200-partition and sf0.1 spot checks), and it
+# leads the round-6 window with the r3-stale refresh behind it per the
+# CLAUDE.md rotation procedure.
 _R5_NEW = (
     "decontaminate_apply",
     "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
