@@ -380,15 +380,25 @@ def test_mix_sample_rate_monotonic_and_subset(spark, rates):
         [(i, ["en", "fr", "de", "es", "zh"][i % 5]) for i in range(200)],
         "doc_id long, lang string",
     )
-    kept = mix_sample(df, rates=rates).select("doc_id").collect()
-    kept_ids = {r.doc_id for r in kept}
-    # raising every rate to 1.0 must be a superset (bucket thresholds
-    # are monotone in the rate)
+    kept_ids = {
+        r.doc_id for r in mix_sample(df, rates=rates).select("doc_id").collect()
+    }
+    # monotonicity at a NON-degenerate point: doubling every rate must
+    # keep a superset (bucket thresholds are monotone in the rate) —
+    # comparing only against rate 1.0 would be vacuous since that keeps
+    # every row
+    doubled = {g: min(1.0, 2.0 * r) for g, r in rates.items()}
+    doubled_ids = {
+        r.doc_id
+        for r in mix_sample(df, rates=doubled).select("doc_id").collect()
+    }
+    assert kept_ids <= doubled_ids
+    # and rate 1.0 keeps everything in listed groups
     all_kept = {
         r.doc_id
         for r in mix_sample(df, rates={g: 1.0 for g in rates}).select("doc_id").collect()
     }
-    assert kept_ids <= all_kept
+    assert doubled_ids <= all_kept
     assert len(all_kept) == 200
 
 
