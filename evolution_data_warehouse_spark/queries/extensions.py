@@ -918,3 +918,99 @@ def agg_approx_sample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(4.0) * rel_se * F.col("_exact_mean")
         ).alias("within_envelope"),
     )
+
+
+# Five hub coordinates, shared verbatim by engine and oracle.
+_GEO_HUBS = [
+    ("paris", 48.85, 2.35),
+    ("lyon", 45.76, 4.84),
+    ("lille", 50.63, 3.07),
+    ("bordeaux", 44.84, -0.58),
+    ("marseille", 43.30, 5.37),
+]
+
+
+def _geo_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.common import davg_sql, fpq_sql
+
+    hub_rows = " UNION ALL ".join(
+        f"SELECT '{n}' AS hub, CAST({la} AS DOUBLE) AS hlat, "
+        f"CAST({lo} AS DOUBLE) AS hlon"
+        for n, la, lo in _GEO_HUBS
+    )
+    hav = (
+        "2.0 * 6371.0 * asin(sqrt("
+        "sin(radians(hlat - lat) / 2) * sin(radians(hlat - lat) / 2) "
+        "+ cos(radians(lat)) * cos(radians(hlat)) "
+        "* sin(radians(hlon - lon) / 2) * sin(radians(hlon - lon) / 2)))"
+    )
+    return f"""
+WITH sites AS (
+    SELECT s_suppkey,
+           41.0 + (s_suppkey * 37 % 1000) / 100.0 AS lat,
+           -5.0 + (s_suppkey * 91 % 1300) / 100.0 AS lon
+    FROM supplier
+),
+hubs AS ({hub_rows}),
+dists AS (
+    SELECT s_suppkey, hub, {hav} AS km FROM sites CROSS JOIN hubs
+),
+nearest AS (
+    SELECT s_suppkey, hub, km FROM (
+        SELECT s_suppkey, hub, km,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s_suppkey ORDER BY km, hub
+               ) AS rn
+        FROM dists
+    ) WHERE rn = 1
+)
+SELECT hub, COUNT(*) AS n_suppliers,
+       {fpq_sql(davg_sql('km', 6), 4)} AS avg_km
+FROM nearest GROUP BY hub
+"""
+
+
+@register(
+    "geo_nearest_hub",
+    _geo_oracle(),
+    doc="Geo nearest-neighbor assignment: each supplier site (synthetic "
+    "deterministic lat/lon from its key — the testdata has no "
+    "coordinates; the projection formula is shared with the oracle) "
+    "joins the 5-row hub table (broadcast), haversine in pure column "
+    "expressions, per-site argmin fully tie-broken by hub name. The "
+    "nearest-hub margins are ≥0.3 km at every tested scale — 12 "
+    "orders above cross-libm trig ulp noise — and the reported mean "
+    "distance is decimal-summed and fixed-point-quantized, so the "
+    "assignment and the report are both engine-stable.",
+)
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.common import davg
+
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (41.0 + (F.col("s_suppkey") * 37 % 1000) / 100.0).alias("lat"),
+        (-5.0 + (F.col("s_suppkey") * 91 % 1300) / 100.0).alias("lon"),
+    )
+    hubs = spark.createDataFrame(_GEO_HUBS, "hub string, hlat double, hlon double")
+    dlat = F.radians(F.col("hlat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("hlon") - F.col("lon")) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(F.col("lat")))
+        * F.cos(F.radians(F.col("hlat")))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    km = 2.0 * 6371.0 * F.asin(F.sqrt(a))
+    dists = supp.crossJoin(F.broadcast(hubs)).select(
+        "s_suppkey", "hub", km.alias("km")
+    )
+    w = W.partitionBy("s_suppkey").orderBy(F.asc("km"), F.asc("hub"))
+    nearest = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return nearest.groupBy("hub").agg(
+        F.count("*").alias("n_suppliers"),
+        fpq(davg("km", 6), 4).alias("avg_km"),
+    )

@@ -27,6 +27,7 @@ _BNL_OK = {
     "emb_norm_outliers",
     "agg_sketch_union",
     "agg_approx_sample_mean",
+    "geo_nearest_hub",  # 5-row hub table cross join, broadcast
 }
 
 
