@@ -1236,3 +1236,55 @@ def snk_csv(spark, sf_dir: str):
     return spark.read.schema("c_mktsegment string, n_customers long").option(
         "header", True
     ).csv(path)
+
+
+_SCHEMA_EVO_ORACLE = """
+WITH v1 AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+v2 AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(priority_known, 'unknown') AS priority_known,
+       COUNT(*) AS n_orders
+FROM (
+    SELECT CAST(NULL AS VARCHAR) AS priority_known FROM v1
+    UNION ALL
+    SELECT o_orderpriority FROM v2
+)
+GROUP BY COALESCE(priority_known, 'unknown')
+"""
+
+
+@register(
+    "src_schema_evolution",
+    _SCHEMA_EVO_ORACLE,
+    doc="Schema evolution on read: a v1 batch (2 columns) and a v2 "
+    "batch (adds o_orderpriority) land in one directory; the "
+    "mergeSchema read unifies them, v1 rows surfacing NULL for the "
+    "added column — the additive-evolution contract an append-only "
+    "lake must honor (readers never break when writers add columns). "
+    "The rollup buckets NULLs as 'unknown' to keep the check "
+    "deterministic.",
+)
+def src_schema_evolution(spark, sf_dir: str):
+    path = _scratch("schema_evo", sf_dir)
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("unknown")).alias(
+                "priority_known"
+            )
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
