@@ -1014,3 +1014,47 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_suppliers"),
         fpq(davg("km", 6), 4).alias("avg_km"),
     )
+
+
+_PIVOT_MULTI_ORACLE = f"""
+SELECT l_linestatus,
+       {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END")}
+           AS a_qty,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS a_n,
+       {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END")}
+           AS r_qty,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS r_n
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "agg_pivot_multi",
+    _PIVOT_MULTI_ORACLE,
+    doc="Pivot with MULTIPLE measures per pivoted value (sum + count "
+    "for each return flag): Spark's pivot takes several aggregates at "
+    "once — still one shuffle, the measure pairs are parallel partial "
+    "aggregates. Pivot values pinned per the determinism rules; "
+    "the flag_measure column names are aliased to match the oracle's "
+    "conditional-aggregation spelling.",
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "R"])
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),  # count(*) is invalid inside pivot
+        )
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A_qty").alias("a_qty"),
+        F.col("A_n").alias("a_n"),
+        F.col("R_qty").alias("r_qty"),
+        F.col("R_n").alias("r_n"),
+    )

@@ -1288,3 +1288,51 @@ def src_schema_evolution(spark, sf_dir: str):
         )
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+_NULL_SAFE_ORACLE = """
+WITH c AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS nk
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS nk
+    FROM supplier
+)
+SELECT CAST(c.nk IS NULL AS INT) AS null_bucket,
+       COUNT(*) AS n_pairs
+FROM c JOIN s ON c.nk IS NOT DISTINCT FROM s.nk
+GROUP BY CAST(c.nk IS NULL AS INT)
+"""
+
+
+@register(
+    "join_null_safe",
+    _NULL_SAFE_ORACLE,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of vanishing — the semantics a "
+    "'group unknowns together' reconciliation needs, where a plain "
+    "equi-join silently drops every NULL-keyed row. NULLs synthesized "
+    "deterministically on both sides; still a hash join (the null-safe "
+    "operator is an equi-key to Spark, not a theta join).",
+)
+def join_null_safe(spark, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nk"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, None)
+        .otherwise(F.col("s_nationkey"))
+        .alias("s_nk"),
+    )
+    return (
+        c.join(s, c.c_nk.eqNullSafe(s.s_nk))
+        .groupBy(F.col("c_nk").isNull().cast("int").alias("null_bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -417,3 +417,37 @@ def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("bigint")
         .alias("n_chars_roundtrip"),
     )
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN []
+                ELSE str_split(lower(text), ' ')[1:3] END AS head_toks
+    FROM documents
+)
+SELECT doc_id, t.tok
+FROM toks LEFT JOIN LATERAL (
+    SELECT unnest(head_toks) AS tok
+) AS t ON TRUE
+"""
+
+
+@register(
+    "fn_explode_outer",
+    _EXPLODE_OUTER_ORACLE,
+    doc="explode_outer: rows with EMPTY arrays survive as a NULL row "
+    "instead of disappearing — the difference between 'tokenize and "
+    "keep every document' and silently losing empty ones (plain "
+    "explode's trap in a corpus pipeline). Empty arrays synthesized "
+    "deterministically on one doc in five.",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.when(
+        F.col("doc_id") % 5 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split(F.lower(F.col("text")), " "), 1, 3))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("head_toks"))
+        .select("doc_id", F.explode_outer("head_toks").alias("tok"))
+    )
