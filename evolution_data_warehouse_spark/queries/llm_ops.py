@@ -1663,3 +1663,68 @@ def mm_filter_by_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fake_height").cast("int").alias("min_height"),
         )
     )
+
+
+# Chunking geometry: 16-token windows advancing by 12 (4-token overlap)
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(s AS INT) AS chunk_id,
+           array_to_string(tk[s * {_CHUNK_STRIDE} + 1 :
+                              s * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' ')
+               AS chunk_text,
+           CAST(len(tk[s * {_CHUNK_STRIDE} + 1 :
+                       s * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS INT)
+               AS n_tokens
+    FROM toks,
+         LATERAL unnest(range(0, CAST(ceil(
+             greatest(len(tk) - {_CHUNK_SIZE}, 0) / {_CHUNK_STRIDE}.0
+         ) AS BIGINT) + 1)) AS u(s)
+)
+SELECT doc_id, chunk_id, chunk_text, n_tokens FROM chunks
+"""
+
+
+@register(
+    "text_chunk_overlap",
+    _CHUNK_ORACLE,
+    doc=f"Document chunking with overlap (RAG/window prep): "
+    f"{_CHUNK_SIZE}-token windows advancing by {_CHUNK_STRIDE}, so "
+    f"consecutive chunks share {_CHUNK_SIZE - _CHUNK_STRIDE} tokens "
+    "and no token is lost at a boundary. The chunk index generates "
+    "executor-side (sequence + explode over a per-doc count) — one "
+    "narrow pass, output rows ≈ corpus tokens ÷ stride; every chunk "
+    "carries (doc_id, chunk_id) so provenance survives shuffling.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = F.split(F.lower(F.col("text")), " ")
+    n = F.size(tk)
+    n_chunks = (
+        F.ceil(
+            F.greatest(n - F.lit(_CHUNK_SIZE), F.lit(0))
+            / F.lit(float(_CHUNK_STRIDE))
+        ).cast("bigint")
+        + 1
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "s"
+        ),
+    )
+    chunk = F.slice(
+        F.col("tk"), (F.col("s") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_SIZE
+    )
+    return docs.select(
+        "doc_id",
+        F.col("s").cast("int").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

@@ -430,3 +430,31 @@ def test_expectations_report_counts_match_python_model(spark, data):
     exp_ok = sum(1 for _, ok in data if ok)
     assert rep["x_small"] == (exp_small, n - exp_small, n)
     assert rep["flagged"] == (exp_ok, n - exp_ok, n)
+
+
+def test_chunk_overlap_covers_every_token(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries import REGISTRY
+    from evolution_data_warehouse_spark.queries.common import t
+
+    chunks = REGISTRY["text_chunk_overlap"].fn(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tok")
+    )
+    # coverage: last chunk must reach the final token — i.e. for every
+    # doc, stride * last_chunk_id + chunk_len >= n_tok — and chunk 0
+    # must exist for every doc (empty docs still chunk once)
+    last = chunks.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_id"),
+        F.min("chunk_id").alias("first_id"),
+        F.count("*").alias("n_chunks"),
+    )
+    j = last.join(docs, "doc_id")
+    bad = j.join(
+        chunks.select("doc_id", "chunk_id", "n_tokens"),
+        (F.col("chunk_id") == F.col("last_id")) & (j.doc_id == chunks.doc_id),
+    ).filter(
+        (F.col("first_id") != 0)
+        | (F.lit(12) * F.col("last_id") + F.col("n_tokens") < F.col("n_tok"))
+    )
+    assert bad.count() == 0
+    assert last.count() == docs.count()
