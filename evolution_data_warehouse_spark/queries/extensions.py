@@ -1051,10 +1051,12 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),  # count(*) is invalid inside pivot
         )
     )
+    # empty pivot cells are NULL in Spark but 0 in the oracle's
+    # conditional sums — normalize like agg_pivot does
     return p.select(
         "l_linestatus",
-        F.col("A_qty").alias("a_qty"),
-        F.col("A_n").alias("a_n"),
-        F.col("R_qty").alias("r_qty"),
-        F.col("R_n").alias("r_n"),
+        F.coalesce(F.col("A_qty"), F.lit(0.0)).alias("a_qty"),
+        F.coalesce(F.col("A_n"), F.lit(0)).alias("a_n"),
+        F.coalesce(F.col("R_qty"), F.lit(0.0)).alias("r_qty"),
+        F.coalesce(F.col("R_n"), F.lit(0)).alias("r_n"),
     )

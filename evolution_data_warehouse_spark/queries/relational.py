@@ -1277,9 +1277,21 @@ def src_schema_evolution(spark, sf_dir: str):
     v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    v1.write.mode("overwrite").parquet(path)
-    v2.write.mode("append").parquet(path)
-    merged = spark.read.option("mergeSchema", True).parquet(path)
+    # clear any previous layout first (recursiveFileLookup would pick
+    # up stale root-level files beside the subdirs)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p_root = jvm.org.apache.hadoop.fs.Path(path)
+    p_root.getFileSystem(hconf).delete(p_root, True)
+    # distinct subdirs: no overwrite-then-append window where the
+    # directory transiently holds only half the data
+    v1.write.mode("overwrite").parquet(f"{path}/v1")
+    v2.write.mode("overwrite").parquet(f"{path}/v2")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(path)
+    )
     return (
         merged.groupBy(
             F.coalesce(F.col("o_orderpriority"), F.lit("unknown")).alias(

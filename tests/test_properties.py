@@ -458,3 +458,25 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
     )
     assert bad.count() == 0
     assert last.count() == docs.count()
+
+    # per-BOUNDARY continuity: each chunk must start no later than the
+    # previous chunk's end + 1, i.e. stride <= previous chunk length —
+    # the end-reached check alone would miss mid-document gaps
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    assert _CHUNK_STRIDE <= _CHUNK_SIZE
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("chunk_id")
+    gaps = (
+        chunks.withColumn("prev_n", F.lag("n_tokens").over(w))
+        .filter(
+            F.col("prev_n").isNotNull()
+            & (F.lit(_CHUNK_STRIDE) > F.col("prev_n"))
+        )
+        .count()
+    )
+    assert gaps == 0
