@@ -42,7 +42,7 @@ from evolution_data_warehouse_spark.queries import event_analytics as _event_ana
 # Everything registered after the 50-window (the second round-5 batch,
 # the TPC-H completion set, and the round-5 additions: event analytics,
 # corpus mixing/curation, stats/sketch/AQP aggregates, data-layout and
-# maintenance queries, CDC, LM scoring, incremental near-dup — 49
+# maintenance queries, CDC, LM scoring, incremental near-dup — the
 # never-verified entries in the COVERAGE.md ledger) deliberately lands
 # AFTER the window: tools/drive_contract.py verifies all of it locally
 # this round (plus vanilla-200-partition and sf0.1 spot checks), and it
