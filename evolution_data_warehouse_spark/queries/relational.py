@@ -1348,3 +1348,31 @@ def join_null_safe(spark, sf_dir: str):
         .groupBy(F.col("c_nk").isNull().cast("int").alias("null_bucket"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+_RIGHT_OUTER_ORACLE = """
+SELECT n_name,
+       CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register(
+    "join_right_outer",
+    _RIGHT_OUTER_ORACLE,
+    doc="Right outer join: every nation survives, supplier-less nations "
+    "count 0 (COUNT over the nullable key skips the null-extended "
+    "rows) — the mirror of join_left_outer, here with the PRESERVED "
+    "side small and broadcast-ineligible by role (the preserved side "
+    "of an outer join cannot be the build side, so Spark plans "
+    "build-left).",
+)
+def join_right_outer(spark, sf_dir: str):
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
