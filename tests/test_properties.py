@@ -480,3 +480,29 @@ def test_chunk_overlap_covers_every_token(spark, sf_dir):
         .count()
     )
     assert gaps == 0
+
+
+def test_cohort_and_transition_structural_invariants(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries import REGISTRY
+    from evolution_data_warehouse_spark.queries.common import t
+
+    ev = t(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+
+    # every user is active in their own first week: the offset-0 row of
+    # each cohort must count exactly the cohort's members, and summing
+    # offset-0 across cohorts recovers the full user population
+    cohort = REGISTRY["cohort_retention"].fn(spark, sf_dir)
+    week0 = (
+        cohort.filter(F.col("week_offset") == 0)
+        .agg(F.sum("active_users"))
+        .collect()[0][0]
+    )
+    assert week0 == n_users
+
+    # each user contributes (events - 1) transitions, so the matrix's
+    # grand total is n_events - n_users
+    trans = REGISTRY["event_transition_matrix"].fn(spark, sf_dir)
+    total = trans.agg(F.sum("n_transitions")).collect()[0][0]
+    assert total == n_events - n_users
