@@ -19,10 +19,20 @@ def incremental_append(
     out_dir: str,
     checkpoint_dir: str,
     transform=None,
+    max_files_per_trigger: int | None = None,
 ) -> int:
     """Drain new files from src_dir into out_dir (parquet, append),
-    tracked by checkpoint. Returns number of batches processed this run."""
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    tracked by checkpoint. Returns number of batches processed this run.
+
+    ``max_files_per_trigger`` bounds each micro-batch: a landing zone
+    with tens of thousands of backlog files must drain in bounded
+    slices (memory and commit size stay O(slice), availableNow still
+    drains EVERYTHING before returning) rather than one giant batch.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_dir)
     if transform is not None:
         stream = transform(stream)
     q = (

@@ -406,3 +406,29 @@ def test_incremental_upsert_latest_matches_batch_cdc(spark, sf_dir, tmp_path):
         for r in REGISTRY["cdc_apply_log"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_append_bounded_batches(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.streaming.incremental import (
+        incremental_append,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    # an 8-file backlog
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n_batches = incremental_append(
+        spark, src, ev.schema, out, ckpt, max_files_per_trigger=2
+    )
+    # the backlog drained in bounded slices, not one giant batch ...
+    assert n_batches >= 4
+    # ... and nothing was lost or duplicated
+    landed = spark.read.parquet(out)
+    assert landed.count() == ev.count()
+    assert landed.select(F.sum("event_id")).collect()[0][0] == \
+        ev.select(F.sum("event_id")).collect()[0][0]
