@@ -452,3 +452,58 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(has_view.cast("int")).alias("sessions_with_view"),
         F.sum(converted.cast("int")).alias("converted_sessions"),
     )
+
+
+_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+islands AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day
+           ) AS INT) AS island_key
+    FROM days
+)
+SELECT user_id,
+       MIN(day) AS streak_start,
+       MAX(day) AS streak_end,
+       COUNT(*) AS streak_days
+FROM islands
+GROUP BY user_id, island_key
+"""
+
+
+@register(
+    "win_gaps_islands",
+    _STREAK_ORACLE,
+    doc="Gaps-and-islands (consecutive-day activity streaks per user): "
+    "distinct active days, then the day-minus-row_number constant "
+    "groups each consecutive run into one island — two aggregates and "
+    "one window, all shuffling on user_id; no self-join, no recursion. "
+    "The canonical streak/uptime/retention-run primitive.",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island_key",
+        F.date_sub(F.col("day"), F.row_number().over(w)),
+    )
+    return (
+        islands.groupBy("user_id", "island_key")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("island_key")
+    )

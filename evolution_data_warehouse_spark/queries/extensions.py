@@ -1060,3 +1060,29 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("R_qty"), F.lit(0.0)).alias("r_qty"),
         F.coalesce(F.col("R_n"), F.lit(0)).alias("r_n"),
     )
+
+
+_WAVG_ORACLE = f"""
+SELECT l_returnflag,
+       {dsum_sql('l_extendedprice * l_discount', 4)}
+           / {dsum_sql('l_extendedprice', 2)} AS wavg_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_weighted_avg",
+    _WAVG_ORACLE,
+    doc="Value-weighted average (revenue-weighted discount rate — the "
+    "BI measure where a plain AVG over-weights small lines): both the "
+    "weighted numerator and the weight sum go through decimal casts, "
+    "so the ratio is a quotient of exact values — bit-identical at any "
+    "partitioning. One map-side-combined shuffle.",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wavg = dsum(F.col("l_extendedprice") * F.col("l_discount"), 4) / dsum(
+        "l_extendedprice", 2
+    )
+    return li.groupBy("l_returnflag").agg(wavg.alias("wavg_discount"))
