@@ -32,50 +32,38 @@ from evolution_data_warehouse_spark.queries import event_analytics as _event_ana
 
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
-# front of the registry is the set we most need a verdict on.  After
-# r1∪r2∪r3∪r4 every registry query has a green driver verdict; the
-# round-5 window is sized to exactly 50: the 6 never-verified round-5
-# additions (decontaminate_apply + five TPC-H shapes) lead, then the
-# 17 queries whose only green dates to r1 (windows/sorts/sets/scalar-fn
-# head — three rounds and one Spark minor version old, the one place a
-# silent behavior drift could hide), then the 27 r2-stale entries.
-# Everything registered after the 50-window (the second round-5 batch,
-# the TPC-H completion set, and the round-5 additions: event analytics,
-# corpus mixing/curation, stats/sketch/AQP aggregates, data-layout and
-# maintenance queries, CDC, LM scoring, incremental near-dup — the
-# never-verified entries in the COVERAGE.md ledger) deliberately lands
-# AFTER the window: tools/drive_contract.py verifies all of it locally
-# this round (plus vanilla-200-partition and sf0.1 spot checks), and it
-# leads the round-6 window with the r3-stale refresh behind it per the
-# CLAUDE.md rotation procedure.
-_R5_NEW = (
-    "decontaminate_apply",
-    "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q18",
+# front of the registry is the set we most need a verdict on.  The
+# round-6 window is the 50 never-driver-verified entries (of 52 —
+# every one already green via tools/drive_contract.py locally and via
+# the r5 judge's independent 52/52 run, but the official driver record
+# should catch up): the round-5 extension batch (layout / null-safe /
+# try_cast / chunking heads), the LLM & analytics additions, the TPC-H
+# completion set, and the event-analytics suite.  The 2 leftovers
+# (session_conversion, win_gaps_islands — the newest additions, with
+# the freshest local evidence) plus the 18 r3-stale entries lead the
+# round-7 window per the CLAUDE.md rotation procedure.  Queries added
+# during round 6 land AFTER the window and join the r7 head.
+_R6_WINDOW = (
+    "snk_clustered_prune", "join_effective_dated", "snk_csv",
+    "src_schema_evolution", "join_null_safe", "join_right_outer",
+    "fn_try_cast", "fn_explode_outer", "text_bigram_topk",
+    "emb_norm_outliers", "dedup_exact_normalized", "text_lm_score",
+    "dedup_minhash_incremental", "mm_filter_by_meta", "text_chunk_overlap",
+    "quality_expectations", "proc_maintenance_layout", "win_moving_avg",
+    "agg_stats_suite", "agg_histogram", "agg_incremental_merge",
+    "agg_sketch_union", "win_range_7d", "win_share_of_total",
+    "agg_approx_sample_mean", "geo_nearest_hub", "agg_pivot_multi",
+    "agg_weighted_avg", "tpch_q17", "tpch_q21", "tpch_q22", "tpch_q2",
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q20",
+    "pack_efficiency", "split_leakage_audit", "corpus_mix_sample",
+    "source_quality_report", "pack_render", "funnel_conversion",
+    "cohort_retention", "win_fill_forward", "ts_resample_daily",
+    "event_transition_matrix", "ts_time_weighted_avg", "cdc_apply_log",
+    "agg_mode_per_group",
 )
-_R1_STALE = (
-    "win_version_latest", "win_topn_recent", "win_surrogate_key",
-    "win_running_sum", "sort_multikey", "sort_view", "limit_topn",
-    "set_union_all", "set_concat_append", "agg_distinct", "agg_rollup",
-    "fn_zfill", "fn_regex_extract", "fn_cast_numeric", "fn_case_when",
-    "fn_coalesce", "fn_nullif",
-)
-_R2_STALE = (
-    "dedup_clusters", "dedup_embedding_lsh", "dedup_keep_canonical",
-    "fn_current_ts", "fn_datediff", "mm_audio_features",
-    "mm_embedding_quantize", "mm_frame_sample", "mm_resize_stub",
-    "pandas_zscore", "proc_backup", "proc_log_etl", "proc_orchestration",
-    "proc_refresh_stats", "profile_columns", "sim_ann_ivf", "sim_centroid",
-    "sim_kmeans_assign", "snk_jdbc_roundtrip", "src_blob_list", "src_orc",
-    "src_rest_api", "stream_interval_join", "stream_window_counts",
-    "text_tfidf", "udf_extra_transform", "view_open_errors",
-)
-_ordered: list[str] = list(_R5_NEW)
-_ordered.extend(n for n in _R1_STALE if n not in _ordered)
-_ordered.extend(n for n in _R2_STALE if n not in _ordered)
+_ordered: list[str] = list(_R6_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [
-    n for n in (_R5_NEW + _R1_STALE + _R2_STALE) if n not in REGISTRY
-]
+_missing = [n for n in _R6_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
