@@ -382,7 +382,9 @@ def fn_derived_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRY_CAST_ORACLE = """
 SELECT doc_id,
-       TRY_CAST(split_part(text, ' ', 1) AS INT) AS first_token_as_int,
+       TRY_CAST(CASE WHEN regexp_matches(split_part(text, ' ', 1), '^-?[0-9]+$')
+                     THEN split_part(text, ' ', 1) END AS INT)
+           AS first_token_as_int,
        TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
                      ELSE lang END AS INT) AS mixed_as_int,
        TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_roundtrip
@@ -400,11 +402,15 @@ FROM documents
     "a genuinely mixed column (integer strings succeed, language codes "
     "null out — integer strings deliberately, since Spark truncates "
     "and DuckDB rounds decimal strings cast to INT), and a round trip "
-    "that always succeeds.",
+    "that always succeeds. The first-token cast is gated by an "
+    "integer-only regexp on BOTH sides so a decimal-looking token in a "
+    "future testdata refresh cannot trip the truncate-vs-round "
+    "divergence — the gate, not the data, carries the parity.",
 )
 def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    first_tok = F.split(F.col("text"), " ").getItem(0)
+    raw_tok = F.split(F.col("text"), " ").getItem(0)
+    first_tok = F.when(raw_tok.rlike(r"^-?[0-9]+$"), raw_tok)
     mixed = F.when(
         F.col("doc_id") % 3 == 0, F.col("n_chars").cast("string")
     ).otherwise(F.col("lang"))

@@ -275,8 +275,15 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
         if last_type is not None:
             types = [last_type] + types
         last = rows.iloc[-1]
+        # ts may surface as pandas Timestamp (TimestampNTZ) or as a raw
+        # int64 (the nanosAsLong path on Spark < 4.1) — pd.Timestamp
+        # normalizes both to epoch nanoseconds.
         state.update(
-            (int(last["ts"].value), int(last["event_id"]), str(last["event_type"]))
+            (
+                int(pd.Timestamp(last["ts"]).value),
+                int(last["event_id"]),
+                str(last["event_type"]),
+            )
         )
         pairs: dict[tuple[str, str], int] = {}
         for a, b in zip(types, types[1:]):

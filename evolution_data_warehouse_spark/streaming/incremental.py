@@ -51,6 +51,19 @@ def read_target(spark: SparkSession, out_dir: str, schema) -> DataFrame:
     return spark.read.schema(schema).parquet(out_dir)
 
 
+def read_upsert_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Read an ``incremental_upsert_latest`` store, hiding tombstones.
+
+    The store keeps one marker row per deleted key (``_deleted=true``)
+    so late out-of-order ops cannot resurrect deleted keys; consumers
+    see only live rows, without the bookkeeping column.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(store_dir)
+    return df.filter(~F.col("_deleted")).drop("_deleted")
+
+
 def incremental_upsert_latest(
     spark: SparkSession,
     src_dir: str,
@@ -67,16 +80,21 @@ def incremental_upsert_latest(
 
     Each micro-batch reduces to its own latest row per key (tie-broken
     by ``seq_cols``), then merges against the store keeping whichever
-    side is newer; keys whose winning op satisfies ``tombstone_pred``
-    are deleted. The merge is one outer join keyed on ``key_col`` —
-    batch-sized × store-sized, never log-sized — and the store rewrite
-    is the same read-merge-overwrite discipline as the SCD batches.
-    Exactly-once across restarts comes from the file-source checkpoint.
-    Deletion is as-of-the-latest-op: a tombstoned key stays absent
-    unless a NEWER op arrives — rows older than an applied tombstone
-    would re-insert only under out-of-order delivery, the same
-    in-order assumption the stateful operators document (pair with a
-    watermark-bounded source at real scale).
+    side is newer. Keys whose winning op satisfies ``tombstone_pred``
+    are NOT physically removed: the winning row is kept with a
+    ``_deleted=true`` marker so that an out-of-order OLDER op arriving
+    in a later batch loses the seq comparison against the tombstone and
+    cannot resurrect the key (read through ``read_upsert_store``, which
+    filters the markers). A tombstoned key reappears only when a
+    genuinely NEWER non-tombstone op arrives — the same semantics as
+    the batch ``cdc_apply_log`` twin, now without any in-order
+    delivery assumption. The merge is one window pass over
+    batch-latest ∪ store — batch-sized × store-sized, never log-sized —
+    and the store rewrite is the same read-merge-overwrite discipline
+    as the SCD batches. Exactly-once across restarts comes from the
+    file-source checkpoint. (Tombstone markers accumulate one row per
+    deleted key; at real scale pair with a retention sweep that drops
+    markers older than the source's max lateness, i.e. the watermark.)
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -90,6 +108,12 @@ def incremental_upsert_latest(
             batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+        )
+        latest = latest.withColumn(
+            "_deleted",
+            tombstone_pred(latest)
+            if tombstone_pred is not None
+            else F.lit(False),
         )
         # explicit existence probe — a transient read failure must
         # PROPAGATE, not silently rebuild the store from one batch
@@ -113,8 +137,6 @@ def incremental_upsert_latest(
             )
         else:
             merged = latest
-        if tombstone_pred is not None:
-            merged = merged.filter(~tombstone_pred(merged))
         # crash-safe swap, same discipline as compact_small_files:
         # write staging, move live aside, move staging in, drop backup
         tmp = f"{store_dir}__staging"

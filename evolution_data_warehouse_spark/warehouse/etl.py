@@ -246,6 +246,18 @@ def compact_small_files(
     crash can lose at most the *rewrite*, never the table; each rename
     return value is checked because Hadoop rename reports failure as
     False, not an exception.
+
+    Two honest caveats on "crash-safe" (ADVICE r5). (1) Durability, not
+    isolation: between the two renames a concurrent reader listing
+    ``path`` sees no table — run compaction in the pipeline's
+    maintenance slot, or front the directory with a pointer/manifest
+    (write each rewrite to a versioned dir and flip a ``_current``
+    marker, which readers resolve first) when readers are always-on.
+    (2) On object stores (s3a://, abfs://) Hadoop ``rename`` is a
+    non-atomic O(data) copy-then-delete, so both the window and the
+    crash exposure grow with table size there — the pointer/manifest
+    publish is the right discipline on those schemes; directory rename
+    is only metadata-atomic on HDFS-like filesystems.
     """
     df = spark.read.parquet(path)
     tmp = f"{path}__compacting"

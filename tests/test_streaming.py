@@ -373,6 +373,7 @@ def test_incremental_upsert_latest_matches_batch_cdc(spark, sf_dir, tmp_path):
     from evolution_data_warehouse_spark.queries import REGISTRY
     from evolution_data_warehouse_spark.streaming.incremental import (
         incremental_upsert_latest,
+        read_upsert_store,
     )
 
     ev = t(spark, sf_dir, "events")
@@ -399,13 +400,62 @@ def test_incremental_upsert_latest_matches_batch_cdc(spark, sf_dir, tmp_path):
 
     got = {
         r.user_id: (r.event_id, r.value)
-        for r in spark.read.parquet(store).collect()
+        for r in read_upsert_store(spark, store).collect()
     }
     want = {
         r.user_id: (r.last_event_id, r.last_value)
         for r in REGISTRY["cdc_apply_log"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_upsert_tombstone_blocks_out_of_order_resurrection(spark, tmp_path):
+    """A late, OLDER op for a tombstoned key must lose against the
+    persisted tombstone marker — the key stays deleted. A genuinely
+    NEWER op revives it. (ADVICE r5: without a persisted marker the
+    old op would silently resurrect the deleted key.)"""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.streaming.incremental import (
+        incremental_upsert_latest,
+        read_upsert_store,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        incremental_upsert_latest(
+            spark,
+            src,
+            store,
+            ckpt,
+            schema,
+            tombstone_pred=lambda df: F.col("event_type") == "error",
+        )
+
+    mk = lambda eid, sec, uid, typ: (
+        eid, t0 + datetime.timedelta(seconds=sec), uid, typ, 1.0,
+    )
+    # batch 1: user 1 updated then tombstoned; user 2 live
+    drain([mk(1, 10, 1, "view"), mk(2, 20, 1, "error"), mk(3, 10, 2, "view")])
+    assert {r.user_id for r in read_upsert_store(spark, store).collect()} == {2}
+    # batch 2: an OUT-OF-ORDER older op (sec 15 < tombstone's 20) for
+    # user 1 — must NOT resurrect the key
+    drain([mk(4, 15, 1, "click")])
+    assert {r.user_id for r in read_upsert_store(spark, store).collect()} == {2}
+    # batch 3: a NEWER op (sec 30) revives user 1
+    drain([mk(5, 30, 1, "click")])
+    got = {
+        r.user_id: r.event_id for r in read_upsert_store(spark, store).collect()
+    }
+    assert got == {1: 5, 2: 3}
 
 
 def test_incremental_append_bounded_batches(spark, sf_dir, tmp_path):
