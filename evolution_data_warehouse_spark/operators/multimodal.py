@@ -3,17 +3,29 @@
 Images/audio/video ride through the engine as `binary` columns with a
 metadata struct alongside. The Spark-side machinery — schema, Arrow
 batch shape, `mapInPandas` signatures, partitioning — is real and
-tested; the actual media decode is STUBBED (the decode libraries are
-not in this environment): `decode_image_batch(real=True)` raises
-NotImplementedError, while the default deterministic fake derives
-features from the byte payload so the full pipeline is checkable
-end-to-end (including against a SQL oracle).
+tested. Decode comes in two tiers:
+
+* REAL stdlib codecs (no PIL/libjpeg needed): uncompressed 24-bit BMP,
+  binary PPM (P6), and PNG (8-bit RGB/RGBA, zlib inflate + full
+  None/Sub/Up/Average/Paeth unfiltering, CRC-checked). These parse the
+  actual byte format — `decode_image_real_batch` dispatches on magic
+  bytes and emits width/height plus exact per-channel pixel sums
+  (integer sums, so the output is bit-deterministic and
+  oracle-checkable).
+* JPEG and other entropy-coded codecs stay honestly gated behind
+  NotImplementedError (plug libjpeg/PIL into the same batch signature).
+
+The original deterministic fake (`decode_image_batch()`) remains for
+plumbing-only tests.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -29,18 +41,313 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
+# ---------------------------------------------------------------------------
+# Real stdlib image codecs (BMP / PPM / PNG)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BI_RGB BMP (bottom-up rows, 4-byte row padding)."""
+    h, w, _ = pixels.shape
+    stride = (3 * w + 3) // 4 * 4
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # BGR byte order, bottom row first
+    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed 24-bit BMP → (w, h, (h,w,3) RGB array)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    if h <= 0 or w <= 0:
+        raise ValueError(f"unsupported BMP dimensions {w}x{h}")
+    stride = (3 * w + 3) // 4 * 4
+    body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = body.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    return w, h, rows[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a binary PPM (P6, maxval 255), honoring '#' comments."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval),
+    # with '#' comments running to end-of-line; pixel data starts after
+    # the single whitespace byte that terminates maxval
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise NotImplementedError(f"only maxval 255 PPM supported ({maxval})")
+    body = np.frombuffer(data, dtype=np.uint8, count=3 * w * h, offset=pos)
+    return w, h, body.reshape(h, w, 3)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, raw: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one raw scanline (encoder side)."""
+    raw16 = raw.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), raw16[:-bpp]])
+    up = prev.astype(np.int16)
+    upleft = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
+    if ftype == 0:
+        out = raw16
+    elif ftype == 1:
+        out = raw16 - left
+    elif ftype == 2:
+        out = raw16 - up
+    elif ftype == 3:
+        out = raw16 - (left + up) // 2
+    else:  # Paeth
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+        out = raw16 - pred
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct one scanline from its filtered bytes (decoder side).
+    Sub/Average/Paeth are sequential in the left neighbor, so those run
+    per-byte — scanlines are row-sized, and the batch around this is
+    Arrow-vectorized, so the loop is bounded by image width."""
+    n = len(filt)
+    if ftype == 0:
+        return filt.copy()
+    if ftype == 2:
+        return ((filt.astype(np.int16) + prev) % 256).astype(np.uint8)
+    out = np.zeros(n, dtype=np.uint8)
+    for i in range(n):
+        left = int(out[i - bpp]) if i >= bpp else 0
+        up = int(prev[i])
+        upleft = int(prev[i - bpp]) if i >= bpp else 0
+        if ftype == 1:
+            pred = left
+        elif ftype == 3:
+            pred = (left + up) // 2
+        elif ftype == 4:
+            p = left + up - upleft
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[i] = (int(filt[i]) + pred) % 256
+    return out
+
+
+def encode_png(pixels: np.ndarray, filter_per_row=None) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as an 8-bit PNG (color type
+    2 or 6). ``filter_per_row(y)`` picks the filter type per scanline
+    (default: y % 5, exercising every filter)."""
+    h, w, ch = pixels.shape
+    color_type = {3: 2, 4: 6}[ch]
+    pick = filter_per_row or (lambda y: y % 5)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    stream = bytearray()
+    for y in range(h):
+        raw = pixels[y].reshape(-1)
+        ftype = pick(y)
+        stream.append(ftype)
+        stream.extend(_png_filter_row(ftype, raw, prev, ch).tobytes())
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an 8-bit non-interlaced RGB/RGBA PNG → (w, h, pixels).
+    CRC-checked per chunk; multiple IDAT chunks are concatenated."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(_PNG_SIG), bytearray(), None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(stream) != h * (1 + w * ch):
+        raise ValueError("PNG pixel stream length mismatch")
+    stream = stream.reshape(h, 1 + w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    rows = np.zeros((h, w * ch), dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter_row(int(stream[y, 0]), stream[y, 1:], prev, ch)
+        rows[y] = prev
+    return w, h, rows.reshape(h, w, ch)
+
+
+def decode_image_auto(data: bytes) -> dict:
+    """Dispatch on magic bytes and decode for real. Returns format,
+    dimensions, and EXACT per-channel integer pixel sums (alpha ignored
+    for RGBA) — integer outputs keep the operator bit-deterministic.
+    JPEG (and anything else entropy-coded) stays honestly gated."""
+    if data[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode needs libjpeg/PIL — plug it into this dispatch; "
+            "BMP/PPM/PNG decode here on the stdlib"
+        )
+    if data[:2] == b"BM":
+        fmt, (w, h, px) = "bmp", decode_bmp(data)
+    elif data[:2] == b"P6":
+        fmt, (w, h, px) = "ppm", decode_ppm(data)
+    elif data[: len(_PNG_SIG)] == _PNG_SIG:
+        fmt, (w, h, px) = "png", decode_png(data)
+    else:
+        raise ValueError(f"unrecognized image magic {data[:8]!r}")
+    sums = px.reshape(-1, px.shape[2]).astype(np.int64).sum(axis=0)
+    return {
+        "format": fmt,
+        "width": w,
+        "height": h,
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+    }
+
+
+REAL_DECODE_SCHEMA = (
+    "doc_id long, format string, width int, height int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_image_real_batch():
+    """mapInPandas fn: real BMP/PPM/PNG parse of the `payload` column →
+    (format, width, height, exact channel sums) per row."""
+
+    def real_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_auto(bytes(b)) for b in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].astype("int64").values)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return real_decode
+
+
+def synth_image_payload_batch():
+    """mapInPandas fn synthesizing a REAL image per doc (format cycles
+    bmp/ppm/png by doc_id % 3) with closed-form pixel content — r = x
+    gradient, g = y gradient, b = doc_id % 256 — so an oracle can
+    compute the exact decoded channel sums from doc_id alone. The PNG
+    rows cycle through all five filter types, so decoding these
+    payloads exercises the full unfilter path, not just filter 0."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                x = np.arange(w, dtype=np.uint8)
+                y = np.arange(h, dtype=np.uint8)
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = x[None, :]
+                px[:, :, 1] = y[:, None]
+                px[:, :, 2] = d % 256
+                enc = (encode_bmp, encode_ppm, encode_png)[d % 3]
+                payloads.append(enc(px))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return gen
+
+
+def decode_documents_real(df: DataFrame) -> DataFrame:
+    """documents → synthesized real image payloads → real decode.
+    Two mapInPandas stages over the same partitioning (no shuffle
+    between them: both are narrow maps)."""
+    ids = df.select("doc_id")
+    payloads = ids.mapInPandas(
+        synth_image_payload_batch(), "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(decode_image_real_batch(), REAL_DECODE_SCHEMA)
+
+
 def decode_image_batch(real: bool = False):
     """Return a mapInPandas function decoding `payload` → features.
 
-    real=True is the production path (PIL/libjpeg etc.) — stubbed here.
-    The fake path is deterministic in the payload bytes, so results are
-    reproducible and oracle-checkable.
+    real=True returns the stdlib BMP/PPM/PNG parser
+    (`decode_image_real_batch` — note its different output schema,
+    REAL_DECODE_SCHEMA); the default fake path is deterministic in the
+    payload bytes for plumbing-only checks.
     """
     if real:
-        raise NotImplementedError(
-            "media decode libraries are not available in this environment; "
-            "plug a PIL/torchvision decoder into this batch signature"
-        )
+        return decode_image_real_batch()
 
     def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

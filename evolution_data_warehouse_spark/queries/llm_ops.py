@@ -405,6 +405,50 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_documents(t(spark, sf_dir, "documents"))
 
 
+# Oracle computes the decoded facts in closed form from doc_id alone:
+# the synthesizer draws an image whose pixels are r = x-gradient,
+# g = y-gradient, b = doc_id % 256, so the exact channel sums are
+# h*w(w-1)/2, w*h(h-1)/2 and w*h*(doc_id%256). The Spark side must
+# byte-encode (BMP/PPM/PNG by doc_id % 3, PNG cycling all five filter
+# types) and then PARSE those bytes back — only a correct real decode
+# reproduces these numbers.
+_MM_REAL_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'png' END
+           AS format,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CAST((3 + doc_id % 7) * ((4 + doc_id % 13) * (3 + doc_id % 13)) // 2
+            AS BIGINT) AS sum_r,
+       CAST((4 + doc_id % 13) * ((3 + doc_id % 7) * (2 + doc_id % 7)) // 2
+            AS BIGINT) AS sum_g,
+       CAST((4 + doc_id % 13) * (3 + doc_id % 7) * (doc_id % 256) AS BIGINT)
+           AS sum_b
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_real",
+    _MM_REAL_ORACLE,
+    doc="REAL image decode on the stdlib (no PIL): BMP (24-bit BI_RGB "
+    "struct parse), PPM P6, and PNG (zlib inflate + full "
+    "None/Sub/Up/Average/Paeth unfilter, per-chunk CRC check). Payloads "
+    "are synthesized per doc with closed-form pixel content, then the "
+    "decoder must parse the actual bytes back; the oracle knows the "
+    "channel sums analytically, so any header/stride/filter/row-order "
+    "bug breaks the hash. Two narrow mapInPandas stages, no shuffle; "
+    "JPEG stays honestly gated NotImplementedError "
+    "(operators/multimodal.py decode_image_auto).",
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_documents_real,
+    )
+
+    return decode_documents_real(t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup, SimHash, hyperplane-LSH ANN
 # ---------------------------------------------------------------------------
