@@ -66,6 +66,13 @@ SF1_QUERIES = [
     # shuffles / bin-keyed ordered concat)
     "funnel_conversion",
     "pack_render",
+    # LLM heavies (r5 verdict item 6): incremental near-dup (corpus ×
+    # batch banding), bigram-LM scoring (model-sized joins), cross-split
+    # contamination audit (shingle equi-join), sessionized funnel
+    "dedup_minhash_incremental",
+    "text_lm_score",
+    "split_leakage_audit",
+    "session_conversion",
 ]
 
 
@@ -98,6 +105,101 @@ def _hot_guard_seconds(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _skew_seconds(spark) -> dict:
+    """Time the salted-skew operators on ACTUALLY skewed data: 4M rows
+    where one key holds half the table (~10 000× the median key's
+    count), joined to a 10k-row dim with broadcast disabled (the
+    broadcast-ineligible regime salted_join targets). Four lines:
+
+    * join_unsalted vs join_salted — the salted fan-out's measured win
+      on the hot key (r5 measured 1.5s vs 1.0s, salted wins even with
+      AQE skew-join left on);
+    * agg_plain vs agg_salted — the honest negative control: count is
+      decomposable, map-side partial aggregation already collapses the
+      hot key per input partition, so plain groupBy wins and the
+      salted form's extra shuffle costs ~2×. Recorded so the registry's
+      guidance ("salt joins and non-decomposable aggs; never
+      decomposable ones") rests on numbers, not folklore.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.skew import (
+        salted_count,
+        salted_join,
+    )
+
+    left = spark.range(4_000_000).select(
+        F.when(F.col("id") < 2_000_000, F.lit(7).cast("long"))
+        .otherwise((F.col("id") % 10_000).cast("long"))
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    plain = left.join(right, "k").groupBy("k").agg(F.sum("w").alias("s"))
+    salted = (
+        salted_join(left, right, "k").groupBy("k").agg(F.sum("w").alias("s"))
+    )
+
+    out: dict[str, float] = {}
+
+    def timed(label, df):
+        df.write.mode("overwrite").format("noop").save()  # warm codegen
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        out[label] = round(time.time() - t0, 3)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        timed("skew_join_unsalted", plain)
+        timed("skew_join_salted", salted)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    timed("skew_agg_plain", left.groupBy("k").agg(F.count("*").alias("n")))
+    timed("skew_agg_salted", salted_count(left, "k"))
+    return out
+
+
+def _compaction_seconds(spark, sf_dir: str) -> dict:
+    """Time the layout-maintenance write paths at the bench SF: a
+    256-small-file lineitem landing zone compacted to 8 files, and the
+    range-clustered rewrite. These are the file-ops-bound maintenance
+    passes (r5's slowest sf0.01 contract entry) — at 100× the rewrite
+    volume dominates, so the amortization argument in SCALE.md needs a
+    measured per-SF cost."""
+    import shutil
+    import tempfile
+    import time
+
+    from evolution_data_warehouse_spark.warehouse.etl import (
+        compact_small_files,
+        write_clustered,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tmp = tempfile.mkdtemp(prefix="bench_compact_")
+    try:
+        path = f"{tmp}/landing"
+        li.repartition(256).write.mode("overwrite").parquet(path)
+        t0 = time.time()
+        compact_small_files(spark, path, target_files=8)
+        t_compact = round(time.time() - t0, 3)
+        t0 = time.time()
+        write_clustered(
+            li, tmp, "clustered", cluster_by=("l_shipdate",), n_files=8
+        )
+        t_cluster = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "compact_256_to_8_files": t_compact,
+        "write_clustered_8_files": t_cluster,
+    }
+
+
 def _sf1_timings(spark, registry) -> dict | None:
     """Run SF1_QUERIES once each against the local sf1 copy (generated
     on first use from sf0.1 — see tools/gen_sf1.py). Single timed run:
@@ -123,6 +225,9 @@ def _sf1_timings(spark, registry) -> dict | None:
             "sf": 1.0,
             "queries": timings,
             "total": round(sum(timings.values()), 3),
+            # maintenance passes at 10×: the rewrite-volume scaling leg
+            # of the compaction-amortization argument in SCALE.md
+            "extras": _compaction_seconds(spark, sf1_dir),
         }
     except Exception as ex:  # noqa: BLE001 — the smoke must not sink the bench
         return {"error": f"{type(ex).__name__}: {ex}"}
@@ -172,6 +277,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     extras = {"dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir)}
+    extras.update(_skew_seconds(spark))
+    extras.update(_compaction_seconds(spark, sf_dir))
     sf1 = _sf1_timings(spark, REGISTRY)
     # 1-min load average at the end of the run: a sentinel for machine
     # contention. With local[N] alone on the box this sits near N; a

@@ -54,7 +54,19 @@ def salted_join(
 def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     """Two-phase aggregation for hot grouping keys: count per
     (key, salt) map-side, then re-aggregate per key — the partial sums
-    bound any single reducer's load."""
+    bound any single reducer's load.
+
+    Measured honesty (bench extras `skew_*`, r6): for DECOMPOSABLE
+    aggregates like count/sum, Spark's map-side partial aggregation
+    already collapses a hot key to one row per input partition, so the
+    plain groupBy is skew-immune and the extra shuffle here makes the
+    salted form ~2× slower — use plain groupBy for those. The salted
+    two-phase shape earns its keep where partial state does NOT
+    compress (collect_list-style accumulation, custom UDAFs) or where
+    the per-key work itself is the bottleneck; the measured win in this
+    module is ``salted_join`` (1.5× on a 50%-hot-key fixture, even with
+    AQE skew-join enabled — AQE splits map output partitions, salting
+    spreads the key itself)."""
     salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_n"))
     return partial.groupBy(key).agg(F.sum("_n").cast("long").alias("n"))

@@ -66,3 +66,59 @@ def test_salted_join_rejects_right_outer(spark, sf_dir):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(nation, region, "n_regionkey", how=how)
+
+
+def test_salted_join_beats_unsalted_on_hot_key(spark):
+    """On ACTUALLY skewed data (one key = half the table, ~10 000x the
+    median), the salted join must not lose to the plain join in the
+    regime it targets (broadcast-ineligible dim, AQE skew-join off —
+    the case AQE can't see), and its plan must show the fan-out
+    (shuffle keyed on (k, _salt), right side exploded n_salts times).
+    Wall-time measured steady-state (warm run first); the 1.25x
+    tolerance absorbs machine noise — bench extras record the real
+    margin (~1.5x in salted's favor)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.skew import salted_join
+
+    left = spark.range(2_000_000).select(
+        F.when(F.col("id") < 1_000_000, F.lit(7).cast("long"))
+        .otherwise((F.col("id") % 10_000).cast("long"))
+        .alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    plain = left.join(right, "k").groupBy("k").agg(F.sum("w").alias("s"))
+    salted = (
+        salted_join(left, right, "k").groupBy("k").agg(F.sum("w").alias("s"))
+    )
+
+    # the fan-out is visible in the plan: the join exchange hashes on
+    # the salt alongside the key
+    salted_plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in salted_plan
+
+    def steady(df):
+        df.write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        df.write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        t_plain = steady(plain)
+        t_salted = steady(salted)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    assert t_salted <= t_plain * 1.25, (t_salted, t_plain)
+
+    # and the results agree, hot key included
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -9,7 +9,12 @@ value-hash comparison with columns sorted by name.
 Usage:
     python tools/drive_contract.py                 # all queries, sf0.01
     python tools/drive_contract.py name1 name2 ... # subset
+    python tools/drive_contract.py --out LOCAL_CONTRACT_r06.json
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/drive_contract.py
+
+`--out PATH` additionally writes the per-query result JSON to PATH —
+the committed full-registry evidence artifact (LOCAL_CONTRACT_r{N}.json)
+each round, since the official driver window covers only 50 entries.
 
 Exit code 0 iff every checked query matches (rows-only for queries
 without an oracle).
@@ -81,7 +86,13 @@ def _hash_rows(cols: list[str], rows) -> tuple[int, str]:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
 
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -160,6 +171,21 @@ def main() -> int:
           f"in {time.time() - t_start:.0f}s; fails: {fails}")
     with open("/tmp/drive_contract_results.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": len(results) - len(fails),
+                    "n_total": len(results),
+                    "fails": fails,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                default=str,
+            )
+        print(f"wrote {out_path}")
     spark.stop()
     return 1 if fails else 0
 
