@@ -1,0 +1,656 @@
+"""Round-6 extension queries: web-corpus curation (URL canonicalize,
+HTML strip, PII/Luhn, shingle containment), analytics windows
+(cumulative uniques, EWMA), exact equi-depth histograms, Benford
+first-digit auditing, and the incremental-join/view-maintenance and
+semi-join-reduction patterns.
+
+Like every registry module: each query carries a DuckDB oracle built
+from the SAME deterministic arithmetic (decimal casts, single-division
+doubles, fixed-point quantization, fully tie-broken windows), so the
+driver's hash comparison is exact at any partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.queries.common import (
+    dsum,
+    dsum_sql,
+    fpq,
+    fpq_sql,
+    register,
+    t,
+)
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-corpus dedup prerequisite)
+# ---------------------------------------------------------------------------
+
+# The testdata has no URL column; synthesize a deliberately messy URL
+# per doc (upper-case scheme/host, www, default port, utm_* params,
+# fragment) and canonicalize it. The operator is the regex pipeline —
+# identical patterns on both sides.
+_URL_RAW_SQL = (
+    "'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' || doc_id"
+    " || '?utm_source=feed&id=' || doc_id"
+    " || '&utm_campaign=c' || (doc_id % 7)"
+    " || '&ref=kept#sec' || (doc_id % 5)"
+)
+
+_URL_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+           regexp_replace(
+               regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^www\\.', ''),
+               ':443$', '') AS host,
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_replace(
+               regexp_replace(
+                   regexp_extract(url, '\\?([^#]*)', 1),
+                   '&?utm_[^&]*', '', 'g'),
+               '^&', '') AS q
+    FROM raw
+)
+SELECT doc_id, url AS url_raw,
+       scheme || '://' || host || path
+           || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS url_canon,
+       host,
+       CASE WHEN q = '' THEN 0
+            ELSE len(str_split(q, '&')) END AS n_params_kept
+FROM parts
+"""
+
+
+@register(
+    "fn_url_canonicalize",
+    _URL_ORACLE,
+    doc="URL canonicalization for web-corpus dedup: lowercase "
+    "scheme+host, strip www. and the default :443 port, drop utm_* "
+    "tracking params (keeping the rest), drop the fragment. Pure "
+    "column regexps — whole-stage-codegen, no UDF; at 100 TB this is "
+    "the cheap normalize pass that makes URL-keyed exact dedup and "
+    "per-host aggregation meaningful.",
+)
+def fn_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=c"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=kept#sec"), (F.col("doc_id") % 5).cast("string"),
+    )
+    d = docs.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.", ""),
+        r":443$", "")
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", r"\?([^#]*)", 1), r"&?utm_[^&]*", ""),
+        r"^&", "")
+    return d.select(
+        "doc_id",
+        F.col("url").alias("url_raw"),
+        F.concat(
+            scheme, F.lit("://"), host, path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ).alias("url_canon"),
+        host.alias("host"),
+        F.when(q == "", F.lit(0))
+        .otherwise(F.size(F.split(q, "&")))
+        .cast("long")
+        .alias("n_params_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML strip (corpus cleaning)
+# ---------------------------------------------------------------------------
+
+_HTML_ORACLE = """
+WITH raw AS (
+    SELECT doc_id,
+           '<div class="post"><p>' || text || '</p><br/>&amp; <b>more</b></div>'
+               AS html
+    FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+               regexp_replace(html, '<[^>]*>', ' ', 'g'),
+               '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''),
+           ' +', ' ', 'g')) AS clean_text,
+       len(regexp_extract_all(html, '<[^>]*>')) AS n_tags
+FROM raw
+"""
+
+
+@register(
+    "text_html_strip",
+    _HTML_ORACLE,
+    doc="HTML stripping for crawled corpora: tags → spaces, the five "
+    "standard entities decoded, whitespace collapsed+trimmed, tag "
+    "count as a page-complexity signal. regexp_replace/replace column "
+    "expressions only — the pattern a 100 TB crawl cleanup needs to "
+    "run at scan speed, no UDF.",
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="post"><p>'), F.col("text"),
+        F.lit("</p><br/>&amp; <b>more</b></div>"),
+    )
+    d = docs.select("doc_id", html.alias("html"))
+    stripped = F.regexp_replace("html", "<[^>]*>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")]:
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(stripped, " +", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count("html", F.lit("<[^>]*>")).cast("long").alias("n_tags"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII: credit-card candidates with Luhn validation
+# ---------------------------------------------------------------------------
+
+
+def _luhn_terms(digit_at) -> list:
+    """Luhn checksum over a fixed 16-digit string as 16 closed-form
+    terms (no arrays, no loops — portable to any SQL engine).
+    ``digit_at(k)`` yields the k-th digit (1-based, left to right);
+    odd positions are doubled (16 digits → the check digit, position
+    16, is kept)."""
+    terms = []
+    for k in range(1, 17):
+        d = digit_at(k)
+        if k % 2 == 1:  # doubled digit: 2d, minus 9 when 2d > 9
+            terms.append((d * 2) - (d > 4) * 9)
+        else:
+            terms.append(d)
+    return terms
+
+
+def _luhn_sql(col: str) -> str:
+    def digit_at(k):
+        return f"CAST(substr({col}, {k}, 1) AS INT)"
+
+    parts = []
+    for k in range(1, 17):
+        d = digit_at(k)
+        if k % 2 == 1:
+            parts.append(
+                f"({d} * 2 - CASE WHEN {d} > 4 THEN 9 ELSE 0 END)"
+            )
+        else:
+            parts.append(d)
+    return "(" + " + ".join(parts) + ") % 10 = 0"
+
+
+_LUHN_ORACLE = f"""
+WITH cand AS (
+    SELECT doc_id,
+           lpad(CAST((doc_id * 37 + 11) % 10000000000000000 AS VARCHAR),
+                16, '0') AS card_candidate
+    FROM documents
+)
+SELECT doc_id, card_candidate,
+       {_luhn_sql('card_candidate')} AS luhn_valid,
+       'XXXX-XXXX-XXXX-' || substr(card_candidate, 13, 4) AS masked
+FROM cand
+"""
+
+
+@register(
+    "pii_luhn_cards",
+    _LUHN_ORACLE,
+    doc="PII hardening: 16-digit card-number candidates validated with "
+    "the Luhn checksum (the filter that separates real card leaks from "
+    "random digit runs) and masked to last-4. The checksum is 16 "
+    "closed-form substr terms — pure column arithmetic, codegen'd, "
+    "no per-row Python; at corpus scale this runs at scan speed. "
+    "Candidates synthesized from doc_id (testdata has no real PII).",
+)
+def pii_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cand = F.lpad(
+        ((F.col("doc_id") * 37 + 11) % F.lit(10**16)).cast("string"),
+        16, "0",
+    )
+    d = docs.select("doc_id", cand.alias("card_candidate"))
+
+    def digit_at(k):
+        return F.substring("card_candidate", k, 1).cast("int")
+
+    luhn_sum = None
+    for k in range(1, 17):
+        dig = digit_at(k)
+        term = (
+            dig * 2 - F.when(dig > 4, F.lit(9)).otherwise(F.lit(0))
+            if k % 2 == 1
+            else dig
+        )
+        luhn_sum = term if luhn_sum is None else luhn_sum + term
+    return d.select(
+        "doc_id",
+        "card_candidate",
+        (luhn_sum % 10 == 0).alias("luhn_valid"),
+        F.concat(
+            F.lit("XXXX-XXXX-XXXX-"), F.substring("card_candidate", 13, 4)
+        ).alias("masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (asymmetric near-dup: quotes / subsumption)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH sh0 AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               ))) AS shingle
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
+    )
+),
+sh AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle_h
+       FROM sh0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS contain_a,
+       CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS contain_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {_CONTAIN_MIN}
+   OR CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) >= {_CONTAIN_MIN}
+"""
+
+
+@register(
+    "text_shingle_containment",
+    _CONTAIN_ORACLE,
+    doc="Containment (asymmetric Jaccard): |A∩B| / |A| per candidate "
+    "pair — catches quotation/subsumption near-dups that symmetric "
+    "Jaccard misses (a short doc fully quoted inside a long one has "
+    "low Jaccard but containment 1.0). Same hashed-shingle equi-join "
+    "backbone as dedup_ngram_jaccard (never corpus×corpus; pairs only "
+    "through shared shingles), counts divided once per side "
+    "(single-division doubles, engine-exact).",
+)
+def text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", content_hash64(F.col("shingle")).alias("shingle_h"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ca = F.col("n_common").cast("double") / F.col("sa.n_sh").cast("double")
+    cb = F.col("n_common").cast("double") / F.col("sb.n_sh").cast("double")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter((ca >= _CONTAIN_MIN) | (cb >= _CONTAIN_MIN))
+        .select(
+            "doc_a", "doc_b", "n_common",
+            ca.alias("contain_a"), cb.alias("contain_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative unique users (new vs returning)
+# ---------------------------------------------------------------------------
+
+_CUMUNIQ_ORACLE = """
+WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+firsts AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id),
+new_per_day AS (
+    SELECT first_day AS day, COUNT(*) AS n_new
+    FROM firsts GROUP BY first_day
+),
+active AS (
+    SELECT day, COUNT(DISTINCT user_id) AS n_active FROM days GROUP BY day
+)
+SELECT a.day, COALESCE(n.n_new, 0) AS n_new, a.n_active,
+       SUM(COALESCE(n.n_new, 0)) OVER (
+           ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cum_users
+FROM active a LEFT JOIN new_per_day n ON n.day = a.day
+"""
+
+
+@register(
+    "win_cumulative_unique",
+    _CUMUNIQ_ORACLE,
+    doc="Daily new vs returning users + cumulative unique count — the "
+    "growth-accounting query every event warehouse serves. Cumulative "
+    "DISTINCT is computed as first-seen-day counts + a running sum "
+    "(two user-cardinality aggregates + a date-cardinality window), "
+    "never a per-day re-scan of history — the O(days × events) trap "
+    "this shape invites at 100 TB. Integer counts only.",
+)
+def win_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    days = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    active = days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        active.join(new_per_day, "day", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .select(
+            "day", "n_new", "n_active",
+            F.sum("n_new").over(w).alias("cum_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Finite-horizon EWMA (exact rational weights)
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH lagged AS (
+    SELECT user_id, event_id, ts, value,
+           lag(value, 1) OVER w AS v1,
+           lag(value, 2) OVER w AS v2,
+           lag(value, 3) OVER w AS v3,
+           row_number() OVER w AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(CAST(CAST(value AS DECIMAL(28,6)) * 8
+                 + CAST(v1 AS DECIMAL(28,6)) * 4
+                 + CAST(v2 AS DECIMAL(28,6)) * 2
+                 + CAST(v3 AS DECIMAL(28,6)) AS DOUBLE) / 15.0
+            AS DOUBLE) AS ewma4
+FROM lagged WHERE rn >= 4
+"""
+
+
+@register(
+    "ts_ewma_window",
+    _EWMA_ORACLE,
+    doc="Finite-horizon EWMA (half-life 1 step, 4-tap): weights "
+    "8/15, 4/15, 2/15, 1/15 — powers of two over a common denominator, "
+    "so the weighted numerator is EXACT in decimal and the single "
+    "final double division is engine-identical. The infinite-memory "
+    "recursive EWMA is deliberately truncated: a windowed 4-tap runs "
+    "as one lag() pass (per-user state = 4 rows) where the recursive "
+    "form needs sequential per-key iteration; rows with under 4 "
+    "periods of history are excluded rather than renormalized.",
+)
+def ts_ewma_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = lambda c: c.cast("decimal(28,6)")  # noqa: E731
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value",
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 3).over(w).alias("v3"),
+        F.row_number().over(w).alias("rn"),
+    )
+    num = (
+        dec(F.col("value")) * 8
+        + dec(F.col("v1")) * 4
+        + dec(F.col("v2")) * 2
+        + dec(F.col("v3"))
+    )
+    return ev.filter(F.col("rn") >= 4).select(
+        "user_id", "event_id",
+        (num.cast("double") / F.lit(15.0)).cast("double").alias("ewma4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth histogram
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH ranked AS (
+    SELECT o_totalprice,
+           ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM ranked GROUP BY bucket
+"""
+
+
+@register(
+    "agg_equidepth_histogram",
+    _EQUIDEPTH_ORACLE,
+    doc="Exact equi-depth histogram: ntile(8) fully tie-broken by "
+    "(price, orderkey) so bucket membership is deterministic, then "
+    "per-bucket count/min/max (no arithmetic — raw stored doubles). "
+    "Complements agg_histogram (equi-width). HONEST scale note: exact "
+    "ntile is a global sort through one window partition — the "
+    "sketch-based agg_approx_percentile is the 100 TB path; this is "
+    "the small-dimension/exact-audit form, and the output is only "
+    "8 rows.",
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ranked = t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.ntile(8).over(W.orderBy("o_totalprice", "o_orderkey")).alias("bucket"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+_BENFORD_EXPECTED = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+_BENFORD_CASE_SQL = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN {_BENFORD_EXPECTED[d]!r}" for d in range(1, 10)
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS first_digit
+    FROM orders
+),
+counts AS (
+    SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY first_digit
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT first_digit, n,
+       {fpq_sql('CAST(n AS DOUBLE) / CAST(total AS DOUBLE)')} AS share,
+       CAST({_BENFORD_CASE_SQL} AS DOUBLE) AS expected,
+       {fpq_sql(f'abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - ({_BENFORD_CASE_SQL}))')}
+           AS abs_dev
+FROM counts, tot
+"""
+
+
+@register(
+    "agg_benford_firstdigit",
+    _BENFORD_ORACLE,
+    doc="Benford first-digit audit: the data-quality screen for "
+    "fabricated or truncated monetary columns. First digit extracted "
+    "from exact integer cents (never float log10 — its ulp behavior "
+    "at powers of ten differs across engines), shares fixed-point "
+    "quantized, expected Benford mass embedded as identical literals "
+    "on both sides. One hash aggregate + a 1-row total broadcast; "
+    "9-row output at any scale.",
+)
+def agg_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    digits = t(spark, sf_dir, "orders").select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("first_digit")
+    )
+    counts = digits.groupBy("first_digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d in range(1, 10):
+        expected = (
+            F.when(F.col("first_digit") == d, F.lit(_BENFORD_EXPECTED[d]))
+            .otherwise(expected)
+        )
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "first_digit", "n",
+        fpq(share).alias("share"),
+        expected.cast("double").alias("expected"),
+        fpq(F.abs(share - expected)).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance
+# ---------------------------------------------------------------------------
+
+_DELTA_ORACLE = f"""
+SELECT c.c_nationkey,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o.o_totalprice')} AS total_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register(
+    "join_delta_maintenance",
+    _DELTA_ORACLE,
+    doc="Incremental maintenance of a join view: with orders = A ∪ dA "
+    "and customer = B ∪ dB (deterministic modulo splits standing in "
+    "for 'rows since the last refresh'), the Spark side computes "
+    "(A∪dA)⋈(B∪dB) as A⋈B ∪ A⋈dB ∪ dA⋈B ∪ dA⋈dB and re-aggregates — "
+    "the delta algebra that updates a 100 TB materialized join by "
+    "touching delta-sized joins (3 of the 4 terms) instead of "
+    "re-scanning history; only the bounded post-join aggregate is "
+    "recomputed. The oracle is the full recompute: equality IS the "
+    "correctness claim, and decimal-cast sums make the re-aggregation "
+    "merge exact.",
+)
+def join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    da = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = cust.filter(F.col("c_custkey") % 2 == 0)
+    db = cust.filter(F.col("c_custkey") % 2 != 0)
+    cols = ["c_nationkey", "o_totalprice"]
+    join = lambda o, c: o.join(  # noqa: E731
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(*cols)
+    unioned = (
+        join(a, b)
+        .unionByName(join(a, db))
+        .unionByName(join(da, b))
+        .unionByName(join(da, db))
+    )
+    return unioned.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join reduction (bloom/runtime-filter pattern, explicit form)
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = f"""
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size < 10
+GROUP BY p.p_brand
+"""
+
+
+@register(
+    "join_bloom_prefilter",
+    _BLOOM_ORACLE,
+    doc="Semi-join reduction: the fact scan is pre-filtered by a "
+    "broadcast LEFT SEMI join on the filtered dimension's keys before "
+    "the wide join — the explicit, engine-portable form of a bloom/"
+    "runtime filter. At 100 TB the reduction runs at scan speed and "
+    "drops non-qualifying fact rows before they carry full-width "
+    "payloads into the join shuffle (here both joins broadcast, but "
+    "on a fact too wide to broadcast-join the semi prefilter is what "
+    "keeps the shuffle delta-sized). Result equals the plain "
+    "filtered join — the oracle checks exactly that.",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part_f = t(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    keys = part_f.select("p_partkey")
+    reduced = li.join(
+        F.broadcast(keys), li.l_partkey == keys.p_partkey, "left_semi"
+    )
+    joined = reduced.join(
+        F.broadcast(part_f), reduced.l_partkey == part_f.p_partkey
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue"),
+    )
