@@ -336,3 +336,114 @@ def ivf_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+):
+    """Distributed PCA via per-partition Gram accumulation.
+
+    The shape that scales: each partition reduces its vectors to one
+    (d×d partial Gram, d-vector partial sum, count) triple inside an
+    Arrow-batched ``mapInPandas`` (numpy matmul — vectorized, no
+    per-row Python), the driver sums partition partials (bounded by
+    n_partitions · d², never by rows) and eigendecomposes the d×d
+    covariance with numpy. Only O(d²) state ever moves; the corpus is
+    read once. Returns (components k×d, mean d, explained_variance k).
+
+    Determinism: component sign is normalized so each component's
+    largest-magnitude coordinate is positive; eigenvalues sort
+    descending. (Float partial sums are partitioning-sensitive at the
+    ulp level, so PCA is an engine+tests operator with property
+    assertions, not a hash-checked oracle query — the honest split the
+    registry applies to iterative/spectral ops.)
+    """
+    import numpy as np
+
+    d = None
+
+    def partials(batches):
+        import pandas as pd
+
+        gram = None
+        s = None
+        n = 0
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if gram is None:
+                dim = x.shape[1]
+                gram = np.zeros((dim, dim))
+                s = np.zeros(dim)
+            gram += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "gram": [gram.reshape(-1).tolist()],
+                    "s": [s.tolist()],
+                    "n": [n],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, "gram array<double>, s array<double>, n long"
+    ).collect()
+    gram = None
+    s = None
+    n = 0
+    for r in rows:
+        g = np.array(r.gram)
+        dim = int(np.sqrt(len(g)))
+        if gram is None:
+            gram = np.zeros((dim, dim))
+            s = np.zeros(dim)
+        gram += g.reshape(dim, dim)
+        s += np.array(r.s)
+        n += r.n
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    # sign convention: largest-|coord| positive
+    for i in range(comps.shape[0]):
+        j = np.argmax(np.abs(comps[i]))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    mean,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto fitted components — distributed, via one
+    Arrow-batched matmul per partition; components/mean ride along as
+    task-closure literals (k·d doubles, broadcast-sized)."""
+    import numpy as np
+
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            z = (x - mu) @ comps.T
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "proj": list(z),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, proj array<double>"
+    )

@@ -654,3 +654,251 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (backfill validation / replication audit)
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+WITH old AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderstatus
+    FROM orders
+),
+new AS (
+    SELECT o_orderkey,
+           cents + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents,
+           o_orderstatus
+    FROM old WHERE o_orderkey % 97 <> 0
+    UNION ALL
+    SELECT o_orderkey + 2000000000, cents, o_orderstatus
+    FROM old WHERE o_orderkey % 101 = 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.cents <> n.cents OR o.o_orderstatus <> n.o_orderstatus
+"""
+
+
+@register(
+    "snapshot_table_diff",
+    _SNAPDIFF_ORACLE,
+    doc="Snapshot diff (warehouse/etl.py snapshot_diff): one FULL "
+    "OUTER JOIN on the key emitting added/removed/changed rows — the "
+    "backfill-validation / replication-audit primitive. Payloads "
+    "travel as an md5 over null-tagged columns, so the shuffle carries "
+    "keys + one hash, never full rows; unchanged rows (the 100 TB "
+    "majority) are dropped in-plan. v2 synthesized deterministically "
+    "(drop %97 keys, bump %5 prices, add %101 clones under new keys); "
+    "doubles enter the hash as exact integer cents — float-to-string "
+    "formatting never touches the comparison.",
+)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.warehouse.etl import snapshot_diff
+
+    old = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderstatus",
+    )
+    kept = old.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("o_orderkey") % 5 == 0, F.lit(100)).otherwise(F.lit(0)),
+    )
+    added = old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(2_000_000_000)
+    )
+    new = kept.unionByName(added)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["cents", "o_orderstatus"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier detection (robust per-group anomaly screen)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 4.4478  # 3 × 1.4826 (MAD→σ for normal data)
+
+_MAD_ORACLE = f"""
+WITH med AS (
+    SELECT event_type,
+           {fpq_sql('quantile_cont(value, 0.5)')} AS median_value
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.median_value,
+           abs(e.value - m.median_value) AS d
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, median_value,
+           {fpq_sql('quantile_cont(d, 0.5)')} AS mad_value
+    FROM dev GROUP BY event_type, median_value
+)
+SELECT d.event_type, m.median_value, m.mad_value,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.d > {_MAD_K} * m.mad_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.median_value, m.mad_value
+"""
+
+
+@register(
+    "agg_mad_outliers",
+    _MAD_ORACLE,
+    doc="Robust outlier screen: median + MAD per group, flagging "
+    "|x − med| > 3·1.4826·MAD — the quality gate that survives the "
+    "heavy tails that wreck mean/stddev z-scores. Two grouped exact "
+    "percentiles (both fixed-point quantized BEFORE re-entering "
+    "arithmetic, so the ulp-sensitive interpolation can't cascade) + "
+    "one counting pass; group-cardinality shuffles only. At 100 TB "
+    "swap percentile for approx_percentile — same shape.",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        fpq(F.percentile("value", F.lit(0.5))).alias("median_value")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = dev.groupBy("event_type", "median_value").agg(
+        fpq(F.percentile("d", F.lit(0.5))).alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad.drop("median_value")), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("d") > _MAD_K * F.col("mad_value"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type", "median_value", "mad_value", "n", "n_outliers"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (integer priorities)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_ORACLE = """
+WITH pri AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                AS BIGINT)
+           // CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS priority
+    FROM orders
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY priority, o_orderkey
+    ) AS rk
+    FROM pri
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register(
+    "sample_weighted_det",
+    _WSAMPLE_ORACLE,
+    doc="Deterministic weighted sampling, 5 per group: "
+    "Efraimidis–Spirakis-style priorities with an INTEGER surrogate — "
+    "priority = hash64(key) ÷ weight (integer division), smallest "
+    "first — so heavier rows win proportionally more often, reruns and "
+    "engines agree bit-for-bit (no float pow/ln at quantization "
+    "boundaries), and the rank filter compiles to WindowGroupLimit "
+    "(partial top-5 map-side before the group shuffle). The zero-"
+    "float cousin of sample_stratified_hash for weighted quotas.",
+)
+def sample_weighted_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    # `div`, not `/`: float division of a 60-bit hash loses low bits to
+    # the double mantissa while DuckDB's `//` stays exact — integer
+    # division on both sides is what makes the sample bit-reproducible.
+    pri = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        content_hash64(F.col("o_orderkey").cast("string")).alias("h"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("w"),
+    ).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        F.expr("h div w").alias("priority"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("priority", "o_orderkey")
+    return (
+        pri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .drop("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trending top-k per window (streaming-rankable aggregate)
+# ---------------------------------------------------------------------------
+
+_TRENDING_ORACLE = """
+WITH counts AS (
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY n_events DESC, event_type
+    ) AS rank
+    FROM counts
+)
+SELECT window_start, event_type, n_events, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register(
+    "stream_trending_topk",
+    _TRENDING_ORACLE,
+    doc="Trending top-3 event types per hourly window — the batch twin "
+    "of the streaming pattern 'watermarked windowed counts into a "
+    "sink, rank at read': the stream maintains only additive counts "
+    "(mergeable, watermark-bounded state), and the rank runs over the "
+    "window-cardinality sink, never the raw events. Tie-broken "
+    "(n desc, type asc); streaming form checked against this twin in "
+    "test_streaming.py. Integer counts, WindowGroupLimit rank.",
+)
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )

@@ -312,3 +312,49 @@ def zorder_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
             + F.shiftleft(bit_b, 2 * i)
         )
     return key
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Diff two table snapshots: one FULL OUTER JOIN on the key emitting
+    'added' / 'removed' / 'changed' rows (unchanged rows are dropped —
+    at 100 TB they are the overwhelming majority and nobody reads
+    them). Payload comparison goes through an md5 of the concatenated
+    compare columns (null-tagged so NULL and '' differ), so the shuffle
+    carries keys + one hash instead of full rows — the backfill-
+    validation / replication-audit primitive.
+    """
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        payload = F.md5(
+            F.concat_ws(
+                "\x01", *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                    for c in compare_cols
+                ]
+            )
+        )
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in key_cols],
+            payload.alias(f"{tag}_hash"),
+        )
+
+    o = hashed(old, "o")
+    n = hashed(new, "n")
+    cond = [o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in key_cols]
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(o["o_hash"].isNull(), F.lit("added"))
+        .when(n["n_hash"].isNull(), F.lit("removed"))
+        .when(o["o_hash"] != n["n_hash"], F.lit("changed"))
+    )  # NULL for unchanged → filtered
+    out_keys = [
+        F.coalesce(o[f"o_{k}"], n[f"n_{k}"]).alias(k) for k in key_cols
+    ]
+    return joined.select(*out_keys, change.alias("change_type")).filter(
+        F.col("change_type").isNotNull()
+    )

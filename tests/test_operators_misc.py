@@ -702,3 +702,50 @@ def test_decode_documents_real_matches_closed_form(spark, sf_dir):
     )
     assert bad.count() == 0
     assert got.select("format").distinct().count() == 3
+
+
+def test_pca_fit_project_properties(spark, sf_dir):
+    """PCA engine properties: orthonormal components, descending
+    explained variance, reconstruction error shrinking with k, and
+    agreement with a straight numpy PCA on the collected data."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    comps, mean, ev = pca_fit(emb, k=8)
+    assert comps.shape[0] == 8
+
+    # orthonormal rows, variance sorted descending and non-negative
+    gram = comps @ comps.T
+    assert np.allclose(gram, np.eye(8), atol=1e-8)
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(7))
+    assert ev[-1] >= -1e-10
+
+    # matches numpy covariance eigendecomposition on the same data
+    x = np.stack([r.embedding for r in emb.select("embedding").collect()])
+    cov = np.cov(x.T, bias=True)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1][:8]
+    assert np.allclose(ev, ref, rtol=1e-6)
+
+    # distributed projection == local projection
+    proj = pca_project(emb, comps, mean)
+    rows = {r.vec_id: np.array(r.proj) for r in proj.collect()}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    xl = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+          for r in emb.select("vec_id", "embedding").collect()}
+    for vid in ids[:50]:
+        assert np.allclose(rows[vid], (xl[vid] - mean) @ comps.T, atol=1e-8)
+
+    # reconstruction error shrinks as k grows
+    def recon_err(kk):
+        c, m, _ = pca_fit(emb, k=kk)
+        z = (x - m) @ c.T
+        back = z @ c + m
+        return float(((x - back) ** 2).sum())
+
+    e2, e8 = recon_err(2), recon_err(8)
+    assert e8 < e2

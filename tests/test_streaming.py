@@ -576,3 +576,50 @@ def test_windowed_state_stays_bounded_over_soak(spark, tmp_path):
     assert emitted.groupBy("window_start", "event_type").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_stream_trending_topk_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming side of stream_trending_topk: the stream maintains
+    only the additive windowed counts (watermark-bounded state); the
+    top-3 rank runs over the window-cardinality sink at read time and
+    must equal the batch twin exactly."""
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    src = str(tmp_path / "events_src")
+    ev = t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+    )
+    counts = stream.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("window_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("trend_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    w = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    streamed = (
+        spark.table("trend_counts")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    key = lambda r: (r.window_start, r.rank, r.event_type, r.n_events)  # noqa: E731
+    batch = REGISTRY["stream_trending_topk"].fn(spark, sf_dir)
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )
+    assert streamed.count() > 0
