@@ -179,10 +179,14 @@ def _png_unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray, bpp: int) 
     return out
 
 
-def encode_png(pixels: np.ndarray, filter_per_row=None) -> bytes:
+def encode_png(
+    pixels: np.ndarray, filter_per_row=None, text: dict[str, str] | None = None
+) -> bytes:
     """Encode an (h, w, 3|4) uint8 array as an 8-bit PNG (color type
     2 or 6). ``filter_per_row(y)`` picks the filter type per scanline
-    (default: y % 5, exercising every filter)."""
+    (default: y % 5, exercising every filter). ``text`` adds tEXt
+    metadata chunks (keyword → latin-1 value, per the PNG spec),
+    written in sorted-key order for determinism."""
     h, w, ch = pixels.shape
     color_type = {3: 2, 4: 6}[ch]
     pick = filter_per_row or (lambda y: y % 5)
@@ -195,12 +199,41 @@ def encode_png(pixels: np.ndarray, filter_per_row=None) -> bytes:
         stream.extend(_png_filter_row(ftype, raw, prev, ch).tobytes())
         prev = raw
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    text_chunks = b"".join(
+        _png_chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in sorted((text or {}).items())
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + text_chunks
         + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def decode_png_text(data: bytes) -> dict[str, str]:
+    """Extract tEXt metadata chunks from a PNG (CRC-checked chunk walk,
+    same framing as decode_png) — the metadata-curation half of real
+    image handling: keywords like title/author/software drive corpus
+    filtering without ever inflating the pixel data."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, out = len(_PNG_SIG), {}
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"tEXt":
+            k, _, v = body.partition(b"\x00")
+            out[k.decode("latin-1")] = v.decode("latin-1")
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    return out
 
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:

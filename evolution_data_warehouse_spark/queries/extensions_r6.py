@@ -902,3 +902,249 @@ def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear-regression slope (trend detection)
+# ---------------------------------------------------------------------------
+
+# Rebase event time to seconds since 2024-01-01 so the decimal moment
+# sums (Σx, Σy, Σxy, Σx²) stay far inside DECIMAL(38): x ≲ 3·10⁷, so
+# Σx² ≲ 10²⁰ at any realistic row count. The four sums are EXACT
+# (decimal, order-independent); the slope combines their double casts
+# with the identical IEEE expression on both sides.
+_EPOCH_2024_US = 1_704_067_200_000_000
+
+_LINREG_ORACLE = f"""
+WITH pts AS (
+    SELECT event_type,
+           (epoch_us(ts) - {_EPOCH_2024_US}) // 1000000 AS x,
+           value AS y
+    FROM events
+),
+sums AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,6)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                AS DOUBLE) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       {fpq_sql('(CAST(n AS DOUBLE) * sxy - sx * sy)'
+                ' / (CAST(n AS DOUBLE) * sxx - sx * sx)', 9)}
+           AS slope_per_sec
+FROM sums
+"""
+
+
+@register(
+    "agg_linreg_slope",
+    _LINREG_ORACLE,
+    doc="Per-group least-squares trend slope (value vs event time) "
+    "from the four classic moment sums — ONE hash aggregate, partial+ "
+    "final, no sort, no window: the O(rows) trend detector that "
+    "replaces per-group curve fitting at 100 TB. Sums are decimal-"
+    "exact (order-independent); the closing arithmetic is the same "
+    "IEEE double expression on both sides, fixed-point quantized at "
+    "9 digits (slopes per second are tiny).",
+)
+def agg_linreg_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(unix_micros(ts) - {_EPOCH_2024_US}) div 1000000").alias("x"),
+        F.col("value").alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,6)")
+    sums = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    slope = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "event_type", "n", fpq(slope, 9).alias("slope_per_sec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient (inequality audit, exact integer form)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey
+           ) AS i
+    FROM orders
+),
+sums AS (
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           SUM(cents) AS s,
+           SUM(i * cents) AS si
+    FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(2 * si - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+FROM sums
+"""
+
+
+@register(
+    "agg_gini",
+    _GINI_ORACLE,
+    doc="Gini coefficient per group — the inequality/concentration "
+    "audit (is 1% of customers 90% of revenue?). Computed from the "
+    "rank formula G = (2Σi·xᵢ − (n+1)Σxᵢ) / (nΣxᵢ) over exact integer "
+    "cents with a fully tie-broken rank, so everything is integer "
+    "until one final double division. One window pass + one "
+    "aggregate; 5-row output.",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("i"),
+    )
+    sums = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("si"),
+    )
+    gini = (2 * F.col("si") - (F.col("n") + 1) * F.col("s")).cast("double") / (
+        F.col("n") * F.col("s")
+    ).cast("double")
+    return sums.select("o_orderpriority", "n", gini.alias("gini"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CAST(ts AS DATE)) AS last_day,
+           COUNT(*) AS frequency,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS monetary
+    FROM events GROUP BY user_id
+),
+anchor AS (SELECT MAX(last_day) AS max_day FROM per_user),
+scored AS (
+    SELECT user_id,
+           date_diff('day', last_day, max_day) AS recency_days,
+           frequency, monetary,
+           ntile(4) OVER (ORDER BY date_diff('day', last_day, max_day), user_id)
+               AS r_q,
+           ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+           ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+    FROM per_user, anchor
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_q * 100 + f_q * 10 + m_q AS rfm_segment
+FROM scored
+"""
+
+
+@register(
+    "agg_rfm_segments",
+    _RFM_ORACLE,
+    doc="RFM segmentation (recency/frequency/monetary quartiles → "
+    "3-digit segment code), the classic customer-value rollup: one "
+    "user-grain aggregate, a 1-row anchor-date broadcast, three fully "
+    "tie-broken ntile windows over the USER-cardinality table (never "
+    "the raw events). Monetary uses the decimal-exact sum; quartile "
+    "membership is deterministic via (metric, user_id) tie-breaks.",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries.common import dsum as _dsum
+
+    per_user = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count("*").alias("frequency"),
+        _dsum("value").alias("monetary"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("max_day"))
+    scored = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.datediff("max_day", "last_day")
+    )
+    r_q = F.ntile(4).over(W.orderBy("recency_days", "user_id"))
+    f_q = F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+    m_q = F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        (r_q * 100 + f_q * 10 + m_q).alias("rfm_segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPv4 / CIDR parsing (log analytics)
+# ---------------------------------------------------------------------------
+
+_IP_ORACLE = """
+WITH ips AS (
+    SELECT event_id,
+           '10.' || ((user_id * 7) % 256) || '.' || ((user_id * 13) % 256)
+               || '.' || (event_id % 256) AS ip_str
+    FROM events
+),
+parsed AS (
+    SELECT event_id, ip_str,
+           CAST(str_split(ip_str, '.')[1] AS BIGINT) * 16777216
+           + CAST(str_split(ip_str, '.')[2] AS BIGINT) * 65536
+           + CAST(str_split(ip_str, '.')[3] AS BIGINT) * 256
+           + CAST(str_split(ip_str, '.')[4] AS BIGINT) AS ip_int
+    FROM ips
+)
+SELECT event_id, ip_str, ip_int,
+       (ip_int // 65536) = (10 * 256 + 42) AS in_10_42_16
+FROM parsed
+"""
+
+
+@register(
+    "fn_ip_cidr",
+    _IP_ORACLE,
+    doc="IPv4 parse + CIDR containment: dotted-quad → uint32 via "
+    "octet arithmetic, subnet membership as integer division against "
+    "the /16 prefix (engine-portable — no bit-shift dialect "
+    "differences). The log-analytics primitive for joining traffic to "
+    "allocation tables; pure column arithmetic at scan speed. IPs "
+    "synthesized from ids (testdata ships no PII).",
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        ((F.col("user_id") * 13) % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+    )
+    d = ev.select("event_id", ip.alias("ip_str"))
+    oct_ = lambda i: F.split("ip_str", r"\.").getItem(i).cast("bigint")  # noqa: E731
+    ip_int = (
+        oct_(0) * 16777216 + oct_(1) * 65536 + oct_(2) * 256 + oct_(3)
+    )
+    return d.select("event_id", "ip_str", ip_int.alias("ip_int")).select(
+        "event_id", "ip_str", "ip_int",
+        (F.expr("ip_int div 65536") == (10 * 256 + 42)).alias("in_10_42_16"),
+    )

@@ -449,6 +449,82 @@ def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_documents_real(t(spark, sf_dir, "documents"))
 
 
+_MM_PNG_META_ORACLE = """
+SELECT doc_id,
+       'doc-' || doc_id AS title,
+       lang AS lang_meta,
+       source AS source_meta,
+       CAST(3 AS INT) AS n_chunks
+FROM documents
+"""
+
+
+@register(
+    "mm_png_metadata",
+    _MM_PNG_META_ORACLE,
+    doc="REAL PNG metadata extraction: tEXt chunks written by the "
+    "stdlib encoder (keyword\\0value, CRC'd) and parsed back by a "
+    "chunk walk (operators/multimodal.py decode_png_text) WITHOUT "
+    "inflating the pixel data — the metadata-curation path that lets "
+    "a 100 TB image corpus filter on title/lang/source at a fraction "
+    "of decode cost. Payload synthesized per doc; the oracle knows "
+    "the embedded metadata from the doc columns, so a parse bug "
+    "breaks the hash.",
+)
+def mm_png_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_png_text,
+        encode_png,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            px = np.zeros((2, 2, 3), dtype=np.uint8)
+            payloads = [
+                encode_png(
+                    px,
+                    text={
+                        "title": f"doc-{int(r.doc_id)}",
+                        "lang": str(r.lang),
+                        "source": str(r.source),
+                    },
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    def parse(batches):
+        for pdf in batches:
+            metas = [decode_png_text(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "title": [m.get("title") for m in metas],
+                    "lang_meta": [m.get("lang") for m in metas],
+                    "source_meta": [m.get("source") for m in metas],
+                    "n_chunks": pd.Series(
+                        [len(m) for m in metas], dtype="int32"
+                    ),
+                }
+            )
+
+    payloads = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .mapInPandas(synth, "doc_id long, payload binary")
+    )
+    return payloads.mapInPandas(
+        parse,
+        "doc_id long, title string, lang_meta string, "
+        "source_meta string, n_chunks int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup, SimHash, hyperplane-LSH ANN
 # ---------------------------------------------------------------------------

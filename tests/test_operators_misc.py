@@ -749,3 +749,30 @@ def test_pca_fit_project_properties(spark, sf_dir):
 
     e2, e8 = recon_err(2), recon_err(8)
     assert e8 < e2
+
+
+def test_png_text_chunks_roundtrip():
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_png,
+        decode_png_text,
+        encode_png,
+    )
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    meta = {"title": "hello", "lang": "fr", "z key": "v=1"}
+    data = encode_png(px, text=meta)
+    assert decode_png_text(data) == meta
+    # pixel decode is unaffected by the metadata chunks
+    _, _, out = decode_png(data)
+    assert np.array_equal(out, px)
+    # a PNG without tEXt yields an empty dict
+    assert decode_png_text(encode_png(px)) == {}
+    # tampered tEXt CRC is rejected
+    bad = bytearray(data)
+    at = data.index(b"tEXt") + 5
+    bad[at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_text(bytes(bad))

@@ -29,6 +29,7 @@ _BNL_OK = {
     "agg_approx_sample_mean",
     "geo_nearest_hub",  # 5-row hub table cross join, broadcast
     "agg_benford_firstdigit",  # 1-row total-count broadcast, 9-row left side
+    "agg_rfm_segments",  # 1-row anchor-date broadcast over the user grain
 }
 
 
