@@ -159,6 +159,92 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-sessionization that emits a session ONLY when it closes —
+    the production form of sessionize_stateful (which streams per-batch
+    updates): downstream consumers get each session exactly once, final.
+
+    applyInPandasWithState with EventTimeTimeout: sessions that close
+    INSIDE a batch (a later event arrives more than ``gap`` after the
+    previous one) emit immediately; the still-open tail session lives
+    in state with a timeout at ``last_event + gap``, and the watermark
+    crossing that point fires the timeout branch, which emits the
+    session and clears the state. Per-key state is one (start, end, n)
+    triple — bounded regardless of stream length; requires a
+    watermarked input (the timeout IS the watermark contract).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start_ms long, end_ms long, n long"
+    gap_ms = gap_minutes * 60 * 1000
+
+    def emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s * 1_000_000) for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(e * 1_000_000) for _, e, _ in sessions
+                ],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield emit(key, [(start, end, n)])
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        # ts may be pandas Timestamp or raw int64 nanos — normalize to ms
+        ts_ms = sorted(
+            int(pd.Timestamp(v).value) // 1_000_000 for v in rows["ts"]
+        )
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed = []
+        for tm in ts_ms:
+            if start is None:
+                start, end, n = tm, tm, 1
+            elif tm - end <= gap_ms:
+                end, n = tm, n + 1
+            else:
+                closed.append((start, end, n))
+                start, end, n = tm, tm, 1
+        wm = state.getCurrentWatermarkMs()
+        if end + gap_ms <= wm:
+            # already expired relative to the watermark — close now
+            closed.append((start, end, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((start, end, n))
+            state.setTimeoutTimestamp(end + gap_ms)
+        if closed:
+            yield emit(key, closed)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_dedup_events(
     spark: SparkSession, src_dir: str, watermark: str = "1 hour"
 ) -> DataFrame:

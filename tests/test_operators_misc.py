@@ -54,9 +54,19 @@ def test_asof_pandas_matches_join_window(spark, sf_dir):
     assert am == bm
 
 
-def test_multimodal_real_decode_is_gated():
+def test_multimodal_real_decode_dispatch():
+    # real=True now returns the REAL stdlib BMP/PPM/PNG parser (r6);
+    # only entropy-coded formats (JPEG) remain honestly gated, inside
+    # the dispatch itself.
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_image_auto,
+        decode_image_real_batch,
+    )
+
+    fn = decode_image_batch(real=True)
+    assert fn.__qualname__ == decode_image_real_batch().__qualname__
     with pytest.raises(NotImplementedError):
-        decode_image_batch(real=True)
+        decode_image_auto(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_multimodal_fake_decode_schema(spark, sf_dir):

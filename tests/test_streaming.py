@@ -623,3 +623,78 @@ def test_stream_trending_topk_matches_batch(spark, sf_dir, tmp_path):
         map(key, batch.collect())
     )
     assert streamed.count() > 0
+
+
+def test_sessionize_closed_emits_final_sessions_once(spark, tmp_path):
+    """EventTimeTimeout sessionization: sessions are emitted exactly
+    once, when closed (by an over-gap successor in-stream, or by the
+    watermark crossing last_event + gap); the still-open tail session
+    is withheld. The append-mode production twin of
+    sessionize_stateful's per-batch updates."""
+    import datetime
+    import glob as _glob
+    import os as _os
+
+    from evolution_data_warehouse_spark.streaming.events import (
+        sessionize_closed,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    mk = lambda eid, minute, uid: (  # noqa: E731
+        eid, t0 + datetime.timedelta(minutes=minute), uid, "view",
+    )
+    batches = [
+        [mk(1, 0, 1), mk(2, 10, 1), mk(3, 5, 2)],
+        [mk(4, 60, 1)],   # >30min gap closes u1's first session
+        [mk(5, 120, 2)],  # >30min gap closes u2's first session
+    ]
+    stamped: set[str] = set()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in _glob.glob(f"{src}/part-*.parquet"):
+            if f not in stamped:
+                _os.utime(f, (1_000_000_000 + b, 1_000_000_000 + b))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 minutes")
+    )
+    q = (
+        sessionize_closed(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    ts = lambda minute: t0 + datetime.timedelta(minutes=minute)  # noqa: E731
+    must_have = {
+        (1, ts(0), ts(10), 2),   # closed by the over-gap event at :60
+        (2, ts(5), ts(5), 1),    # closed by the over-gap event at :120
+    }
+    may_have = {
+        # u1's :60 session — closed only if a final timeout batch runs
+        (1, ts(60), ts(60), 1),
+    }
+    assert must_have <= got
+    assert got <= must_have | may_have
+    # u2's open tail (:120, timeout beyond the final watermark) is
+    # withheld — append semantics never leak an unfinished session
+    assert not any(u == 2 and s == ts(120) for u, s, _, _ in got)
