@@ -1148,3 +1148,270 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ip_str", "ip_int",
         (F.expr("ip_int div 65536") == (10 * 256 + 42)).alias("in_10_42_16"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Base64 / hex transport codecs
+# ---------------------------------------------------------------------------
+
+_B64_ORACLE = """
+SELECT doc_id,
+       to_base64(encode(text)) AS b64,
+       decode(from_base64(to_base64(encode(text)))) = text AS roundtrip_ok,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+FROM documents
+"""
+
+
+@register(
+    "fn_base64_codec",
+    _B64_ORACLE,
+    doc="Binary transport codecs: utf-8 → base64 (and back, asserted "
+    "in-row) + hex of the text head — the wire format for shipping "
+    "binary payloads through JSON/CSV edges. Engine trap made "
+    "explicit: Spark's base64 is MIME-flavored (CRLF line break every "
+    "76 chars) while DuckDB/RFC4648 emit one line — normalized by "
+    "stripping CRLF, which the oracle hash proves. Built-in column "
+    "expressions, scan-speed at any scale.",
+)
+def fn_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raw = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.replace(F.base64(raw), F.lit("\r\n"), F.lit("")).alias("b64"),
+        (F.decode(F.unbase64(F.base64(raw)), "utf-8") == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "utf-8"))).alias(
+            "head_hex"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar part extraction (engine-portable semantics)
+# ---------------------------------------------------------------------------
+
+_DATEPARTS_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+       CAST(year(o_orderdate) AS INT) * 100
+           + CAST(month(o_orderdate) AS INT) AS yyyymm
+FROM orders
+"""
+
+
+@register(
+    "fn_date_parts",
+    _DATEPARTS_ORACLE,
+    doc="Calendar part extraction with PORTABLE semantics: year/"
+    "quarter/month/day-of-year agree everywhere, but day-of-week is an "
+    "engine trap (Spark dayofweek: Sunday=1; DuckDB dow: Sunday=0) — "
+    "normalized to ISO (Monday=1…Sunday=7) by arithmetic on the Spark "
+    "side vs native isodow in the oracle, so the hash proves the "
+    "mapping. Plus the yyyymm partition key every time-partitioned "
+    "fact table uses.",
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate")
+    # Spark dayofweek: Sun=1..Sat=7 → ISO Mon=1..Sun=7
+    iso_dow = (F.dayofweek(d) + 5) % 7 + 1
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        iso_dow.cast("int").alias("iso_dow"),
+        F.dayofyear(d).alias("doy"),
+        (F.year(d) * 100 + F.month(d)).cast("int").alias("yyyymm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sentence-level corpus statistics
+# ---------------------------------------------------------------------------
+
+_SENTENCE_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                           s -> trim(s) <> '')) AS n_sentences,
+           len(list_filter(str_split(text, ' '), w -> w <> ''))
+               AS n_words
+    FROM documents
+)
+SELECT doc_id, n_sentences, n_words,
+       CASE WHEN n_sentences = 0 THEN NULL
+            ELSE CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+       END AS words_per_sentence
+FROM base
+"""
+
+
+@register(
+    "text_sentence_stats",
+    _SENTENCE_ORACLE,
+    doc="Sentence segmentation statistics (terminator split, empty "
+    "fragments dropped): sentence count, word count, words-per-"
+    "sentence — the readability/quality feature set next to "
+    "text_quality. Integer counts + one division; array expressions "
+    "only, scan-speed.",
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sentences = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda s: F.trim(s) != "",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(sentences).cast("bigint").alias("n_sentences"),
+        F.size(words).cast("bigint").alias("n_words"),
+    )
+    return base.select(
+        "doc_id", "n_sentences", "n_words",
+        F.when(
+            F.col("n_sentences") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+        )
+        .alias("words_per_sentence"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-keyed exact dedup (canonicalize → keep-first composition)
+# ---------------------------------------------------------------------------
+
+_URL_DEDUP_ORACLE = f"""
+WITH raw AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+canon AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   '^www\\.', ''),
+               ':443$', '')
+           || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+               AS host_path,
+           doc_id % 11 AS dup_group
+    FROM raw
+),
+keyed AS (
+    -- collapse to a deliberately colliding key (host + dup_group) so
+    -- the keep-first actually has duplicates to resolve
+    SELECT doc_id,
+           regexp_extract(host_path, '^([^/]+)', 1) || '#' || dup_group
+               AS url_key
+    FROM canon
+)
+SELECT url_key,
+       MIN(doc_id) AS canonical_doc,
+       COUNT(*) AS n_dups
+FROM keyed GROUP BY url_key
+"""
+
+
+@register(
+    "dedup_url_canonical",
+    _URL_DEDUP_ORACLE,
+    doc="URL-keyed exact dedup: canonical host (the "
+    "fn_url_canonicalize pipeline) bucketed into colliding keys, then "
+    "keep-lowest-doc-id per key with the duplicate count — the "
+    "crawl-frontier dedup that runs BEFORE content hashing (same URL "
+    "→ skip the fetch/decode entirely at 100 TB). One hash aggregate "
+    "on the key; map-side combine collapses duplicates before the "
+    "shuffle.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=c"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=kept#sec"), (F.col("doc_id") % 5).cast("string"),
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.", ""),
+        r":443$", "")
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    host_path = F.concat(host, path)
+    url_key = F.concat(
+        F.regexp_extract(host_path, r"^([^/]+)", 1),
+        F.lit("#"),
+        (F.col("doc_id") % 11).cast("string"),
+    )
+    return (
+        docs.select("doc_id", url_key.alias("url_key"))
+        .groupBy("url_key")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score (windowed anomaly signal)
+# ---------------------------------------------------------------------------
+
+_ROLLZ_ORACLE = f"""
+WITH framed AS (
+    SELECT user_id, event_id, value,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))
+                    * CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS ss
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+       {fpq_sql('(value - s / n) / sqrt(ss / n - (s / n) * (s / n) + 1e-9)')}
+           AS rolling_z
+FROM framed WHERE n = 8
+"""
+
+
+@register(
+    "win_zscore_rolling",
+    _ROLLZ_ORACLE,
+    doc="Rolling z-score over a trailing 8-row frame per user — the "
+    "windowed anomaly signal (how unusual is this value vs the user's "
+    "recent behavior). Frame sums are decimal-exact (order- and "
+    "partitioning-independent); mean/variance/sqrt combine them with "
+    "the identical IEEE expression on both sides (epsilon-guarded "
+    "denominator), fixed-point quantized. Rows without a full frame "
+    "are excluded. One window pass, user-cardinality shuffle.",
+)
+def win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    dec = F.col("value").cast("decimal(28,6)")
+    framed = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.count("*").over(w).alias("n"),
+        F.sum(dec).over(w).cast("double").alias("s"),
+        F.sum(dec * dec).over(w).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("ss") / F.col("n") - mean * mean + F.lit(1e-9)
+    )
+    return framed.filter(F.col("n") == 8).select(
+        "user_id", "event_id", fpq(z).alias("rolling_z")
+    )
