@@ -103,3 +103,51 @@ def expectations_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         "CAST(__n_rows - n_pass AS BIGINT) AS n_fail",
         "CAST(__n_rows AS BIGINT) AS n_rows",
     )
+
+
+def route_quarantine(
+    df: DataFrame,
+    rules: dict[str, Column],
+    out_dir: str,
+) -> dict[str, int]:
+    """Dead-letter routing: rows failing any expectation land in a
+    quarantine partition WITH their failure reasons; clean rows land
+    beside them — ONE scan, ONE write (the output is partitioned by
+    the validity flag, so the split costs a partition column, not a
+    second pass). Returns {'clean': n, 'quarantined': n} counted via
+    in-plan observe() — no post-write count job.
+
+    The 100 TB ingestion discipline: never drop bad rows silently
+    (they are evidence) and never fail the whole load for one of them
+    (a single bad cell must not kill the batch — same philosophy as
+    fn_try_cast).
+    """
+    from pyspark.sql import Observation
+
+    fails = [
+        F.when(~cond, F.lit(name)) for name, cond in sorted(rules.items())
+    ]
+    reasons = F.array_compact(F.array(*fails))
+    routed = df.withColumn("_reasons", reasons).withColumn(
+        "_route",
+        F.when(F.size("_reasons") == 0, F.lit("clean")).otherwise(
+            F.lit("quarantined")
+        ),
+    ).withColumn("_reason", F.concat_ws(",", "_reasons")).drop("_reasons")
+    obs = Observation()
+    (
+        routed.observe(
+            obs,
+            F.sum(F.when(F.col("_route") == "clean", 1).otherwise(0)).alias(
+                "clean"
+            ),
+            F.sum(
+                F.when(F.col("_route") == "quarantined", 1).otherwise(0)
+            ).alias("quarantined"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_route")
+        .parquet(out_dir)
+    )
+    got = obs.get
+    return {"clean": int(got["clean"]), "quarantined": int(got["quarantined"])}

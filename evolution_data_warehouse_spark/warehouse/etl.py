@@ -252,12 +252,15 @@ def compact_small_files(
     ``path`` sees no table — run compaction in the pipeline's
     maintenance slot, or front the directory with a pointer/manifest
     (write each rewrite to a versioned dir and flip a ``_current``
-    marker, which readers resolve first) when readers are always-on.
+    marker, which readers resolve first) when readers are always-on —
+    implemented in warehouse/manifest.py (publish_versioned /
+    read_current), which also gives multi-table flip consistency.
     (2) On object stores (s3a://, abfs://) Hadoop ``rename`` is a
     non-atomic O(data) copy-then-delete, so both the window and the
     crash exposure grow with table size there — the pointer/manifest
-    publish is the right discipline on those schemes; directory rename
-    is only metadata-atomic on HDFS-like filesystems.
+    publish (warehouse/manifest.py) is the right discipline on those
+    schemes; directory rename is only metadata-atomic on HDFS-like
+    filesystems.
     """
     df = spark.read.parquet(path)
     tmp = f"{path}__compacting"

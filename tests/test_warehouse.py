@@ -315,3 +315,92 @@ def test_zorder_clustering_bounds_both_dimensions(spark, sf_dir, tmp_path):
         assert covered < 0.8 * n * glo, (col_name, covered, n * glo)
 
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_manifest_publish_atomic_and_consistent(spark, sf_dir, tmp_path):
+    """Manifest-pointer publishing: readers resolve _current first, so
+    a half-written next version is invisible; multi-table flips are
+    all-or-nothing; retention keeps the window."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.warehouse.manifest import (
+        current_version,
+        publish_versioned,
+        read_current,
+    )
+
+    root = str(tmp_path / "store")
+    orders = t(spark, sf_dir, "orders").limit(100)
+    cust = t(spark, sf_dir, "customer").limit(50)
+
+    v0 = publish_versioned(spark, {"orders": orders, "customer": cust}, root)
+    assert v0 == 0 and current_version(spark, root) == 0
+    assert read_current(spark, root, "orders").count() == 100
+
+    # v1 changes BOTH tables; readers must never see a mixed pair
+    v1 = publish_versioned(
+        spark,
+        {"orders": orders.limit(10), "customer": cust.limit(5)},
+        root,
+    )
+    assert v1 == 1
+    assert read_current(spark, root, "orders").count() == 10
+    assert read_current(spark, root, "customer").count() == 5
+
+    # crash-before-flip simulation: write a v2 directory WITHOUT
+    # flipping the marker — readers stay on v1, garbage is invisible
+    orders.limit(3).write.parquet(f"{root}/v2/orders")
+    assert current_version(spark, root) == 1
+    assert read_current(spark, root, "orders").count() == 10
+
+    # retention: publish past the keep window drops v0
+    import os
+
+    publish_versioned(spark, {"orders": orders}, root, keep_last=2)
+    # marker skipped the crashed v2? No: next version = current+1 = 2 —
+    # the half-written dir is OVERWRITTEN by the real publish (mode
+    # overwrite), which is exactly the recovery semantics we want
+    assert current_version(spark, root) == 2
+    assert read_current(spark, root, "orders").count() == 100
+    publish_versioned(spark, {"orders": orders.limit(7)}, root, keep_last=2)
+    assert current_version(spark, root) == 3
+    assert not os.path.exists(f"{root}/v0")
+    assert not os.path.exists(f"{root}/v1")
+    assert os.path.exists(f"{root}/v2")
+
+
+def test_route_quarantine_single_scan_with_reasons(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.quality import (
+        route_quarantine,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    out = str(tmp_path / "routed")
+    orders = t(spark, sf_dir, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice") > 0,
+        "key_mod7": F.col("o_orderkey") % 7 != 0,
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    counts = route_quarantine(orders, rules, out)
+    n = orders.count()
+    assert counts["clean"] + counts["quarantined"] == n
+    expected_bad = orders.filter(
+        ~((F.col("o_totalprice") > 0)
+          & (F.col("o_orderkey") % 7 != 0)
+          & F.col("o_orderstatus").isin("O", "F", "P"))
+    ).count()
+    assert counts["quarantined"] == expected_bad > 0
+
+    routed = spark.read.parquet(out)
+    bad = routed.filter(F.col("_route") == "quarantined")
+    # every quarantined row carries at least one named reason
+    assert bad.filter(F.col("_reason") == "").count() == 0
+    assert bad.filter(F.col("_reason").contains("key_mod7")).count() > 0
+    # clean rows carry no reason
+    assert routed.filter(
+        (F.col("_route") == "clean") & (F.col("_reason") != "")
+    ).count() == 0
