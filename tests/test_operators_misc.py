@@ -786,3 +786,57 @@ def test_png_text_chunks_roundtrip():
     bad[at] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png_text(bytes(bad))
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """PageRank on a small directed graph vs a numpy power-iteration
+    oracle (same damping, same dangling redistribution), plus the
+    structural properties: mass conserved, hubs outrank leaves."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.dedup import pagerank
+
+    # star (0 <- 1,2,3) plus a chain 3->4, node 5 dangling via 4->5
+    edges = [(1, 0), (2, 0), (3, 0), (3, 4), (4, 5)]
+    edf = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            edf, iterations=25, undirected=False
+        ).collect()
+    }
+
+    n, d = 6, 0.85
+    adj = {1: [0], 2: [0], 3: [0, 4], 4: [5]}
+    r = np.full(n, 1.0 / n)
+    for _ in range(25):
+        incoming = np.zeros(n)
+        dangling = 0.0
+        for u in range(n):
+            outs = adj.get(u, [])
+            if not outs:
+                dangling += r[u]
+            for v in outs:
+                incoming[v] += r[u] / len(outs)
+        r = (1 - d) / n + d * (incoming + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the star hub outranks every leaf
+    assert got[0] == max(got.values())
+
+
+def test_pagerank_on_neardup_graph(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.dedup import pagerank
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    ranks = pagerank(pairs, iterations=5)
+    rows = ranks.collect()
+    assert len(rows) > 0
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
