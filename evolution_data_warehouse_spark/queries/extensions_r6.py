@@ -1415,3 +1415,269 @@ def win_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.filter(F.col("n") == 8).select(
         "user_id", "event_id", fpq(z).alias("rolling_z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (support / lift)
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_PAIRS = 3
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+item_counts AS (
+    SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_BASKET_MIN_PAIRS}
+)
+SELECT part_a, part_b, n_pair,
+       CAST(n_pair AS DOUBLE) / CAST(n.n AS DOUBLE) AS support,
+       CAST(n_pair AS DOUBLE) * CAST(n.n AS DOUBLE)
+           / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
+FROM pairs
+JOIN item_counts ia ON ia.l_partkey = part_a
+JOIN item_counts ib ON ib.l_partkey = part_b
+CROSS JOIN n_orders n
+"""
+
+
+@register(
+    "agg_market_basket",
+    _BASKET_ORACLE,
+    doc="Market-basket association pairs with support and lift: the "
+    "within-basket self-join is bounded by basket size squared (never "
+    "corpus²) — the same guard shape as the LSH bucket join — and the "
+    "min-pair HAVING prunes the long tail before the stats joins. "
+    "Integer counts with single-division doubles; the corpus size "
+    "rides in as a 1-row broadcast.",
+)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item_counts = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIRS)
+    )
+    ia = item_counts.alias("ia")
+    ib = item_counts.alias("ib")
+    out = (
+        pairs.join(ia, F.col("part_a") == F.col("ia.l_partkey"))
+        .join(ib, F.col("part_b") == F.col("ib.l_partkey"))
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a", "part_b", "n_pair",
+        (F.col("n_pair").cast("double") / F.col("n").cast("double")).alias(
+            "support"
+        ),
+        (
+            F.col("n_pair").cast("double") * F.col("n").cast("double")
+            / (
+                F.col("ia.n_item").cast("double")
+                * F.col("ib.n_item").cast("double")
+            )
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-way feed merge (union-agg instead of chained FULL OUTER)
+# ---------------------------------------------------------------------------
+
+_NWAY_ORACLE = """
+WITH v AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_views
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_clicks
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT COALESCE(v.user_id, c.user_id, p.user_id) AS user_id,
+       COALESCE(v.day, c.day, p.day) AS day,
+       COALESCE(n_views, 0) AS n_views,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases
+FROM v
+FULL OUTER JOIN c ON v.user_id = c.user_id AND v.day = c.day
+FULL OUTER JOIN p ON COALESCE(v.user_id, c.user_id) = p.user_id
+                 AND COALESCE(v.day, c.day) = p.day
+"""
+
+
+@register(
+    "join_n_way_merge",
+    _NWAY_ORACLE,
+    doc="N-way keyed feed merge: Spark computes it as ONE "
+    "union-then-aggregate (each feed contributes its column, groupBy "
+    "coalesces) — one shuffle total, where the naive chained FULL "
+    "OUTER JOINs (the oracle's formulation, kept deliberately) cost "
+    "N−1 shuffles and N−1 join states. The hash equality IS the "
+    "rewrite's correctness proof; at 100 TB with a dozen feeds the "
+    "union-agg is the difference between one pass and a join ladder.",
+)
+def join_n_way_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+    tagged = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id", "day",
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("p"),
+    )
+    return tagged.groupBy("user_id", "day").agg(
+        F.sum("v").cast("long").alias("n_views"),
+        F.sum("c").cast("long").alias("n_clicks"),
+        F.sum("p").cast("long").alias("n_purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document paragraph dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_PARA_ORACLE = """
+WITH base AS (
+    -- deterministic 'paragraphs': 8-word chunks of the text
+    SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+),
+idxed AS (
+    SELECT doc_id, toks,
+           unnest(range(0, CAST(ceil(len(toks) / 8.0) AS INT))) AS idx
+    FROM base
+),
+paras AS (
+    SELECT doc_id, idx,
+           array_to_string(toks[(8 * idx + 1):(8 * idx + 8)], ' ') AS para
+    FROM idxed
+),
+firsts AS (
+    SELECT doc_id, para, MIN(idx) AS first_idx
+    FROM paras GROUP BY doc_id, para
+)
+SELECT doc_id,
+       array_to_string(list(para ORDER BY first_idx), ' ') AS dedup_text,
+       COUNT(*) AS n_unique_paras
+FROM firsts GROUP BY doc_id
+"""
+
+
+@register(
+    "text_dedup_paragraphs",
+    _PARA_ORACLE,
+    doc="Intra-document paragraph dedup (boilerplate removal inside a "
+    "page): chunk → keep first occurrence of each repeated chunk → "
+    "reassemble in original order. posexplode + min-index groupBy + "
+    "ordered re-concat; per-doc state is bounded by document length, "
+    "the shuffle key is doc_id — embarrassingly parallel across a "
+    "100 TB crawl. Chunks are fixed 8-word windows so both engines "
+    "segment identically.",
+)
+def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    paras = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(chunks).alias("idx", "para"))
+    )
+    firsts = paras.groupBy("doc_id", "para").agg(
+        F.min("idx").alias("first_idx")
+    )
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("first_idx", "para"))
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                " ",
+            ).alias("dedup_text"),
+            F.count("*").alias("n_unique_paras"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy per group (behavioral diversity signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS k
+    FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, SUM(k) AS n FROM counts GROUP BY user_id),
+terms AS (
+    SELECT c.user_id,
+           -- fixed-point-quantize EACH term before summing, so the
+           -- float log's ulps can't make the sum order-dependent
+           CAST(floor(-(CAST(k AS DOUBLE) / n) * log2(CAST(k AS DOUBLE) / n)
+                      * 1e12 + 0.5) AS BIGINT) AS term_fp
+    FROM counts c JOIN tot USING (user_id)
+)
+SELECT user_id,
+       CAST(SUM(term_fp) AS DOUBLE) / 1e12 AS entropy_bits
+FROM terms GROUP BY user_id
+"""
+
+
+@register(
+    "agg_entropy",
+    _ENTROPY_ORACLE,
+    doc="Shannon entropy of each user's event-type mix — the "
+    "behavioral-diversity signal (bots are low-entropy, explorers "
+    "high). Each −p·log₂p term is fixed-point quantized BEFORE the "
+    "sum, making the aggregation integer-exact and order-independent "
+    "(float terms summed in shuffle order would be partitioning-"
+    "dependent). Two group-cardinality aggregates, no window.",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count("*").alias("k")
+    )
+    tot = counts.groupBy("user_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    term_fp = F.floor(-p * F.log2(p) * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    terms = counts.join(tot, "user_id").select(
+        "user_id", term_fp.alias("term_fp")
+    )
+    return terms.groupBy("user_id").agg(
+        (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("entropy_bits")
+    )
