@@ -73,6 +73,11 @@ SF1_QUERIES = [
     "text_lm_score",
     "split_leakage_audit",
     "session_conversion",
+    # r6 pair-join shapes: shingle containment and within-basket
+    # association — the two new quadratic-looking plans whose bounded-
+    # bucket arguments deserve a measured 10x leg
+    "text_shingle_containment",
+    "agg_market_basket",
 ]
 
 

@@ -506,3 +506,69 @@ def test_cohort_and_transition_structural_invariants(spark, sf_dir):
     trans = REGISTRY["event_transition_matrix"].fn(spark, sf_dir)
     total = trans.agg(F.sum("n_transitions")).collect()[0][0]
     assert total == n_events - n_users
+
+
+# ---------------------------------------------------------------------------
+# Image codec properties (hypothesis): arbitrary pixel arrays round-trip
+# ---------------------------------------------------------------------------
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    fmt=st.sampled_from(["bmp", "ppm", "png", "png_rgba"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_codec_roundtrip_property(h, w, seed, fmt):
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    ch = 4 if fmt == "png_rgba" else 3
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    enc, dec = {
+        "bmp": (encode_bmp, decode_bmp),
+        "ppm": (encode_ppm, decode_ppm),
+        "png": (encode_png, decode_png),
+        "png_rgba": (encode_png, decode_png),
+    }[fmt]
+    w2, h2, out = dec(enc(px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px)
+
+
+@given(
+    meta=st.dictionaries(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1,
+            max_size=12,
+        ).filter(lambda s: "\x00" not in s),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+            min_size=0,
+            max_size=40,
+        ),
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_png_text_metadata_property(meta):
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_png_text,
+        encode_png,
+    )
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert decode_png_text(encode_png(px, text=meta)) == meta
