@@ -1681,3 +1681,59 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("user_id").agg(
         (F.sum("term_fp").cast("double") / F.lit(1e12)).alias("entropy_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-tolerant CSV ingestion (PERMISSIVE + corrupt-record column)
+# ---------------------------------------------------------------------------
+
+_PERMISSIVE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS n_chars_parsed,
+       lang,
+       doc_id % 13 = 0 AS is_corrupt
+FROM documents
+"""
+
+
+@register(
+    "src_csv_permissive",
+    _PERMISSIVE_ORACLE,
+    doc="Error-tolerant CSV ingestion: a landing file with malformed "
+    "numeric cells (synthesized on one row in 13) read in PERMISSIVE "
+    "mode with columnNameOfCorruptRecord — bad cells null out and the "
+    "raw line is preserved for the quarantine path instead of killing "
+    "the load (FAILFAST's behavior, fatal at 100 TB) or silently "
+    "vanishing (DROPMALFORMED's). The oracle reconstructs the "
+    "expected null/corrupt pattern from the synthesis rule. Pairs "
+    "with quality.py route_quarantine downstream.",
+)
+def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    path = _scratch("src_csv_permissive", sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("NOT_A_NUMBER"))
+            .otherwise(F.col("n_chars").cast("string")),
+            F.col("lang"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = (
+        spark.read.schema(
+            "doc_id long, n_chars_parsed long, lang string, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    return raw.select(
+        "doc_id", "n_chars_parsed", "lang",
+        F.col("_bad").isNotNull().alias("is_corrupt"),
+    )
