@@ -1737,3 +1737,71 @@ def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars_parsed", "lang",
         F.col("_bad").isNotNull().alias("is_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened corpus mixing (α = 0.5)
+# ---------------------------------------------------------------------------
+
+
+def _tmix_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.datapipe import MIX_BUCKETS
+    from evolution_data_warehouse_spark.queries.datapipe import _bucket_sql
+
+    return f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+),
+mn AS (SELECT MIN(n_g) AS n_min FROM counts),
+thresh AS (
+    SELECT lang,
+           CAST(floor({MIX_BUCKETS} * sqrt(CAST(n_min AS DOUBLE)
+                                           / CAST(n_g AS DOUBLE)))
+                AS BIGINT) AS keep_under
+    FROM counts, mn
+)
+SELECT d.doc_id, d.lang,
+       {_bucket_sql('d.doc_id', MIX_BUCKETS)} AS mix_bucket,
+       t.keep_under
+FROM documents d JOIN thresh t ON d.lang = t.lang
+WHERE {_bucket_sql('d.doc_id', MIX_BUCKETS)} < t.keep_under
+"""
+
+
+@register(
+    "corpus_mix_temperature",
+    _tmix_oracle(),
+    doc="Temperature-flattened corpus mixing (α = 0.5): keep rates "
+    "derived from the data itself — rate_g = √(n_min/n_g), so the "
+    "smallest language keeps everything and kept sizes flatten to "
+    "∝ √n_g, the standard multilingual rebalance. Two tiny "
+    "aggregates (language cardinality + 1-row min) broadcast back; "
+    "the keep decision stays the zero-shuffle md5-bucket projection "
+    "of corpus_mix_sample. Thresholds are floor(MIX_BUCKETS·√ratio) "
+    "computed with the IDENTICAL IEEE expression on both sides.",
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        MIX_BUCKETS,
+        hash_bucket,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_g"))
+    mn = counts.agg(F.min("n_g").alias("n_min"))
+    thresh = counts.crossJoin(F.broadcast(mn)).select(
+        "lang",
+        F.floor(
+            MIX_BUCKETS
+            * F.sqrt(F.col("n_min").cast("double") / F.col("n_g").cast("double"))
+        )
+        .cast("bigint")
+        .alias("keep_under"),
+    )
+    bucket = hash_bucket(F.col("doc_id"), MIX_BUCKETS)
+    return (
+        docs.join(F.broadcast(thresh), "lang")
+        .withColumn("mix_bucket", bucket)
+        .filter(F.col("mix_bucket") < F.col("keep_under"))
+        .select("doc_id", "lang", "mix_bucket", "keep_under")
+    )

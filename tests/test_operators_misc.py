@@ -840,3 +840,61 @@ def test_pagerank_on_neardup_graph(spark, sf_dir):
     assert len(rows) > 0
     assert all(r.rank > 0 for r in rows)
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Empirical banding-curve check: on the sf0.001 corpus, the
+    MinHash-LSH candidate set must recover >=80% of the truly-similar
+    pairs (exact Jaccard >= 0.8) — with 4 bands x 4 rows the analytic
+    hit probability at j=0.8 is 1-(1-0.8^4)^4 ~ 0.88, and the fixed
+    corpus + fixed hash family make the measured recall deterministic.
+    The quality leg the plan-shape arguments can't give."""
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+        minhash_lsh_pairs,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
+    sf_dir = "/root/testdata/sf0.001"
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", content_hash64(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    exact = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "j",
+            F.col("n_common")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+        )
+    )
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in exact.filter(F.col("j") >= 0.8).collect()
+    }
+    assert len(true_pairs) >= 5, "fixture should contain real near-dups"
+
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(_doc_shingles(spark, sf_dir))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.8, (recall, len(true_pairs), len(cand))
