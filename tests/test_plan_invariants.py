@@ -31,6 +31,7 @@ _BNL_OK = {
     "agg_benford_firstdigit",  # 1-row total-count broadcast, 9-row left side
     "agg_rfm_segments",  # 1-row anchor-date broadcast over the user grain
     "agg_market_basket",  # 1-row basket-count broadcast into the pair stats
+    "corpus_mix_temperature",  # 1-row n_min broadcast into language thresholds
 }
 
 
