@@ -1805,3 +1805,107 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mix_bucket") < F.col("keep_under"))
         .select("doc_id", "lang", "mix_bucket", "keep_under")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel report
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from evolution_data_warehouse_spark.operators import textops
+
+    langs = sorted(textops.STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(str_split(lower(text), ' '), "
+        f"x -> list_contains([{', '.join(repr(w) for w in textops.STOPWORDS[lang])}], x))) AS INT)"
+        f" AS s_{lang}"
+        for lang in langs
+    )
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    chain = " ".join(f"WHEN s_{lang} >= {best} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH staged AS (
+    SELECT doc_id, source, lang, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(str_split(lower(text), ' '),
+                    x -> list_contains({_EN_STOPS_SQL_R6}, x))) AS BIGINT)
+               AS stop_hits,
+           {score_cols}
+    FROM documents
+),
+flags AS (
+    SELECT source,
+           rn = 1 AS exact_survivor,
+           rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
+               AS quality_pass,
+           rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
+               AND (CASE {chain} END) = lang AS lang_match,
+           n_tokens
+    FROM staged
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN exact_survivor THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_unique,
+       CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_pass,
+       CAST(SUM(CASE WHEN lang_match THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_final,
+       CAST(SUM(CASE WHEN lang_match THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS n_tokens_final
+FROM flags GROUP BY source
+"""
+
+
+_EN_STOPS_SQL_R6 = "['the','and','of','to','a']"
+
+
+@register(
+    "curation_funnel_report",
+    _funnel_oracle(),
+    doc="End-to-end curation funnel, the per-source report every "
+    "corpus pipeline publishes: docs in → exact-dedup survivors "
+    "(keep-lowest-id per content hash) → quality gate (length + "
+    "stopword density, INTEGER cross-multiplied thresholds so no "
+    "float boundary exists) → language-consistency gate (stopword "
+    "argmax == label) → surviving token mass. One content-hash window "
+    "+ one source-grain aggregate; every stage is a column flag on "
+    "the same scan, so the funnel costs one pass however many gates "
+    "it grows.",
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators import textops
+
+    docs = t(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    scores = textops.lang_scores(F.col("text"))
+    staged = docs.select(
+        "source", "lang",
+        F.row_number().over(w).alias("rn"),
+        F.size(textops.tokens_ws(F.col("text"))).cast("bigint").alias(
+            "n_tokens"
+        ),
+        textops.stopword_hits(F.col("text"), textops.STOPWORDS["en"])
+        .cast("bigint")
+        .alias("stop_hits"),
+        textops.predict_lang(scores).alias("pred_lang"),
+    )
+    exact = F.col("rn") == 1
+    quality = (
+        exact & (F.col("n_tokens") >= 20)
+        & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+    )
+    final = quality & (F.col("pred_lang") == F.col("lang"))
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(exact.cast("int")).cast("bigint").alias("n_exact_unique"),
+        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
+        F.sum(final.cast("int")).cast("bigint").alias("n_final"),
+        F.sum(F.when(final, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_final"),
+    )
