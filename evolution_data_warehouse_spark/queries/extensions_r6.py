@@ -1909,3 +1909,292 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-name entity resolution (blocked Levenshtein)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH recs AS (
+    SELECT c_custkey * 2 AS rec_id, c_name AS name FROM customer
+    UNION ALL
+    SELECT c_custkey * 2 + 1 AS rec_id,
+           CASE c_custkey % 3
+               WHEN 0 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+               WHEN 1 THEN substr(c_name, 1, length(c_name) - 1)
+               ELSE c_name || '2'
+           END AS name
+    FROM customer
+),
+blocked AS (
+    SELECT rec_id, name, substr(name, 1, 17) AS block_key FROM recs
+)
+SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+       a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.block_key = b.block_key AND a.rec_id < b.rec_id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+@register(
+    "dedup_fuzzy_names",
+    _FUZZY_ORACLE,
+    doc="Fuzzy-name entity resolution (the MDM/customer-dedup "
+    "primitive): a dirty registry of clean + typo'd records, blocked "
+    "on a name prefix so the Levenshtein comparison runs only within "
+    "blocks — candidate pairs scale with block size², never registry² "
+    "(the same bounded-bucket discipline as LSH banding). Edit "
+    "distance is built-in (JVM levenshtein on both engines, exact "
+    "integers).",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    clean = cust.select(
+        (F.col("c_custkey") * 2).alias("rec_id"), F.col("c_name").alias("name")
+    )
+    variant_name = (
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit("2")))
+    )
+    dirty = cust.select(
+        (F.col("c_custkey") * 2 + 1).alias("rec_id"),
+        variant_name.alias("name"),
+    )
+    recs = clean.unionByName(dirty).withColumn(
+        "block_key", F.substring("name", 1, 17)
+    )
+    a, b = recs.alias("a"), recs.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.rec_id") < F.col("b.rec_id")),
+        )
+        .filter(lev <= 1)
+        .select(
+            F.col("a.rec_id").alias("rec_a"),
+            F.col("b.rec_id").alias("rec_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            lev.cast("int").alias("edit_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap detection (SLA / outage audit)
+# ---------------------------------------------------------------------------
+
+_GAP_MINUTES = 360  # 6 hours
+
+_GAP_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+    FROM events
+)
+SELECT user_id,
+       ts AS gap_start,
+       next_ts AS gap_end,
+       (epoch_us(next_ts) - epoch_us(ts)) // 60000000 AS gap_minutes
+FROM seq
+WHERE next_ts IS NOT NULL
+  AND epoch_us(next_ts) - epoch_us(ts) > CAST({_GAP_MINUTES} AS BIGINT) * 60000000
+"""
+
+
+@register(
+    "ts_gap_detection",
+    _GAP_ORACLE,
+    doc="Silence/outage detection: per-user gaps longer than 6 hours "
+    "between consecutive events, as (start, end, minutes) intervals — "
+    "the monitoring primitive for feeds that should never go quiet. "
+    "One lead() pass over the user partitioning; gap length in exact "
+    "integer epoch-µs arithmetic (floor minutes).",
+)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    span_us = F.unix_micros("next_ts") - F.unix_micros("ts")
+    return (
+        seq.filter(
+            F.col("next_ts").isNotNull()
+            & (span_us > _GAP_MINUTES * 60_000_000)
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("gap_start"),
+            F.col("next_ts").alias("gap_end"),
+            F.expr(
+                "(unix_micros(next_ts) - unix_micros(ts)) div 60000000"
+            ).alias("gap_minutes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-level drift between snapshots
+# ---------------------------------------------------------------------------
+
+_COLDRIFT_ORACLE = """
+WITH old AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           o_orderstatus, o_orderpriority
+    FROM orders
+),
+new AS (
+    SELECT o_orderkey,
+           cents + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           o_orderpriority
+    FROM old
+),
+joined AS (
+    SELECT o.cents AS c_old, n.cents AS c_new,
+           o.o_orderstatus AS s_old, n.o_orderstatus AS s_new,
+           o.o_orderpriority AS p_old, n.o_orderpriority AS p_new
+    FROM old o JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT col_name, n_changed, n_rows FROM (
+    SELECT 'cents' AS col_name,
+           CAST(SUM(CASE WHEN c_old <> c_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           COUNT(*) AS n_rows
+    FROM joined
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(SUM(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*)
+    FROM joined
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(SUM(CASE WHEN p_old <> p_new THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(*)
+    FROM joined
+)
+"""
+
+
+@register(
+    "snapshot_column_drift",
+    _COLDRIFT_ORACLE,
+    doc="Column-level drift between snapshots — the WHICH-column "
+    "companion to snapshot_table_diff's row-level WHAT: per column, "
+    "how many common-key rows changed. One join + one aggregate with "
+    "a conditional sum per column (all columns audited in a single "
+    "pass — the per-column-join formulation would cost C shuffles); "
+    "doubles compared as exact integer cents.",
+)
+def snapshot_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        "o_orderstatus", "o_orderpriority",
+    )
+    new = old.select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 5 == 0, 100).otherwise(0)
+        ).alias("cents"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_orderpriority",
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"))
+    pairs = [
+        ("cents", "o.cents", "n.cents"),
+        ("o_orderstatus", "o.o_orderstatus", "n.o_orderstatus"),
+        ("o_orderpriority", "o.o_orderpriority", "n.o_orderpriority"),
+    ]
+    agg = joined.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(a) != F.col(b), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"chg_{name}")
+            for name, a, b in pairs
+        ],
+    )
+    stack_expr = ", ".join(f"'{name}', chg_{name}" for name, _, _ in pairs)
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) AS (col_name, n_changed)",
+        "n_rows",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engagement stickiness (DAU / WAU)
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = f"""
+WITH day_users AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM day_users GROUP BY day),
+spread AS (
+    SELECT day + CAST(unnest(range(0, 7)) AS INT) AS wday, user_id FROM day_users
+),
+wau AS (
+    SELECT wday AS day, COUNT(DISTINCT user_id) AS wau
+    FROM spread GROUP BY wday
+)
+SELECT d.day, d.dau, w.wau,
+       {fpq_sql('CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)')}
+           AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
+@register(
+    "event_stickiness",
+    _STICKY_ORACLE,
+    doc="DAU/WAU stickiness per day: the engagement ratio computed by "
+    "SPREADING each (user, day) over the 7 trailing windows it "
+    "belongs to — a 7× row expansion of the user-day grain, then two "
+    "hash aggregates — instead of a per-day distinct re-scan of the "
+    "week (O(days·events), the trap). Days trailing past the data's "
+    "edge drop out via the inner join. Counts exact, ratio "
+    "fixed-point quantized.",
+)
+def event_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_users = (
+        t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = day_users.groupBy("day").agg(F.count("*").alias("dau"))
+    spread = day_users.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day", "user_id",
+    ).select(F.date_add("day", F.col("i")).alias("day"), "user_id")
+    wau = spread.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        fpq(F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
