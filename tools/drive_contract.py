@@ -94,9 +94,15 @@ def main() -> int:
         argv = argv[:i] + argv[i + 2 :]
     only = set(argv)
 
+    # 32 shuffle partitions for speed by default; SPARK_GRAFT_SHUFFLE=200
+    # runs the truly-vanilla partitioning to prove the determinism rules
+    # are partition-count-independent (the r5/r6 spot-check procedure).
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+        )
         .config("spark.driver.memory", "16g")
         .appName("drive-contract")
         .getOrCreate()
