@@ -2198,3 +2198,196 @@ def event_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Concurrency sweep-line (max concurrent sessions)
+# ---------------------------------------------------------------------------
+
+_SWEEP_ORACLE = """
+WITH intervals AS (
+    SELECT event_id, ts AS start_ts,
+           ts + CAST(CAST(greatest(value, 1.0) * 60 AS BIGINT) AS BIGINT)
+               * INTERVAL 1 SECOND AS end_ts
+    FROM events WHERE event_type = 'view'
+),
+pts AS (
+    SELECT start_ts AS at_ts, 1 AS delta, event_id FROM intervals
+    UNION ALL
+    SELECT end_ts, -1, event_id FROM intervals
+),
+swept AS (
+    SELECT at_ts, delta,
+           SUM(delta) OVER (
+               ORDER BY at_ts, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS concurrent
+    FROM pts
+)
+SELECT CAST(date_trunc('hour', at_ts) AS TIMESTAMP) AS hour,
+       MAX(concurrent) AS peak_concurrent
+FROM swept GROUP BY 1
+"""
+
+
+@register(
+    "ts_concurrency_sweep",
+    _SWEEP_ORACLE,
+    doc="Peak concurrency via sweep-line: every interval contributes "
+    "+1 at start and −1 at end, a running sum over the merged event "
+    "points gives instantaneous concurrency, max per hour gives the "
+    "capacity-planning curve. O(n log n) in ONE window pass — the "
+    "naive per-timestamp interval-containment join is O(n²) and the "
+    "classic scale killer. Ends tie-break BEFORE starts at the same "
+    "instant (delta asc) so touching intervals don't double-count; "
+    "interval length derived deterministically from the value column.",
+)
+def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    iv = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            F.col("ts").alias("start_ts"),
+            (
+                F.col("ts")
+                + F.make_dt_interval(
+                    secs=F.floor(F.greatest("value", F.lit(1.0)) * 60).cast(
+                        "bigint"
+                    )
+                )
+            ).alias("end_ts"),
+        )
+    )
+    pts = iv.select(
+        F.col("start_ts").alias("at_ts"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        iv.select(
+            F.col("end_ts").alias("at_ts"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = W.orderBy("at_ts", "delta", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    swept = pts.select(
+        "at_ts", F.sum("delta").over(w).alias("concurrent")
+    )
+    return swept.groupBy(
+        F.date_trunc("hour", "at_ts").alias("hour")
+    ).agg(F.max("concurrent").alias("peak_concurrent"))
+
+
+# ---------------------------------------------------------------------------
+# Drill-across (multi-fact report through conformed dimensions)
+# ---------------------------------------------------------------------------
+
+_DRILL_ORACLE = f"""
+WITH li_rev AS (
+    SELECT s_nationkey AS nationkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS supply_revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+),
+ord_rev AS (
+    SELECT c_nationkey AS nationkey,
+           {dsum_sql('o_totalprice')} AS order_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+)
+SELECT n_name,
+       COALESCE(supply_revenue, 0.0) AS supply_revenue,
+       COALESCE(order_revenue, 0.0) AS order_revenue
+FROM nation
+LEFT JOIN li_rev ON n_nationkey = li_rev.nationkey
+LEFT JOIN ord_rev ON n_nationkey = ord_rev.nationkey
+"""
+
+
+@register(
+    "join_drill_across",
+    _DRILL_ORACLE,
+    doc="Drill-across: two FACTS (lineitem supply revenue, orders "
+    "revenue) reported side by side at the conformed nation grain — "
+    "each fact aggregates to the grain FIRST, then the dimension-"
+    "cardinality results join (the Kimball rule; a direct fact×fact "
+    "join would explode multiplicatively and is never needed). Two "
+    "independent partial+final aggregates + two broadcast-sized "
+    "joins; decimal-exact sums.",
+)
+def join_drill_across(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    li_rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("supply_revenue")
+        )
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    ord_rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("o_totalprice").alias("order_revenue"))
+    )
+    nation = t(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(li_rev), nation.n_nationkey == li_rev.nationkey, "left"
+        )
+        .join(
+            F.broadcast(ord_rev),
+            nation.n_nationkey == ord_rev.nationkey,
+            "left",
+        )
+        .select(
+            "n_name",
+            F.coalesce("supply_revenue", F.lit(0.0)).alias("supply_revenue"),
+            F.coalesce("order_revenue", F.lit(0.0)).alias("order_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic UUID derivation (v5-shaped surrogate identifiers)
+# ---------------------------------------------------------------------------
+
+_UUID_ORACLE = """
+WITH h AS (
+    SELECT doc_id, md5('evdw:doc:' || doc_id) AS hx FROM documents
+)
+SELECT doc_id,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+       || '5' || substr(hx, 14, 3) || '-'
+       || '8' || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS doc_uuid
+FROM h
+"""
+
+
+@register(
+    "fn_uuid_from_hash",
+    _UUID_ORACLE,
+    doc="Deterministic name-based UUIDs (v5-shaped: version nibble 5, "
+    "RFC variant nibble 8) from a namespaced md5 — the surrogate "
+    "identifier pattern for cross-system record linkage where "
+    "uuid()'s randomness would break idempotent re-runs (the same "
+    "reason the split/sample operators use md5 buckets, never rand).",
+)
+def fn_uuid_from_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hx = F.md5(F.concat(F.lit("evdw:doc:"), F.col("doc_id").cast("string")))
+    d = t(spark, sf_dir, "documents").select("doc_id", hx.alias("hx"))
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8), F.lit("-"),
+            F.substring("hx", 9, 4), F.lit("-"),
+            F.lit("5"), F.substring("hx", 14, 3), F.lit("-"),
+            F.lit("8"), F.substring("hx", 18, 3), F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("doc_uuid"),
+    )
