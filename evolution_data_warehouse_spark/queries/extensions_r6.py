@@ -2207,7 +2207,8 @@ def event_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_ORACLE = """
 WITH intervals AS (
     SELECT event_id, ts AS start_ts,
-           ts + CAST(CAST(greatest(value, 1.0) * 60 AS BIGINT) AS BIGINT)
+           -- floor, not CAST: CAST rounds half-even while Spark floors
+           ts + CAST(floor(greatest(value, 1.0) * 60) AS BIGINT)
                * INTERVAL 1 SECOND AS end_ts
     FROM events WHERE event_type = 'view'
 ),
@@ -2390,4 +2391,283 @@ def fn_uuid_from_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("8"), F.substring("hx", 18, 3), F.lit("-"),
             F.substring("hx", 21, 12),
         ).alias("doc_uuid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly churn (active in M, absent in M+1)
+# ---------------------------------------------------------------------------
+
+_CHURN_ORACLE = """
+WITH mu AS (
+    SELECT DISTINCT date_trunc('month', ts) AS month, user_id FROM events
+),
+months AS (SELECT DISTINCT month FROM mu),
+churned AS (
+    SELECT a.month, COUNT(*) AS n_churned
+    FROM mu a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM mu b
+        WHERE b.user_id = a.user_id
+          AND b.month = a.month + INTERVAL 1 MONTH
+    )
+    AND EXISTS (SELECT 1 FROM months m
+                WHERE m.month = a.month + INTERVAL 1 MONTH)
+    GROUP BY a.month
+),
+active AS (SELECT month, COUNT(*) AS n_active FROM mu GROUP BY month)
+SELECT CAST(a.month AS TIMESTAMP) AS month, a.n_active,
+       COALESCE(c.n_churned, 0) AS n_churned
+FROM active a
+LEFT JOIN churned c ON a.month = c.month
+WHERE EXISTS (SELECT 1 FROM months m
+              WHERE m.month = a.month + INTERVAL 1 MONTH)
+"""
+
+
+@register(
+    "event_churn_monthly",
+    _CHURN_ORACLE,
+    doc="Monthly churn: users active in month M with no activity in "
+    "M+1, reported beside the month's active count (the retention "
+    "complement of cohort_retention). Computed at the month-user "
+    "grain — one distinct, one self-anti-join on (user, next month) — "
+    "never a raw-event comparison; the final data month is excluded "
+    "(churn there is undefined, not zero).",
+)
+def event_churn_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mu = (
+        t(spark, sf_dir, "events")
+        .select(F.date_trunc("month", "ts").alias("month"), "user_id")
+        .distinct()
+    )
+    months = mu.select("month").distinct()
+    nxt = mu.select(
+        F.add_months(F.col("month"), -1).alias("month"),
+        F.col("user_id").alias("u2"),
+    )
+    churned = (
+        mu.join(
+            nxt,
+            (mu.month == nxt.month) & (mu.user_id == nxt.u2),
+            "left_anti",
+        )
+        .groupBy("month")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    active = mu.groupBy("month").agg(F.count("*").alias("n_active"))
+    has_next = months.alias("m1").join(
+        months.select(F.add_months("month", -1).alias("month")).alias("m2"),
+        "month",
+        "left_semi",
+    )
+    return (
+        active.join(F.broadcast(has_next), "month", "left_semi")
+        .join(churned, "month", "left")
+        .select(
+            "month", "n_active",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transition latency (inter-event time per transition type)
+# ---------------------------------------------------------------------------
+
+_TRANS_LAT_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_type AS prev_type, ts,
+           lead(event_type) OVER w AS next_type,
+           lead(ts) OVER w AS next_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+lat AS (
+    SELECT prev_type, next_type,
+           (epoch_us(next_ts) - epoch_us(ts)) / 1000000.0 AS secs
+    FROM seq WHERE next_type IS NOT NULL
+)
+SELECT prev_type, next_type, COUNT(*) AS n,
+       {fpq_sql('quantile_cont(secs, 0.5)')} AS median_secs,
+       {fpq_sql('quantile_cont(secs, 0.9)')} AS p90_secs
+FROM lat GROUP BY prev_type, next_type
+"""
+
+
+@register(
+    "event_transition_latency",
+    _TRANS_LAT_ORACLE,
+    doc="Inter-event latency per transition type (how long from view "
+    "to click?): the timing companion to event_transition_matrix. One "
+    "lead() pass over the user partitioning, then exact interpolated "
+    "percentiles per transition pair, fixed-point quantized; seconds "
+    "derive from integer epoch-µs divided once.",
+)
+def event_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("prev_type"),
+        "ts",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    secs = (
+        (F.unix_micros("next_ts") - F.unix_micros("ts")) / F.lit(1000000.0)
+    )
+    lat = seq.filter(F.col("next_type").isNotNull()).select(
+        "prev_type", "next_type", secs.alias("secs")
+    )
+    return lat.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n"),
+        fpq(F.percentile("secs", F.lit(0.5))).alias("median_secs"),
+        fpq(F.percentile("secs", F.lit(0.9))).alias("p90_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document keyword extraction (tf-idf top-k)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(list_distinct(str_split(lower(text), ' '))) AS term
+    FROM documents
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+df AS (SELECT term, COUNT(*) AS n_df FROM toks GROUP BY term),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS n_tf FROM (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS term
+        FROM documents
+    ) GROUP BY doc_id, term
+),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           -- integer-exact score surrogate: tf × floor(1e6 · n/df)
+           n_tf * CAST(floor(1000000.0 * n.n / d.n_df) AS BIGINT) AS score
+    FROM tf JOIN df d ON tf.term = d.term CROSS JOIN n_docs n
+),
+ranked AS (
+    SELECT doc_id, term, score, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+    ) AS rk
+    FROM scored
+)
+SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@register(
+    "text_keywords_topk",
+    _KEYWORDS_ORACLE,
+    doc="Per-document keyword extraction: top-3 terms by a tf·idf "
+    "surrogate kept INTEGER end-to-end (tf × floor(1e6·N/df)) so "
+    "ranking has no float boundary; ties break on the term. The idf "
+    "join is vocabulary-sized, the rank filter compiles to "
+    "WindowGroupLimit (partial top-3 map-side) — the RAG metadata "
+    "tagger that runs beside chunking.",
+)
+def text_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("n_tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("n_df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            (
+                F.col("n_tf")
+                * F.floor(
+                    F.lit(1000000.0) * F.col("n") / F.col("n_df")
+                ).cast("bigint")
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration curve (top-decile revenue share)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, cents,
+           ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+    FROM per_cust
+),
+tot AS (SELECT SUM(cents) AS total FROM per_cust)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cents) AS DOUBLE) / CAST(t.total AS DOUBLE) AS revenue_share,
+       CAST(SUM(SUM(cents)) OVER (
+           ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share
+FROM ranked, tot t
+GROUP BY decile, t.total
+"""
+
+
+@register(
+    "agg_pareto_deciles",
+    _PARETO_ORACLE,
+    doc="Pareto concentration curve: customers ranked into revenue "
+    "deciles (tie-broken ntile), per-decile and cumulative revenue "
+    "share — the 80/20 audit. Revenue is exact integer cents end to "
+    "end; the only doubles are two single divisions by the 1-row "
+    "total. Customer-cardinality sort, 10-row output.",
+)
+def agg_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    ranked = per_cust.select(
+        "o_custkey", "cents",
+        F.ntile(10).over(W.orderBy(F.desc("cents"), F.asc("o_custkey"))).alias(
+            "decile"
+        ),
+    )
+    tot = per_cust.agg(F.sum("cents").alias("total"))
+    by_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("dec_cents"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        by_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers",
+            (F.col("dec_cents").cast("double") / F.col("total").cast("double"))
+            .alias("revenue_share"),
+            (
+                F.sum("dec_cents").over(wc).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
     )

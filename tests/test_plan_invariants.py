@@ -32,6 +32,8 @@ _BNL_OK = {
     "agg_rfm_segments",  # 1-row anchor-date broadcast over the user grain
     "agg_market_basket",  # 1-row basket-count broadcast into the pair stats
     "corpus_mix_temperature",  # 1-row n_min broadcast into language thresholds
+    "text_keywords_topk",  # 1-row corpus-size broadcast into the idf score
+    "agg_pareto_deciles",  # 1-row revenue-total broadcast into the shares
 }
 
 
