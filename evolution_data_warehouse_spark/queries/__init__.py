@@ -43,11 +43,12 @@ from evolution_data_warehouse_spark.queries import extensions_r6 as _extensions_
 # (session_conversion, win_gaps_islands — the newest additions, with
 # the freshest local evidence) plus the 18 r3-stale entries lead the
 # round-7 window per the CLAUDE.md rotation procedure.  Queries added
-# during round 6 land AFTER the window and join the r7 head; all 36
+# during round 6 land AFTER the window and join the r7 head; all 43
 # r6 additions were spot-checked green BOTH on a truly-vanilla
 # 200-shuffle-partition session (SPARK_GRAFT_SHUFFLE=200) and at
 # sf0.1 (10x the driver's verification scale) — the determinism rules
-# hold on both axes, as with the r5 batch.
+# hold on both axes, as with the r5 batch — and the whole registry is
+# covered by the committed LOCAL_CONTRACT_r06.json (243/243).
 _R6_WINDOW = (
     "snk_clustered_prune", "join_effective_dated", "snk_csv",
     "src_schema_evolution", "join_null_safe", "join_right_outer",
