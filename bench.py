@@ -110,6 +110,59 @@ def _hot_guard_seconds(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _shingle_guard_seconds(spark, sf_dir: str) -> float:
+    """Time the exact n-gram Jaccard pair generation on input that trips
+    the DEFAULT_MAX_SHINGLE_DF guard: the corpus' shingles plus one
+    synthetic boilerplate block shared by 1200 docs (> the 1000 cap).
+    Unguarded, each of the ~8 boilerplate shingles alone would emit
+    ~720k self-join rows (~5.7M total); the guard drops them before the
+    join, so the timing demonstrates the df-capped plan stays linear on
+    hot data — the mirror of dedup_minhash_hot_guarded for the exact
+    path."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cap_shingle_df,
+        content_hash64,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
+    btoks = "common boiler plate text repeated everywhere in this corpus".split()
+    bsh = [" ".join(btoks[i : i + 3]) for i in range(len(btoks) - 2)]
+    boiler = spark.range(1200).select(
+        (F.lit(10**12) + F.col("id")).alias("doc_id"),
+        F.explode(F.array(*[F.lit(s) for s in bsh])).alias("shingle"),
+    )
+    shingled = _doc_shingles(spark, sf_dir).unionByName(boiler)
+
+    def _pairs():
+        sh = cap_shingle_df(
+            shingled.select(
+                "doc_id", content_hash64(F.col("shingle")).alias("shingle_h")
+            )
+        ).localCheckpoint(eager=True)
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle_h") == F.col("b.shingle_h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+
+    _pairs().write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    _pairs().write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
 def _skew_seconds(spark) -> dict:
     """Time the salted-skew operators on ACTUALLY skewed data: 4M rows
     where one key holds half the table (~10 000× the median key's
@@ -281,7 +334,10 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    extras = {"dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir)}
+    extras = {
+        "dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir),
+        "shingle_join_hot_guarded": _shingle_guard_seconds(spark, sf_dir),
+    }
     extras.update(_skew_seconds(spark))
     extras.update(_compaction_seconds(spark, sf_dir))
     sf1 = _sf1_timings(spark, REGISTRY)

@@ -30,6 +30,15 @@ SIMHASH_BITS = 16
 # (queries/llm_ops.py interpolates this constant into the oracle SQL so
 # engine and oracle can never diverge silently).
 DEFAULT_MAX_BUCKET = 1000
+# Document-frequency cap for the exact shingle self-join family
+# (dedup_ngram_jaccard / text_shingle_containment): a shingle shared by
+# m documents emits m·(m-1)/2 join rows, so one super-frequent shingle
+# (boilerplate header, license block) goes quadratic at corpus scale.
+# Shingles with df > cap are dropped BEFORE the self-join — the standard
+# "discard super-frequent shingles" step; documents pairing only through
+# boilerplate belong to the exact-dedup path. Shared with the DuckDB
+# oracles by interpolation, like DEFAULT_MAX_BUCKET.
+DEFAULT_MAX_SHINGLE_DF = 1000
 
 logger = logging.getLogger(__name__)
 
@@ -48,6 +57,30 @@ def content_hash64(col: Column) -> Column:
 
 def content_hash64_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def cap_shingle_df(
+    hashed: DataFrame,
+    hash_col: str = "shingle_h",
+    max_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` — the
+    hot-key guard for the exact shingle self-join (see
+    ``DEFAULT_MAX_SHINGLE_DF``). Input is the (id, hash) relation with
+    one row per distinct shingle per document, so ``count(*)`` per hash
+    IS the document frequency.
+
+    Guard plan: window count over the hash + filter, NOT groupBy+join —
+    the window shuffles on the same key the pair self-join hashes next,
+    so both sides of the self-join share the guarded subtree and
+    Spark's ReusedExchange computes that shuffle once (same argument as
+    the minhash hot-bucket guard above, ~2.1x measured there)."""
+    w = Window.partitionBy(hash_col)
+    return (
+        hashed.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
 
 
 def minhash_signature(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:

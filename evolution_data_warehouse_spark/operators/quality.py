@@ -124,8 +124,14 @@ def route_quarantine(
     """
     from pyspark.sql import Observation
 
+    # A NULL rule evaluation must quarantine, not pass: for `col > 0`
+    # on NULL, `~cond` is NULL and a bare when() never fires — NULLs in
+    # validated columns would silently bypass the gate (the opposite of
+    # dead-letter intent). coalesce(cond, False) makes NULL a failure
+    # recorded under the rule's name.
     fails = [
-        F.when(~cond, F.lit(name)) for name, cond in sorted(rules.items())
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in sorted(rules.items())
     ]
     reasons = F.array_compact(F.array(*fails))
     routed = df.withColumn("_reasons", reasons).withColumn(

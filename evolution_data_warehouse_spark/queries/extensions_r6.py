@@ -17,6 +17,9 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from evolution_data_warehouse_spark.operators.dedup import (
+    DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
+)
 from evolution_data_warehouse_spark.queries.common import (
     dsum,
     dsum_sql,
@@ -274,9 +277,11 @@ WITH sh0 AS (
         FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents)
     )
 ),
-sh AS (SELECT doc_id,
+shu AS (SELECT doc_id,
               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle_h
        FROM sh0),
+sh AS (SELECT doc_id, shingle_h FROM shu
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle_h) <= {_MAX_SHINGLE_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -302,16 +307,23 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {_CONTAIN_MIN}
     "Jaccard misses (a short doc fully quoted inside a long one has "
     "low Jaccard but containment 1.0). Same hashed-shingle equi-join "
     "backbone as dedup_ngram_jaccard (never corpus×corpus; pairs only "
-    "through shared shingles), counts divided once per side "
-    "(single-division doubles, engine-exact).",
+    "through shared shingles) with the same DEFAULT_MAX_SHINGLE_DF "
+    "hot-shingle guard before the self-join; counts divided once per "
+    "side (single-division doubles, engine-exact).",
 )
 def text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cap_shingle_df,
+        content_hash64,
+    )
     from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
 
     sh = (
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", content_hash64(F.col("shingle")).alias("shingle_h"))
+        cap_shingle_df(
+            _doc_shingles(spark, sf_dir).select(
+                "doc_id", content_hash64(F.col("shingle")).alias("shingle_h")
+            )
+        )
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

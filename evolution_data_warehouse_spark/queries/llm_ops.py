@@ -177,11 +177,17 @@ SELECT doc_id, shingle FROM (
 )
 """
 
+from evolution_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF,
+)
+
 _NGRAM_ORACLE = f"""
 WITH sh0 AS ({_SHINGLES_SQL}),
-sh AS (SELECT doc_id,
+shu AS (SELECT doc_id,
               CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle_h
        FROM sh0),
+sh AS (SELECT doc_id, shingle_h FROM shu
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle_h) <= {_MAX_SHINGLE_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -234,21 +240,32 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     _NGRAM_ORACLE,
     doc="n-gram Jaccard near-dup: distinct 3-gram shingles, self-join on "
-    "shingle for intersection counts, |A∪B| = |A|+|B|-|A∩B|. The "
-    "shingle self-join is the sf-small path; at 100 TB the minhash-LSH "
-    "operator prunes candidate pairs first.",
+    "shingle for intersection counts, |A∪B| = |A|+|B|-|A∩B| over the "
+    "df-capped shingle sets. Shingles with document frequency > "
+    "DEFAULT_MAX_SHINGLE_DF are dropped before the self-join (standard "
+    "discard-super-frequent-shingles step): one boilerplate shingle "
+    "shared by m docs would emit m·(m-1)/2 join rows — quadratic at "
+    "corpus scale. Cap interpolated into the oracle.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cap_shingle_df,
+        content_hash64,
+    )
 
     # Join on the 60-bit shingle hash, not the string: ~10x smaller
     # shuffle payload for the self-join, identical counts (and the same
     # hash on the oracle side). Reused three times (sizes + both join
     # sides); eager localCheckpoint materializes once with reclaimable
     # blocks instead of a cache pinned until an unpersist nobody owns.
+    # The df cap runs BEFORE the checkpoint so the materialized relation
+    # is already hot-key-free.
     sh = (
-        _doc_shingles(spark, sf_dir)
-        .select("doc_id", content_hash64(F.col("shingle")).alias("shingle_h"))
+        cap_shingle_df(
+            _doc_shingles(spark, sf_dir).select(
+                "doc_id", content_hash64(F.col("shingle")).alias("shingle_h")
+            )
+        )
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -220,7 +220,12 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             if start is None:
                 start, end, n = tm, tm, 1
             elif tm - end <= gap_ms:
-                end, n = tm, n + 1
+                # merge: an out-of-order event within the watermark can
+                # arrive with tm < stored end (cross-batch); min/max so
+                # the session never shrinks — a backward-moving end
+                # would emit an end preceding contained events and pull
+                # the EventTimeTimeout earlier than last_event + gap.
+                start, end, n = min(start, tm), max(end, tm), n + 1
             else:
                 closed.append((start, end, n))
                 start, end, n = tm, tm, 1

@@ -326,17 +326,24 @@ def snapshot_diff(
     """Diff two table snapshots: one FULL OUTER JOIN on the key emitting
     'added' / 'removed' / 'changed' rows (unchanged rows are dropped —
     at 100 TB they are the overwhelming majority and nobody reads
-    them). Payload comparison goes through an md5 of the concatenated
-    compare columns (null-tagged so NULL and '' differ), so the shuffle
-    carries keys + one hash instead of full rows — the backfill-
-    validation / replication-audit primitive.
+    them). Payload comparison goes through md5-of-concatenated
+    PER-COLUMN md5s: each column becomes a fixed-width 32-hex token
+    (NULL → the 1-char token 'N', which no md5 can equal), so the
+    encoding is prefix-free — no separator character a value could
+    contain can shift bytes between columns (a raw separator join
+    would let ('a\\x01b','c') collide with ('a','b\\x01c') and drop a
+    genuinely changed row as unchanged). The shuffle still carries
+    keys + one hash instead of full rows — the backfill-validation /
+    replication-audit primitive.
     """
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         payload = F.md5(
-            F.concat_ws(
-                "\x01", *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            F.concat(
+                *[
+                    F.coalesce(
+                        F.md5(F.col(c).cast("string")), F.lit("N")
+                    )
                     for c in compare_cols
                 ]
             )

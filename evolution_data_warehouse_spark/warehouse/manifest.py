@@ -19,9 +19,12 @@ internally consistent set of tables:
   half-written ``v{N}`` is invisible garbage, cleaned by retention,
   never served.
 
-Reference parity: this replaces the reference's transactional
-publish-to-SQL-schema step (the ETL writes then flips a synonym /
-schema swap); cite Terraform/sql/007_create_procedures.sql:140-170.
+This is NEW capability relative to the reference: the reference's ETL
+overwrites tables in place in Azure SQL (per-table transactions; no
+multi-table snapshot publish exists there). The manifest pattern is
+the file/object-store analog of what a warehouse would need to serve
+a consistent dim+fact flip — standard practice in table formats
+(Iceberg/Delta commit pointers), re-expressed minimally.
 """
 
 from __future__ import annotations
@@ -39,18 +42,23 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
-    """Atomic single-object write: create a temp object, rename into
-    place (1-object rename — metadata-only everywhere, atomic PUT
-    semantics on object stores when overwrite is supported)."""
-    jvm, fs, p = _fs(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(content.encode("utf-8")))
-    out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
-    if not fs.rename(tmp, p):
-        raise IOError(f"manifest flip failed for {path}")
+    """Atomic single-object write: ``fs.create(p, overwrite=True)``
+    directly on the final path. On object stores (S3 PUT, ABFS
+    create-with-overwrite) and HDFS this is a single create-with-
+    overwrite — the marker is NEVER absent. A delete-then-rename would
+    open a window where ``_current`` does not exist: a concurrent
+    ``read_current`` would raise and a concurrent publish would compute
+    version -1+1=0 and clobber live numbering (the r6 ADVICE finding);
+    create-with-overwrite has no such window — readers see either the
+    old content or the new, and a crash mid-write on a rename-backed
+    store leaves at worst the old object (the stream materializes on
+    close)."""
+    _, fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _read_small_file(spark: SparkSession, path: str) -> str | None:
