@@ -1,0 +1,989 @@
+"""Round-7 query batch: corpus statistics, graph analytics over
+co-purchase structure, time-series diagnostics, and data-ops reports.
+
+Same contract as every other registry module: each query is a Spark
+callable plus a DuckDB oracle, aliased identically on both sides, with
+the repo determinism rules (dsum/davg decimal sums, per-term fixed-
+point quantization before any float aggregation, single-division
+doubles, tie-broken top-N, no native round()).
+
+These extend the engine's analytics surface beyond the reference's
+inventory (SURVEY.md §2 is complete as of r6); they are the shapes a
+large-scale curation/BI deployment asks for next: vocabulary richness
+(hapax), distribution drift between corpus splits, PII scanning,
+calendar-correct YoY, behavioral path mining, graph structure
+(triangles/degrees), autocorrelation, skew observability, weekday
+bitmaps, and categorical association (Cramér's V).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.queries.common import (
+    davg_sql,
+    dsum,
+    dsum_sql,
+    fpq,
+    fpq_sql,
+    register,
+    t,
+)
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: hapax legomena ratio per language
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH toks AS (
+    SELECT lang, unnest(str_split(lower(text), ' ')) AS tok FROM documents
+),
+tc AS (
+    SELECT lang, tok, COUNT(*) AS k
+    FROM toks WHERE tok <> '' GROUP BY lang, tok
+)
+SELECT lang,
+       COUNT(*) AS vocab,
+       SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS hapax,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+FROM tc GROUP BY lang
+"""
+
+
+@register(
+    "text_hapax_ratio",
+    _HAPAX_ORACLE,
+    doc="Hapax legomena ratio per language — the vocabulary-richness "
+    "signal (template/boilerplate corpora have low hapax share, "
+    "organic text high). Two hash aggregates over the token relation, "
+    "map-side combinable; integer counts with ONE final division — "
+    "nothing order-dependent. At 100 TB the (lang, tok) aggregate "
+    "shuffles vocabulary-cardinality rows, not corpus-cardinality.",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("lang", "tok").agg(F.count("*").alias("k"))
+    hapax = F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+    return tc.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        hapax.alias("hapax"),
+        (hapax.cast("double") / F.count("*").cast("double")).alias(
+            "hapax_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift between two corpus halves (exact L1)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH toks AS (
+    SELECT doc_id % 2 AS half, unnest(str_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+tc AS (
+    SELECT tok,
+           SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+    FROM toks WHERE tok <> '' GROUP BY tok
+),
+tot AS (SELECT SUM(c0) AS t0, SUM(c1) AS t1 FROM tc)
+SELECT t0, t1,
+       COUNT(*) AS vocab,
+       CAST(SUM(abs(c0 * t1 - c1 * t0)) AS DOUBLE)
+       / CAST(t0 * t1 AS DOUBLE) AS l1_distance
+FROM tc, tot
+GROUP BY t0, t1
+"""
+
+
+@register(
+    "corpus_token_drift",
+    _DRIFT_ORACLE,
+    doc="Exact L1 (total-variation x2) distance between the token "
+    "distributions of two corpus halves (doc_id parity) — the "
+    "distribution-drift check run between crawl snapshots before "
+    "mixing them into a training set. Computed in exact integer "
+    "arithmetic: sum |c0*T1 - c1*T0| as BIGINT with ONE final "
+    "division by T0*T1, so no float accumulation anywhere. The "
+    "1-row totals broadcast; the token aggregate is vocabulary-"
+    "sized. (counts ~1e7 x totals ~1e9 stays under 2^63 at 100 TB "
+    "per-shard; shard-then-merge for a global number.)",
+)
+def corpus_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tc = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = tc.agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1")
+    )
+    return (
+        tc.crossJoin(F.broadcast(tot))
+        .groupBy("t0", "t1")
+        .agg(
+            F.count("*").alias("vocab"),
+            (
+                F.sum(
+                    F.abs(F.col("c0") * F.col("t1") - F.col("c1") * F.col("t0"))
+                ).cast("double")
+                / (F.col("t0") * F.col("t1")).cast("double")
+            ).alias("l1_distance"),
+        )
+        .select("t0", "t1", "vocab", "l1_distance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scan report (email / IPv4 / long digit runs) per source
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_DIGITRUN_RE = "[0-9]{10,}"
+
+# Deterministic PII fixture: the synthetic corpus has no organic PII,
+# so salt a known subset of docs with synthesized markers — the scan
+# then has non-trivial positives to count and both engines build the
+# identical input.
+_PII_TEXT_SQL = """
+    lower(text) || CASE
+        WHEN doc_id % 11 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com now'
+        WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.7 up'
+        WHEN doc_id % 17 = 0 THEN ' card 4111111111111111 on file'
+        ELSE ''
+    END
+"""
+
+_PII_ORACLE = f"""
+WITH d AS (
+    SELECT source, {_PII_TEXT_SQL} AS body FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN regexp_matches(body, '{_EMAIL_RE}') THEN 1 ELSE 0 END)
+           AS n_email,
+       SUM(CASE WHEN regexp_matches(body, '{_IPV4_RE}') THEN 1 ELSE 0 END)
+           AS n_ipv4,
+       SUM(CASE WHEN regexp_matches(body, '{_DIGITRUN_RE}') THEN 1 ELSE 0 END)
+           AS n_digitrun
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "pii_scan_report",
+    _PII_ORACLE,
+    doc="PII surface scan per source: documents containing email-, "
+    "IPv4-, and long-digit-run-shaped spans (the triage report run "
+    "before a corpus ships; complements pii_luhn_cards' checksum "
+    "validation). rlike predicates compile into the scan stage — one "
+    "pass, no UDFs; counts are integers. Patterns chosen to behave "
+    "identically under Java regex (Spark) and RE2 (DuckDB): character "
+    "classes and bounded repetition only, no backrefs/lookaround.",
+)
+def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    body = F.concat(
+        F.lower("text"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 up"),
+            ),
+        )
+        .when(F.col("doc_id") % 17 == 0, F.lit(" card 4111111111111111 on file"))
+        .otherwise(F.lit("")),
+    )
+    d = t(spark, sf_dir, "documents").select("source", body.alias("body"))
+
+    def cnt(pat: str, name: str) -> Column:
+        return F.sum(
+            F.when(F.col("body").rlike(pat), 1).otherwise(0)
+        ).alias(name)
+
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(_EMAIL_RE, "n_email"),
+        cnt(_IPV4_RE, "n_ipv4"),
+        cnt(_DIGITRUN_RE, "n_digitrun"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-correct year-over-year growth
+# ---------------------------------------------------------------------------
+
+_YOY_ORACLE = f"""
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT cur.month, cur.revenue,
+       prev.revenue AS revenue_prior_year,
+       (cur.revenue - prev.revenue) / prev.revenue AS yoy_growth
+FROM m cur LEFT JOIN m prev
+  ON prev.month = cur.month - INTERVAL 12 MONTH
+"""
+
+
+@register(
+    "win_yoy_growth",
+    _YOY_ORACLE,
+    doc="Calendar-correct year-over-year revenue growth: monthly "
+    "decimal-exact revenue self-joined on month-minus-12-months — NOT "
+    "lag(12), which silently compares against the wrong month when a "
+    "month is missing. The monthly aggregate is tiny (months x 1 row), "
+    "so the self-join broadcasts; growth is one subtraction and one "
+    "division of identical decimal-summed operands.",
+)
+def win_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    return (
+        cur.join(
+            F.broadcast(prev),
+            F.col("prev.month") == F.add_months(F.col("cur.month"), -12),
+            "left",
+        )
+        .select(
+            F.col("cur.month").alias("month"),
+            F.col("cur.revenue").alias("revenue"),
+            F.col("prev.revenue").alias("revenue_prior_year"),
+            (
+                (F.col("cur.revenue") - F.col("prev.revenue"))
+                / F.col("prev.revenue")
+            ).alias("yoy_growth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral path mining: top first-3-event paths per user-day
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+           ) AS rn
+    FROM events
+),
+paths AS (
+    SELECT user_id, day,
+           MAX(CASE WHEN rn = 1 THEN event_type END) || '>' ||
+           MAX(CASE WHEN rn = 2 THEN event_type END) || '>' ||
+           MAX(CASE WHEN rn = 3 THEN event_type END) AS path
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id, day
+    HAVING COUNT(*) >= 3
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+@register(
+    "seq_top_paths",
+    _PATHS_ORACLE,
+    doc="Top-20 opening event paths (first 3 events per user-day, "
+    "tie-broken by event_id) — the sequence-mining primitive behind "
+    "onboarding/funnel design. The per-group ordering is a window "
+    "ranked within (user, day) partitions; the path string is built "
+    "with positional conditional MAXes (exact, no ordered collect), "
+    "and the final top-N is fully tie-broken (count desc, path) so "
+    "LIMIT is deterministic. Compiles to WindowGroupLimit-friendly "
+    "shapes; the heavy shuffle is user-day cardinality, not events.",
+)
+def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+
+    def step(i: int) -> Column:
+        return F.max(F.when(F.col("rn") == i, F.col("event_type")))
+
+    paths = (
+        ranked.groupBy("user_id", "day")
+        .agg(
+            step(1).alias("s1"),
+            step(2).alias("s2"),
+            step(3).alias("s3"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the co-purchase structure
+# ---------------------------------------------------------------------------
+
+_MIN_EDGE_SUPPORT = 2
+
+# Shared edge CTE: parts co-occurring in >= MIN_EDGE_SUPPORT orders,
+# oriented a < b. The within-order pair fan-out is bounded by basket
+# size (TPC-H <= 7 lines/order); the support threshold prunes the edge
+# set before any further self-join.
+_EDGES_SQL = f"""
+items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
+)
+"""
+
+_TRIANGLE_ORACLE = f"""
+WITH {_EDGES_SQL}
+SELECT COUNT(*) AS n_triangles,
+       (SELECT COUNT(*) FROM edges) AS n_edges
+FROM edges e1
+JOIN edges e2 ON e2.pa = e1.pb
+JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MIN_EDGE_SUPPORT)
+    )
+
+
+@register(
+    "graph_copurchase_triangles",
+    _TRIANGLE_ORACLE,
+    doc="Triangle count in the co-purchase graph (parts co-ordered in "
+    ">= 2 orders) — the clustering-structure signal for recommender / "
+    "community work. Standard oriented enumeration: edges stored "
+    "a < b once, triangles found as e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c), so "
+    "each triangle is counted exactly once and the join never "
+    "explores both directions. The within-order pair fan-out is "
+    "bounded by basket size and the support threshold prunes the "
+    "edge set before the triangle joins — at 100 TB add a "
+    "degree-ordered orientation (low-degree endpoint first) to cap "
+    "the join fan-out, same plan shape.",
+)
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
+
+
+_DEGREE_ORACLE = f"""
+WITH {_EDGES_SQL},
+deg AS (
+    SELECT node, COUNT(*) AS degree FROM (
+        SELECT pa AS node FROM edges
+        UNION ALL
+        SELECT pb AS node FROM edges
+    ) GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    _DEGREE_ORACLE,
+    doc="Degree distribution of the co-purchase graph — the power-law "
+    "health check (and the input to the degree-ordered triangle "
+    "orientation above). Each undirected edge contributes one to both "
+    "endpoints via UNION ALL, then two integer aggregates; output is "
+    "degree-cardinality, tiny at any scale.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("pa").alias("node")).unionAll(
+        e.select(F.col("pb").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Lag-7 autocorrelation of the daily event count series
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+pairs AS (
+    SELECT cur.x AS x, prev.x AS y
+    FROM daily cur JOIN daily prev ON prev.day = cur.day - 7
+),
+s AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs
+)
+SELECT n,
+       CAST(floor(
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           * 1e9 + 0.5) / 1e9 AS DOUBLE) AS autocorr_lag7
+FROM s
+"""
+
+
+@register(
+    "ts_autocorr_daily",
+    _AUTOCORR_ORACLE,
+    doc="Lag-7 Pearson autocorrelation of the daily event-count series "
+    "— the weekly-seasonality detector that decides whether a forecast "
+    "needs a 7-day term. All moment sums are exact BIGINTs over "
+    "integer counts (calendar join day = day-7, not a positional "
+    "lag); the correlation is assembled from those exact operands in "
+    "one closed-form expression (IEEE sqrt is correctly rounded, so "
+    "both engines produce the same double), then fixed-point "
+    "quantized. Day-cardinality data — trivially small forever.",
+)
+def ts_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("x"))
+    )
+    cur, prev = daily.alias("cur"), daily.alias("prev")
+    pairs = cur.join(
+        F.broadcast(prev),
+        F.col("prev.day") == F.date_sub(F.col("cur.day"), 7),
+    ).select(F.col("cur.x").alias("x"), F.col("prev.x").alias("y"))
+    s = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    return s.select("n", fpq(num / den, 9).alias("autocorr_lag7"))
+
+
+# ---------------------------------------------------------------------------
+# Key-skew observability report
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = f"""
+WITH ok AS (SELECT o_custkey AS k FROM orders),
+lk AS (SELECT l_partkey AS k FROM lineitem),
+ek AS (SELECT user_id AS k FROM events),
+r AS (
+    SELECT 'orders.o_custkey' AS keyspace, k FROM ok
+    UNION ALL SELECT 'lineitem.l_partkey', k FROM lk
+    UNION ALL SELECT 'events.user_id', k FROM ek
+),
+c AS (SELECT keyspace, k, COUNT(*) AS cnt FROM r GROUP BY keyspace, k)
+SELECT keyspace,
+       COUNT(*) AS n_keys,
+       MAX(cnt) AS max_cnt,
+       {davg_sql('cnt', 0)} AS avg_cnt,
+       {fpq_sql('quantile_cont(cnt, 0.5)')} AS p50_cnt,
+       CAST(MAX(cnt) AS DOUBLE) / ({davg_sql('cnt', 0)}) AS skew_ratio
+FROM c GROUP BY keyspace
+"""
+
+
+@register(
+    "agg_skew_report",
+    _SKEW_ORACLE,
+    doc="Key-skew observability across three join/agg keyspaces "
+    "(orders.o_custkey, lineitem.l_partkey, events.user_id): key "
+    "count, max/avg/median per-key row counts, and the max/avg skew "
+    "ratio that decides whether a key needs salting or AQE skew "
+    "handling (the repo's own guidance in operators/skew). Per-key "
+    "counts are integers; avg is a decimal-exact davg, median an "
+    "fpq-quantized exact percentile. This is the profiling query you "
+    "run BEFORE shipping a 100 TB join, on a sample or full pass.",
+)
+def agg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.common import davg
+
+    parts = [
+        t(spark, sf_dir, "orders").select(
+            F.lit("orders.o_custkey").alias("keyspace"),
+            F.col("o_custkey").alias("k"),
+        ),
+        t(spark, sf_dir, "lineitem").select(
+            F.lit("lineitem.l_partkey").alias("keyspace"),
+            F.col("l_partkey").alias("k"),
+        ),
+        t(spark, sf_dir, "events").select(
+            F.lit("events.user_id").alias("keyspace"),
+            F.col("user_id").alias("k"),
+        ),
+    ]
+    r = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    c = r.groupBy("keyspace", "k").agg(F.count("*").alias("cnt"))
+    return c.groupBy("keyspace").agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        davg("cnt", 0).alias("avg_cnt"),
+        fpq(F.percentile("cnt", F.lit(0.5))).alias("p50_cnt"),
+        (F.max("cnt").cast("double") / davg("cnt", 0)).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday-presence bitmaps per user
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           isodow(CAST(ts AS DATE)) - 1 AS dw
+    FROM events
+)
+SELECT user_id,
+       bit_or(CAST(1 AS BIGINT) << dw) AS weekday_bitmap,
+       bit_count(bit_or(CAST(1 AS BIGINT) << dw)) AS n_weekdays
+FROM d GROUP BY user_id
+"""
+
+
+@register(
+    "agg_bitmap_presence",
+    _BITMAP_ORACLE,
+    doc="Weekday-presence bitmap per user: bit i set iff the user was "
+    "active on ISO weekday i (Mon=bit 0) — the compact-presence "
+    "encoding that replaces 7 boolean columns and supports set "
+    "algebra downstream (weekday-vs-weekend via mask AND). bit_or is "
+    "a decomposable aggregate (map-side combinable); Spark dayofweek "
+    "(Sun=1) is normalized to ISO (Mon=1) with (dow+5)%7+1 to match "
+    "DuckDB's isodow.",
+)
+def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1) - 1).alias("dw"),
+        )
+        .distinct()
+    )
+    # shiftleft's numBits parameter is Python-int-only in the DSL; the
+    # SQL form accepts a column.
+    bm = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), dw)"))
+    return d.groupBy("user_id").agg(
+        bm.alias("weekday_bitmap"),
+        F.bit_count(bm).alias("n_weekdays"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V: categorical association between status and priority
+# ---------------------------------------------------------------------------
+
+_CRAMER_ORACLE = """
+WITH cell AS (
+    SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS obs
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+rows_ AS (SELECT s, SUM(obs) AS rtot FROM cell GROUP BY s),
+cols_ AS (SELECT p, SUM(obs) AS ctot FROM cell GROUP BY p),
+n_ AS (SELECT SUM(obs) AS n FROM cell),
+terms AS (
+    SELECT CAST(floor(
+        pow(CAST(obs AS DOUBLE)
+            - CAST(rtot AS DOUBLE) * ctot / n, 2)
+        / (CAST(rtot AS DOUBLE) * ctot / n)
+        * 1e9 + 0.5) AS BIGINT) AS term_fp, n
+    FROM cell JOIN rows_ USING (s) JOIN cols_ USING (p) CROSS JOIN n_
+),
+chi AS (
+    SELECT CAST(SUM(term_fp) AS DOUBLE) / 1e9 AS chi2, MAX(n) AS n,
+           (SELECT COUNT(*) FROM rows_) AS r,
+           (SELECT COUNT(*) FROM cols_) AS c
+    FROM terms GROUP BY n
+)
+SELECT chi2, n, r, c,
+       CAST(floor(
+           sqrt(chi2 / (n * least(r - 1, c - 1))) * 1e9 + 0.5
+       ) / 1e9 AS DOUBLE) AS cramers_v
+FROM chi
+"""
+
+
+@register(
+    "agg_cramers_v",
+    _CRAMER_ORACLE,
+    doc="Cramér's V association between order status and priority — "
+    "the categorical-correlation screen a feature-selection pass runs "
+    "over every dimension pair. Contingency cells, row/col marginals "
+    "and N are exact integer aggregates; each chi-square term is "
+    "fixed-point quantized BEFORE the sum (the agg_entropy rule) so "
+    "the float sum is order-independent, and V is one closed-form "
+    "expression over those exact operands. Cell-cardinality data "
+    "(|status| x |priority|) — constant-sized at any corpus scale.",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cell = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rows_ = cell.groupBy("s").agg(F.sum("obs").alias("rtot"))
+    cols_ = cell.groupBy("p").agg(F.sum("obs").alias("ctot"))
+    n_ = cell.agg(F.sum("obs").alias("n"))
+    exp = F.col("rtot").cast("double") * F.col("ctot") / F.col("n")
+    term = F.floor(
+        F.pow(F.col("obs").cast("double") - exp, F.lit(2)) / exp * 1e9
+        + F.lit(0.5)
+    ).cast("bigint")
+    joined = (
+        cell.join(F.broadcast(rows_), "s")
+        .join(F.broadcast(cols_), "p")
+        .crossJoin(F.broadcast(n_))
+    )
+    nr = rows_.agg(F.count("*").alias("r"))
+    nc = cols_.agg(F.count("*").alias("c"))
+    chi = (
+        joined.select(term.alias("term_fp"), "n")
+        .groupBy("n")
+        .agg((F.sum("term_fp").cast("double") / 1e9).alias("chi2"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    v = F.sqrt(
+        F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return chi.select(
+        "chi2",
+        "n",
+        "r",
+        "c",
+        (F.floor(v * 1e9 + F.lit(0.5)) / 1e9).cast("double").alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile per language
+# ---------------------------------------------------------------------------
+
+_CHARCLASS_ORACLE = """
+WITH d AS (
+    SELECT lang, lower(text) AS s FROM documents
+),
+c AS (
+    SELECT lang,
+           SUM(length(s)) AS total,
+           SUM(length(s) - length(regexp_replace(s, '[a-z]', '', 'g')))
+               AS alpha,
+           SUM(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')))
+               AS digit,
+           SUM(length(s) - length(regexp_replace(s, ' ', '', 'g'))) AS space,
+           COUNT(*) AS n_docs
+    FROM d GROUP BY lang
+)
+SELECT lang, n_docs, total,
+       CAST(alpha AS DOUBLE) / total AS alpha_ratio,
+       CAST(digit AS DOUBLE) / total AS digit_ratio,
+       CAST(space AS DOUBLE) / total AS space_ratio,
+       CAST(total - alpha - digit - space AS DOUBLE) / total AS other_ratio
+FROM c
+"""
+
+
+@register(
+    "text_charclass_profile",
+    _CHARCLASS_ORACLE,
+    doc="Character-class composition per language (alpha/digit/space/"
+    "other ratios) — the cheap corpus-health profile that catches "
+    "mojibake, markup residue and number-dump documents before "
+    "tokenization. Counted via length-minus-stripped-length (pure "
+    "column expressions, codegen'd, no UDF); integer sums with single "
+    "final divisions.",
+)
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = F.lower("text")
+
+    def stripped(pat: str) -> Column:
+        return F.length(s) - F.length(F.regexp_replace(s, pat, ""))
+
+    c = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.length(s).alias("len"),
+            stripped("[a-z]").alias("al"),
+            stripped("[0-9]").alias("di"),
+            stripped(" ").alias("sp"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("len").alias("total"),
+            F.sum("al").alias("alpha"),
+            F.sum("di").alias("digit"),
+            F.sum("sp").alias("space"),
+        )
+    )
+    tot = F.col("total").cast("double")
+    return c.select(
+        "lang",
+        "n_docs",
+        "total",
+        (F.col("alpha") / tot).alias("alpha_ratio"),
+        (F.col("digit") / tot).alias("digit_ratio"),
+        (F.col("space") / tot).alias("space_ratio"),
+        (
+            (F.col("total") - F.col("alpha") - F.col("digit") - F.col("space"))
+            / tot
+        ).alias("other_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-centroid separation
+# ---------------------------------------------------------------------------
+
+_CENTROID_SEP_ORACLE = """
+WITH cent AS (
+    SELECT label, CAST(i AS INT) AS dim,
+           (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12)
+                          AS BIGINT)) AS DOUBLE) / 1e12)
+           / CAST(COUNT(*) AS DOUBLE) AS c
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+),
+diffs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(floor(pow(a.c - b.c, 2) * 1e12 + 0.5) AS BIGINT) AS d2_fp
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+)
+SELECT label_a, label_b,
+       CAST(floor(sqrt(CAST(SUM(d2_fp) AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9
+            AS DOUBLE) AS dist
+FROM diffs GROUP BY label_a, label_b
+"""
+
+
+@register(
+    "emb_centroid_separation",
+    _CENTROID_SEP_ORACLE,
+    doc="Pairwise Euclidean distance between label centroids in "
+    "embedding space — the class-separability check before training a "
+    "classifier on the labels (labels whose centroids nearly coincide "
+    "are candidates for merging). Centroids use the repo's elementwise-"
+    "mean rule (floor(v*1e12) BIGINT sums / count); per-dim squared "
+    "diffs are fixed-point quantized before the sum so the 64-term "
+    "reduction is order-independent. label-cardinality² output — tiny; "
+    "the only corpus-sized stage is the centroid aggregate, which is "
+    "map-side combinable.",
+)
+def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    )
+    cent = e.groupBy(
+        "label", (F.col("pos") + 1).cast("int").alias("dim")
+    ).agg(
+        (
+            (F.sum(F.floor(F.col("v") * 1e12).cast("long")).cast("double") / 1e12)
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    diffs = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.floor(
+            F.pow(F.col("a.c") - F.col("b.c"), F.lit(2)) * 1e12 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d2_fp"),
+    )
+    dist = F.sqrt(F.sum("d2_fp").cast("double") / 1e12)
+    return diffs.groupBy("label_a", "label_b").agg(
+        (F.floor(dist * 1e9 + F.lit(0.5)) / 1e9)
+        .cast("double")
+        .alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the token rank-frequency curve
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 200
+
+_ZIPF_ORACLE = f"""
+WITH tc AS (
+    SELECT tok, COUNT(*) AS freq FROM (
+        SELECT unnest(str_split(lower(text), ' ')) AS tok FROM documents
+    ) WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+    SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+    FROM tc
+),
+top AS (SELECT * FROM ranked WHERE rank <= {_ZIPF_TOPK}),
+terms AS (
+    SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS x_fp,
+           CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS y_fp,
+           CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                      * 1e12 + 0.5) AS BIGINT) AS xy_fp,
+           CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                      * 1e12 + 0.5) AS BIGINT) AS xx_fp
+    FROM top
+),
+s AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x_fp) AS DOUBLE) / 1e12 AS sx,
+           CAST(SUM(y_fp) AS DOUBLE) / 1e12 AS sy,
+           CAST(SUM(xy_fp) AS DOUBLE) / 1e12 AS sxy,
+           CAST(SUM(xx_fp) AS DOUBLE) / 1e12 AS sxx
+    FROM terms
+)
+SELECT n,
+       CAST(floor(
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e9 + 0.5
+       ) / 1e9 AS DOUBLE) AS zipf_slope
+FROM s
+"""
+
+
+@register(
+    "text_zipf_slope",
+    _ZIPF_ORACLE,
+    doc=f"OLS slope of ln(freq) on ln(rank) over the top-{_ZIPF_TOPK} "
+    "tokens — the Zipf-law fit (natural text sits near -1; synthetic/"
+    "templated corpora deviate), a standard corpus-authenticity "
+    "screen. Rank is fully tie-broken (freq desc, token); every "
+    "log-space term is fixed-point quantized BEFORE summation (the "
+    "agg_entropy rule) so the regression moments are order-"
+    f"independent; the final slope is one closed-form division. The "
+    "token count is the only corpus-sized aggregate; the regression "
+    f"runs on {_ZIPF_TOPK} rows.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    top = (
+        tc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ZIPF_TOPK)
+    )
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("freq").cast("double"))
+
+    def fp12(c: Column) -> Column:
+        return F.floor(c * 1e12 + F.lit(0.5)).cast("bigint")
+
+    terms = top.select(
+        fp12(lx).alias("x_fp"),
+        fp12(ly).alias("y_fp"),
+        fp12(lx * ly).alias("xy_fp"),
+        fp12(lx * lx).alias("xx_fp"),
+    )
+    s = terms.agg(
+        F.count("*").alias("n"),
+        (F.sum("x_fp").cast("double") / 1e12).alias("sx"),
+        (F.sum("y_fp").cast("double") / 1e12).alias("sy"),
+        (F.sum("xy_fp").cast("double") / 1e12).alias("sxy"),
+        (F.sum("xx_fp").cast("double") / 1e12).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n",
+        (F.floor(slope * 1e9 + F.lit(0.5)) / 1e9)
+        .cast("double")
+        .alias("zipf_slope"),
+    )
