@@ -12,8 +12,10 @@ tested. Decode comes in two tiers:
   bytes and emits width/height plus exact per-channel pixel sums
   (integer sums, so the output is bit-deterministic and
   oracle-checkable).
-* JPEG and other entropy-coded codecs stay honestly gated behind
-  NotImplementedError (plug libjpeg/PIL into the same batch signature).
+* Baseline-sequential JPEG (SOF0/SOF1, sampling factors 1-2, restart
+  markers) decodes for real too — pure-numpy Huffman + IDCT in
+  operators/jpeg.py. Progressive/arithmetic JPEG raise ValueError
+  (different entropy paths, stated plainly).
 
 The original deterministic fake (`decode_image_batch()`) remains for
 plumbing-only tests.
@@ -283,10 +285,18 @@ def decode_image_auto(data: bytes) -> dict:
     for RGBA) — integer outputs keep the operator bit-deterministic.
     JPEG (and anything else entropy-coded) stays honestly gated."""
     if data[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode needs libjpeg/PIL — plug it into this dispatch; "
-            "BMP/PPM/PNG decode here on the stdlib"
-        )
+        from evolution_data_warehouse_spark.operators.jpeg import decode_jpeg
+
+        fmt, (w, h, px) = "jpeg", decode_jpeg(data)
+        sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        return {
+            "format": fmt,
+            "width": w,
+            "height": h,
+            "sum_r": int(sums[0]),
+            "sum_g": int(sums[1]),
+            "sum_b": int(sums[2]),
+        }
     if data[:2] == b"BM":
         fmt, (w, h, px) = "bmp", decode_bmp(data)
     elif data[:2] == b"P6":

@@ -892,6 +892,87 @@ def emb_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Real baseline JPEG decode (pure-numpy codec, no libjpeg/PIL)
+# ---------------------------------------------------------------------------
+
+_MM_JPEG_ORACLE = """
+SELECT doc_id,
+       'jpeg' AS format,
+       CAST(4 + doc_id % 13 AS INT) AS width,
+       CAST(3 + doc_id % 7 AS INT) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN '444' ELSE '420' END AS sampling,
+       TRUE AS within_tol
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_jpeg",
+    _MM_JPEG_ORACLE,
+    doc="REAL baseline JPEG decode, pure numpy (operators/jpeg.py): "
+    "Huffman entropy decode, dequantize, inverse zigzag, 8x8 IDCT, "
+    "4:2:0 chroma upsampling, YCbCr->RGB — no libjpeg/PIL. Payloads "
+    "are synthesized per doc by the module's own spec-compliant "
+    "encoder (even doc_ids 4:4:4, odd 4:2:0 — both sampling paths "
+    "exercised) over closed-form gradient pixels; the decoder must "
+    "parse the actual entropy-coded bytes back. JPEG is lossy, so the "
+    "oracle checks the lossless structural fields exactly (dims, "
+    "sampling) plus a per-channel reconstruction bound: mean absolute "
+    "channel error <= 3 (4:4:4, DCT rounding only) / <= 8 (4:2:0, "
+    "adds chroma subsampling) — any Huffman/DC-prediction/IDCT bug "
+    "blows the bound and breaks the hash. Two narrow mapInPandas "
+    "stages, Arrow-batched, no shuffle.",
+)
+def mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth_and_decode(batches):
+        from evolution_data_warehouse_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                px[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None]
+                px[:, :, 2] = d % 256
+                sub = d % 2 == 1
+                data = encode_jpeg(px, subsample=sub)
+                if data[:2] != b"\xff\xd8":
+                    raise ValueError("encoder emitted non-JPEG magic")
+                ww, hh, out = decode_jpeg(data)
+                mae = float(
+                    np.abs(
+                        out.astype(np.int64) - px.astype(np.int64)
+                    ).mean()
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "format": "jpeg",
+                        "width": np.int32(ww),
+                        "height": np.int32(hh),
+                        "sampling": "420" if sub else "444",
+                        "within_tol": bool(mae <= (8.0 if sub else 3.0)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_decode,
+        "doc_id long, format string, width int, height int, "
+        "sampling string, within_tol boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zipf slope of the token rank-frequency curve
 # ---------------------------------------------------------------------------
 

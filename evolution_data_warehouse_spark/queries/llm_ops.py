@@ -455,8 +455,8 @@ FROM documents
     "decoder must parse the actual bytes back; the oracle knows the "
     "channel sums analytically, so any header/stride/filter/row-order "
     "bug breaks the hash. Two narrow mapInPandas stages, no shuffle; "
-    "JPEG stays honestly gated NotImplementedError "
-    "(operators/multimodal.py decode_image_auto).",
+    "baseline JPEG decodes for real too (operators/jpeg.py, "
+    "exercised by mm_decode_jpeg).",
 )
 def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.multimodal import (

@@ -683,11 +683,66 @@ def test_image_codecs_roundtrip_and_gates():
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
 
-    # entropy-coded formats stay honestly gated
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image_auto(b"\xff\xd8\xff\xe0JFIF")
+    # baseline JPEG now decodes for real (see test_jpeg_codec_*);
+    # unknown magics still refuse
     with pytest.raises(ValueError, match="magic"):
         decode_image_auto(b"GIF89a....")
+
+
+def test_jpeg_codec_roundtrip_bounds():
+    """Pure-numpy baseline JPEG: decode-of-encode reconstructs within
+    tight bounds (quant=1 → only DCT rounding for 4:4:4; chroma
+    subsampling adds bounded loss for 4:2:0), deterministic bytes,
+    and honest errors on unsupported modes/truncation."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_image_auto,
+    )
+
+    rng = np.random.default_rng(7)
+    # worst-case content (noise): DCT rounding bound
+    for h, w in [(8, 8), (5, 7), (16, 24), (13, 21)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        data = encode_jpeg(px)
+        w2, h2, out = decode_jpeg(data)
+        assert (w2, h2) == (w, h)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+        # byte-determinism: same pixels → same stream
+        assert encode_jpeg(px) == data
+
+    # 4:2:0: smooth content, subsampling loss bounded
+    for h, w in [(16, 16), (9, 13), (32, 24)]:
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :, 0] = (np.arange(w)[None, :] * 7) % 256
+        px[:, :, 1] = (np.arange(h)[:, None] * 5) % 256
+        px[:, :, 2] = 77
+        w2, h2, out = decode_jpeg(encode_jpeg(px, subsample=True))
+        assert (w2, h2) == (w, h)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 10
+
+    # dispatch integration: sums come from the real decode
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    feats = decode_image_auto(encode_jpeg(px))
+    assert feats["format"] == "jpeg"
+    assert feats["width"] == 8 and feats["height"] == 8
+    exp = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
+        assert abs(feats[ch] - int(exp[i])) <= 4 * 64
+
+    # unsupported modes refuse plainly: flip SOF0 -> SOF2 (progressive)
+    data = bytearray(encode_jpeg(px))
+    sof_at = bytes(data).index(b"\xff\xc0")
+    data[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOS|SOI|JPEG"):
+        decode_jpeg(b"\xff\xd8\xff\xe0JFIF")
 
 
 def test_decode_documents_real_matches_closed_form(spark, sf_dir):
