@@ -34,6 +34,9 @@ _BNL_OK = {
     "corpus_mix_temperature",  # 1-row n_min broadcast into language thresholds
     "text_keywords_topk",  # 1-row corpus-size broadcast into the idf score
     "agg_pareto_deciles",  # 1-row revenue-total broadcast into the shares
+    "corpus_token_drift",  # 1-row half-totals broadcast into the L1 terms
+    "graph_copurchase_triangles",  # 1-row edge-count broadcast beside the count
+    "agg_cramers_v",  # 1-row N / r / c broadcasts into the chi-square cells
 }
 
 
