@@ -1068,3 +1068,294 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session duration percentiles (30-min gap sessionization)
+# ---------------------------------------------------------------------------
+
+_SESSDUR_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts)
+                     - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) > 1800000000
+                  OR LAG(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) IS NULL
+                THEN 1 ELSE 0 END AS marker
+    FROM events
+),
+s AS (
+    SELECT user_id, us,
+           SUM(marker) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM e
+),
+dur AS (
+    SELECT user_id, session_id, MAX(us) - MIN(us) AS dur_us
+    FROM s GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       {fpq_sql('quantile_cont(dur_us, 0.5) / 1e6')} AS p50_s,
+       {fpq_sql('quantile_cont(dur_us, 0.9) / 1e6')} AS p90_s,
+       {fpq_sql('quantile_cont(dur_us, 0.99) / 1e6')} AS p99_s
+FROM dur
+"""
+
+
+@register(
+    "session_duration_pct",
+    _SESSDUR_ORACLE,
+    doc="Session-duration percentiles over 30-min-gap sessionization "
+    "(the engagement-depth KPI next to win_session_gap's session ids): "
+    "exact integer-µs durations per (user, session), then interpolated "
+    "p50/p90/p99 fixed-point quantized. The windows partition by "
+    "user_id, so state never exceeds one user's events per task; the "
+    "final percentile runs on session-cardinality data. At 100 TB "
+    "swap percentile() for approx_percentile, same shape.",
+)
+def session_duration_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    marker = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn("us", us)
+        .withColumn("marker", marker)
+        .withColumn("session_id", F.sum("marker").over(run))
+    )
+    dur = s.groupBy("user_id", "session_id").agg(
+        (F.max("us") - F.min("us")).alias("dur_us")
+    )
+    return dur.agg(
+        F.count("*").alias("n_sessions"),
+        fpq(F.percentile("dur_us", F.lit(0.5)) / 1e6).alias("p50_s"),
+        fpq(F.percentile("dur_us", F.lit(0.9)) / 1e6).alias("p90_s"),
+        fpq(F.percentile("dur_us", F.lit(0.99)) / 1e6).alias("p99_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil index of customer revenue inequality
+# ---------------------------------------------------------------------------
+
+_THEIL_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(cents) AS tcents, COUNT(*) AS n FROM cust),
+terms AS (
+    SELECT CAST(floor(
+               (CAST(cents AS DOUBLE) * n / tcents)
+               * ln(CAST(cents AS DOUBLE) * n / tcents)
+               * 1e12 + 0.5) AS BIGINT) AS term_fp,
+           n
+    FROM cust CROSS JOIN tot WHERE cents > 0
+)
+SELECT n AS n_customers,
+       CAST(SUM(term_fp) AS DOUBLE) / 1e12 / n AS theil_index
+FROM terms GROUP BY n
+"""
+
+
+@register(
+    "agg_theil_index",
+    _THEIL_ORACLE,
+    doc="Theil inequality index of customer revenue — the decomposable "
+    "inequality measure next to agg_gini (Theil splits into within/"
+    "between-group terms, which Gini cannot). Revenue is exact integer "
+    "cents; each (x/mu)*ln(x/mu) term is fixed-point quantized BEFORE "
+    "the sum (agg_entropy rule) so the aggregation is order-"
+    "independent; two final divisions on identical operands. The "
+    "1-row totals broadcast into the per-customer term scan.",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    tot = cust.agg(
+        F.sum("cents").alias("tcents"), F.count("*").alias("n")
+    )
+    ratio = F.col("cents").cast("double") * F.col("n") / F.col("tcents")
+    term = F.floor(ratio * F.log(ratio) * 1e12 + F.lit(0.5)).cast("bigint")
+    return (
+        cust.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") > 0)
+        .select(term.alias("term_fp"), "n")
+        .groupBy("n")
+        .agg(
+            (F.sum("term_fp").cast("double") / 1e12 / F.col("n")).alias(
+                "theil_index"
+            )
+        )
+        .select(F.col("n").alias("n_customers"), "theil_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile
+# ---------------------------------------------------------------------------
+
+_WEEKDAY_ORACLE = """
+WITH d AS (
+    SELECT isodow(CAST(ts AS DATE)) AS dw FROM events
+),
+c AS (SELECT dw, COUNT(*) AS n_events FROM d GROUP BY dw),
+tot AS (SELECT SUM(n_events) AS total FROM c)
+SELECT dw, n_events,
+       CAST(7 * n_events AS DOUBLE) / total AS seasonality_idx
+FROM c CROSS JOIN tot
+"""
+
+
+@register(
+    "ts_weekday_seasonality",
+    _WEEKDAY_ORACLE,
+    doc="Weekday seasonality index: events per ISO weekday relative to "
+    "a flat week (1.0 = no seasonality) — the companion readout to "
+    "ts_autocorr_daily's lag-7 correlation. Integer counts, one final "
+    "division; Spark's Sunday=1 dayofweek normalized to ISO Monday=1 "
+    "with (dow+5)%7+1. 7-row output forever.",
+)
+def ts_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .select(((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1).alias("dw"))
+        .groupBy("dw")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = c.agg(F.sum("n_events").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "dw",
+        "n_events",
+        ((F.lit(7) * F.col("n_events")).cast("double") / F.col("total")).alias(
+            "seasonality_idx"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily revenue series
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderdate AS day, {dsum_sql('o_totalprice')} AS rev
+    FROM orders GROUP BY o_orderdate
+),
+dd AS (
+    SELECT day, rev,
+           MAX(rev) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - rev AS drawdown
+    FROM daily
+)
+SELECT day, rev, drawdown
+FROM dd ORDER BY drawdown DESC, day LIMIT 1
+"""
+
+
+@register(
+    "win_drawdown_max",
+    _DRAWDOWN_ORACLE,
+    doc="Maximum drawdown of the daily revenue series (largest drop "
+    "from a running peak) — the classic risk statistic, here as a "
+    "running-max window minus current value with a fully tie-broken "
+    "top-1 (drawdown desc, day asc). Daily revenues are decimal-exact "
+    "doubles, and drawdown involves only comparisons and one "
+    "subtraction of identical operands — nothing accumulates in float "
+    "order. Day-cardinality window; a single global sort of day-"
+    "cardinality rows at any corpus scale.",
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(dsum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.withColumn("drawdown", F.max("rev").over(w) - F.col("rev"))
+    return dd.orderBy(F.col("drawdown").desc(), "day").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman revenue concentration
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+WITH cust AS (
+    SELECT o_custkey,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_custkey
+),
+s AS (
+    SELECT COUNT(*) AS n_customers,
+           SUM(cents) AS tcents,
+           SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS sq
+    FROM cust
+)
+SELECT n_customers,
+       CAST(sq AS DOUBLE)
+       / (CAST(tcents AS DOUBLE) * CAST(tcents AS DOUBLE)) AS hhi,
+       CAST(1 AS DOUBLE) / n_customers AS hhi_floor
+FROM s
+"""
+
+
+@register(
+    "agg_hhi_concentration",
+    _HHI_ORACLE,
+    doc="Herfindahl-Hirschman index of revenue concentration across "
+    "customers (1/n = perfectly even, 1.0 = monopoly) — the "
+    "concentration KPI beside agg_gini/agg_theil_index. Sum of squared "
+    "integer-cent revenues over the squared total: the linear sum is "
+    "an exact BIGINT, the square-sum an exact DECIMAL(38,0) (cents² "
+    "reaches ~1e17 per whale customer — int64 overflows already at "
+    "modest scale, so decimal is the 100-TB-safe accumulator), one "
+    "final double division. Customer-cardinality aggregate, map-side "
+    "combinable.",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    s = cust.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("tcents"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "sq"
+        ),
+    )
+    return s.select(
+        "n_customers",
+        (
+            F.col("sq").cast("double")
+            / (F.col("tcents").cast("double") * F.col("tcents").cast("double"))
+        ).alias("hhi"),
+        (F.lit(1).cast("double") / F.col("n_customers")).alias("hhi_floor"),
+    )

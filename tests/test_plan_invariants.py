@@ -37,6 +37,8 @@ _BNL_OK = {
     "corpus_token_drift",  # 1-row half-totals broadcast into the L1 terms
     "graph_copurchase_triangles",  # 1-row edge-count broadcast beside the count
     "agg_cramers_v",  # 1-row N / r / c broadcasts into the chi-square cells
+    "agg_theil_index",  # 1-row total/count broadcast into the term scan
+    "ts_weekday_seasonality",  # 1-row total broadcast over the 7-row profile
 }
 
 
