@@ -1035,11 +1035,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
     )
+    # top-K FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort), THEN rank the bounded 200-row result — a
+    # global row_number window over the full vocabulary would pull every
+    # token into one partition, the single-reducer trap at corpus scale.
+    topk = tc.orderBy(F.col("freq").desc(), "tok").limit(_ZIPF_TOPK)
     w = Window.orderBy(F.col("freq").desc(), "tok")
-    top = (
-        tc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ZIPF_TOPK)
-    )
+    top = topk.withColumn("rank", F.row_number().over(w))
     lx = F.log(F.col("rank").cast("double"))
     ly = F.log(F.col("freq").cast("double"))
 
