@@ -1361,3 +1361,226 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi"),
         (F.lit(1).cast("double") / F.col("n_customers")).alias("hhi_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the token distribution per language
+# ---------------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH toks AS (
+    SELECT lang, unnest(str_split(lower(text), ' ')) AS tok FROM documents
+),
+tc AS (
+    SELECT lang, tok, COUNT(*) AS k
+    FROM toks WHERE tok <> '' GROUP BY lang, tok
+),
+s AS (
+    SELECT lang, SUM(k) AS n, SUM(k * (k - 1)) AS num
+    FROM tc GROUP BY lang
+)
+SELECT lang, n AS n_tokens,
+       CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS simpson_index,
+       1.0 - CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+           AS simpson_diversity
+FROM s
+"""
+
+
+@register(
+    "text_simpson_diversity",
+    _SIMPSON_ORACLE,
+    doc="Simpson index per language: probability two random tokens "
+    "coincide, computed as the EXACT rational sum(k(k-1)) / (N(N-1)) — "
+    "all integer arithmetic until one final division, so nothing "
+    "float-accumulates (the companion to agg_entropy's log-based "
+    "diversity, without needing logs at all). Two map-side-combinable "
+    "aggregates; k(k-1) peaks at ~1e14 for a 10M-count token, inside "
+    "int64 per language shard.",
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("k"))
+    )
+    s = tc.groupBy("lang").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * (F.col("k") - 1)).alias("num"),
+    )
+    idx = F.col("num").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return s.select(
+        "lang",
+        F.col("n").alias("n_tokens"),
+        idx.alias("simpson_index"),
+        (F.lit(1.0) - idx).alias("simpson_diversity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI between event types co-occurring in user-day baskets
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH basket AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+    FROM events
+),
+nb AS (SELECT COUNT(DISTINCT (user_id, day)) AS n_baskets FROM basket),
+single AS (
+    SELECT event_type, COUNT(*) AS k FROM basket GROUP BY event_type
+),
+pair AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS kab
+    FROM basket a JOIN basket b
+      ON a.user_id = b.user_id AND a.day = b.day
+     AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, kab,
+       CAST(floor(
+           ln(CAST(kab AS DOUBLE) * n_baskets / (CAST(sa.k AS DOUBLE) * sb.k))
+           * 1e9 + 0.5) / 1e9 AS DOUBLE) AS pmi
+FROM pair
+JOIN single sa ON sa.event_type = type_a
+JOIN single sb ON sb.event_type = type_b
+CROSS JOIN nb
+"""
+
+
+@register(
+    "event_cooccurrence_pmi",
+    _PMI_ORACLE,
+    doc="Pointwise mutual information between event types sharing a "
+    "user-day basket — which behaviors genuinely attract vs merely "
+    "both being common (the lift-style complement to "
+    "event_transition_matrix's ordered transitions). Baskets are "
+    "distinct'd first, the pair join runs within (user, day) keys "
+    "(fan-out bounded by the event-type alphabet, never events²), "
+    "marginals and basket count are exact integers, and the single "
+    "PMI log per |types|² output row is fixed-point quantized. The "
+    "1-row basket count broadcasts.",
+)
+def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+    )
+    nb = basket.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    single = basket.groupBy("event_type").agg(F.count("*").alias("k"))
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("kab"))
+    )
+    sa, sb = single.alias("sa"), single.alias("sb")
+    pmi = F.log(
+        F.col("kab").cast("double")
+        * F.col("n_baskets")
+        / (F.col("sa.k").cast("double") * F.col("sb.k"))
+    )
+    return (
+        pair.join(F.broadcast(sa), F.col("type_a") == F.col("sa.event_type"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("sb.event_type"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            "kab",
+            (F.floor(pmi * 1e9 + F.lit(0.5)) / 1e9)
+            .cast("double")
+            .alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly revenue anomaly screen (z-scores from exact moments)
+# ---------------------------------------------------------------------------
+
+_REV_ANOM_ORACLE = """
+WITH m AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+),
+s AS (
+    SELECT COUNT(*) AS n, SUM(cents) AS s1,
+           SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS s2
+    FROM m
+)
+SELECT month, cents,
+       CAST(floor(
+           (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           * 1e9 + 0.5) / 1e9 AS DOUBLE) AS zscore
+FROM m CROSS JOIN s
+WHERE abs((CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+          / sqrt(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 1.5
+"""
+
+
+@register(
+    "ts_revenue_anomaly_months",
+    _REV_ANOM_ORACLE,
+    doc="Monthly revenue anomaly screen: months whose exact-cents "
+    "revenue sits more than 1.5 population-sigma from the mean. "
+    "Moments are exact (BIGINT linear sum, DECIMAL(38,0) square sum — "
+    "cents² overflows int64 at warehouse scale), the z-score is one "
+    "closed-form expression over identical operands on both engines, "
+    "fixed-point quantized; the 1-row moment aggregate broadcasts "
+    "into the month-cardinality scan. The pattern generalizes to any "
+    "per-key anomaly screen where approximate sigma is not "
+    "acceptable evidence.",
+)
+def ts_revenue_anomaly_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    s = m.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "s2"
+        ),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    return (
+        m.crossJoin(F.broadcast(s))
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "month",
+            "cents",
+            (F.floor(z * 1e9 + F.lit(0.5)) / 1e9)
+            .cast("double")
+            .alias("zscore"),
+        )
+    )

@@ -55,9 +55,9 @@ def test_asof_pandas_matches_join_window(spark, sf_dir):
 
 
 def test_multimodal_real_decode_dispatch():
-    # real=True now returns the REAL stdlib BMP/PPM/PNG parser (r6);
-    # only entropy-coded formats (JPEG) remain honestly gated, inside
-    # the dispatch itself.
+    # real=True returns the REAL parser (r6); since r7 JPEG decodes for
+    # real too (operators/jpeg.py), so a truncated JPEG now fails as a
+    # malformed stream (ValueError), not as an unimplemented format.
     from evolution_data_warehouse_spark.operators.multimodal import (
         decode_image_auto,
         decode_image_real_batch,
@@ -65,7 +65,7 @@ def test_multimodal_real_decode_dispatch():
 
     fn = decode_image_batch(real=True)
     assert fn.__qualname__ == decode_image_real_batch().__qualname__
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image_auto(b"\xff\xd8\xff\xe0JFIF")
 
 

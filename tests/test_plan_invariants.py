@@ -39,6 +39,8 @@ _BNL_OK = {
     "agg_cramers_v",  # 1-row N / r / c broadcasts into the chi-square cells
     "agg_theil_index",  # 1-row total/count broadcast into the term scan
     "ts_weekday_seasonality",  # 1-row total broadcast over the 7-row profile
+    "event_cooccurrence_pmi",  # 1-row basket-count broadcast into the PMI
+    "ts_revenue_anomaly_months",  # 1-row moments broadcast into the z-scores
 }
 
 
