@@ -1658,9 +1658,13 @@ GROUP BY doc_id
     "average bigram log-probability under the corpus' own counts — "
     "the statistical filter that ranks word salad below fluent text "
     "without any external model. Plan: one explode for the bigram "
-    "relation, two hash aggregates for the model (bigram and prefix "
-    "counts), a model-sized join back, one aggregate per doc — the "
-    "corpus is never joined to itself.",
+    "relation, pre-aggregated to (doc, bigram, k) so the model join "
+    "shuffles doc-distinct pairs instead of every instance (map-side "
+    "combinable; ~12% at sf1), two hash aggregates for the model, one "
+    "aggregate per doc — the corpus is never joined to itself. The "
+    "weighted decimal sum logp·k is exact (decimal(28,12) × "
+    "decimal(9,0) fits decimal(38,12)), so the result is bit-"
+    "identical to the oracle's per-instance sum.",
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.col("text")), " ")
@@ -1674,10 +1678,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(bigrams).alias("bigram")
+    bgc = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=True)
     )
-    counts = bg.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    counts = bgc.groupBy("bigram").agg(F.sum("k").alias("cnt"))
     prefixes = counts.groupBy(
         F.split(F.col("bigram"), " ").getItem(0).alias("prefix")
     ).agg(F.sum("cnt").alias("pcnt"))
@@ -1691,14 +1699,17 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("logp"),
     )
     avg_logp = (
-        F.sum(F.col("logp").cast("decimal(28,12)")).cast("double")
-        / F.count("*").cast("double")
+        F.sum(
+            F.col("logp").cast("decimal(28,12)")
+            * F.col("k").cast("decimal(9,0)")
+        ).cast("double")
+        / F.sum("k").cast("double")
     )
     return (
-        bg.join(probs, "bigram")
+        bgc.join(probs, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("k").alias("n_bigrams"),
             fpq(avg_logp).alias("avg_logp"),
         )
     )
