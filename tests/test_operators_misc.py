@@ -953,3 +953,45 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     }
     recall = len(true_pairs & cand) / len(true_pairs)
     assert recall >= 0.8, (recall, len(true_pairs), len(cand))
+
+
+def test_shingle_df_cap_guards_hot_shingles(spark):
+    """The DEFAULT_MAX_SHINGLE_DF guard (r7): a shingle shared by more
+    docs than the cap is dropped BEFORE the exact self-join, while
+    rarer shingles keep pairing. Mirrors the minhash guard's division
+    of labor — boilerplate belongs to the exact-dedup path."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cap_shingle_df,
+        content_hash64,
+    )
+
+    # shingle 'hot' in 5 docs, 'rare' in 2 of them
+    rows = [(i, "hot") for i in range(5)] + [(0, "rare"), (1, "rare")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string").select(
+        "doc_id", content_hash64(F.col("shingle")).alias("shingle_h")
+    )
+
+    def pairs(rel):
+        a, b = rel.alias("a"), rel.alias("b")
+        return {
+            (r.da, r.db)
+            for r in a.join(
+                b,
+                (F.col("a.shingle_h") == F.col("b.shingle_h"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            )
+            .distinct()
+            .collect()
+        }
+
+    # unguarded: the hot shingle alone emits C(5,2)=10 pairs
+    assert len(pairs(sh)) == 10
+    # cap=4: hot dropped, only the rare-shingle pair survives
+    assert pairs(cap_shingle_df(sh, max_df=4)) == {(0, 1)}
+    # cap=5: hot survives (<= is inclusive, like the minhash guard)
+    assert len(pairs(cap_shingle_df(sh, max_df=5))) == 10
