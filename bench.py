@@ -78,6 +78,12 @@ SF1_QUERIES = [
     # bucket arguments deserve a measured 10x leg
     "text_shingle_containment",
     "agg_market_basket",
+    # r7 shapes with non-obvious scaling: triangle enumeration over the
+    # support-pruned co-purchase graph, and user-day basket PMI (the
+    # two new pair-join plans); the rest of the r7 batch is plain
+    # aggregate/window shapes already represented above
+    "graph_copurchase_triangles",
+    "event_cooccurrence_pmi",
 ]
 
 
