@@ -572,3 +572,48 @@ def test_png_text_metadata_property(meta):
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert decode_png_text(encode_png(px, text=meta)) == meta
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    subsample=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_roundtrip_property(h, w, seed, subsample):
+    """Baseline JPEG decode-of-encode stays within the DCT-rounding
+    bound for arbitrary dims/content: <=4 per channel at 4:4:4 (quant=1,
+    only integer rounding), and chroma within the subsampling bound at
+    4:2:0 while LUMA stays tight (chroma box-average + nearest upsample
+    is the only extra loss)."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    if not subsample:
+        # worst-case content: uniform noise; only DCT rounding loss
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, out = decode_jpeg(encode_jpeg(px))
+        assert (w2, h2) == (w, h)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+    else:
+        # 4:2:0 on noise clips chroma (inherent to subsampling, not a
+        # bug), so the bound is asserted on random SMOOTH gradients
+        # with mid-range offsets instead
+        gx, gy = rng.integers(1, 8), rng.integers(1, 8)
+        base = rng.integers(64, 192, size=3)
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            px[:, :, c] = (
+                base[c]
+                + gx * np.arange(w)[None, :] // 4
+                + gy * np.arange(h)[:, None] // 4
+            ) % 256
+        w2, h2, out = decode_jpeg(encode_jpeg(px, subsample=True))
+        assert (w2, h2) == (w, h)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 12
