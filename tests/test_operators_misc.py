@@ -995,3 +995,53 @@ def test_shingle_df_cap_guards_hot_shingles(spark):
     assert pairs(cap_shingle_df(sh, max_df=4)) == {(0, 1)}
     # cap=5: hot survives (<= is inclusive, like the minhash guard)
     assert len(pairs(cap_shingle_df(sh, max_df=5))) == 10
+
+
+def test_jpeg_grayscale_single_component_decode():
+    """The decoder's 1-component branch: a hand-assembled grayscale
+    baseline JPEG (single Y scan, Annex K luma tables) decodes to
+    identical values replicated across R=G=B."""
+    import struct
+
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    h = w = 8
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    dc = J._build_codes(J.DC_LUM_BITS, J.DC_LUM_VALS)
+    ac = J._build_codes(J.AC_LUM_BITS, J.AC_LUM_VALS)
+    bw = J._BitWriter()
+    zz = J._fdct_quant(gray)
+    J._encode_block(bw, zz, 0, dc, ac)
+    bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = bytes([0]) + bytes(np.ones(64, dtype=np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    dht_dc = bytes([0x00]) + bytes(J.DC_LUM_BITS[1:]) + bytes(J.DC_LUM_VALS)
+    dht_ac = bytes([0x10]) + bytes(J.AC_LUM_BITS[1:]) + bytes(J.AC_LUM_VALS)
+    sos = struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + struct.pack(
+        ">BBB", 0, 63, 0
+    )
+    data = b"".join(
+        [
+            b"\xff\xd8",
+            seg(0xFFDB, qtab),
+            seg(0xFFC0, sof),
+            seg(0xFFC4, dht_dc),
+            seg(0xFFC4, dht_ac),
+            seg(0xFFDA, sos),
+            bytes(bw.out),
+            b"\xff\xd9",
+        ]
+    )
+    w2, h2, out = J.decode_jpeg(data)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+    assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
