@@ -698,3 +698,68 @@ def test_sessionize_closed_emits_final_sessions_once(spark, tmp_path):
     # u2's open tail (:120, timeout beyond the final watermark) is
     # withheld — append semantics never leak an unfinished session
     assert not any(u == 2 and s == ts(120) for u, s, _, _ in got)
+
+
+def test_sessionize_closed_out_of_order_never_shrinks(spark, tmp_path):
+    """An out-of-order event that is within the watermark but EARLIER
+    than the stored session end must merge with min(start)/max(end) —
+    the r6 ADVICE finding: the old `end = tm` branch moved session_end
+    backwards, emitting an end that preceded contained events and
+    shrinking the EventTimeTimeout."""
+    import datetime
+    import glob as _glob
+    import os as _os
+
+    from evolution_data_warehouse_spark.streaming.events import (
+        sessionize_closed,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    mk = lambda eid, minute: (  # noqa: E731
+        eid, t0 + datetime.timedelta(minutes=minute), 1, "view",
+    )
+    batches = [
+        [mk(1, 0), mk(2, 10)],
+        [mk(3, 7)],    # late but within the 5-min watermark (wm = :05)
+        [mk(4, 60)],   # >30min gap closes the session
+    ]
+    stamped: set[str] = set()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in _glob.glob(f"{src}/part-*.parquet"):
+            if f not in stamped:
+                _os.utime(f, (1_000_000_000 + b, 1_000_000_000 + b))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "5 minutes")
+    )
+    q = (
+        sessionize_closed(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ts = lambda minute: t0 + datetime.timedelta(minutes=minute)  # noqa: E731
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the closed session spans :00-:10 with ALL THREE events — the late
+    # :07 merged without dragging the end backwards
+    assert (1, ts(0), ts(10), 3) in got

@@ -404,3 +404,28 @@ def test_route_quarantine_single_scan_with_reasons(spark, sf_dir, tmp_path):
     assert routed.filter(
         (F.col("_route") == "clean") & (F.col("_reason") != "")
     ).count() == 0
+
+
+def test_route_quarantine_null_rule_result_quarantines(spark, tmp_path):
+    """A NULL rule evaluation (e.g. `col > 0` on NULL) must route to
+    quarantine WITH the rule's name — unknown is not a pass (r6 ADVICE:
+    the bare ~cond formulation silently passed NULLs)."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.quality import (
+        route_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, amount double"
+    )
+    out = str(tmp_path / "routed_null")
+    counts = route_quarantine(df, {"amount_positive": F.col("amount") > 0}, out)
+    assert counts == {"clean": 1, "quarantined": 2}
+    routed = spark.read.parquet(out)
+    bad = {
+        r.id: r._reason
+        for r in routed.filter(F.col("_route") == "quarantined").collect()
+    }
+    assert set(bad) == {2, 3}
+    assert all("amount_positive" in v for v in bad.values())
