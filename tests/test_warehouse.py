@@ -429,3 +429,31 @@ def test_route_quarantine_null_rule_result_quarantines(spark, tmp_path):
     }
     assert set(bad) == {2, 3}
     assert all("amount_positive" in v for v in bad.values())
+
+
+def test_snapshot_diff_separator_collision_detected(spark):
+    """Prefix-free payload hashing (r6 ADVICE): values containing the
+    old separator byte must not let ('a\\x01b','c') vs ('a','b\\x01c')
+    hash equal — a raw separator join dropped such rows as unchanged."""
+    from evolution_data_warehouse_spark.warehouse.etl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a\x01b", "c"), (2, "same", "same")], "id long, x string, y string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "b\x01c"), (2, "same", "same")], "id long, x string, y string"
+    )
+    got = {
+        (r.id, r.change_type)
+        for r in snapshot_diff(old, new, ["id"], ["x", "y"]).collect()
+    }
+    assert got == {(1, "changed")}
+
+    # NULL vs empty-string still distinct
+    old2 = spark.createDataFrame([(1, None)], "id long, x string")
+    new2 = spark.createDataFrame([(1, "")], "id long, x string")
+    got2 = {
+        (r.id, r.change_type)
+        for r in snapshot_diff(old2, new2, ["id"], ["x"]).collect()
+    }
+    assert got2 == {(1, "changed")}
