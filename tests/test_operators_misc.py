@@ -1045,3 +1045,41 @@ def test_jpeg_grayscale_single_component_decode():
     assert np.array_equal(out[:, :, 0], out[:, :, 1])
     assert np.array_equal(out[:, :, 0], out[:, :, 2])
     assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_heavy_hitters_mg_exact_and_certified(spark):
+    """MG + exact re-count returns the exact tie-broken top-k on a
+    skewed stream, and the in-plan certificate throws (instead of
+    silently approximating) when capacity is hopeless."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    # zipf-ish: item_i appears ~N/(i+1) times, plus a long uniform tail
+    rows = []
+    for i in range(20):
+        rows += [(f"hot{i:02d}",)] * (4000 // (i + 1))
+    rows += [(f"tail{j}",) for j in range(3000)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+
+    got = [
+        (r.item, r.cnt)
+        for r in heavy_hitters_exact(df, "item", k=10, capacity=512).collect()
+    ]
+    exact = [
+        (r.item, r.cnt)
+        for r in df.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "item")
+        .limit(10)
+        .collect()
+    ]
+    assert got == exact
+
+    # capacity 4 over a 3000-item tail: the k-th candidate count cannot
+    # clear n/m — the certificate must throw, not return garbage
+    with pytest.raises(Exception, match="cannot certify"):
+        heavy_hitters_exact(df, "item", k=10, capacity=4).collect()

@@ -41,6 +41,7 @@ _BNL_OK = {
     "ts_weekday_seasonality",  # 1-row total broadcast over the 7-row profile
     "event_cooccurrence_pmi",  # 1-row basket-count broadcast into the PMI
     "ts_revenue_anomaly_months",  # 1-row moments broadcast into the z-scores
+    "agg_heavy_hitters_mg",  # 1-row n_total broadcast into the certificate
 }
 
 
