@@ -49,26 +49,31 @@ DEFAULT_CAPACITY = 2048
 def _mg_summarize(capacity: int):
     """mapInPandas fn: (item string) batches → one Misra-Gries summary
     per partition as (item, lb) rows, lb = the retained lower-bound
-    count. Deterministic: eviction decrements are value-independent
-    and the final summary content does not depend on dict order."""
+    count.
+
+    Vectorized via the MG MERGE theorem (Agarwal et al., "Mergeable
+    Summaries"): each Arrow batch is exactly counted with C-speed
+    ``value_counts`` (an error-0 summary), merged into the running
+    summary by summing, and trimmed back to capacity by subtracting
+    the (capacity+1)-th largest count and dropping non-positives —
+    which preserves the n/m undercount bound exactly like per-item
+    decrements, while touching Python only once per DISTINCT item per
+    batch instead of once per row."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[str, int] = {}
+        summary: dict[str, int] = {}
         for pdf in batches:
-            for item in pdf["item"]:
-                if item in counts:
-                    counts[item] += 1
-                elif len(counts) < capacity:
-                    counts[item] = 1
-                else:
-                    # decrement-all; drop zeros (the classic MG step,
-                    # amortized O(1) via dict rebuild)
-                    counts = {
-                        it: c - 1 for it, c in counts.items() if c > 1
-                    }
-        if counts:
+            for item, c in pdf["item"].value_counts().items():
+                summary[item] = summary.get(item, 0) + int(c)
+            if len(summary) > capacity:
+                vals = sorted(summary.values(), reverse=True)
+                thresh = vals[capacity]
+                summary = {
+                    it: c - thresh for it, c in summary.items() if c > thresh
+                }
+        if summary:
             yield pd.DataFrame(
-                {"item": list(counts.keys()), "lb": list(counts.values())}
+                {"item": list(summary.keys()), "lb": list(summary.values())}
             )
 
     return fn
