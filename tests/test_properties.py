@@ -617,3 +617,36 @@ def test_jpeg_roundtrip_property(h, w, seed, subsample):
         w2, h2, out = decode_jpeg(encode_jpeg(px, subsample=True))
         assert (w2, h2) == (w, h)
         assert np.abs(out.astype(int) - px.astype(int)).max() <= 12
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    cut=st.floats(min_value=0.05, max_value=0.98),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_truncation_never_hangs(seed, cut):
+    """Truncated JPEG streams must fail fast with a clean exception
+    (ValueError/IndexError/struct.error) or — when the cut lands in the
+    entropy tail — decode what is structurally complete; never hang or
+    segfault. Malformed-input behavior is part of the decode contract
+    for a corpus-scale pipeline (one bad blob must not kill a batch
+    silently or wedge an executor)."""
+    import struct
+
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(px)
+    trunc = data[: max(2, int(len(data) * cut))]
+    try:
+        w, h, out = decode_jpeg(trunc)
+        # if it decoded, the declared geometry must hold
+        assert out.shape == (h, w, 3)
+    except (ValueError, IndexError, struct.error):
+        pass
