@@ -1651,3 +1651,90 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item") != "")
     )
     return heavy_hitters_exact(toks, "item", k=_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# Per-image channel histogram over REAL decoded pixels
+# ---------------------------------------------------------------------------
+
+_MM_HIST_ORACLE = """
+SELECT doc_id,
+       CAST((3 + doc_id % 7) *
+            least(4 + doc_id % 13, 4) AS BIGINT) AS r_b0,
+       CAST((3 + doc_id % 7) *
+            greatest(least(4 + doc_id % 13, 8) - 4, 0) AS BIGINT) AS r_b1,
+       CAST((3 + doc_id % 7) *
+            greatest(least(4 + doc_id % 13, 12) - 8, 0) AS BIGINT) AS r_b2,
+       CAST((3 + doc_id % 7) *
+            greatest(least(4 + doc_id % 13, 16) - 12, 0) AS BIGINT) AS r_b3
+FROM documents
+"""
+
+
+@register(
+    "mm_channel_histogram",
+    _MM_HIST_ORACLE,
+    doc="Per-image red-channel histogram (4 buckets of 4 intensity "
+    "levels) computed from REAL decoded pixels — the image-statistics "
+    "primitive behind exposure/consistency screens on an image corpus. "
+    "Payloads are the mm_decode_real gradient fixtures (r = x "
+    "coordinate), decoded by the actual BMP/PPM/PNG parsers, then "
+    "bucket-counted in numpy inside the same Arrow batch; the oracle "
+    "knows each histogram analytically from doc_id (bucket b holds "
+    "height x |[4b,4b+4) ∩ [0,width)| pixels), so a decode or "
+    "bucketing bug breaks the hash. Embarrassingly parallel, zero "
+    "shuffle.",
+)
+def mm_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def hist_batch(batches):
+        from evolution_data_warehouse_spark.operators.multimodal import (
+            decode_image_auto as _decode_auto,
+        )
+        from evolution_data_warehouse_spark.operators.multimodal import (
+            decode_bmp,
+            decode_png,
+            decode_ppm,
+        )
+
+        def decode_px(data: bytes) -> np.ndarray:
+            if data[:2] == b"BM":
+                return decode_bmp(data)[2]
+            if data[:2] == b"P6":
+                return decode_ppm(data)[2]
+            return decode_png(data)[2]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_px(bytes(payload))
+                r = px[:, :, 0].astype(np.int64)
+                counts = [
+                    int(((r >= 4 * b) & (r < 4 * (b + 1))).sum())
+                    for b in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "r_b0": counts[0],
+                        "r_b1": counts[1],
+                        "r_b2": counts[2],
+                        "r_b3": counts[3],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        synth_image_payload_batch,
+    )
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        synth_image_payload_batch(), "doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        hist_batch,
+        "doc_id long, r_b0 long, r_b1 long, r_b2 long, r_b3 long",
+    )
