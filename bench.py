@@ -169,6 +169,22 @@ def _shingle_guard_seconds(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _heavy_hitters_seconds(spark, sf_dir: str) -> float:
+    """Steady-state timing of the MG-candidates + exact-re-count heavy
+    hitter operator over the corpus token stream — the bounded-memory
+    top-k whose per-partition state is O(capacity) however large the
+    partition (operators/sketches.py)."""
+    import time
+
+    from evolution_data_warehouse_spark.queries import REGISTRY
+
+    fn = REGISTRY["agg_heavy_hitters_mg"].fn
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    t0 = time.time()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
 def _skew_seconds(spark) -> dict:
     """Time the salted-skew operators on ACTUALLY skewed data: 4M rows
     where one key holds half the table (~10 000× the median key's
@@ -343,6 +359,7 @@ def main() -> None:
     extras = {
         "dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir),
         "shingle_join_hot_guarded": _shingle_guard_seconds(spark, sf_dir),
+        "heavy_hitters_mg": _heavy_hitters_seconds(spark, sf_dir),
     }
     extras.update(_skew_seconds(spark))
     extras.update(_compaction_seconds(spark, sf_dir))
