@@ -1738,3 +1738,66 @@ def mm_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_batch,
         "doc_id long, r_b0 long, r_b1 long, r_b2 long, r_b3 long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest time travel (versioned snapshot store round trip)
+# ---------------------------------------------------------------------------
+
+_TT_ORACLE = """
+SELECT 0 AS version, o_orderstatus, COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 1 AS version, o_orderstatus, COUNT(*) AS n_orders
+FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "warehouse_time_travel",
+    _TT_ORACLE,
+    doc="Time travel on the manifest-pointer snapshot store "
+    "(warehouse/manifest.py): publish two versions of an orders "
+    "aggregate (v0 full, v1 evens-only), flip the _current marker "
+    "atomically each time, then read BOTH the historical v0 (via "
+    "read_version) and the live v1 (via read_current) back. The "
+    "oracle recomputes both snapshots from the base table, so any "
+    "marker/versioning/publish bug — wrong version served, torn "
+    "flip, history clobbered — breaks the hash. The store root is "
+    "rebuilt from scratch per run, so version numbering is "
+    "deterministic.",
+)
+def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+    from evolution_data_warehouse_spark.warehouse.manifest import (
+        list_versions,
+        publish_versioned,
+        read_current,
+        read_version,
+    )
+
+    root = _scratch("time_travel", sf_dir)
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    base = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    v0 = publish_versioned(spark, {"orders": base}, root)
+    v1 = publish_versioned(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 2 == 0)}, root
+    )
+    assert (v0, v1) == (0, 1) and list_versions(spark, root) == [0, 1]
+    hist = (
+        read_version(spark, root, "orders", 0)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.lit(0).alias("version"), "o_orderstatus", "n_orders")
+    )
+    live = (
+        read_current(spark, root, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.lit(1).alias("version"), "o_orderstatus", "n_orders")
+    )
+    return hist.unionByName(live)

@@ -125,3 +125,40 @@ def read_current(spark: SparkSession, root: str, table: str) -> DataFrame:
     if v < 0:
         raise FileNotFoundError(f"no published version under {root}")
     return spark.read.parquet(f"{root}/v{v}/{table}")
+
+
+def read_version(
+    spark: SparkSession, root: str, table: str, version: int
+) -> DataFrame:
+    """Time travel: read a specific published version (must be within
+    the retention window and not beyond the current marker — a vN
+    directory past the marker is unpublished garbage, never served)."""
+    cur = current_version(spark, root)
+    if version < 0 or version > cur:
+        raise FileNotFoundError(
+            f"version {version} not published under {root} (current {cur})"
+        )
+    path = f"{root}/v{version}/{table}"
+    _, fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"version {version} of {table} dropped by retention"
+        )
+    return spark.read.parquet(path)
+
+
+def list_versions(spark: SparkSession, root: str) -> list[int]:
+    """Published versions still on disk, ascending (<= current marker;
+    unpublished directories past the marker are excluded)."""
+    cur = current_version(spark, root)
+    jvm, fs, p = _fs(spark, root)
+    if cur < 0 or not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            v = int(name[1:])
+            if v <= cur:
+                out.append(v)
+    return sorted(out)

@@ -457,3 +457,40 @@ def test_snapshot_diff_separator_collision_detected(spark):
         for r in snapshot_diff(old2, new2, ["id"], ["x"]).collect()
     }
     assert got2 == {(1, "changed")}
+
+
+def test_manifest_time_travel_api(spark, sf_dir, tmp_path):
+    """read_version serves retained history, refuses unpublished or
+    retention-dropped versions; list_versions excludes garbage past
+    the marker."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.warehouse.manifest import (
+        list_versions,
+        publish_versioned,
+        read_version,
+    )
+
+    root = str(tmp_path / "store")
+    orders = t(spark, sf_dir, "orders").limit(50)
+    publish_versioned(spark, {"orders": orders}, root)           # v0
+    publish_versioned(spark, {"orders": orders.limit(20)}, root)  # v1
+    assert list_versions(spark, root) == [0, 1]
+    assert read_version(spark, root, "orders", 0).count() == 50
+    assert read_version(spark, root, "orders", 1).count() == 20
+
+    # unpublished directory past the marker is not a version
+    orders.limit(3).write.parquet(f"{root}/v9/orders")
+    assert list_versions(spark, root) == [0, 1]
+    with pytest.raises(FileNotFoundError, match="not published"):
+        read_version(spark, root, "orders", 9)
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, root, "orders", -1)
+
+    # retention drops v0 (+ overwrites the v9 garbage on its way to v2)
+    publish_versioned(spark, {"orders": orders.limit(5)}, root, keep_last=2)
+    assert 0 not in list_versions(spark, root)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        read_version(spark, root, "orders", 0)
