@@ -1801,3 +1801,70 @@ def warehouse_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(1).alias("version"), "o_orderstatus", "n_orders")
     )
     return hist.unionByName(live)
+
+
+# ---------------------------------------------------------------------------
+# Error-rate spike detection vs a trailing window baseline
+# ---------------------------------------------------------------------------
+
+_SPIKE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+w AS (
+    SELECT day, n_events, n_errors,
+           SUM(n_errors) OVER (
+               ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+           ) AS base_errors,
+           SUM(n_events) OVER (
+               ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+           ) AS base_events
+    FROM daily
+)
+SELECT day, n_events, n_errors, base_errors, base_events
+FROM w
+WHERE base_events IS NOT NULL AND base_events > 0
+  AND n_errors >= 5
+  AND CAST(n_errors AS BIGINT) * base_events
+      > 2 * CAST(base_errors AS BIGINT) * n_events
+"""
+
+
+@register(
+    "event_error_spike",
+    _SPIKE_ORACLE,
+    doc="Error-burst detection: days whose error RATE more than doubles "
+    "the trailing 7-day baseline (with a minimum-count floor so quiet "
+    "days can't alert on noise) — the ops monitor every event "
+    "warehouse feeds. The spike predicate is cross-multiplied "
+    "(n_err·base_ev > 2·base_err·n_ev) so the comparison is exact "
+    "integer arithmetic with NO division anywhere; the trailing "
+    "window carries two integer sums over day-cardinality data.",
+)
+def event_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    wd = daily.withColumn("base_errors", F.sum("n_errors").over(w)).withColumn(
+        "base_events", F.sum("n_events").over(w)
+    )
+    return wd.filter(
+        F.col("base_events").isNotNull()
+        & (F.col("base_events") > 0)
+        & (F.col("n_errors") >= 5)
+        & (
+            F.col("n_errors").cast("bigint") * F.col("base_events")
+            > 2 * F.col("base_errors").cast("bigint") * F.col("n_events")
+        )
+    ).select("day", "n_events", "n_errors", "base_errors", "base_events")
