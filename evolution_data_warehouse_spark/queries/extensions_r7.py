@@ -1868,3 +1868,256 @@ def event_error_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * F.col("base_errors").cast("bigint") * F.col("n_events")
         )
     ).select("day", "n_events", "n_errors", "base_errors", "base_events")
+
+
+# ---------------------------------------------------------------------------
+# Surrogate-key gap detection (sequence integrity audit)
+# ---------------------------------------------------------------------------
+
+_KEYGAP_ORACLE = """
+WITH keys AS (
+    SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 <> 0
+),
+r AS (
+    SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM keys
+),
+islands AS (
+    SELECT MIN(k) AS island_start, MAX(k) AS island_end, COUNT(*) AS n_keys
+    FROM r GROUP BY grp
+)
+SELECT island_end + 1 AS gap_start,
+       lead_start - 1 AS gap_end,
+       lead_start - island_end - 1 AS n_missing
+FROM (
+    SELECT island_start, island_end, n_keys,
+           LEAD(island_start) OVER (ORDER BY island_start) AS lead_start
+    FROM islands
+)
+WHERE lead_start IS NOT NULL
+ORDER BY gap_start
+LIMIT 25
+"""
+
+
+@register(
+    "quality_key_gaps",
+    _KEYGAP_ORACLE,
+    doc="Surrogate-key gap audit: contiguous-run islands via the "
+    "classic k - row_number() grouping, then each island's successor "
+    "start bounds the missing range — the sequence-integrity check "
+    "that catches dropped loads and broken id generators. Run on a "
+    "deterministic fixture (keys % 97 removed) so gaps exist to find; "
+    "first 25 gaps, ordered. The ranking window is a single global "
+    "sort of key-cardinality data — at 100 TB run it per id-range "
+    "partition and stitch the boundaries (the plan shape per "
+    "partition is identical).",
+)
+def quality_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    w = Window.orderBy("k")
+    r = keys.withColumn("grp", F.col("k") - F.row_number().over(w))
+    islands = r.groupBy("grp").agg(
+        F.min("k").alias("island_start"),
+        F.max("k").alias("island_end"),
+        F.count("*").alias("n_keys"),
+    )
+    w2 = Window.orderBy("island_start")
+    gaps = islands.withColumn(
+        "lead_start", F.lead("island_start").over(w2)
+    ).filter(F.col("lead_start").isNotNull())
+    return (
+        gaps.select(
+            (F.col("island_end") + 1).alias("gap_start"),
+            (F.col("lead_start") - 1).alias("gap_end"),
+            (F.col("lead_start") - F.col("island_end") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio by document-length bucket
+# ---------------------------------------------------------------------------
+
+_TTR_ORACLE = """
+WITH toks AS (
+    SELECT n_chars // 100 AS len_bucket,
+           unnest(str_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+s AS (
+    SELECT len_bucket,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_types
+    FROM toks WHERE tok <> '' GROUP BY len_bucket
+)
+SELECT len_bucket, n_tokens, n_types,
+       CAST(n_types AS DOUBLE) / n_tokens AS ttr
+FROM s
+"""
+
+
+@register(
+    "text_ttr_curve",
+    _TTR_ORACLE,
+    doc="Type-token ratio by document-length bucket — the lexical-"
+    "diversity-vs-length curve (TTR falls with length in natural "
+    "text; flat curves flag templated corpora). Exact distinct type "
+    "counts per bucket (bucket-cardinality aggregate), integer "
+    "counts, one final division. Complements hapax (rarity) and "
+    "Simpson (concentration) with the length-controlled view.",
+)
+def text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        F.expr("n_chars div 100").alias("len_bucket"),
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    s = toks.groupBy("len_bucket").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+    )
+    return s.select(
+        "len_bucket",
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Financial reconciliation: order header vs line-item detail
+# ---------------------------------------------------------------------------
+
+_RECON_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey,
+           SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5) AS BIGINT)) AS detail_cents
+    FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+    SELECT o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS header_cents,
+           li.detail_cents
+    FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, header_cents, detail_cents,
+       abs(header_cents - detail_cents) AS diff_cents
+FROM j
+ORDER BY diff_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register(
+    "quality_financial_reconcile",
+    _RECON_ORACLE,
+    doc="Header-vs-detail financial reconciliation: each order's "
+    "o_totalprice against the decimal-exact sum of its line items "
+    "(extended x (1-disc) x (1+tax)), reported as the top-20 largest "
+    "absolute discrepancies in exact integer cents (per-row "
+    "fixed-point BEFORE the sum, so the aggregation is order-"
+    "independent) — the audit query every finance warehouse runs "
+    "after a load. One shuffle on the join key, tie-broken top-N via "
+    "TakeOrderedAndProject.",
+)
+def quality_financial_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("detail_cents")
+        )
+    )
+    j = t(spark, sf_dir, "orders").join(
+        li, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return (
+        j.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("header_cents"),
+            "detail_cents",
+        )
+        .withColumn(
+            "diff_cents", F.abs(F.col("header_cents") - F.col("detail_cents"))
+        )
+        .orderBy(F.col("diff_cents").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift: maximum cumulative excursion of daily revenue
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+    FROM orders GROUP BY o_orderdate
+),
+tot AS (SELECT SUM(cents) AS total, COUNT(*) AS d FROM daily),
+c AS (
+    SELECT day,
+           SUM(cents * d - total) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cusum
+    FROM daily CROSS JOIN tot
+)
+SELECT day, cusum
+FROM c ORDER BY abs(cusum) DESC, day LIMIT 1
+"""
+
+
+@register(
+    "ts_cusum_drift",
+    _CUSUM_ORACLE,
+    doc="CUSUM drift detection: the day of maximum cumulative "
+    "deviation from the period-mean revenue — the classic "
+    "change-point locator (the excursion peak marks where the level "
+    "shifted). Computed scale-free in EXACT integers by "
+    "cross-multiplying the mean away (sum of cents·D - total per "
+    "day), so the running sum is a BIGINT with no float anywhere; "
+    "tie-broken top-1. Day-cardinality window, 1-row totals "
+    "broadcast.",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("d")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum",
+        F.sum(F.col("cents") * F.col("d") - F.col("total")).over(w),
+    )
+    return (
+        c.select("day", "cusum")
+        .orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(1)
+    )

@@ -42,6 +42,7 @@ _BNL_OK = {
     "event_cooccurrence_pmi",  # 1-row basket-count broadcast into the PMI
     "ts_revenue_anomaly_months",  # 1-row moments broadcast into the z-scores
     "agg_heavy_hitters_mg",  # 1-row n_total broadcast into the certificate
+    "ts_cusum_drift",  # 1-row total/day-count broadcast into the CUSUM terms
 }
 
 
