@@ -414,9 +414,10 @@ FROM documents
     "mm_decode_stub",
     _MM_ORACLE,
     doc="Multimodal decode plumbing: binary payload column → mapInPandas "
-    "(Arrow batches) → typed feature rows. Decode itself is a "
-    "deterministic fake (real decoder raises NotImplementedError); the "
-    "Spark-side schema/batching/partitioning is real and oracle-checked.",
+    "(Arrow batches) → typed feature rows. Decode here is a "
+    "deterministic fake exercising only the plumbing; the REAL "
+    "decoders (BMP/PPM/PNG/JPEG) are oracle-checked separately via "
+    "mm_decode_real and mm_decode_jpeg.",
 )
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_documents(t(spark, sf_dir, "documents"))
