@@ -96,9 +96,14 @@ def heavy_hitters_exact(
         _mg_summarize(capacity), "item string, lb long"
     )
     candidates = summaries.groupBy("item").agg(F.sum("lb").alias("lb"))
-    # exact pass: count only candidate items (broadcast the candidate
-    # set — <= capacity x partitions rows pre-merge, candidate-
-    # cardinality after)
+    # exact pass: count only candidate items. The candidate union is at
+    # most capacity x partitions rows — broadcastable through thousands
+    # of partitions at the default capacity; at extreme widths drop the
+    # broadcast hint (shuffle semi-join, same plan shape) rather than
+    # rank-truncating candidates: a truncation beyond the MG merge
+    # theorem's trim could drop a true heavy hitter in a way the final
+    # certificate cannot detect, so the candidate set is never pruned
+    # here.
     exact = (
         src.join(F.broadcast(candidates.select("item")), "item")
         .groupBy("item")
