@@ -1083,3 +1083,25 @@ def test_heavy_hitters_mg_exact_and_certified(spark):
     # clear n/m — the certificate must throw, not return garbage
     with pytest.raises(Exception, match="cannot certify"):
         heavy_hitters_exact(df, "item", k=10, capacity=4).collect()
+
+
+def test_jpeg_zrl_long_zero_run_roundtrip():
+    """A lone high-frequency coefficient after a 40+ zero run forces
+    the encoder through ZRL (16-zero-run) codes — a path random
+    fixtures almost never hit with quant=1; the decoder must place the
+    coefficient at the exact zigzag index (roundtrip is bit-exact for
+    this synthetic spectrum)."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    flat = np.zeros(64)
+    flat[J.ZIGZAG[45]] = 40.0  # zigzag index 45 → run of 44 zeros
+    coef = flat.reshape(8, 8).copy()
+    coef[0, 0] = 200.0
+    block = J._C.T @ coef @ J._C + 128.0
+    px = np.clip(np.floor(block + 0.5), 0, 255).astype(np.uint8)
+    rgb = np.stack([px, px, px], axis=2)
+    w, h, out = J.decode_jpeg(J.encode_jpeg(rgb))
+    assert (w, h) == (8, 8)
+    assert np.array_equal(out, rgb)  # bit-exact for this spectrum
