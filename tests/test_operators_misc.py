@@ -1105,3 +1105,38 @@ def test_jpeg_zrl_long_zero_run_roundtrip():
     w, h, out = J.decode_jpeg(J.encode_jpeg(rgb))
     assert (w, h) == (8, 8)
     assert np.array_equal(out, rgb)  # bit-exact for this spectrum
+
+
+def test_jpeg_16bit_quant_table_decode():
+    """DQT with Pq=1 (16-bit entries) decodes identically to the 8-bit
+    form carrying the same values — exercised by rewriting a real
+    stream's quant segments, since no common encoder emits Pq=1."""
+    import struct
+
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    data = J.encode_jpeg(px)
+
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos] == 0xFF and data[pos + 1] == 0xDB:
+            length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            body = data[pos + 4 : pos + 2 + length]
+            tq = body[0] & 0x0F
+            vals = np.frombuffer(body[1:65], dtype=np.uint8).astype(">u2")
+            new_body = bytes([0x10 | tq]) + vals.tobytes()
+            out += struct.pack(">HH", 0xFFDB, len(new_body) + 2) + new_body
+            pos += 2 + length
+        else:
+            out.append(data[pos])
+            pos += 1
+
+    w, h, dec16 = J.decode_jpeg(bytes(out))
+    _, _, dec8 = J.decode_jpeg(data)
+    assert (w, h) == (8, 8)
+    assert np.array_equal(dec16, dec8)
