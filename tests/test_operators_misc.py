@@ -1140,3 +1140,78 @@ def test_jpeg_16bit_quant_table_decode():
     _, _, dec8 = J.decode_jpeg(data)
     assert (w, h) == (8, 8)
     assert np.array_equal(dec16, dec8)
+
+
+def test_jpeg_restart_marker_decode():
+    """DRI/RSTn streams: a hand-assembled 3-MCU image with DRI=1 (a
+    restart marker and DC-prediction reset between every MCU) decodes
+    within the DCT rounding bound — the interval path no stock fixture
+    exercises."""
+    import struct
+
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(8, 24, 3), dtype=np.uint8)
+    h, w = px.shape[:2]
+    rgb = px.astype(np.float64)
+    y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    cb = (128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1]
+          + 0.5 * rgb[:, :, 2])
+    cr = (128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1]
+          - 0.081312 * rgb[:, :, 2])
+    planes = [
+        np.clip(np.floor(p + 0.5), 0, 255).astype(np.float64)
+        for p in (y, cb, cr)
+    ]
+    dc = [J._build_codes(J.DC_LUM_BITS, J.DC_LUM_VALS),
+          J._build_codes(J.DC_CHR_BITS, J.DC_CHR_VALS)]
+    ac = [J._build_codes(J.AC_LUM_BITS, J.AC_LUM_VALS),
+          J._build_codes(J.AC_CHR_BITS, J.AC_CHR_VALS)]
+
+    segments = []
+    for mx in range(3):
+        bw = J._BitWriter()
+        pred = [0, 0, 0]  # DC prediction resets at each restart
+        for ci, plane in enumerate(planes):
+            tbl = 0 if ci == 0 else 1
+            zz = J._fdct_quant(plane[0:8, mx * 8 : (mx + 1) * 8])
+            pred[ci] = J._encode_block(bw, zz, pred[ci], dc[tbl], ac[tbl])
+        bw.flush()
+        segments.append(bytes(bw.out))
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qtab = bytes([0]) + bytes(np.ones(64, dtype=np.uint8))
+    qtab1 = bytes([1]) + bytes(np.ones(64, dtype=np.uint8))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += struct.pack(">BBB", cid, 0x11, tq)
+
+    def dht(cls, tid, bits, vals):
+        return bytes([cls << 4 | tid]) + bytes(bits[1:]) + bytes(vals)
+
+    sos = struct.pack(">B", 3)
+    for cid, tbl in ((1, 0), (2, 1), (3, 1)):
+        sos += struct.pack(">BB", cid, tbl << 4 | tbl)
+    sos += struct.pack(">BBB", 0, 63, 0)
+
+    entropy = segments[0] + b"\xff\xd0" + segments[1] + b"\xff\xd1" + segments[2]
+    data = b"".join(
+        [
+            b"\xff\xd8", seg(0xFFDB, qtab), seg(0xFFDB, qtab1),
+            seg(0xFFC0, sof),
+            seg(0xFFC4, dht(0, 0, J.DC_LUM_BITS, J.DC_LUM_VALS)),
+            seg(0xFFC4, dht(0, 1, J.DC_CHR_BITS, J.DC_CHR_VALS)),
+            seg(0xFFC4, dht(1, 0, J.AC_LUM_BITS, J.AC_LUM_VALS)),
+            seg(0xFFC4, dht(1, 1, J.AC_CHR_BITS, J.AC_CHR_VALS)),
+            seg(0xFFDD, struct.pack(">H", 1)),
+            seg(0xFFDA, sos), entropy, b"\xff\xd9",
+        ]
+    )
+    W, H, out = J.decode_jpeg(data)
+    assert (W, H) == (w, h)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
