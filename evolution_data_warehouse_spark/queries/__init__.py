@@ -43,7 +43,12 @@ from evolution_data_warehouse_spark.queries import extensions_r7 as _extensions_
 # 5 oldest-stale entries (r3 verdicts: the fn_dateadd…fn_ascii_fold
 # scalar-fn block) to fill the window at exactly 50.  Queries added
 # during round 7 land AFTER the window (verified locally by
-# drive_contract) and lead the round-8 head.
+# drive_contract) and lead the round-8 head.  End-of-r7 evidence: the
+# whole 274-entry registry passed drive_contract at the harness
+# defaults, AND registry-wide at a truly-vanilla 200-shuffle-partition
+# session (274/274), AND the r7 additions at sf0.1 — the determinism
+# rules are partition-count- and scale-independent across the full
+# surface, not just the new batch.
 _R7_WINDOW = (
     # 45 never-driver-verified (r6 additions + 2 r5 leftovers)
     "mm_decode_real", "mm_png_metadata", "session_conversion",
