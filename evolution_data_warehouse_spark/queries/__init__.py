@@ -46,9 +46,9 @@ from evolution_data_warehouse_spark.queries import extensions_r7 as _extensions_
 # drive_contract) and lead the round-8 head.  End-of-r7 evidence: the
 # whole 274-entry registry passed drive_contract at the harness
 # defaults, AND registry-wide at a truly-vanilla 200-shuffle-partition
-# session (274/274), AND the r7 additions at sf0.1 — the determinism
-# rules are partition-count- and scale-independent across the full
-# surface, not just the new batch.
+# session (274/274), AND registry-wide at sf0.1 (274/274, 10x the
+# driver's verification scale) — the determinism rules are
+# partition-count- and scale-independent across the full surface.
 _R7_WINDOW = (
     # 45 never-driver-verified (r6 additions + 2 r5 leftovers)
     "mm_decode_real", "mm_png_metadata", "session_conversion",
