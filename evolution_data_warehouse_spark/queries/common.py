@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -12,6 +13,47 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
+
+# --- events.ts precision pinning (oracle side) -----------------------------
+#
+# events.parquet stores ts as TIMESTAMP(NANOS). Spark always µs-truncates
+# (see t() below); DuckDB 1.0 also reads µs, but DuckDB ≥1.1 surfaces the
+# column as TIMESTAMP_NS. Any oracle that orders by ts, lags/leads over it,
+# or emits ts-derived values would then see sub-µs tiebreaks Spark cannot
+# see. Rather than trust each query author to remember a CAST, every
+# registered oracle is rewritten to read events through a µs-pinned inline
+# view — a no-op on µs-reading DuckDB, and exactly the Spark semantics on a
+# ns-reading one.
+
+_EVENTS_US_SQL = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+# words that can follow "FROM events" without being an alias
+_SQL_KEYWORDS = frozenset(
+    "group order where join left right inner outer cross full on union "
+    "window limit having qualify using natural select except intersect "
+    "and or not".split()
+)
+
+_EVENTS_REF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+events\b(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+
+def pin_events_us(sql: str) -> str:
+    """Rewrite every ``FROM/JOIN events [alias]`` table reference in an
+    oracle to the µs-pinned inline view, preserving any alias (the view
+    is aliased ``events`` when the query used the bare table name, so
+    qualified ``events.col`` references keep resolving)."""
+
+    def _sub(m: re.Match) -> str:
+        kw, alias = m.group(1), m.group(2)
+        if alias and alias.lower() not in _SQL_KEYWORDS:
+            return f"{kw} {_EVENTS_US_SQL} {alias}"
+        tail = f" {alias}" if alias else ""
+        return f"{kw} {_EVENTS_US_SQL} events{tail}"
+
+    return _EVENTS_REF_RE.sub(_sub, sql)
 
 
 @dataclass(frozen=True)
@@ -31,7 +73,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to REGISTRY."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc)
+        pinned = pin_events_us(oracle) if oracle is not None else None
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=pinned, doc=doc)
         return fn
 
     return deco

@@ -368,9 +368,9 @@ active AS (
     SELECT day, COUNT(DISTINCT user_id) AS n_active FROM days GROUP BY day
 )
 SELECT a.day, COALESCE(n.n_new, 0) AS n_new, a.n_active,
-       SUM(COALESCE(n.n_new, 0)) OVER (
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
            ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS cum_users
+       ) AS BIGINT) AS cum_users
 FROM active a LEFT JOIN new_per_day n ON n.day = a.day
 """
 
@@ -404,7 +404,7 @@ def win_cumulative_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
         .select(
             "day", "n_new", "n_active",
-            F.sum("n_new").over(w).alias("cum_users"),
+            F.sum("n_new").over(w).cast("long").alias("cum_users"),
         )
     )
 
@@ -2218,9 +2218,12 @@ def event_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SWEEP_ORACLE = """
 WITH intervals AS (
-    SELECT event_id, ts AS start_ts,
+    -- CAST(ts AS TIMESTAMP): pin to µs precision so the sweep ordering is
+    -- identical whether the driver's DuckDB reads parquet TIMESTAMP(NANOS)
+    -- as TIMESTAMP_NS (>=1.1) or truncates like Spark does.
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS start_ts,
            -- floor, not CAST: CAST rounds half-even while Spark floors
-           ts + CAST(floor(greatest(value, 1.0) * 60) AS BIGINT)
+           CAST(ts AS TIMESTAMP) + CAST(floor(greatest(value, 1.0) * 60) AS BIGINT)
                * INTERVAL 1 SECOND AS end_ts
     FROM events WHERE event_type = 'view'
 ),
@@ -2238,7 +2241,7 @@ swept AS (
     FROM pts
 )
 SELECT CAST(date_trunc('hour', at_ts) AS TIMESTAMP) AS hour,
-       MAX(concurrent) AS peak_concurrent
+       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent
 FROM swept GROUP BY 1
 """
 
@@ -2289,7 +2292,7 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return swept.groupBy(
         F.date_trunc("hour", "at_ts").alias("hour")
-    ).agg(F.max("concurrent").alias("peak_concurrent"))
+    ).agg(F.max("concurrent").cast("long").alias("peak_concurrent"))
 
 
 # ---------------------------------------------------------------------------

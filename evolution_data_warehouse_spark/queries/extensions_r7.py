@@ -45,7 +45,7 @@ tc AS (
 )
 SELECT lang,
        COUNT(*) AS vocab,
-       SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS hapax,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
        CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE)
        / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
 FROM tc GROUP BY lang
@@ -92,7 +92,8 @@ tc AS (
            SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
     FROM toks WHERE tok <> '' GROUP BY tok
 ),
-tot AS (SELECT SUM(c0) AS t0, SUM(c1) AS t1 FROM tc)
+tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0,
+               CAST(SUM(c1) AS BIGINT) AS t1 FROM tc)
 SELECT t0, t1,
        COUNT(*) AS vocab,
        CAST(SUM(abs(c0 * t1 - c1 * t0)) AS DOUBLE)
@@ -172,12 +173,12 @@ WITH d AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN regexp_matches(body, '{_EMAIL_RE}') THEN 1 ELSE 0 END)
-           AS n_email,
-       SUM(CASE WHEN regexp_matches(body, '{_IPV4_RE}') THEN 1 ELSE 0 END)
-           AS n_ipv4,
-       SUM(CASE WHEN regexp_matches(body, '{_DIGITRUN_RE}') THEN 1 ELSE 0 END)
-           AS n_digitrun
+       CAST(SUM(CASE WHEN regexp_matches(body, '{_EMAIL_RE}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_email,
+       CAST(SUM(CASE WHEN regexp_matches(body, '{_IPV4_RE}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ipv4,
+       CAST(SUM(CASE WHEN regexp_matches(body, '{_DIGITRUN_RE}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_digitrun
 FROM d GROUP BY source
 """
 
@@ -682,7 +683,7 @@ WITH cell AS (
 ),
 rows_ AS (SELECT s, SUM(obs) AS rtot FROM cell GROUP BY s),
 cols_ AS (SELECT p, SUM(obs) AS ctot FROM cell GROUP BY p),
-n_ AS (SELECT SUM(obs) AS n FROM cell),
+n_ AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cell),
 terms AS (
     SELECT CAST(floor(
         pow(CAST(obs AS DOUBLE)
@@ -770,7 +771,7 @@ WITH d AS (
 ),
 c AS (
     SELECT lang,
-           SUM(length(s)) AS total,
+           CAST(SUM(length(s)) AS BIGINT) AS total,
            SUM(length(s) - length(regexp_replace(s, '[a-z]', '', 'g')))
                AS alpha,
            SUM(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')))
@@ -1397,7 +1398,8 @@ tc AS (
     FROM toks WHERE tok <> '' GROUP BY lang, tok
 ),
 s AS (
-    SELECT lang, SUM(k) AS n, SUM(k * (k - 1)) AS num
+    SELECT lang, CAST(SUM(k) AS BIGINT) AS n,
+           CAST(SUM(k * (k - 1)) AS BIGINT) AS num
     FROM tc GROUP BY lang
 )
 SELECT lang, n AS n_tokens,
@@ -1540,7 +1542,8 @@ def event_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REV_ANOM_ORACLE = """
 WITH m AS (
     SELECT date_trunc('month', o_orderdate) AS month,
-           SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
     FROM orders GROUP BY date_trunc('month', o_orderdate)
 ),
 s AS (
@@ -1811,17 +1814,18 @@ _SPIKE_ORACLE = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
     FROM events GROUP BY CAST(ts AS DATE)
 ),
 w AS (
     SELECT day, n_events, n_errors,
-           SUM(n_errors) OVER (
+           CAST(SUM(n_errors) OVER (
                ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
-           ) AS base_errors,
-           SUM(n_events) OVER (
+           ) AS BIGINT) AS base_errors,
+           CAST(SUM(n_events) OVER (
                ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
-           ) AS base_events
+           ) AS BIGINT) AS base_events
     FROM daily
 )
 SELECT day, n_events, n_errors, base_errors, base_events
@@ -1996,8 +2000,8 @@ def text_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECON_ORACLE = """
 WITH li AS (
     SELECT l_orderkey,
-           SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          * 100 + 0.5) AS BIGINT)) AS detail_cents
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100 + 0.5) AS BIGINT)) AS BIGINT) AS detail_cents
     FROM lineitem GROUP BY l_orderkey
 ),
 j AS (
@@ -2007,7 +2011,7 @@ j AS (
     FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
 )
 SELECT o_orderkey, header_cents, detail_cents,
-       abs(header_cents - detail_cents) AS diff_cents
+       CAST(abs(header_cents - detail_cents) AS BIGINT) AS diff_cents
 FROM j
 ORDER BY diff_cents DESC, o_orderkey
 LIMIT 20
@@ -2071,12 +2075,12 @@ WITH daily AS (
            SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
     FROM orders GROUP BY o_orderdate
 ),
-tot AS (SELECT SUM(cents) AS total, COUNT(*) AS d FROM daily),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total, COUNT(*) AS d FROM daily),
 c AS (
     SELECT day,
-           SUM(cents * d - total) OVER (
+           CAST(SUM(CAST(cents AS BIGINT) * d - total) OVER (
                ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS cusum
+           ) AS BIGINT) AS cusum
     FROM daily CROSS JOIN tot
 )
 SELECT day, cusum
