@@ -35,44 +35,47 @@ from evolution_data_warehouse_spark.queries import extensions_r7 as _extensions_
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-7 window (per the CLAUDE.md rotation): the 45 entries that have
-# never had an official driver verdict — the r6 additions plus the two
-# r5 leftovers (session_conversion, win_gaps_islands) — all already
-# green via tools/drive_contract.py (LOCAL_CONTRACT_r06.json, 243/243)
-# AND via the r6 judge's independent 45/45 drive_contract run; then the
-# 5 oldest-stale entries (r3 verdicts: the fn_dateadd…fn_ascii_fold
-# scalar-fn block) to fill the window at exactly 50.  Queries added
-# during round 7 land AFTER the window (verified locally by
-# drive_contract) and lead the round-8 head.  End-of-r7 evidence: the
-# whole 274-entry registry passed drive_contract at the harness
-# defaults, AND registry-wide at a truly-vanilla 200-shuffle-partition
-# session (274/274), AND registry-wide at sf0.1 (274/274, 10x the
-# driver's verification scale) — the determinism rules are
-# partition-count- and scale-independent across the full surface.
-_R7_WINDOW = (
-    # 45 never-driver-verified (r6 additions + 2 r5 leftovers)
-    "mm_decode_real", "mm_png_metadata", "session_conversion",
-    "win_gaps_islands", "fn_url_canonicalize", "text_html_strip",
-    "pii_luhn_cards", "text_shingle_containment", "win_cumulative_unique",
-    "ts_ewma_window", "agg_equidepth_histogram", "agg_benford_firstdigit",
-    "join_delta_maintenance", "join_bloom_prefilter", "snapshot_table_diff",
-    "agg_mad_outliers", "sample_weighted_det", "stream_trending_topk",
-    "agg_linreg_slope", "agg_gini", "agg_rfm_segments", "fn_ip_cidr",
-    "fn_base64_codec", "fn_date_parts", "text_sentence_stats",
-    "dedup_url_canonical", "win_zscore_rolling", "agg_market_basket",
-    "join_n_way_merge", "text_dedup_paragraphs", "agg_entropy",
-    "src_csv_permissive", "corpus_mix_temperature", "curation_funnel_report",
-    "dedup_fuzzy_names", "ts_gap_detection", "snapshot_column_drift",
-    "event_stickiness", "ts_concurrency_sweep", "join_drill_across",
-    "fn_uuid_from_hash", "event_churn_monthly", "event_transition_latency",
-    "text_keywords_topk", "agg_pareto_deciles",
-    # 5 oldest-stale (r3 verdicts)
-    "fn_dateadd", "fn_date_format", "fn_concat", "fn_round_arith",
-    "fn_ascii_fold",
+# round-8 window (per the CLAUDE.md rotation): first the 2 r7 driver
+# FAILs (win_cumulative_unique, ts_concurrency_sweep — the HUGEINT
+# oracle-type defect, fixed this round by CAST(... AS BIGINT) on the
+# oracle side; the whole class is now fenced by
+# tests/test_oracle_types.py), then the 31 r7 additions that have
+# never had an official driver verdict (all green in
+# LOCAL_CONTRACT_r07.json and re-verified after the r8 HUGEINT casts),
+# then the 17 alphabetically-first of the 43 r3-stale entries to fill
+# the window at exactly 50.  Queries added during round 8 land AFTER
+# the window (verified locally by drive_contract) and lead the
+# round-9 head.  Carried-forward evidence: end-of-r7 the whole
+# registry passed drive_contract at harness defaults, at a truly-
+# vanilla 200-shuffle-partition session, AND at sf0.1 (274/274 on all
+# three axes) — the determinism rules are partition-count- and
+# scale-independent across the full surface.
+_R8_WINDOW = (
+    # 2 r7 driver FAILs, fixed (HUGEINT oracle outputs cast to BIGINT)
+    "win_cumulative_unique", "ts_concurrency_sweep",
+    # 31 never-driver-verified (the r7 additions, registration order)
+    "text_hapax_ratio", "corpus_token_drift", "pii_scan_report",
+    "win_yoy_growth", "seq_top_paths", "graph_copurchase_triangles",
+    "graph_degree_distribution", "ts_autocorr_daily", "agg_skew_report",
+    "agg_bitmap_presence", "agg_cramers_v", "text_charclass_profile",
+    "emb_centroid_separation", "mm_decode_jpeg", "text_zipf_slope",
+    "session_duration_pct", "agg_theil_index", "ts_weekday_seasonality",
+    "win_drawdown_max", "agg_hhi_concentration", "text_simpson_diversity",
+    "event_cooccurrence_pmi", "ts_revenue_anomaly_months",
+    "agg_heavy_hitters_mg", "mm_channel_histogram", "warehouse_time_travel",
+    "event_error_spike", "quality_key_gaps", "text_ttr_curve",
+    "quality_financial_reconcile", "ts_cusum_drift",
+    # 17 oldest-stale (r3 verdicts, alphabetical)
+    "agg_approx_distinct", "agg_cube", "agg_grouping_sets",
+    "agg_percentile", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "fn_array_join", "fn_derived_measure", "fn_explode",
+    "fn_json_serialize", "fn_map_ops", "fn_string_suite",
+    "fn_struct_extract", "fn_unpivot",
 )
-_ordered: list[str] = list(_R7_WINDOW)
+_ordered: list[str] = list(_R8_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R7_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R8_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
