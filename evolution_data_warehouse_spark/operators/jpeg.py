@@ -511,11 +511,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 and my < mcuy
             ):
                 br.align_to_marker()
-                # skip the RSTn marker bytes
-                while br.pos < len(data) - 1 and not (
-                    data[br.pos] == 0xFF and 0xD0 <= data[br.pos + 1] <= 0xD7
+                # After discarding pad bits the reader sits exactly on
+                # the marker in a well-formed stream — anything else
+                # means the stream is corrupt, and scanning forward for
+                # marker-like bytes would silently swallow entropy data
+                # (or run off the buffer); fail the decode contract
+                # loudly instead.
+                if not (
+                    br.pos + 1 < len(data)
+                    and data[br.pos] == 0xFF
+                    and 0xD0 <= data[br.pos + 1] <= 0xD7
                 ):
-                    br.pos += 1
+                    raise ValueError("expected restart marker")
                 br.pos += 2
                 pred = {c["id"]: 0 for c in comps}
         except _RestartMarker:

@@ -210,25 +210,33 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         ts_ms = sorted(
             int(pd.Timestamp(v).value) // 1_000_000 for v in rows["ts"]
         )
+        # Interval sweep: the stored session is one (start, end, n)
+        # interval among the batch's single-event intervals; sort by
+        # start and merge neighbours whose gap is within the threshold.
+        # This is the only ordering that gets cross-batch stragglers
+        # right in BOTH directions: an out-of-order event inside or
+        # just before the stored session merges (end = max, session
+        # never shrinks — a backward-moving end would pull the
+        # EventTimeTimeout earlier than last_event + gap), while a
+        # stray event older than start - gap forms its OWN session
+        # that closes against the stored one instead of stretching it
+        # across a silent gap longer than the sessionization gap (the
+        # r7 ADVICE finding on the previous `tm - end <= gap` merge).
+        items = [(tm, tm, 1) for tm in ts_ms]
         if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = None
-            n = 0
+            items.append(tuple(state.get))
+            items.sort()
         closed = []
-        for tm in ts_ms:
+        start = end = None
+        n = 0
+        for s_i, e_i, n_i in items:
             if start is None:
-                start, end, n = tm, tm, 1
-            elif tm - end <= gap_ms:
-                # merge: an out-of-order event within the watermark can
-                # arrive with tm < stored end (cross-batch); min/max so
-                # the session never shrinks — a backward-moving end
-                # would emit an end preceding contained events and pull
-                # the EventTimeTimeout earlier than last_event + gap.
-                start, end, n = min(start, tm), max(end, tm), n + 1
+                start, end, n = s_i, e_i, n_i
+            elif s_i - end <= gap_ms:
+                end, n = max(end, e_i), n + n_i
             else:
                 closed.append((start, end, n))
-                start, end, n = tm, tm, 1
+                start, end, n = s_i, e_i, n_i
         wm = state.getCurrentWatermarkMs()
         if end + gap_ms <= wm:
             # already expired relative to the watermark — close now

@@ -30,6 +30,8 @@ a consistent dim+fact flip — standard practice in table formats
 from __future__ import annotations
 
 import json
+import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,23 +44,55 @@ def _fs(spark: SparkSession, path: str):
 
 
 def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
-    """Atomic single-object write: ``fs.create(p, overwrite=True)``
-    directly on the final path. On object stores (S3 PUT, ABFS
-    create-with-overwrite) and HDFS this is a single create-with-
-    overwrite — the marker is NEVER absent. A delete-then-rename would
-    open a window where ``_current`` does not exist: a concurrent
-    ``read_current`` would raise and a concurrent publish would compute
-    version -1+1=0 and clobber live numbering (the r6 ADVICE finding);
-    create-with-overwrite has no such window — readers see either the
-    old content or the new, and a crash mid-write on a rename-backed
-    store leaves at worst the old object (the stream materializes on
-    close)."""
-    _, fs, p = _fs(spark, path)
-    out = fs.create(p, True)
+    """Atomic single-object write: write a uniquely-named temp object,
+    then ``FileContext.rename(tmp, p, Options.Rename.OVERWRITE)`` onto
+    the final path.
+
+    Rename-with-OVERWRITE is the only primitive that is atomic on
+    EVERY backend: on HDFS/POSIX it swaps the inode (no absent-window,
+    no torn content); on object stores the FileContext implementation
+    degrades to copy+delete of a closed, fully-materialized object, so
+    readers still see old-or-new. A bare ``fs.create(p, True)`` on the
+    final path — the previous implementation — is atomic only on
+    stores that materialize on close (S3A/ABFS PUT); on HDFS and local
+    filesystems it TRUNCATES in place, so a concurrent
+    ``current_version`` could read an empty or partial marker (the r7
+    ADVICE finding). A delete-then-plain-rename is equally wrong the
+    other way: it opens a window where ``_current`` does not exist and
+    a concurrent publish would restart numbering at v0 (the r6 ADVICE
+    finding). Temp names are uuid-unique so concurrent publishers
+    never write the same temp object; the loser's flip simply lands
+    last. If the backend has no FileContext binding, fall back to
+    direct create-with-overwrite (correct on the object stores that
+    lack one, since those materialize on close)."""
+    jvm, fs, p = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.{uuid.uuid4().hex}.tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    try:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), conf
+        )
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        opts = spark.sparkContext._gateway.new_array(  # noqa: SLF001
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = overwrite
+        fc.rename(tmp, p, opts)
+    except Exception:
+        # no FileContext for this scheme: single-object PUT semantics,
+        # create-with-overwrite on the final path is atomic there
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(tmp):
+            fs.delete(tmp, False)
 
 
 def _read_small_file(spark: SparkSession, path: str) -> str | None:
@@ -82,8 +116,26 @@ def _read_small_file(spark: SparkSession, path: str) -> str | None:
 
 
 def current_version(spark: SparkSession, root: str) -> int:
+    """Resolve the marker. A missing marker means "never published"
+    (-1). An EMPTY or unparseable marker is different: the marker
+    exists, so a publish has happened — tolerate a brief retry in case
+    a non-atomic backend exposed a mid-write state, then fail loudly
+    rather than returning -1 (which would restart version numbering
+    and clobber live data)."""
     raw = _read_small_file(spark, f"{root}/_current")
-    return -1 if raw is None else int(json.loads(raw)["version"])
+    if raw is None:
+        return -1
+    for _ in range(3):
+        try:
+            return int(json.loads(raw)["version"])
+        except (ValueError, KeyError):
+            time.sleep(0.1)
+            raw = _read_small_file(spark, f"{root}/_current")
+            if raw is None:
+                return -1
+    raise RuntimeError(
+        f"unreadable manifest marker {root}/_current: {raw!r}"
+    )
 
 
 def publish_versioned(

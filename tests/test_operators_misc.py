@@ -1142,11 +1142,9 @@ def test_jpeg_16bit_quant_table_decode():
     assert np.array_equal(dec16, dec8)
 
 
-def test_jpeg_restart_marker_decode():
-    """DRI/RSTn streams: a hand-assembled 3-MCU image with DRI=1 (a
-    restart marker and DC-prediction reset between every MCU) decodes
-    within the DCT rounding bound — the interval path no stock fixture
-    exercises."""
+def _build_dri_jpeg():
+    """Hand-assemble a 3-MCU baseline JPEG with DRI=1 (a restart marker
+    and DC-prediction reset between every MCU). Returns (data, px, w, h)."""
     import struct
 
     import numpy as np
@@ -1212,6 +1210,35 @@ def test_jpeg_restart_marker_decode():
             seg(0xFFDA, sos), entropy, b"\xff\xd9",
         ]
     )
+    return data, px, w, h
+
+
+def test_jpeg_restart_marker_decode():
+    """DRI/RSTn streams: the hand-assembled 3-MCU image with DRI=1
+    decodes within the DCT rounding bound — the interval path no stock
+    fixture exercises."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    data, px, w, h = _build_dri_jpeg()
     W, H, out = J.decode_jpeg(data)
     assert (W, H) == (w, h)
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_missing_restart_marker_raises_valueerror():
+    """A DRI stream whose expected RSTn bytes are corrupt must fail the
+    decode contract with ValueError — not scan forward discarding
+    entropy bytes until an unrelated marker-like pair, and not walk off
+    the buffer into IndexError (the r7 ADVICE finding on the proactive
+    restart skip)."""
+    import pytest
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    data, _, _, _ = _build_dri_jpeg()
+    assert data.count(b"\xff\xd0") == 1
+    corrupt = data.replace(b"\xff\xd0", b"\x41\x42", 1)
+    with pytest.raises(ValueError, match="restart marker"):
+        J.decode_jpeg(corrupt)

@@ -763,3 +763,72 @@ def test_sessionize_closed_out_of_order_never_shrinks(spark, tmp_path):
     # the closed session spans :00-:10 with ALL THREE events — the late
     # :07 merged without dragging the end backwards
     assert (1, ts(0), ts(10), 3) in got
+
+
+def test_sessionize_closed_stray_early_event_splits_sessions(spark, tmp_path):
+    """A cross-batch straggler OLDER than session_start - gap must form
+    its own session, not merge — the r7 ADVICE finding: the old
+    `tm - end <= gap` branch admitted any event with tm <= end + gap
+    (including tm < start - gap), and min(start, tm) then stretched the
+    session across a silent gap longer than the sessionization gap."""
+    import datetime
+    import glob as _glob
+    import os as _os
+
+    from evolution_data_warehouse_spark.streaming.events import (
+        sessionize_closed,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    mk = lambda eid, minute: (  # noqa: E731
+        eid, t0 + datetime.timedelta(minutes=minute), 1, "view",
+    )
+    batches = [
+        [mk(1, 100), mk(2, 110)],
+        # 40min older than the stored session start, but inside the
+        # 2-hour watermark, so it reaches the stateful operator
+        [mk(3, 60)],
+        [mk(4, 200)],  # >30min gap closes the :100-:110 session
+    ]
+    stamped: set[str] = set()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in _glob.glob(f"{src}/part-*.parquet"):
+            if f not in stamped:
+                _os.utime(f, (1_000_000_000 + b, 1_000_000_000 + b))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessionize_closed(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ts = lambda minute: t0 + datetime.timedelta(minutes=minute)  # noqa: E731
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the stray is its own closed single-event session; the stored
+    # session keeps its true extent — NO (60, 110, 3) mega-session
+    assert (1, ts(60), ts(60), 1) in got
+    assert (1, ts(100), ts(110), 2) in got
+    assert not any(s == ts(60) and e == ts(110) for _, s, e, _ in got)

@@ -368,6 +368,33 @@ def test_manifest_publish_atomic_and_consistent(spark, sf_dir, tmp_path):
     assert not os.path.exists(f"{root}/v0")
     assert not os.path.exists(f"{root}/v1")
     assert os.path.exists(f"{root}/v2")
+    # marker flips go through write-temp-then-rename-overwrite (the r7
+    # ADVICE fix: bare create-with-overwrite truncates in place on
+    # HDFS/local, exposing an empty marker mid-write) — no temp objects
+    # may survive a publish
+    assert not [f for f in os.listdir(root) if f.endswith(".tmp")]
+
+
+def test_manifest_unreadable_marker_fails_loudly(spark, tmp_path):
+    """An EXISTING but unparseable _current marker means a publish
+    happened and something is wrong — current_version must raise, not
+    return -1 (which would restart numbering at v0 and clobber live
+    data). A missing marker still means 'never published'."""
+    import pytest
+
+    from evolution_data_warehouse_spark.warehouse.manifest import (
+        current_version,
+    )
+
+    root = str(tmp_path / "store")
+    assert current_version(spark, root) == -1  # missing → never published
+    (tmp_path / "store").mkdir()
+    (tmp_path / "store" / "_current").write_text("")  # torn write residue
+    with pytest.raises(RuntimeError, match="marker"):
+        current_version(spark, root)
+    (tmp_path / "store" / "_current").write_text("{not json")
+    with pytest.raises(RuntimeError, match="marker"):
+        current_version(spark, root)
 
 
 def test_route_quarantine_single_scan_with_reasons(spark, sf_dir, tmp_path):
