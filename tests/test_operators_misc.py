@@ -735,11 +735,13 @@ def test_jpeg_codec_roundtrip_bounds():
     for i, ch in enumerate(("sum_r", "sum_g", "sum_b")):
         assert abs(feats[ch] - int(exp[i])) <= 4 * 64
 
-    # unsupported modes refuse plainly: flip SOF0 -> SOF2 (progressive)
+    # unsupported modes refuse plainly: flip SOF0 -> SOF9 (arithmetic).
+    # SOF2 (progressive) decodes for real since r8 — see
+    # test_jpeg_progressive_decodes_bit_identical_to_baseline.
     data = bytearray(encode_jpeg(px))
     sof_at = bytes(data).index(b"\xff\xc0")
-    data[sof_at + 1] = 0xC2
-    with pytest.raises(ValueError, match="SOF2"):
+    data[sof_at + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOS|SOI|JPEG"):
         decode_jpeg(b"\xff\xd8\xff\xe0JFIF")
@@ -1225,6 +1227,62 @@ def test_jpeg_restart_marker_decode():
     W, H, out = J.decode_jpeg(data)
     assert (W, H) == (w, h)
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """Progressive (SOF2) carries the SAME coefficients as baseline,
+    just re-ordered across scans — so decoding the progressive encode
+    of an image must be BIT-IDENTICAL to decoding its baseline encode.
+    The scan script exercises every progressive path: interleaved
+    DC-first with successive approximation (Al=1), DC refinement bits,
+    AC spectral bands with EOB runs and ZRL, and the AC refinement
+    scan's insertion + correction-bit algorithm. Restart intervals
+    (DRI/RSTn inside every scan) covered at ri=1 and ri=3."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (5, 7), (16, 24), (13, 21), (32, 32)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        wb, hb, ob = J.decode_jpeg(J.encode_jpeg(px))
+        assert (wb, hb) == (w, h)
+        for ri in (0, 1, 3):
+            wp, hp, op = J.decode_jpeg(
+                J.encode_jpeg_progressive(px, restart_interval=ri)
+            )
+            assert (wp, hp) == (w, h)
+            assert np.array_equal(ob, op), f"ri={ri} {h}x{w}"
+        assert np.abs(ob.astype(int) - px.astype(int)).max() <= 4
+    # smooth gradient content too (long zero runs → deep EOB/ZRL paths)
+    px = np.zeros((24, 40, 3), dtype=np.uint8)
+    px[:, :, 0] = (np.arange(40)[None, :] * 6) % 256
+    px[:, :, 1] = (np.arange(24)[:, None] * 9) % 256
+    px[:, :, 2] = 130
+    _, _, ob = J.decode_jpeg(J.encode_jpeg(px))
+    _, _, op = J.decode_jpeg(J.encode_jpeg_progressive(px))
+    assert np.array_equal(ob, op)
+
+
+def test_jpeg_progressive_error_contract():
+    """Corrupt progressive streams fail with ValueError, never
+    IndexError: truncation mid-scan, a missing RSTn at an interval
+    boundary, and a declared-but-absent scan."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = J.encode_jpeg_progressive(px)
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(data[: int(len(data) * 0.6)])
+    d2 = J.encode_jpeg_progressive(px, restart_interval=2)
+    i = d2.find(b"\xff\xd0")
+    assert i > 0
+    with pytest.raises(ValueError, match="restart marker"):
+        J.decode_jpeg(d2[:i] + b"\x41\x42" + d2[i + 2 :])
 
 
 def test_jpeg_missing_restart_marker_raises_valueerror():
