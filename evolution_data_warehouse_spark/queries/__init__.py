@@ -31,6 +31,7 @@ from evolution_data_warehouse_spark.queries import datapipe as _datapipe  # noqa
 from evolution_data_warehouse_spark.queries import event_analytics as _event_analytics  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions_r6 as _extensions_r6  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions_r7 as _extensions_r7  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import extensions_r8 as _extensions_r8  # noqa: E402,F401
 
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
