@@ -503,3 +503,455 @@ def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.filter(F.col("d") > 0).select(
         "t", "d", "n_risk", survival.alias("survival")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation with bounded memory)
+# ---------------------------------------------------------------------------
+
+_CM_W = 512  # buckets per row
+_CM_D = 4  # hash rows
+_CM_K = 15  # verification probes (exact top-k tokens)
+
+
+def _cm_bucket_sql(row: str, item: str) -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    return (
+        f"{content_hash64_sql(f'CAST({row} AS VARCHAR) || :colon: || {item}')}"
+        f" % {_CM_W}"
+    ).replace(":colon:", "':'")
+
+
+_CM_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(str_split(lower(text), ' ')) AS item FROM documents
+),
+tf AS (
+    SELECT item, COUNT(*) AS exact_n FROM toks WHERE item <> ''
+    GROUP BY item
+),
+topk AS (SELECT item, exact_n FROM tf ORDER BY exact_n DESC, item LIMIT {_CM_K}),
+rows_ AS (SELECT unnest(range(0, {_CM_D})) AS r),
+cells AS (
+    SELECT r, {_cm_bucket_sql('r', 'item')} AS b, COUNT(*) AS cnt
+    FROM toks CROSS JOIN rows_ WHERE item <> ''
+    GROUP BY 1, 2
+),
+probes AS (
+    SELECT t.item, t.exact_n, r.r, {_cm_bucket_sql('r.r', 't.item')} AS b
+    FROM topk t CROSS JOIN rows_ r
+)
+SELECT p.item, p.exact_n,
+       CAST(MIN(c.cnt) AS BIGINT) AS cm_est,
+       CAST(MIN(c.cnt) AS BIGINT) - p.exact_n AS overcount
+FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+GROUP BY p.item, p.exact_n
+"""
+
+
+@register(
+    "agg_countmin_sketch",
+    _CM_ORACLE,
+    doc=f"Count-min sketch over document tokens: {_CM_D} md5-derived "
+    f"hash rows x {_CM_W} buckets, built in ONE linear scan as a "
+    "hash aggregate whose state is the fixed d*w cell grid — map-side "
+    "combinable, so executor memory is constant no matter how many "
+    "distinct tokens the corpus has (the property HLL gives "
+    "cardinality and Misra-Gries gives top-k, here for point "
+    "frequency). Estimates read min over rows of the probed cells; "
+    f"the exact top-{_CM_K} token counts verify the one-sided error "
+    "bound live: overcount >= 0 always, and smallness is the "
+    "epsilon*N guarantee. Sketch and probes are broadcast-sized; "
+    "nothing after the scan scales with corpus size.",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("item"))
+        .filter(F.col("item") != "")
+    )
+
+    def bucket(row: int, col):
+        return content_hash64(F.concat(F.lit(f"{row}:"), col)) % _CM_W
+
+    tf = toks.groupBy("item").agg(F.count("*").alias("exact_n"))
+    topk = tf.orderBy(F.col("exact_n").desc(), "item").limit(_CM_K)
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("long").alias("r"),
+                            bucket(r, F.col("item")).alias("b"),
+                        )
+                        for r in range(_CM_D)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = topk.select(
+        "item",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        bucket(r, F.col("item")).alias("b"),
+                    )
+                    for r in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("item", "exact_n", "rb.r", "rb.b")
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("item", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cm_est"))
+    )
+    return est.select(
+        "item",
+        "exact_n",
+        "cm_est",
+        (F.col("cm_est") - F.col("exact_n")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U test (rank-based two-sample inference)
+# ---------------------------------------------------------------------------
+#
+# Compares the `value` distribution of click vs view events without any
+# normality assumption. Values quantize to exact integer cents, ranks
+# come from ONE window pass over the distinct-cents aggregate (average
+# ranks for ties, carried in doubled integer space so nothing is ever
+# fractional until the final closed-form), and the z statistic uses the
+# tie-corrected variance — every input to the double math is an exact
+# BIGINT both engines agree on. Rank-sum products accumulate in
+# DECIMAL(38,0) (exact; int64 would overflow near 1e19 at extreme
+# scale, and ANSI Spark would error loudly rather than wrap).
+
+_MWU_ORACLE = f"""
+WITH g AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+    FROM events WHERE event_type IN ('click', 'view')
+),
+byv AS (
+    SELECT cents, CAST(SUM(is1) AS BIGINT) AS c1, COUNT(*) AS ct
+    FROM g GROUP BY cents
+),
+w AS (
+    SELECT cents, c1, ct,
+           COALESCE(SUM(ct) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING
+           ), 0) AS cb
+    FROM byv
+),
+a AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(ct - c1) AS BIGINT) AS n2,
+           CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * (2 * cb + ct + 1))
+                AS BIGINT) AS r1_x2,
+           CAST(SUM(CAST(ct AS DECIMAL(38,0)) * ct * ct - ct)
+                AS BIGINT) AS tie_term
+    FROM w
+)
+SELECT n1, n2,
+       CAST((r1_x2 - n1 * (n1 + 1)) AS DOUBLE) / 2 AS u1,
+       {fpq_sql(
+        '(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2'
+        ' - CAST(n1 AS DOUBLE) * n2 / 2)'
+        ' / sqrt(CAST(n1 AS DOUBLE) * n2 / 12'
+        '        * (n1 + n2 + 1'
+        '           - CAST(tie_term AS DOUBLE)'
+        '             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))', 9)}
+           AS zscore
+FROM a
+"""
+
+
+@register(
+    "stats_mannwhitney_u",
+    _MWU_ORACLE,
+    doc="Mann-Whitney U test of click vs view purchase values: the "
+    "nonparametric location test (no normality assumed) every "
+    "experimentation readout needs when the metric is skewed. Ranks "
+    "with average-tie handling are computed over the DISTINCT-cents "
+    "aggregate (one window at distinct-value cardinality, not row "
+    "cardinality — at 100 TB the row count never enters a window), "
+    "doubled so tie-averages stay integers; U and the tie-corrected "
+    "z are closed-form doubles over four exact BIGINTs.",
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is1"
+            ),
+        )
+    )
+    byv = g.groupBy("cents").agg(
+        F.sum("is1").cast("long").alias("c1"), F.count("*").alias("ct")
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = byv.select(
+        "cents", "c1", "ct",
+        F.coalesce(F.sum("ct").over(w_cum), F.lit(0)).alias("cb"),
+    )
+    a = w.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("long").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("ct") + 1)
+        )
+        .cast("long")
+        .alias("r1_x2"),
+        F.sum(
+            F.col("ct").cast("decimal(38,0)") * F.col("ct") * F.col("ct")
+            - F.col("ct")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    n = F.col("n1") + F.col("n2")
+    u1 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast(
+        "double"
+    ) / 2
+    sigma = F.sqrt(
+        n1d * n2d / 12
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return a.select(
+        "n1", "n2",
+        u1.alias("u1"),
+        fpq((u1 - n1d * n2d / 2) / sigma, 9).alias("zscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance (distribution drift test)
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+WITH g AS (
+    SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+    FROM events WHERE event_type IN ('click', 'view')
+),
+byv AS (
+    SELECT cents, CAST(SUM(is1) AS BIGINT) AS c1, COUNT(*) AS ct
+    FROM g GROUP BY cents
+),
+tot AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(ct - c1) AS BIGINT) AS n2
+    FROM byv
+),
+cum AS (
+    SELECT CAST(SUM(c1) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS f1,
+           CAST(SUM(ct - c1) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS f2
+    FROM byv
+)
+SELECT n1, n2,
+       CAST(MAX(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+       {fpq_sql(
+        'CAST(MAX(abs(f1 * n2 - f2 * n1)) AS DOUBLE)'
+        ' / (CAST(n1 AS DOUBLE) * n2)', 9)} AS d_stat
+FROM cum CROSS JOIN tot
+GROUP BY n1, n2
+"""
+
+
+@register(
+    "stats_ks_two_sample",
+    _KS_ORACLE,
+    doc="Two-sample Kolmogorov-Smirnov statistic between click and "
+    "view value distributions: D = max |F1 - F2| over the empirical "
+    "CDFs. The maximized quantity is the EXACT integer "
+    "|F1*n2 - F2*n1| (cross-multiplied to avoid comparing derived "
+    "doubles), so the argmax is engine-identical; only the final "
+    "normalization is floating point. CDFs come from one cumulative "
+    "window over the distinct-cents aggregate — distribution drift "
+    "testing at scan cost, the continuous-valued complement to the "
+    "token-level L1 drift of corpus_token_drift.",
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is1"
+            ),
+        )
+    )
+    byv = g.groupBy("cents").agg(
+        F.sum("is1").cast("long").alias("c1"), F.count("*").alias("ct")
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = byv.select(
+        F.sum("c1").over(w_cum).cast("long").alias("f1"),
+        F.sum(F.col("ct") - F.col("c1")).over(w_cum).cast("long").alias(
+            "f2"
+        ),
+    )
+    tot = byv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("long").alias("n2"),
+    )
+    d_abs = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(d_abs).cast("long").alias("d_num"),
+            fpq(
+                F.max(d_abs).cast("double")
+                / (F.col("n1").cast("double") * F.col("n2")),
+                9,
+            ).alias("d_stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (ML feature-drift monitoring)
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 40000  # order-price bin width; LEAST caps into 10 bins
+_PSI_CUT = "DATE '1995-01-01'"  # baseline = orders before, current = after
+
+_PSI_ORACLE = f"""
+WITH b AS (
+    SELECT CASE WHEN o_orderdate < {_PSI_CUT} THEN 0 ELSE 1 END AS half,
+           LEAST(CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT), 9)
+               AS bin
+    FROM orders
+),
+c AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_base,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+    FROM b GROUP BY bin
+),
+tot AS (
+    SELECT bin, n_base, n_cur,
+           CAST(SUM(n_base + 1) OVER () AS BIGINT) AS nb_tot,
+           CAST(SUM(n_cur + 1) OVER () AS BIGINT) AS nc_tot
+    FROM c
+),
+terms AS (
+    SELECT bin, n_base, n_cur,
+           CAST(floor(
+               (CAST(n_base + 1 AS DOUBLE) / nb_tot
+                - CAST(n_cur + 1 AS DOUBLE) / nc_tot)
+               * ln(CAST(n_base + 1 AS DOUBLE) * nc_tot
+                    / (CAST(n_cur + 1 AS DOUBLE) * nb_tot))
+               * 1e12 + 0.5) AS BIGINT) AS term_fp
+    FROM tot
+)
+SELECT bin, n_base, n_cur,
+       {fpq_sql('CAST(term_fp AS DOUBLE) / 1e12', 9)} AS psi_term,
+       {fpq_sql('CAST(SUM(term_fp) OVER () AS DOUBLE) / 1e12', 9)}
+           AS psi_total
+FROM terms
+"""
+
+
+@register(
+    "drift_psi",
+    _PSI_ORACLE,
+    doc="Population Stability Index of the order-price distribution, "
+    "pre-1995 baseline vs current — the standard production-ML gate "
+    "for 'has this feature drifted enough to retrain' (PSI > 0.2 = "
+    "act). Ten fixed price bins, add-one smoothing so empty bins "
+    "stay finite, each (p-q)*ln(p/q) term fixed-point quantized "
+    "BEFORE the total (the agg_entropy rule: float sums only over "
+    "already-quantized integers, so summation order cannot matter). "
+    "One hash aggregate at bin cardinality plus a 10-row window — "
+    "scan-bound at any scale.",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderdate") < F.lit("1995-01-01").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = c.select(
+        "bin", "n_base", "n_cur",
+        F.sum(F.col("n_base") + 1).over(w_all).cast("long").alias("nb_tot"),
+        F.sum(F.col("n_cur") + 1).over(w_all).cast("long").alias("nc_tot"),
+    )
+    pb = (F.col("n_base") + 1).cast("double") / F.col("nb_tot")
+    pc = (F.col("n_cur") + 1).cast("double") / F.col("nc_tot")
+    lr = F.log(
+        (F.col("n_base") + 1).cast("double") * F.col("nc_tot")
+        / ((F.col("n_cur") + 1).cast("double") * F.col("nb_tot"))
+    )
+    terms = tot.select(
+        "bin", "n_base", "n_cur",
+        F.floor((pb - pc) * lr * F.lit(1e12) + F.lit(0.5))
+        .cast("long")
+        .alias("term_fp"),
+    )
+    return terms.select(
+        "bin", "n_base", "n_cur",
+        fpq(F.col("term_fp").cast("double") / F.lit(1e12), 9).alias(
+            "psi_term"
+        ),
+        fpq(
+            F.sum("term_fp").over(w_all).cast("double") / F.lit(1e12), 9
+        ).alias("psi_total"),
+    )
