@@ -84,6 +84,15 @@ SF1_QUERIES = [
     # aggregate/window shapes already represented above
     "graph_copurchase_triangles",
     "event_cooccurrence_pmi",
+    # r8 shapes with non-obvious scaling: the grid-bucketed radius join
+    # (bounded-candidate argument deserves its 10x leg like the other
+    # pair joins), the progressive-JPEG decode (heaviest per-row CPU in
+    # the registry), and the 4-row token explode feeding the count-min
+    # cells; the remaining r8 additions are aggregate/window shapes
+    # already represented above
+    "join_spatial_grid",
+    "mm_decode_progressive",
+    "agg_countmin_sketch",
 ]
 
 
