@@ -181,26 +181,62 @@ def _png_unfilter_row(ftype: int, filt: np.ndarray, prev: np.ndarray, bpp: int) 
     return out
 
 
+# Adam7 interlacing: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _rows_to_bytes(rows: np.ndarray, depth: int) -> np.ndarray:
+    """(hp, wp, ch) pixel block → flat per-row byte matrix (hp, wp*ch*sb),
+    big-endian samples for 16-bit per the PNG spec."""
+    hp = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(hp, -1).astype(np.uint8)
+    return (
+        rows.astype(">u2").view(np.uint8).reshape(hp, -1)
+    )
+
+
 def encode_png(
-    pixels: np.ndarray, filter_per_row=None, text: dict[str, str] | None = None
+    pixels: np.ndarray,
+    filter_per_row=None,
+    text: dict[str, str] | None = None,
+    interlace: int = 0,
+    depth: int = 8,
 ) -> bytes:
-    """Encode an (h, w, 3|4) uint8 array as an 8-bit PNG (color type
-    2 or 6). ``filter_per_row(y)`` picks the filter type per scanline
-    (default: y % 5, exercising every filter). ``text`` adds tEXt
-    metadata chunks (keyword → latin-1 value, per the PNG spec),
-    written in sorted-key order for determinism."""
+    """Encode an (h, w, 3|4) array as a PNG (color type 2 or 6).
+    ``filter_per_row(y)`` picks the filter type per scanline (default:
+    y % 5, exercising every filter). ``text`` adds tEXt metadata chunks
+    (keyword → latin-1 value, per the PNG spec), written in sorted-key
+    order for determinism. ``interlace=1`` writes Adam7 (each of the 7
+    sub-images filtered independently, per spec); ``depth=16`` writes
+    big-endian 16-bit samples (pixels must then be uint16)."""
     h, w, ch = pixels.shape
     color_type = {3: 2, 4: 6}[ch]
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError(f"unsupported encode (depth={depth}, interlace={interlace})")
     pick = filter_per_row or (lambda y: y % 5)
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    bpp = ch * (depth // 8)
     stream = bytearray()
-    for y in range(h):
-        raw = pixels[y].reshape(-1)
-        ftype = pick(y)
-        stream.append(ftype)
-        stream.extend(_png_filter_row(ftype, raw, prev, ch).tobytes())
-        prev = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    )
+    for x0, y0, dx, dy in passes:
+        block = pixels[y0::dy, x0::dx]
+        hp, wp = block.shape[0], block.shape[1]
+        if hp == 0 or wp == 0:
+            continue  # empty pass: contributes no scanlines at all
+        rows = _rows_to_bytes(block, depth)
+        prev = np.zeros(wp * bpp, dtype=np.uint8)
+        for y in range(hp):
+            raw = rows[y]
+            ftype = pick(y)
+            stream.append(ftype)
+            stream.extend(_png_filter_row(ftype, raw, prev, bpp).tobytes())
+            prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     text_chunks = b"".join(
         _png_chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
         for k, v in sorted((text or {}).items())
@@ -223,7 +259,11 @@ def decode_png_text(data: bytes) -> dict[str, str]:
         raise ValueError("not a PNG payload")
     pos, out = len(_PNG_SIG), {}
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk body")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -239,13 +279,20 @@ def decode_png_text(data: bytes) -> dict[str, str]:
 
 
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8-bit non-interlaced RGB/RGBA PNG → (w, h, pixels).
-    CRC-checked per chunk; multiple IDAT chunks are concatenated."""
+    """Decode an 8/16-bit RGB/RGBA PNG, interlaced (Adam7) or not →
+    (w, h, pixels); uint8 for depth 8, uint16 for depth 16. CRC-checked
+    per chunk; multiple IDAT chunks are concatenated; each Adam7 pass
+    unfilters independently and scatters into the full-resolution grid
+    per the spec's (x0, y0, dx, dy) lattice."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, ihdr = len(_PNG_SIG), bytearray(), None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk body")
         tag = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
@@ -261,22 +308,58 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or color_type not in (2, 6) or interlace != 0:
+    if depth not in (8, 16) or color_type not in (2, 6) or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only 8-bit non-interlaced RGB/RGBA PNG supported "
+            f"only 8/16-bit RGB/RGBA PNG, interlace 0/1 supported "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
     ch = 3 if color_type == 2 else 4
-    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(stream) != h * (1 + w * ch):
+    sb = depth // 8
+    bpp = ch * sb
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT decompress failed: {exc}") from exc
+    stream = np.frombuffer(inflated, dtype=np.uint8)
+
+    def unfilter_block(off: int, wp: int, hp: int) -> tuple[np.ndarray, int]:
+        """Unfilter one (sub-)image of wp x hp pixels starting at byte
+        ``off`` of the decompressed stream → ((hp, wp, ch) samples,
+        next offset). 16-bit samples are rejoined from their big-endian
+        byte pairs AFTER unfiltering (filters operate on bytes)."""
+        rowbytes = wp * bpp
+        end = off + hp * (1 + rowbytes)
+        if end > len(stream):
+            raise ValueError("PNG pixel stream length mismatch")
+        block = stream[off:end].reshape(hp, 1 + rowbytes)
+        prev = np.zeros(rowbytes, dtype=np.uint8)
+        rows = np.zeros((hp, rowbytes), dtype=np.uint8)
+        for y in range(hp):
+            prev = _png_unfilter_row(int(block[y, 0]), block[y, 1:], prev, bpp)
+            rows[y] = prev
+        if depth == 8:
+            return rows.reshape(hp, wp, ch), end
+        px16 = rows.reshape(hp, wp, ch, 2).astype(np.uint16)
+        return (px16[..., 0] << 8) | px16[..., 1], end
+
+    if interlace == 0:
+        px, end = unfilter_block(0, w, h)
+        if end != len(stream):
+            raise ValueError("PNG pixel stream length mismatch")
+        return w, h, px
+
+    out = np.zeros((h, w, ch), dtype=np.uint8 if depth == 8 else np.uint16)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp == 0 or hp == 0:
+            continue  # pass contributes no scanlines for these dims
+        block, off = unfilter_block(off, wp, hp)
+        out[y0::dy, x0::dx] = block
+    if off != len(stream):
         raise ValueError("PNG pixel stream length mismatch")
-    stream = stream.reshape(h, 1 + w * ch)
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    rows = np.zeros((h, w * ch), dtype=np.uint8)
-    for y in range(h):
-        prev = _png_unfilter_row(int(stream[y, 0]), stream[y, 1:], prev, ch)
-        rows[y] = prev
-    return w, h, rows.reshape(h, w, ch)
+    return w, h, out
 
 
 def decode_image_auto(data: bytes) -> dict:

@@ -955,3 +955,77 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("term_fp").over(w_all).cast("double") / F.lit(1e12), 9
         ).alias("psi_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adam7-interlaced 16-bit PNG decode — driver-level evidence for the r8
+# extension of the PNG codec (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+_MM_ADAM7_ORACLE = """
+SELECT doc_id,
+       'png-adam7-16bit' AS format,
+       CAST(1 + doc_id % 19 AS INT) AS width,
+       CAST(1 + doc_id % 11 AS INT) AS height,
+       TRUE AS exact_match
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_interlaced",
+    _MM_ADAM7_ORACLE,
+    doc="REAL Adam7-interlaced 16-bit PNG decode (multimodal.py): "
+    "seven sub-images unfiltered independently and scattered into the "
+    "full-resolution lattice, 16-bit samples rejoined from big-endian "
+    "byte pairs after unfiltering. Dims 1..19 x 1..11 sweep every "
+    "empty-pass combination (passes vanish when a dimension is smaller "
+    "than the pass origin — the classic off-by-one nest). exact_match "
+    "asserts the decoded grid is BIT-IDENTICAL to the synthesized "
+    "uint16 pixels. One mapInPandas stage, no shuffle, embarrassingly "
+    "parallel.",
+)
+def mm_decode_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth_and_decode(batches):
+        from evolution_data_warehouse_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 1 + d % 19, 1 + d % 11
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 257 + d) % 65536,
+                        (yy * 4099 + d * 31) % 65536,
+                        (xx * yy * 7 + d * 101) % 65536,
+                    ],
+                    axis=2,
+                ).astype(np.uint16)
+                ww, hh, out = decode_png(
+                    encode_png(px, interlace=1, depth=16)
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "format": "png-adam7-16bit",
+                        "width": np.int32(ww),
+                        "height": np.int32(hh),
+                        "exact_match": bool(np.array_equal(out, px)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_decode,
+        "doc_id long, format string, width int, height int, "
+        "exact_match boolean",
+    )

@@ -689,6 +689,52 @@ def test_image_codecs_roundtrip_and_gates():
         decode_image_auto(b"GIF89a....")
 
 
+def test_png_interlaced_and_16bit():
+    """Adam7-interlaced and 16-bit PNG decode for real: exact
+    round-trips across dims that exercise empty passes (w or h < the
+    pass origin), bit-identity between interlaced and plain decode of
+    the same pixels, and the ValueError contract on truncation at any
+    byte boundary (never struct.error/IndexError)."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (7, 5), (8, 8), (9, 17), (1, 40), (40, 1)]:
+        for ch in (3, 4):
+            px8 = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            w2, h2, out = decode_png(encode_png(px8, interlace=1))
+            assert (w2, h2) == (w, h)
+            assert out.dtype == np.uint8 and np.array_equal(out, px8)
+            px16 = rng.integers(0, 65536, (h, w, ch), dtype=np.uint16)
+            for il in (0, 1):
+                _, _, out = decode_png(
+                    encode_png(px16, interlace=il, depth=16)
+                )
+                assert out.dtype == np.uint16 and np.array_equal(out, px16)
+
+    px = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(px, interlace=1))[2],
+        decode_png(encode_png(px))[2],
+    )
+
+    # every truncation either raises ValueError (never struct.error /
+    # IndexError) or — only when the cut lands exactly at the end of the
+    # complete IDAT chunk — decodes to the full image
+    full = encode_png(px, interlace=1)
+    for cut in range(8, len(full)):
+        try:
+            _, _, out = decode_png(full[:cut])
+        except ValueError:
+            continue
+        assert np.array_equal(out, px), f"bad partial decode at cut={cut}"
+
+
 def test_jpeg_codec_roundtrip_bounds():
     """Pure-numpy baseline JPEG: decode-of-encode reconstructs within
     tight bounds (quant=1 → only DCT rounding for 4:4:4; chroma
