@@ -5,17 +5,21 @@ metadata struct alongside. The Spark-side machinery — schema, Arrow
 batch shape, `mapInPandas` signatures, partitioning — is real and
 tested. Decode comes in two tiers:
 
-* REAL stdlib codecs (no PIL/libjpeg needed): uncompressed 24-bit BMP,
-  binary PPM (P6), and PNG (8-bit RGB/RGBA, zlib inflate + full
+* REAL stdlib codecs (no PIL/libjpeg needed): uncompressed BMP (24-bit
+  BGR, 32-bit BGRA, 8-bit paletted; bottom-up or top-down rows),
+  binary PPM (P6, maxval 255 or 16-bit big-endian up to 65535), and
+  PNG (8/16-bit RGB/RGBA, Adam7-interlaced or not, zlib inflate + full
   None/Sub/Up/Average/Paeth unfiltering, CRC-checked). These parse the
   actual byte format — `decode_image_real_batch` dispatches on magic
   bytes and emits width/height plus exact per-channel pixel sums
   (integer sums, so the output is bit-deterministic and
-  oracle-checkable).
-* Baseline-sequential JPEG (SOF0/SOF1, sampling factors 1-2, restart
-  markers) decodes for real too — pure-numpy Huffman + IDCT in
-  operators/jpeg.py. Progressive/arithmetic JPEG raise ValueError
-  (different entropy paths, stated plainly).
+  oracle-checkable). Remaining BMP gates: sub-8-bit and RLE-compressed
+  pixels (explicit NotImplementedError).
+* JPEG decodes for real too — pure-numpy Huffman + IDCT in
+  operators/jpeg.py, both baseline-sequential (SOF0/SOF1, sampling
+  factors 1-2, restart markers) and progressive (SOF2, spectral
+  selection + successive approximation). Arithmetic-coded JPEG raises
+  ValueError (a different entropy path, stated plainly).
 
 The original deterministic fake (`decode_image_batch()`) remains for
 plumbing-only tests.
@@ -48,46 +52,101 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def encode_bmp(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
-    BI_RGB BMP (bottom-up rows, 4-byte row padding)."""
-    h, w, _ = pixels.shape
-    stride = (3 * w + 3) // 4 * 4
+def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as an uncompressed BI_RGB BMP
+    (24-bit BGR or 32-bit BGRA; bottom-up rows with 4-byte padding by
+    default, top-down rows — negative biHeight — on request)."""
+    h, w, ch = pixels.shape
+    stride = (ch * w + 3) // 4 * 4
     img_size = stride * h
     header = struct.pack(
         "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
     ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII",
+        40, w, -h if top_down else h, 1, 8 * ch, 0, img_size,
+        2835, 2835, 0, 0,
     )
     rows = np.zeros((h, stride), dtype=np.uint8)
-    # BGR byte order, bottom row first
-    rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)
+    # BGR(A) byte order; bottom row first unless top-down
+    bgr = pixels[..., [2, 1, 0, 3]] if ch == 4 else pixels[..., ::-1]
+    ordered = bgr if top_down else bgr[::-1]
+    rows[:, : ch * w] = ordered.reshape(h, ch * w)
     return header + rows.tobytes()
 
 
+def encode_bmp8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) RGB palette as an
+    8-bit paletted BI_RGB BMP (BGRX quad palette after the info
+    header, bottom-up rows)."""
+    h, w = indices.shape
+    n = palette.shape[0]
+    stride = (w + 3) // 4 * 4
+    img_size = stride * h
+    offset = 14 + 40 + 4 * n
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + img_size, 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, n, 0
+    )
+    quads = np.zeros((n, 4), dtype=np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = indices[::-1]
+    return header + quads.tobytes() + rows.tobytes()
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an uncompressed 24-bit BMP → (w, h, (h,w,3) RGB array)."""
+    """Decode an uncompressed BI_RGB BMP → (w, h, RGB(A) array).
+    Handles 24-bit BGR, 32-bit BGRA, and 8-bit paletted pixels, in
+    bottom-up (positive biHeight) or top-down (negative) row order."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"only uncompressed 8/24/32-bit BMP supported (bpp={bpp}, "
             f"compression={compression})"
         )
-    if h <= 0 or w <= 0:
+    top_down = h < 0
+    h = abs(h)
+    if h == 0 or w <= 0:
         raise ValueError(f"unsupported BMP dimensions {w}x{h}")
-    stride = (3 * w + 3) // 4 * 4
+    ch = bpp // 8
+    stride = (ch * w + 3) // 4 * 4
+    if offset + stride * h > len(data):
+        raise ValueError("truncated BMP pixel data")
     body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
-    rows = body.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
-    return w, h, rows[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    rows = body.reshape(h, stride)[:, : ch * w].reshape(h, w, ch)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        (n_colors,) = struct.unpack_from("<I", data, 46)
+        n = n_colors or 256
+        pal_at = 14 + hdr_size
+        if pal_at + 4 * n > offset:
+            raise ValueError("BMP palette overruns pixel offset")
+        quads = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n, offset=pal_at
+        ).reshape(n, 4)
+        if int(rows.max(initial=0)) >= n:
+            raise ValueError("BMP pixel index outside palette")
+        return w, h, quads[rows.reshape(h, w), :3][:, :, ::-1]  # BGRX → RGB
+    if bpp == 24:
+        return w, h, rows[:, :, ::-1]  # BGR → RGB
+    return w, h, rows[:, :, [2, 1, 0, 3]]  # BGRA → RGBA
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    """Encode an (h, w, 3) RGB array as binary PPM (P6): uint8 input
+    writes maxval 255; uint16 input writes maxval 65535 with big-endian
+    samples per the netpbm spec."""
     h, w, _ = pixels.shape
+    if pixels.dtype == np.uint16:
+        return f"P6\n{w} {h}\n65535\n".encode("ascii") + (
+            pixels.astype(">u2").tobytes()
+        )
     return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
 
 
@@ -112,10 +171,18 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
         tokens.append(data[start:pos])
     pos += 1  # the single whitespace after maxval
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-    if maxval != 255:
-        raise NotImplementedError(f"only maxval 255 PPM supported ({maxval})")
-    body = np.frombuffer(data, dtype=np.uint8, count=3 * w * h, offset=pos)
-    return w, h, body.reshape(h, w, 3)
+    if maxval == 255:
+        if pos + 3 * w * h > len(data):
+            raise ValueError("truncated PPM pixel data")
+        body = np.frombuffer(data, dtype=np.uint8, count=3 * w * h, offset=pos)
+        return w, h, body.reshape(h, w, 3)
+    if 256 <= maxval <= 65535:
+        # 2-byte big-endian samples per the netpbm spec
+        if pos + 6 * w * h > len(data):
+            raise ValueError("truncated PPM pixel data")
+        body = np.frombuffer(data, dtype=">u2", count=3 * w * h, offset=pos)
+        return w, h, body.reshape(h, w, 3).astype(np.uint16)
+    raise ValueError(f"invalid PPM maxval {maxval}")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

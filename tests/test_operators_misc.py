@@ -689,6 +689,59 @@ def test_image_codecs_roundtrip_and_gates():
         decode_image_auto(b"GIF89a....")
 
 
+def test_bmp_variants_and_16bit_ppm():
+    """32-bit BGRA, 8-bit paletted, and top-down BMPs decode for real,
+    as does maxval-65535 PPM — exact round-trips via the hermetic
+    encoders, plus truncation/overrun ValueError contracts."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image_auto,
+        decode_ppm,
+        encode_bmp,
+        encode_bmp8,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(23)
+    for h, w in [(1, 1), (2, 3), (7, 5), (9, 17), (1, 40), (40, 1)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        px4 = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        for td in (False, True):
+            assert np.array_equal(decode_bmp(encode_bmp(px, top_down=td))[2], px)
+            assert np.array_equal(decode_bmp(encode_bmp(px4, top_down=td))[2], px4)
+        pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+        idx = rng.integers(0, 17, (h, w), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp8(idx, pal))[2], pal[idx])
+        px16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+        out = decode_ppm(encode_ppm(px16))[2]
+        assert out.dtype == np.uint16 and np.array_equal(out, px16)
+
+    # auto-dispatch sums the first three channels for every variant
+    px4 = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    feats = decode_image_auto(encode_bmp(px4))
+    assert feats["format"] == "bmp"
+    assert feats["sum_g"] == int(px4[:, :, 1].astype(np.int64).sum())
+    px16 = rng.integers(0, 65536, (3, 4, 3), dtype=np.uint16)
+    feats = decode_image_auto(encode_ppm(px16))
+    assert feats["sum_b"] == int(px16[:, :, 2].astype(np.int64).sum())
+
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_bmp(encode_bmp(np.zeros((5, 5, 3), dtype=np.uint8))[:-20])
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_ppm(encode_ppm(np.zeros((5, 5, 3), dtype=np.uint8))[:-10])
+    with pytest.raises(ValueError, match="outside palette"):
+        pal3 = np.zeros((3, 3), dtype=np.uint8)
+        decode_bmp(encode_bmp8(np.full((2, 2), 7, dtype=np.uint8), pal3))
+    # 4-bit and RLE stay honestly gated
+    four_bit = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    four_bit[28:30] = (4).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(four_bit))
+
+
 def test_png_interlaced_and_16bit():
     """Adam7-interlaced and 16-bit PNG decode for real: exact
     round-trips across dims that exercise empty passes (w or h < the
