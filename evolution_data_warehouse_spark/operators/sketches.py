@@ -136,3 +136,92 @@ def heavy_hitters_exact(
         )
         .select("item", "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (point-frequency estimation in fixed memory)
+# ---------------------------------------------------------------------------
+#
+# The third bounded-memory sketch family beside Misra-Gries (top-k) and
+# HLL (cardinality): point-frequency estimates with one-sided error
+# (Cormode & Muthukrishnan 2005). Build is ONE linear scan hash-
+# aggregated into a fixed d x w cell grid — map-side combinable, so
+# executor state is d*w counters no matter how many distinct items the
+# stream holds. est(x) = min over rows r of cell[r][h_r(x)] >= true
+# count always; the expected overcount is N/w per row, and taking the
+# min across d independent rows drives the error to N/w with
+# probability 1 - (1/2)^d. Hashing is md5-derived (content_hash64) so
+# Spark and any external re-implementation agree bucket-for-bucket.
+
+
+def countmin_cells(
+    items: DataFrame, col: str = "item", width: int = 512, depth: int = 4
+) -> DataFrame:
+    """One row per non-empty sketch cell: (r, b, cnt). The d-way
+    per-item explode happens before the aggregate, so the shuffle
+    carries at most d*w rows per map partition."""
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    return (
+        items.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("long").alias("r"),
+                            (
+                                content_hash64(
+                                    F.concat(F.lit(f"{r}:"), F.col(col))
+                                )
+                                % width
+                            ).alias("b"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    col: str = "item",
+    width: int = 512,
+    depth: int = 4,
+) -> DataFrame:
+    """Estimate the frequency of every row of ``probes[col]``:
+    probes x d bucket keys, broadcast-joined against the (<= d*w row)
+    cell table, min across rows → ``cm_est``. Missing cells cannot
+    occur for items that were in the build stream (their own
+    contribution created the cell)."""
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    keyed = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        (
+                            content_hash64(
+                                F.concat(F.lit(f"{r}:"), F.col(col))
+                            )
+                            % width
+                        ).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(*probes.columns, "rb.r", "rb.b")
+    return (
+        keyed.join(F.broadcast(cells), ["r", "b"])
+        .groupBy(*probes.columns)
+        .agg(F.min("cnt").cast("long").alias("cm_est"))
+    )

@@ -568,57 +568,20 @@ GROUP BY p.item, p.exact_n
     "nothing after the scan scales with corpus size.",
 )
 def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+    from evolution_data_warehouse_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
 
     toks = (
         t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), " ")).alias("item"))
         .filter(F.col("item") != "")
     )
-
-    def bucket(row: int, col):
-        return content_hash64(F.concat(F.lit(f"{row}:"), col)) % _CM_W
-
     tf = toks.groupBy("item").agg(F.count("*").alias("exact_n"))
     topk = tf.orderBy(F.col("exact_n").desc(), "item").limit(_CM_K)
-    cells = (
-        toks.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).cast("long").alias("r"),
-                            bucket(r, F.col("item")).alias("b"),
-                        )
-                        for r in range(_CM_D)
-                    ]
-                )
-            ).alias("rb")
-        )
-        .select("rb.r", "rb.b")
-        .groupBy("r", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
-    probes = topk.select(
-        "item",
-        "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("r"),
-                        bucket(r, F.col("item")).alias("b"),
-                    )
-                    for r in range(_CM_D)
-                ]
-            )
-        ).alias("rb"),
-    ).select("item", "exact_n", "rb.r", "rb.b")
-    est = (
-        probes.join(F.broadcast(cells), ["r", "b"])
-        .groupBy("item", "exact_n")
-        .agg(F.min("cnt").cast("long").alias("cm_est"))
-    )
+    cells = countmin_cells(toks, "item", width=_CM_W, depth=_CM_D)
+    est = countmin_estimate(cells, topk, "item", width=_CM_W, depth=_CM_D)
     return est.select(
         "item",
         "exact_n",

@@ -1148,6 +1148,36 @@ def test_jpeg_grayscale_single_component_decode():
     assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
 
 
+def test_countmin_one_sided_error_full_vocabulary(spark):
+    """Count-min invariants over EVERY item of a skewed stream (not
+    just the top-k the oracle query probes): est >= exact always (the
+    one-sided guarantee — a single undercount anywhere is a bug), and
+    the mean overcount stays within a small multiple of N/width."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.sketches import (
+        countmin_cells,
+        countmin_estimate,
+    )
+
+    rows = []
+    for i in range(20):
+        rows += [(f"hot{i:02d}",)] * (2000 // (i + 1))
+    rows += [(f"tail{j}",) for j in range(2000)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    n_total = len(rows)
+
+    cells = countmin_cells(df, "item", width=256, depth=4)
+    exact = df.groupBy("item").agg(F.count("*").alias("exact_n"))
+    est = countmin_estimate(cells, exact, "item", width=256, depth=4)
+    got = est.select("item", "exact_n", "cm_est").collect()
+    assert len(got) == exact.count()  # every item estimated
+    overs = [r.cm_est - r.exact_n for r in got]
+    assert min(overs) >= 0, "count-min undercounted — broken sketch"
+    # expected overcount per row is N/w; min over 4 rows ≪ that. Allow 3x.
+    assert sum(overs) / len(overs) <= 3 * n_total / 256
+
+
 def test_heavy_hitters_mg_exact_and_certified(spark):
     """MG + exact re-count returns the exact tie-broken top-k on a
     skewed stream, and the in-plan certificate throws (instead of
