@@ -992,3 +992,91 @@ def mm_decode_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, format string, width int, height int, "
         "exact_match boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword segmentation with a pinned learned merge table
+# ---------------------------------------------------------------------------
+#
+# The APPLY side of tokenizer training: operators/bpe.py learns merges
+# as an iterative Spark job (argmax recursion — engine+tests with a
+# pure-Python reference oracle, like PageRank); this query applies a
+# PINNED merge list learned from this corpus (bpe_train, n_merges=12)
+# and reports the top subwords. Segmentation is expressed as ordered
+# delimiter-string replaces — scan-replace has identical non-
+# overlapping left-to-right semantics in Spark and DuckDB, so the
+# oracle is exact. Replaces run at VOCABULARY cardinality (words are
+# aggregated first, counts multiplied back), the 100 TB shape: corpus
+# size enters one hash aggregate, nothing else.
+
+_BPE_MERGES = [
+    ("e", "r"), ("e", "▁"), ("n", "▁"), ("er", "▁"),
+    ("o", "w"), ("ow", "▁"), ("o", "r"), ("s", "t"),
+    ("h", "▁"), ("a", "t"), ("l", "u"), ("i", "n"),
+]
+_BPE_TOPK = 30
+
+
+def _bpe_seg_sql() -> str:
+    s = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '▁ '"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+WITH words AS (
+    SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(str_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ) WHERE w <> '' GROUP BY w
+),
+seg AS (SELECT {s} AS s, n FROM words),
+subs AS (
+    SELECT unnest(str_split(trim(s), ' ')) AS subword, n FROM seg
+)
+SELECT subword, CAST(SUM(n) AS BIGINT) AS cnt
+FROM subs WHERE subword <> ''
+GROUP BY subword
+ORDER BY cnt DESC, subword
+LIMIT {_BPE_TOPK}
+"""
+
+
+@register(
+    "tok_bpe_segment",
+    _bpe_seg_sql(),
+    doc="BPE subword segmentation of the corpus under a pinned "
+    "12-merge table learned by operators/bpe.py (the iterative "
+    "trainer itself is engine+tests against a pure-Python reference "
+    "— its argmax recursion is not one SQL query). Words aggregate "
+    "to vocabulary cardinality FIRST; the ordered merge replaces and "
+    "subword explode run over distinct words with counts multiplied "
+    "back, so the corpus is touched exactly once. Top subwords "
+    "tie-broken (cnt DESC, subword) for a stable hash.",
+)
+def tok_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    s = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.col("w"), "(.)", "$1 "),
+        F.lit("▁ "),
+    )
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    subs = (
+        words.select(s.alias("s"), "n")
+        .select(F.explode(F.split(F.trim(F.col("s")), " ")).alias("subword"), "n")
+        .filter(F.col("subword") != "")
+    )
+    return (
+        subs.groupBy("subword")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "subword")
+        .limit(_BPE_TOPK)
+    )

@@ -1429,3 +1429,67 @@ def test_jpeg_missing_restart_marker_raises_valueerror():
     corrupt = data.replace(b"\xff\xd0", b"\x41\x42", 1)
     with pytest.raises(ValueError, match="restart marker"):
         J.decode_jpeg(corrupt)
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE training (operators/bpe.py) learns the
+    BIT-IDENTICAL merge sequence of a pure-Python reference BPE on the
+    same corpus — argmax tie-breaks, greedy left-to-right overlap
+    handling, end-of-word sentinel and all — plus the early-stop rule
+    and quote-safe symbol handling."""
+    import collections
+
+    from evolution_data_warehouse_spark.operators.bpe import EOW, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the thin cat ate the fat rat",
+        "that thing on the mat is a cat",
+        "low lower lowest newer newest",
+        "it's a cat isn't it",
+    ]
+
+    def ref_bpe(texts, n):
+        wc = collections.Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if w:
+                    wc[w] += 1
+        words = {tuple(list(w) + [EOW]): c for w, c in wc.items()}
+        merges = []
+        for rank in range(n):
+            pc = collections.Counter()
+            for syms, c in words.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if cnt < 2:
+                break
+            merges.append((rank, a, b, cnt))
+            new = {}
+            for syms, c in words.items():
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            words = new
+        return merges
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, n_merges=15)
+    assert got == ref_bpe(texts, 15)
+    assert len(got) > 8  # the corpus genuinely supports that many merges
+
+    # greedy overlap: merging (a, a) over 'aaaa' folds left-to-right
+    df2 = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    m2 = bpe_train(df2, n_merges=3)
+    assert m2[0][1:3] == ("a", "a") and m2[1][1:3] == ("aa", "aa")
+
+    # early stop: every pair unique → no merge with cnt >= 2
+    df3 = spark.createDataFrame([("abc",)], "text string")
+    assert bpe_train(df3, n_merges=5) == []
