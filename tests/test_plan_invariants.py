@@ -71,6 +71,17 @@ def test_flagship_star_join_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_spatial_grid_join_is_cell_keyed_broadcast(spark, sf_dir):
+    """The radius join must go through the (cx, cy) grid-cell equi-join
+    — BroadcastHashJoin on cell keys, never a nested-loop over the
+    distance predicate (the plan difference between bounded candidates
+    and all-pairs at scale)."""
+    plan = _plan(spark, sf_dir, "join_spatial_grid")
+    assert "BroadcastHashJoin [cx" in plan  # candidate join keyed on cells
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "filter_threshold")
     assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThanOrEqual(c_acctbal,1000.0)" in plan.replace("\n", "")
