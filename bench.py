@@ -290,10 +290,14 @@ def _compaction_seconds(spark, sf_dir: str) -> dict:
 
 
 def _sf1_timings(spark, registry) -> dict | None:
-    """Run SF1_QUERIES once each against the local sf1 copy (generated
-    on first use from sf0.1 — see tools/gen_sf1.py). Single timed run:
-    the plan shapes are identical to the just-run sf0.1 headline set,
-    so codegen is already warm. Disable with SPARK_GRAFT_SF1=0."""
+    """Run SF1_QUERIES against the local sf1 copy (generated on first
+    use from sf0.1 — see tools/gen_sf1.py): one untimed warm-up run,
+    then one timed run — the same steady-state methodology as the
+    headline set. (A single cold run was tried through r8 and twice
+    produced 2x-looking drift that idle warm re-measures reverted:
+    sf1-only plans pay first-run codegen/file-listing that the headline
+    plans do not. See BASELINE.md r8 note.) Disable with
+    SPARK_GRAFT_SF1=0."""
     import time
 
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
@@ -307,6 +311,7 @@ def _sf1_timings(spark, registry) -> dict | None:
         timings: dict[str, float] = {}
         for name in SF1_QUERIES:
             fn = registry[name].fn
+            fn(spark, sf1_dir).write.mode("overwrite").format("noop").save()
             t0 = time.time()
             fn(spark, sf1_dir).write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
