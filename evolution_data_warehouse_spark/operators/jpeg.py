@@ -606,7 +606,23 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     DQT/DHT segments, and DRI/RSTn restart intervals; SOF2
     (progressive, Huffman) dispatches to the multi-scan decoder.
     Arithmetic-coded and hierarchical modes raise ValueError.
-    """
+
+    Error contract: EVERY malformed input fails with ValueError. A
+    valid stream never reads past a buffer or a segment header, so an
+    IndexError/struct.error inside the parser IS a malformed-input
+    signal — converted here rather than guarded at each of the dozens
+    of read sites (an arbitrary-truncation fuzz holds this contract;
+    per-row pipelines at corpus scale need one catchable class, not a
+    worker crash)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"truncated or corrupt JPEG stream ({type(exc).__name__})"
+        ) from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -979,6 +995,7 @@ def _decode_progressive(data: bytes) -> tuple[int, int, np.ndarray]:
     h = w = hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
     saw_scan = False
+    saw_eoi = False
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             pos += 1
@@ -988,6 +1005,7 @@ def _decode_progressive(data: bytes) -> tuple[int, int, np.ndarray]:
             pos += 2
             continue
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         length = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         body = data[pos + 4 : pos + 2 + length]
@@ -1057,6 +1075,12 @@ def _decode_progressive(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 2 + length
     if not comps or not saw_scan:
         raise ValueError("no SOS/SOF found")
+    if not saw_eoi:
+        # A progressive prefix ending cleanly after scan k is a VALID
+        # coarser image to a display decoder — browsers render it — but
+        # a data pipeline must not silently emit half-refined pixels
+        # from a truncated object; EOI is the integrity seal.
+        raise ValueError("truncated progressive JPEG (missing EOI)")
 
     for c in comps:
         qt = qtabs[c["tq"]]

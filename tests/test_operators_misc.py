@@ -1493,3 +1493,40 @@ def test_bpe_train_matches_reference_implementation(spark):
     # early stop: every pair unique → no merge with cnt >= 2
     df3 = spark.createDataFrame([("abc",)], "text string")
     assert bpe_train(df3, n_merges=5) == []
+
+
+def test_jpeg_truncation_fuzz_valueerror_contract():
+    """EVERY truncation of a JPEG stream — baseline, 4:2:0, and
+    progressive with and without restart intervals — fails with
+    ValueError (never IndexError/struct.error), and no truncated
+    progressive prefix is silently accepted with half-refined pixels
+    (EOI is required as the integrity seal; a display decoder may
+    render partial scans, a data pipeline must not)."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(17, 13, 3), dtype=np.uint8)
+    streams = {
+        "baseline": J.encode_jpeg(px),
+        "subsampled": J.encode_jpeg(px, subsample=True),
+        "progressive": J.encode_jpeg_progressive(px),
+        "progressive-ri2": J.encode_jpeg_progressive(px, restart_interval=2),
+    }
+    for label, data in streams.items():
+        _, _, full = J.decode_jpeg(data)  # the intact stream decodes
+        for cut in range(4, len(data), 3):
+            try:
+                _, _, out = J.decode_jpeg(data[:cut])
+            except ValueError:
+                continue
+            # baseline tolerates a missing EOI only when the single
+            # scan already decoded completely — pixels must match
+            assert label in ("baseline", "subsampled"), (
+                f"{label}: progressive prefix accepted at cut={cut}"
+            )
+            assert np.array_equal(out, full), f"{label} cut={cut}"
+    with pytest.raises(ValueError, match="missing EOI"):
+        J.decode_jpeg(J.encode_jpeg_progressive(px)[:-2])
