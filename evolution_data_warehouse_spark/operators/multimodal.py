@@ -101,6 +101,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     bottom-up (positive biHeight) or top-down (negative) row order."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(data) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        raise ValueError("truncated BMP header")
     (offset,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)

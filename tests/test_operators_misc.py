@@ -732,6 +732,16 @@ def test_bmp_variants_and_16bit_ppm():
         decode_bmp(encode_bmp(np.zeros((5, 5, 3), dtype=np.uint8))[:-20])
     with pytest.raises(ValueError, match="truncated PPM"):
         decode_ppm(encode_ppm(np.zeros((5, 5, 3), dtype=np.uint8))[:-10])
+    # arbitrary-cut fuzz: only ValueError/NotImplementedError ever
+    # escape a BMP or PPM decode (header cuts included)
+    for data, dec in [
+        (encode_bmp(rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)), decode_bmp),
+        (encode_bmp8(idx, pal), decode_bmp),
+        (encode_ppm(rng.integers(0, 65536, (7, 5, 3), dtype=np.uint16)), decode_ppm),
+    ]:
+        for cut in range(2, len(data), 3):
+            with pytest.raises((ValueError, NotImplementedError)):
+                dec(data[:cut])
     with pytest.raises(ValueError, match="outside palette"):
         pal3 = np.zeros((3, 3), dtype=np.uint8)
         decode_bmp(encode_bmp8(np.full((2, 2), 7, dtype=np.uint8), pal3))
