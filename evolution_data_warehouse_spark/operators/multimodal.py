@@ -533,6 +533,93 @@ def decode_documents_real(df: DataFrame) -> DataFrame:
     return payloads.mapInPandas(decode_image_real_batch(), REAL_DECODE_SCHEMA)
 
 
+TOLERANT_DECODE_SCHEMA = (
+    "doc_id long, status string, format string, width int, height int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_image_tolerant_batch():
+    """mapInPandas fn: like decode_image_real_batch but per-row
+    fault-tolerant — the production shape. At corpus scale some
+    payloads are always corrupt, and one bad object must not fail the
+    task (and, after retries, the job): each row decodes inside its
+    own try, emitting status='ok' with features or status='error' with
+    nulls, so the caller routes failures to quarantine exactly like
+    the relational quality suite (operators/quality.py) routes bad
+    rows. Relies on the decoders' hardened contract: EVERY malformed
+    input raises ValueError/NotImplementedError (fuzz-tested), so
+    nothing else needs catching and a genuine code bug still fails
+    loudly."""
+
+    def tolerant_decode(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    f = decode_image_auto(bytes(payload))
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "status": "ok",
+                            "format": f["format"],
+                            "width": f["width"],
+                            "height": f["height"],
+                            "sum_r": f["sum_r"],
+                            "sum_g": f["sum_g"],
+                            "sum_b": f["sum_b"],
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "status": "error",
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "sum_r": None,
+                            "sum_g": None,
+                            "sum_b": None,
+                        }
+                    )
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            for c in ("sum_r", "sum_g", "sum_b"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return tolerant_decode
+
+
+def decode_documents_tolerant(
+    df: DataFrame, corrupt_every: int = 4
+) -> DataFrame:
+    """documents → synthesized payloads, every ``corrupt_every``-th one
+    truncated to half its bytes → tolerant decode. The corruption rule
+    is closed-form in doc_id so an oracle can state exactly which rows
+    error and which decode."""
+    ids = df.select("doc_id")
+    payloads = ids.mapInPandas(
+        synth_image_payload_batch(), "doc_id long, payload binary"
+    )
+    maimed = payloads.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % corrupt_every == 0,
+            F.expr("substring(payload, 1, int(length(payload) / 2))"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    return maimed.mapInPandas(
+        decode_image_tolerant_batch(), TOLERANT_DECODE_SCHEMA
+    )
+
+
 def decode_image_batch(real: bool = False):
     """Return a mapInPandas function decoding `payload` → features.
 

@@ -1080,3 +1080,52 @@ def tok_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "subword")
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fault-tolerant image decode with deliberate corruption (quarantine path)
+# ---------------------------------------------------------------------------
+
+_MM_TOL_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 0 THEN 'error' ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS VARCHAR)
+            ELSE CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                 ELSE 'png' END END AS format,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS INT)
+            ELSE CAST(4 + doc_id % 13 AS INT) END AS width,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS INT)
+            ELSE CAST(3 + doc_id % 7 AS INT) END AS height,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((3 + doc_id % 7) * ((4 + doc_id % 13)
+                 * (3 + doc_id % 13)) // 2 AS BIGINT) END AS sum_r,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((4 + doc_id % 13) * ((3 + doc_id % 7)
+                 * (2 + doc_id % 7)) // 2 AS BIGINT) END AS sum_g,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((4 + doc_id % 13) * (3 + doc_id % 7)
+                 * (doc_id % 256) AS BIGINT) END AS sum_b
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_tolerant",
+    _MM_TOL_ORACLE,
+    doc="Fault-tolerant image decode — the quarantine path a 100 TB "
+    "media corpus REQUIRES: every 4th payload is deliberately "
+    "truncated to half its bytes, and the per-row try in "
+    "decode_image_tolerant_batch (multimodal.py) turns each broken "
+    "object into status='error' with NULL features instead of a task "
+    "failure that would kill the job after retries. Healthy rows "
+    "decode to the same closed-form channel sums mm_decode_real "
+    "verifies; the hardened ValueError fuzz contract is what makes "
+    "the narrow except clause sound (a genuine code bug still fails "
+    "loudly). Same two narrow mapInPandas stages, no shuffle.",
+)
+def mm_decode_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_documents_tolerant,
+    )
+
+    return decode_documents_tolerant(t(spark, sf_dir, "documents"))
