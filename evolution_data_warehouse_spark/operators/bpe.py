@@ -27,9 +27,12 @@ Algorithm (Sennrich et al. 2016, the standard greedy BPE):
 
 The merge sequence is fully deterministic, so tests pin it against a
 pure-Python reference implementation on the same word counts
-(test_operators_misc), and the registry query `tok_bpe_train` is a
-rows-only driver check (the k-round argmax recursion is not
-expressible as one ANSI-SQL oracle).
+(test_operators_misc). The trainer itself is engine+tests — the
+k-round argmax recursion is not expressible as one ANSI-SQL oracle,
+the same status as PageRank — and the registry's driver-level
+evidence for the tokenizer family is `tok_bpe_segment`
+(queries/extensions_r8.py), which applies a pinned merge table
+learned by this trainer under an exact DuckDB oracle.
 
 Reference-parity note: haelbrek/Evolution-DATA-WAREHOUSE has no
 tokenizer training; this extends the corpus-prep suite the way its

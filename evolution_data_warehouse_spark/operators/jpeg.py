@@ -52,6 +52,12 @@ ZIGZAG = np.array(
 )
 _UNZIGZAG = np.argsort(ZIGZAG)
 
+#: Decode-side sanity cap on frame pixels: a corrupt SOF can declare
+#: 65535x65535 (a 12.9 GB RGB allocation) — reject before allocating so
+#: corrupt objects cannot OOM an executor. 2^26 px covers any real
+#: photographic asset by a wide margin.
+_MAX_PIXELS = 1 << 26
+
 # 8x8 DCT-II basis matrix: row k = c(k)/2 * cos((2n+1)k*pi/16).
 _C = np.array(
     [
@@ -616,7 +622,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     worker crash)."""
     try:
         return _decode_jpeg_impl(data)
-    except (IndexError, struct.error) as exc:
+    except (
+        IndexError, struct.error, KeyError, ZeroDivisionError,
+        OverflowError,
+    ) as exc:
+        # KeyError: a scan referencing an undefined DQT/DHT table id;
+        # ZeroDivisionError: a zero sampling factor in SOF;
+        # OverflowError: corrupt entropy data driving an accumulator
+        # outside int64. All are byte-corruption shapes truncation
+        # fuzzing cannot produce — valid streams never raise them, so
+        # they're data errors too.
         raise ValueError(
             f"truncated or corrupt JPEG stream ({type(exc).__name__})"
         ) from exc
@@ -671,6 +686,11 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if h * w > _MAX_PIXELS:
+                raise ValueError(
+                    f"implausible JPEG dimensions {w}x{h} "
+                    f"(cap {_MAX_PIXELS} pixels)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
@@ -1036,6 +1056,11 @@ def _decode_progressive(data: bytes) -> tuple[int, int, np.ndarray]:
                 i += 17 + nsym
         elif marker == 0xC2:  # SOF2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if h * w > _MAX_PIXELS:
+                raise ValueError(
+                    f"implausible JPEG dimensions {w}x{h} "
+                    f"(cap {_MAX_PIXELS} pixels)"
+                )
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]

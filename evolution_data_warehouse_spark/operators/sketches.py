@@ -154,33 +154,37 @@ def heavy_hitters_exact(
 # Spark and any external re-implementation agree bucket-for-bucket.
 
 
+def _cm_keys(col: str, width: int, depth: int):
+    """The d per-item (row, bucket) keys as one explodable array — the
+    SINGLE definition of the sketch's hashing scheme, shared by build
+    and probe so they can never disagree bucket-for-bucket (the SQL
+    twin lives beside the oracle query that needs standalone SQL)."""
+    from evolution_data_warehouse_spark.operators.dedup import content_hash64
+
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("long").alias("r"),
+                    (
+                        content_hash64(F.concat(F.lit(f"{r}:"), F.col(col)))
+                        % width
+                    ).alias("b"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
 def countmin_cells(
     items: DataFrame, col: str = "item", width: int = 512, depth: int = 4
 ) -> DataFrame:
     """One row per non-empty sketch cell: (r, b, cnt). The d-way
     per-item explode happens before the aggregate, so the shuffle
     carries at most d*w rows per map partition."""
-    from evolution_data_warehouse_spark.operators.dedup import content_hash64
-
     return (
-        items.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(r).cast("long").alias("r"),
-                            (
-                                content_hash64(
-                                    F.concat(F.lit(f"{r}:"), F.col(col))
-                                )
-                                % width
-                            ).alias("b"),
-                        )
-                        for r in range(depth)
-                    ]
-                )
-            ).alias("rb")
-        )
+        items.select(_cm_keys(col, width, depth).alias("rb"))
         .select("rb.r", "rb.b")
         .groupBy("r", "b")
         .agg(F.count("*").alias("cnt"))
@@ -199,26 +203,8 @@ def countmin_estimate(
     cell table, min across rows → ``cm_est``. Missing cells cannot
     occur for items that were in the build stream (their own
     contribution created the cell)."""
-    from evolution_data_warehouse_spark.operators.dedup import content_hash64
-
     keyed = probes.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("long").alias("r"),
-                        (
-                            content_hash64(
-                                F.concat(F.lit(f"{r}:"), F.col(col))
-                            )
-                            % width
-                        ).alias("b"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        "*", _cm_keys(col, width, depth).alias("rb")
     ).select(*probes.columns, "rb.r", "rb.b")
     return (
         keyed.join(F.broadcast(cells), ["r", "b"])

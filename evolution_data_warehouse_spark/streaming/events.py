@@ -164,13 +164,17 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the production form of sessionize_stateful (which streams per-batch
     updates): downstream consumers get each session exactly once, final.
 
-    applyInPandasWithState with EventTimeTimeout: sessions that close
-    INSIDE a batch (a later event arrives more than ``gap`` after the
-    previous one) emit immediately; the still-open tail session lives
-    in state with a timeout at ``last_event + gap``, and the watermark
-    crossing that point fires the timeout branch, which emits the
-    session and clears the state. Per-key state is one (start, end, n)
-    triple — bounded regardless of stream length; requires a
+    applyInPandasWithState with EventTimeTimeout. A session is emitted
+    ONLY once the watermark passes ``session_end + gap`` — an over-gap
+    successor in the stream is NOT sufficient to close its predecessor,
+    because a late event still inside the watermark can arrive later
+    and bridge or extend it (emitting early would then produce
+    overlapping sessions, violating the exactly-once-final contract).
+    Per-key state is therefore the LIST of still-unclosable intervals,
+    sorted by start — bounded by watermark_delay / gap intervals, so
+    still O(1) per key for any fixed configuration; the timeout is the
+    earliest interval's ``end + gap``, and each firing (or data batch)
+    drains every interval the watermark has sealed. Requires a
     watermarked input (the timeout IS the watermark contract).
     """
     import pandas as pd
@@ -180,7 +184,9 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "user_id long, session_start timestamp, session_end timestamp, "
         "n_events long"
     )
-    state_schema = "start_ms long, end_ms long, n long"
+    state_schema = (
+        "starts array<long>, ends array<long>, ns array<long>"
+    )
     gap_ms = gap_minutes * 60 * 1000
 
     def emit(key, sessions):
@@ -197,11 +203,40 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             }
         )
 
+    def load(state: GroupState):
+        if not state.exists:
+            return []
+        starts, ends, ns = state.get
+        return [
+            (int(s), int(e), int(n)) for s, e, n in zip(starts, ends, ns)
+        ]
+
+    def settle(state: GroupState, merged):
+        """Split merged intervals on the watermark seal: emit the ones
+        the watermark has passed (end + gap <= wm — no in-watermark
+        event can ever touch them again), retain the rest with the
+        timeout at the earliest retained seal point."""
+        wm = state.getCurrentWatermarkMs()
+        closed = [iv for iv in merged if iv[1] + gap_ms <= wm]
+        kept = [iv for iv in merged if iv[1] + gap_ms > wm]
+        if kept:
+            state.update(
+                (
+                    [s for s, _, _ in kept],
+                    [e for _, e, _ in kept],
+                    [n for _, _, n in kept],
+                )
+            )
+            state.setTimeoutTimestamp(min(e for _, e, _ in kept) + gap_ms)
+        elif state.exists:
+            state.remove()
+        return closed
+
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            start, end, n = state.get
-            state.remove()
-            yield emit(key, [(start, end, n)])
+            closed = settle(state, load(state))
+            if closed:
+                yield emit(key, closed)
             return
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows) == 0:
@@ -210,23 +245,19 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         ts_ms = sorted(
             int(pd.Timestamp(v).value) // 1_000_000 for v in rows["ts"]
         )
-        # Interval sweep: the stored session is one (start, end, n)
-        # interval among the batch's single-event intervals; sort by
-        # start and merge neighbours whose gap is within the threshold.
-        # This is the only ordering that gets cross-batch stragglers
-        # right in BOTH directions: an out-of-order event inside or
-        # just before the stored session merges (end = max, session
-        # never shrinks — a backward-moving end would pull the
-        # EventTimeTimeout earlier than last_event + gap), while a
-        # stray event older than start - gap forms its OWN session
-        # that closes against the stored one instead of stretching it
-        # across a silent gap longer than the sessionization gap (the
-        # r7 ADVICE finding on the previous `tm - end <= gap` merge).
-        items = [(tm, tm, 1) for tm in ts_ms]
-        if state.exists:
-            items.append(tuple(state.get))
-            items.sort()
-        closed = []
+        # Interval sweep: every stored interval plus the batch's
+        # single-event intervals, sorted by start, neighbours merged
+        # when within gap. The sweep handles cross-batch stragglers in
+        # BOTH directions: an out-of-order event inside or just before
+        # a stored interval merges (end = max, a session never
+        # shrinks), a stray older than start - gap forms its own
+        # interval, and a bridging event can legitimately FUSE two
+        # stored intervals — which is exactly why nothing is emitted
+        # before the watermark seals it (settle): emitting a
+        # successor-closed interval early would make that fusion
+        # produce overlapping output.
+        items = sorted([(tm, tm, 1) for tm in ts_ms] + load(state))
+        merged = []
         start = end = None
         n = 0
         for s_i, e_i, n_i in items:
@@ -235,17 +266,10 @@ def sessionize_closed(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             elif s_i - end <= gap_ms:
                 end, n = max(end, e_i), n + n_i
             else:
-                closed.append((start, end, n))
+                merged.append((start, end, n))
                 start, end, n = s_i, e_i, n_i
-        wm = state.getCurrentWatermarkMs()
-        if end + gap_ms <= wm:
-            # already expired relative to the watermark — close now
-            closed.append((start, end, n))
-            if state.exists:
-                state.remove()
-        else:
-            state.update((start, end, n))
-            state.setTimeoutTimestamp(end + gap_ms)
+        merged.append((start, end, n))
+        closed = settle(state, merged)
         if closed:
             yield emit(key, closed)
 

@@ -83,9 +83,22 @@ def _write_small_file(spark: SparkSession, path: str, content: str) -> None:
         )
         opts[0] = overwrite
         fc.rename(tmp, p, opts)
-    except Exception:
-        # no FileContext for this scheme: single-object PUT semantics,
-        # create-with-overwrite on the final path is atomic there
+    except Exception as exc:
+        # Fall back to create-with-overwrite ONLY when the scheme has
+        # no FileContext binding (UnsupportedFileSystemException, or
+        # the FileContext/Options API itself being absent) — there,
+        # single-object PUT semantics make the direct overwrite atomic.
+        # Any OTHER failure (transient IOException, permissions,
+        # safe-mode) must propagate: silently degrading to the
+        # truncate-in-place write on HDFS/local would reopen exactly
+        # the torn-marker window this function exists to close.
+        unsupported = "UnsupportedFileSystem" in str(exc) or isinstance(
+            exc, (AttributeError, TypeError)
+        )
+        if not unsupported:
+            if fs.exists(tmp):
+                fs.delete(tmp, False)
+            raise
         out = fs.create(p, True)
         try:
             out.write(bytearray(content.encode("utf-8")))
@@ -125,17 +138,27 @@ def current_version(spark: SparkSession, root: str) -> int:
     raw = _read_small_file(spark, f"{root}/_current")
     if raw is None:
         return -1
+    # TypeError joins the catch: a marker holding valid-JSON non-dict
+    # content ('123', '[1]') fails the ["version"] subscript with
+    # TypeError, which must retry/fail like any other torn read, not
+    # escape with an undocumented exception class.
     for _ in range(3):
         try:
             return int(json.loads(raw)["version"])
-        except (ValueError, KeyError):
+        except (ValueError, KeyError, TypeError):
             time.sleep(0.1)
             raw = _read_small_file(spark, f"{root}/_current")
             if raw is None:
                 return -1
-    raise RuntimeError(
-        f"unreadable manifest marker {root}/_current: {raw!r}"
-    )
+    # parse the FINAL re-read too — the last fetch inside the loop was
+    # previously never parsed, so a marker that became valid on the
+    # 4th read still failed the publish
+    try:
+        return int(json.loads(raw)["version"])
+    except (ValueError, KeyError, TypeError):
+        raise RuntimeError(
+            f"unreadable manifest marker {root}/_current: {raw!r}"
+        ) from None
 
 
 def publish_versioned(

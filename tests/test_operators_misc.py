@@ -1540,3 +1540,25 @@ def test_jpeg_truncation_fuzz_valueerror_contract():
             assert np.array_equal(out, full), f"{label} cut={cut}"
     with pytest.raises(ValueError, match="missing EOI"):
         J.decode_jpeg(J.encode_jpeg_progressive(px)[:-2])
+
+    # single-byte corruption (not just truncation): flipping any byte
+    # anywhere must yield ValueError or a successful decode — the
+    # KeyError (undefined table id), ZeroDivisionError (zero sampling
+    # factor), and OverflowError (runaway accumulator) shapes found by
+    # this fuzz are all converted now
+    for label, data in streams.items():
+        data = bytes(data)
+        for pos in range(0, len(data), 2):
+            mut = bytearray(data)
+            mut[pos] ^= 0x80
+            try:
+                J.decode_jpeg(bytes(mut))
+            except ValueError:
+                pass
+    # a corrupt SOF declaring absurd dimensions is rejected BEFORE the
+    # multi-gigabyte allocation it implies
+    d = bytearray(J.encode_jpeg(px))
+    i = d.find(b"\xff\xc0")
+    d[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="implausible"):
+        J.decode_jpeg(bytes(d))

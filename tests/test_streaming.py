@@ -726,7 +726,12 @@ def test_sessionize_closed_out_of_order_never_shrinks(spark, tmp_path):
     batches = [
         [mk(1, 0), mk(2, 10)],
         [mk(3, 7)],    # late but within the 5-min watermark (wm = :05)
-        [mk(4, 60)],   # >30min gap closes the session
+        [mk(4, 60)],   # >30min gap separates a new interval
+        # advances the watermark past :10 + gap so the first session's
+        # closure is sealed and emitted DURING this batch (emission
+        # waits for the watermark, not for an over-gap successor — a
+        # late bridger inside the watermark could still have merged)
+        [mk(5, 300)],
     ]
     stamped: set[str] = set()
     for b, rows in enumerate(batches):
@@ -793,7 +798,14 @@ def test_sessionize_closed_stray_early_event_splits_sessions(spark, tmp_path):
         # 40min older than the stored session start, but inside the
         # 2-hour watermark, so it reaches the stateful operator
         [mk(3, 60)],
-        [mk(4, 200)],  # >30min gap closes the :100-:110 session
+        [mk(4, 200)],  # >30min gap separates a new interval
+        # two watermark-advancing batches: the 2h delay means the
+        # :60 and :100-:110 seals (:90/:140) are passed only once the
+        # max event time reaches :300 — the batch AFTER that observes
+        # the advanced watermark and emits both, deterministically,
+        # without relying on a trailing no-data timeout batch
+        [mk(5, 300)],
+        [mk(6, 430)],
     ]
     stamped: set[str] = set()
     for b, rows in enumerate(batches):
@@ -832,3 +844,75 @@ def test_sessionize_closed_stray_early_event_splits_sessions(spark, tmp_path):
     assert (1, ts(60), ts(60), 1) in got
     assert (1, ts(100), ts(110), 2) in got
     assert not any(s == ts(60) and e == ts(110) for _, s, e, _ in got)
+
+
+def test_sessionize_closed_bridged_straggler_never_overlaps(spark, tmp_path):
+    """The r8 review finding: a straggler older than the stored session
+    must NOT be emitted as its own closed session while the watermark
+    still admits a bridging event — batch 2's :60 straggler and batch
+    3's :75 bridger belong to ONE session (:60-:110, 4 events) with the
+    :100-:110 pair. Emitting (60,60,1) on arrival (the old
+    successor-closes heuristic) would overlap the later merged output.
+    Closure therefore waits for the watermark to pass end + gap."""
+    import datetime
+    import glob as _glob
+    import os as _os
+
+    from evolution_data_warehouse_spark.streaming.events import (
+        sessionize_closed,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    mk = lambda eid, minute: (  # noqa: E731
+        eid, t0 + datetime.timedelta(minutes=minute), 1, "view",
+    )
+    batches = [
+        [mk(1, 100), mk(2, 110)],
+        [mk(3, 60)],   # straggler: 40min before the stored start
+        [mk(4, 75)],   # bridger: fuses :60 with :100-:110
+        [mk(5, 300)],  # advances max event time
+        [mk(6, 430)],  # observes the advanced watermark -> emits
+    ]
+    stamped: set[str] = set()
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in _glob.glob(f"{src}/part-*.parquet"):
+            if f not in stamped:
+                _os.utime(f, (1_000_000_000 + b, 1_000_000_000 + b))
+                stamped.add(f)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        sessionize_closed(stream, gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ts = lambda minute: t0 + datetime.timedelta(minutes=minute)  # noqa: E731
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, ts(60), ts(110), 4) in got
+    # no fragment of the bridged span was ever emitted separately
+    assert not any(
+        s >= ts(60) and e <= ts(110) and (s, e) != (ts(60), ts(110))
+        for _, s, e, _ in got
+    )

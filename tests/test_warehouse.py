@@ -395,6 +395,29 @@ def test_manifest_unreadable_marker_fails_loudly(spark, tmp_path):
     (tmp_path / "store" / "_current").write_text("{not json")
     with pytest.raises(RuntimeError, match="marker"):
         current_version(spark, root)
+    # valid-JSON non-dict content must hit the same documented
+    # RuntimeError, not escape as TypeError from the subscript
+    (tmp_path / "store" / "_current").write_text("123")
+    with pytest.raises(RuntimeError, match="marker"):
+        current_version(spark, root)
+    (tmp_path / "store" / "_current").write_text("[1]")
+    with pytest.raises(RuntimeError, match="marker"):
+        current_version(spark, root)
+    # a marker that becomes valid while retrying succeeds instead of
+    # failing with the stale error (the final re-read is parsed too)
+    import threading
+
+    (tmp_path / "store" / "_current").write_text("")
+
+    def heal():
+        (tmp_path / "store" / "_current").write_text('{"version": 7}')
+
+    t = threading.Timer(0.15, heal)
+    t.start()
+    try:
+        assert current_version(spark, root) == 7
+    finally:
+        t.cancel()
 
 
 def test_route_quarantine_single_scan_with_reasons(spark, sf_dir, tmp_path):
