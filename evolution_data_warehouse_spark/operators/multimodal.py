@@ -5,16 +5,15 @@ metadata struct alongside. The Spark-side machinery — schema, Arrow
 batch shape, `mapInPandas` signatures, partitioning — is real and
 tested. Decode comes in two tiers:
 
-* REAL stdlib codecs (no PIL/libjpeg needed): uncompressed BMP (24-bit
-  BGR, 32-bit BGRA, 8-bit paletted; bottom-up or top-down rows),
-  binary PPM (P6, maxval 255 or 16-bit big-endian up to 65535), and
-  PNG (8/16-bit RGB/RGBA, Adam7-interlaced or not, zlib inflate + full
-  None/Sub/Up/Average/Paeth unfiltering, CRC-checked). These parse the
-  actual byte format — `decode_image_real_batch` dispatches on magic
-  bytes and emits width/height plus exact per-channel pixel sums
-  (integer sums, so the output is bit-deterministic and
-  oracle-checkable). Remaining BMP gates: sub-8-bit and RLE-compressed
-  pixels (explicit NotImplementedError).
+* REAL stdlib codecs (no PIL/libjpeg needed): BMP (24-bit BGR, 32-bit
+  BGRA, 1/4/8-bit paletted, RLE4/RLE8 compression; bottom-up or
+  top-down rows), binary PPM (P6, maxval 255 or 16-bit big-endian up
+  to 65535), and PNG (8/16-bit RGB/RGBA, Adam7-interlaced or not,
+  zlib inflate + full None/Sub/Up/Average/Paeth unfiltering,
+  CRC-checked). These parse the actual byte format —
+  `decode_image_real_batch` dispatches on magic bytes and emits
+  width/height plus exact per-channel pixel sums (integer sums, so the
+  output is bit-deterministic and oracle-checkable).
 * JPEG decodes for real too — pure-numpy Huffman + IDCT in
   operators/jpeg.py, both baseline-sequential (SOF0/SOF1, sampling
   factors 1-2, restart markers) and progressive (SOF2, spectral
@@ -95,10 +94,182 @@ def encode_bmp8(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return header + quads.tobytes() + rows.tobytes()
 
 
+def _decode_bmp_rle(body: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Decode BI_RLE8 (bpp=8) / BI_RLE4 (bpp=4) pixel data into an
+    (h, w) palette-index array in BOTTOM-UP storage order (row 0 is
+    the bottom scanline — the caller flips). Escape codes per the
+    format: (0,0) end-of-line, (0,1) end-of-bitmap, (0,2) delta dx,dy,
+    (0,n≥3) absolute run padded to a 16-bit boundary. Pixels skipped
+    by deltas stay palette index 0, the documented convention. The
+    per-image byte loop is inherently sequential; parallelism lives at
+    the mapInPandas row level, same as the JPEG entropy decode."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(body)
+    while True:
+        if i + 2 > n:
+            raise ValueError("truncated BMP RLE data")
+        cnt, val = body[i], body[i + 1]
+        i += 2
+        if cnt:  # encoded run: cnt copies of val (or its nibble pair)
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run overflows row")
+            if bpp == 8:
+                out[y, x : x + cnt] = val
+            else:
+                pair = ((val >> 4) & 0xF, val & 0xF)
+                for k in range(cnt):
+                    out[y, x + k] = pair[k & 1]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta: skip right/up
+            if i + 2 > n:
+                raise ValueError("truncated BMP RLE delta")
+            x, y = x + body[i], y + body[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: val literal pixels
+            if y >= h or x + val > w:
+                raise ValueError("BMP RLE absolute run overflows row")
+            data_bytes = val if bpp == 8 else (val + 1) // 2
+            padded = data_bytes + (data_bytes & 1)
+            if i + padded > n:
+                raise ValueError("truncated BMP RLE absolute run")
+            if bpp == 8:
+                out[y, x : x + val] = np.frombuffer(
+                    body, dtype=np.uint8, count=val, offset=i
+                )
+            else:
+                by = np.frombuffer(
+                    body, dtype=np.uint8, count=data_bytes, offset=i
+                )
+                nib = np.stack([(by >> 4) & 0xF, by & 0xF], axis=1).reshape(-1)
+                out[y, x : x + val] = nib[:val]
+            i += padded
+            x += val
+
+
+def encode_bmp_sub8(
+    indices: np.ndarray, palette: np.ndarray, bpp: int
+) -> bytes:
+    """Encode an (h, w) index array + (n, 3) RGB palette as a 1- or
+    4-bit uncompressed paletted BMP (nibbles/bits packed MSB-first,
+    rows padded to 32-bit boundaries, bottom-up)."""
+    if bpp not in (1, 4):
+        raise ValueError(f"encode_bmp_sub8 handles bpp 1/4, got {bpp}")
+    h, w = indices.shape
+    n = palette.shape[0]
+    stride = (bpp * w + 31) // 32 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    flipped = indices[::-1].astype(np.uint8)
+    if bpp == 4:
+        padded = np.zeros((h, (w + 1) // 2 * 2), dtype=np.uint8)
+        padded[:, :w] = flipped
+        packed = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    else:
+        padded = np.zeros((h, (w + 7) // 8 * 8), dtype=np.uint8)
+        padded[:, :w] = flipped
+        packed = np.packbits(padded, axis=1)
+    rows[:, : packed.shape[1]] = packed
+    img_size = stride * h
+    off = 14 + 40 + 4 * n
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + img_size, 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, img_size, 2835, 2835, n, 0
+    )
+    quads = np.zeros((n, 4), dtype=np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
+    return header + quads.tobytes() + rows.tobytes()
+
+
+def encode_bmp_rle(
+    indices: np.ndarray, palette: np.ndarray, bpp: int = 8
+) -> bytes:
+    """Encode an (h, w) index array + (n, 3) RGB palette as a BI_RLE8
+    (bpp=8) or BI_RLE4 (bpp=4) compressed BMP. Repeats of ≥3 become
+    encoded runs, literal stretches of ≥3 become absolute-mode runs
+    (word-aligned per the format), shorter stretches fall back to
+    length-1/2 encoded runs; every row ends with an end-of-line escape
+    and the stream with end-of-bitmap."""
+    if bpp not in (4, 8):
+        raise ValueError(f"encode_bmp_rle handles bpp 4/8, got {bpp}")
+    h, w = indices.shape
+    n = palette.shape[0]
+    out = bytearray()
+
+    def emit_run(cnt: int, v: int) -> None:
+        val = v if bpp == 8 else ((v << 4) | v) & 0xFF
+        while cnt:
+            c = min(cnt, 255)
+            out.extend((c, val))
+            cnt -= c
+
+    def emit_literal(seg: list[int]) -> None:
+        j = 0
+        while j < len(seg):
+            chunk = seg[j : j + 255]
+            j += len(chunk)
+            if len(chunk) < 3:  # absolute mode needs ≥3 pixels
+                for v in chunk:
+                    emit_run(1, v)
+                continue
+            out.extend((0, len(chunk)))
+            if bpp == 8:
+                out.extend(chunk)
+                data_bytes = len(chunk)
+            else:
+                pix = chunk + [0]
+                out.extend(
+                    ((pix[k] << 4) | pix[k + 1]) & 0xFF
+                    for k in range(0, len(chunk), 2)
+                )
+                data_bytes = (len(chunk) + 1) // 2
+            if data_bytes & 1:  # pad to a 16-bit boundary
+                out.append(0)
+
+    for y in range(h - 1, -1, -1):  # RLE rows are stored bottom-up
+        row = indices[y]
+        x = 0
+        lit: list[int] = []
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                if lit:
+                    emit_literal(lit)
+                    lit = []
+                emit_run(run, int(row[x]))
+            else:
+                lit.extend(int(v) for v in row[x : x + run])
+            x += run
+        if lit:
+            emit_literal(lit)
+        out.extend((0, 0))  # end of line
+    out.extend((0, 1))  # end of bitmap
+    off = 14 + 40 + 4 * n
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + len(out), 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, bpp, 1 if bpp == 8 else 2, len(out),
+        2835, 2835, n, 0,
+    )
+    quads = np.zeros((n, 4), dtype=np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
+    return header + quads.tobytes() + bytes(out)
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an uncompressed BI_RGB BMP → (w, h, RGB(A) array).
-    Handles 24-bit BGR, 32-bit BGRA, and 8-bit paletted pixels, in
-    bottom-up (positive biHeight) or top-down (negative) row order."""
+    """Decode a BMP → (w, h, RGB(A) array). Handles 24-bit BGR, 32-bit
+    BGRA, and 1/4/8-bit paletted pixels (BI_RGB uncompressed, plus
+    BI_RLE8/BI_RLE4 run-length compression), in bottom-up (positive
+    biHeight) or top-down (negative) row order."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     if len(data) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
@@ -106,38 +277,70 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     (offset,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
-    if bpp not in (8, 24, 32) or compression != 0:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(
-            f"only uncompressed 8/24/32-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"unsupported BMP compression {compression} (BI_RGB/BI_RLE8/"
+            f"BI_RLE4 only)"
+        )
+    ok_bpp = {0: (1, 4, 8, 24, 32), 1: (8,), 2: (4,)}[compression]
+    if bpp not in ok_bpp:
+        raise ValueError(
+            f"invalid BMP bpp {bpp} for compression {compression}"
         )
     top_down = h < 0
     h = abs(h)
     if h == 0 or w <= 0:
         raise ValueError(f"unsupported BMP dimensions {w}x{h}")
-    ch = bpp // 8
-    stride = (ch * w + 3) // 4 * 4
-    if offset + stride * h > len(data):
-        raise ValueError("truncated BMP pixel data")
-    body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
-    rows = body.reshape(h, stride)[:, : ch * w].reshape(h, w, ch)
-    if not top_down:
-        rows = rows[::-1]
-    if bpp == 8:
-        (n_colors,) = struct.unpack_from("<I", data, 46)
-        n = n_colors or 256
-        pal_at = 14 + hdr_size
-        if pal_at + 4 * n > offset:
-            raise ValueError("BMP palette overruns pixel offset")
-        quads = np.frombuffer(
-            data, dtype=np.uint8, count=4 * n, offset=pal_at
-        ).reshape(n, 4)
-        if int(rows.max(initial=0)) >= n:
-            raise ValueError("BMP pixel index outside palette")
-        return w, h, quads[rows.reshape(h, w), :3][:, :, ::-1]  # BGRX → RGB
-    if bpp == 24:
-        return w, h, rows[:, :, ::-1]  # BGR → RGB
-    return w, h, rows[:, :, [2, 1, 0, 3]]  # BGRA → RGBA
+    if offset > len(data):
+        raise ValueError("BMP pixel offset beyond payload")
+    if bpp >= 24:
+        ch = bpp // 8
+        stride = (ch * w + 3) // 4 * 4
+        if offset + stride * h > len(data):
+            raise ValueError("truncated BMP pixel data")
+        body = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=offset
+        )
+        rows = body.reshape(h, stride)[:, : ch * w].reshape(h, w, ch)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 24:
+            return w, h, rows[:, :, ::-1]  # BGR → RGB
+        return w, h, rows[:, :, [2, 1, 0, 3]]  # BGRA → RGBA
+    # paletted (1/4/8-bit, uncompressed or RLE)
+    (n_colors,) = struct.unpack_from("<I", data, 46)
+    n = n_colors or (1 << bpp)
+    pal_at = 14 + hdr_size
+    if pal_at + 4 * n > offset:
+        raise ValueError("BMP palette overruns pixel offset")
+    quads = np.frombuffer(
+        data, dtype=np.uint8, count=4 * n, offset=pal_at
+    ).reshape(n, 4)
+    if compression:
+        if top_down:
+            raise ValueError("RLE BMP must be bottom-up")
+        idx = _decode_bmp_rle(data[offset:], w, h, bpp)[::-1]
+    else:
+        stride = (bpp * w + 31) // 32 * 4
+        if offset + stride * h > len(data):
+            raise ValueError("truncated BMP pixel data")
+        body = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)
+        if bpp == 8:
+            idx = body[:, :w]
+        elif bpp == 4:
+            nib = np.stack(
+                [(body >> 4) & 0xF, body & 0xF], axis=2
+            ).reshape(h, -1)
+            idx = nib[:, :w]
+        else:  # 1-bit, MSB-first within each byte
+            idx = np.unpackbits(body, axis=1)[:, :w]
+        if not top_down:
+            idx = idx[::-1]
+    if int(idx.max(initial=0)) >= n:
+        raise ValueError("BMP pixel index outside palette")
+    return w, h, quads[idx, :3][:, :, ::-1]  # BGRX → RGB
 
 
 def encode_ppm(pixels: np.ndarray) -> bytes:

@@ -745,11 +745,101 @@ def test_bmp_variants_and_16bit_ppm():
     with pytest.raises(ValueError, match="outside palette"):
         pal3 = np.zeros((3, 3), dtype=np.uint8)
         decode_bmp(encode_bmp8(np.full((2, 2), 7, dtype=np.uint8), pal3))
-    # 4-bit and RLE stay honestly gated
+    # flipping a 24-bit header to claim 4 bpp leaves no room for the
+    # 16-entry palette before the pixel offset — caught, not decoded
     four_bit = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
     four_bit[28:30] = (4).to_bytes(2, "little")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="palette overruns"):
         decode_bmp(bytes(four_bit))
+
+
+def test_bmp_sub8_and_rle():
+    """1/4-bit paletted and RLE4/RLE8 BMPs decode for real: exact
+    round-trips via the hermetic encoders (dims that exercise packing
+    padding and runs that span the 255 cap), a hand-crafted delta
+    escape, and the ValueError-only contract under arbitrary-cut and
+    byte-flip fuzz."""
+    import numpy as np
+    import pytest
+    import struct
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image_auto,
+        encode_bmp_rle,
+        encode_bmp_sub8,
+    )
+
+    rng = np.random.default_rng(31)
+    for h, w in [(1, 1), (2, 3), (7, 5), (3, 33), (1, 300), (40, 1)]:
+        pal2 = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+        pal16 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        pal256 = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx1 = rng.integers(0, 2, (h, w), dtype=np.uint8)
+        idx4 = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        idx8 = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        # runny variant so the RLE encoder hits encoded-run mode too
+        runny = np.repeat(idx8[:, :: max(1, w // 4) or 1], w, axis=1)[:, :w]
+        assert np.array_equal(
+            decode_bmp(encode_bmp_sub8(idx1, pal2, 1))[2], pal2[idx1]
+        )
+        assert np.array_equal(
+            decode_bmp(encode_bmp_sub8(idx4, pal16, 4))[2], pal16[idx4]
+        )
+        assert np.array_equal(
+            decode_bmp(encode_bmp_rle(idx8, pal256, 8))[2], pal256[idx8]
+        )
+        assert np.array_equal(
+            decode_bmp(encode_bmp_rle(runny, pal256, 8))[2], pal256[runny]
+        )
+        assert np.array_equal(
+            decode_bmp(encode_bmp_rle(idx4, pal16, 4))[2], pal16[idx4]
+        )
+
+    # auto-dispatch handles the new variants like any other BMP
+    feats = decode_image_auto(encode_bmp_rle(idx4, pal16, 4))
+    assert feats["format"] == "bmp"
+    assert feats["sum_r"] == int(pal16[idx4][:, :, 0].astype(np.int64).sum())
+
+    # hand-crafted RLE8 with a delta escape: 3x3, run of 2 at the
+    # bottom-left, delta (0,2) skips up two rows, run of 1 there;
+    # everything skipped stays palette index 0 per the convention
+    pal = np.array([[9, 9, 9], [50, 60, 70], [200, 10, 20]], np.uint8)
+    rle = bytes(
+        [2, 1, 0, 2, 0, 2, 1, 2, 0, 0, 0, 1]
+    )  # run 2x#1, delta(+0,+2), run 1x#2, EOL, EOB
+    off = 14 + 40 + 4 * 3
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 3, 3, 1, 8, 1, len(rle), 0, 0, 3, 0
+    )
+    quads = np.zeros((3, 4), np.uint8)
+    quads[:, :3] = pal[:, ::-1]
+    w2, h2, out = decode_bmp(hdr + info + quads.tobytes() + rle)
+    expect = np.zeros((3, 3), np.int64)
+    expect[2, 0] = expect[2, 1] = 1  # bottom row (storage row 0)
+    expect[0, 2] = 2  # delta skipped to x=2, y=2 (storage) = top row
+    assert np.array_equal(out, pal[expect])
+
+    # fuzz: cuts and byte flips only ever raise ValueError /
+    # NotImplementedError — the mapInPandas quarantine contract
+    corpora = [
+        encode_bmp_sub8(idx1, pal2, 1),
+        encode_bmp_sub8(idx4, pal16, 4),
+        encode_bmp_rle(idx8, pal256, 8),
+        encode_bmp_rle(idx4, pal16, 4),
+    ]
+    for data in corpora:
+        for cut in range(2, len(data), 3):
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_bmp(data[:cut])
+        for pos in range(0, len(data), 7):
+            mutated = bytearray(data)
+            mutated[pos] ^= 0xFF
+            try:
+                decode_bmp(bytes(mutated))
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def test_png_interlaced_and_16bit():
