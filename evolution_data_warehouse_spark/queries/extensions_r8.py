@@ -1,8 +1,9 @@
 """Round-8 query batch: new operator families only (per the r7 review's
 consolidation guidance) — progressive-JPEG decode evidence, spatial
 grid-bucketed radius join, inferential statistics (two-proportion
-z-test), a privacy audit (k-anonymity), and survival analysis
-(Kaplan-Meier) — plus nothing that duplicates an already-proven shape.
+z-test), a privacy audit (k-anonymity), survival analysis
+(Kaplan-Meier), and real video demux (AVI-MJPEG container → sampled
+frame decode) — plus nothing that duplicates an already-proven shape.
 
 Same contract as every other registry module: each query is a Spark
 callable plus a DuckDB oracle, aliased identically on both sides, with
@@ -1129,3 +1130,99 @@ def mm_decode_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return decode_documents_tolerant(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Real video demux: AVI (RIFF) MJPEG container → sampled-frame decode
+# ---------------------------------------------------------------------------
+
+_MM_VIDEO_ORACLE = """
+SELECT doc_id,
+       CAST(2 + doc_id % 5 AS INT) AS n_frames,
+       CAST((2 + doc_id % 5 + 1) // 2 AS INT) AS n_sampled,
+       CAST(8 + doc_id % 9 AS INT) AS width,
+       CAST(8 + doc_id % 5 AS INT) AS height,
+       TRUE AS exact_match
+FROM documents
+"""
+
+
+@register(
+    "mm_video_frames",
+    _MM_VIDEO_ORACLE,
+    doc="REAL video demux (operators/video.py): each document becomes "
+    "an AVI-MJPEG container (RIFF hdrl/avih/strh/strf + word-aligned "
+    "00dc movi chunks + idx1), demuxed back and frame-sampled at "
+    "stride 2. exact_match asserts the strong contract end-to-end: "
+    "every sampled frame's bytes come back untouched from the movi "
+    "walk AND decode (operators/jpeg.py) bit-identically to decoding "
+    "the standalone JPEG, and the avih/strf geometry round-trips. "
+    "The scale shape is the point: demux is a cheap byte walk, the "
+    "expensive JPEG decode runs ONLY on sampled frames — one narrow "
+    "mapInPandas stage, Arrow-batched, zero shuffle, embarrassingly "
+    "parallel across a 100 TB corpus.",
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def synth_mux_sample(batches):
+        from evolution_data_warehouse_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from evolution_data_warehouse_spark.operators.video import (
+            encode_avi_mjpeg,
+            parse_avi_mjpeg,
+            sample_avi_frames,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_frames = 2 + d % 5
+                w, h = 8 + d % 9, 8 + d % 5
+                jpegs = []
+                for k in range(n_frames):
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                    px[:, :, 1] = (k * 16) % 256
+                    px[:, :, 2] = d % 256
+                    jpegs.append(encode_jpeg(px))
+                avi = encode_avi_mjpeg(jpegs, w, h, fps=12)
+                parsed = parse_avi_mjpeg(avi)
+                sampled = sample_avi_frames(avi, stride=2)
+                ok = (
+                    parsed["width"] == w
+                    and parsed["height"] == h
+                    and parsed["fps"] == 12
+                    and len(parsed["frames"]) == n_frames
+                )
+                for idx, frame in sampled:
+                    ok = ok and frame == jpegs[idx]
+                    fw, fh, fpx = decode_jpeg(frame)
+                    dw, dh, dpx = decode_jpeg(jpegs[idx])
+                    ok = (
+                        ok
+                        and (fw, fh) == (dw, dh) == (w, h)
+                        and np.array_equal(fpx, dpx)
+                    )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": np.int32(n_frames),
+                        "n_sampled": np.int32(len(sampled)),
+                        "width": np.int32(w),
+                        "height": np.int32(h),
+                        "exact_match": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_mux_sample,
+        "doc_id long, n_frames int, n_sampled int, width int, "
+        "height int, exact_match boolean",
+    )

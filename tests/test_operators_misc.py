@@ -1652,3 +1652,70 @@ def test_jpeg_truncation_fuzz_valueerror_contract():
     d[i + 5 : i + 9] = b"\xff\xff\xff\xff"
     with pytest.raises(ValueError, match="implausible"):
         J.decode_jpeg(bytes(d))
+
+
+def test_avi_mjpeg_container():
+    """AVI (RIFF) MJPEG mux/demux: byte-exact frame round-trip,
+    geometry/fps header round-trip, stride sampling, JUNK-chunk
+    tolerance, frame-count cross-check, and the ValueError-only
+    contract under arbitrary-cut and byte-flip fuzz."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from evolution_data_warehouse_spark.operators.video import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+        sample_avi_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (16, 24, 3), dtype=np.uint8))
+        for _ in range(7)
+    ]
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=10)
+    parsed = parse_avi_mjpeg(avi)
+    assert (parsed["width"], parsed["height"], parsed["fps"]) == (24, 16, 10)
+    assert parsed["frames"] == frames  # muxed bytes come back untouched
+    assert [i for i, _ in sample_avi_frames(avi, 3)] == [0, 3, 6]
+    w, h, _ = decode_jpeg(sample_avi_frames(avi, 3)[1][1])
+    assert (w, h) == (24, 16)
+
+    # a JUNK chunk between lists is skipped, not fatal
+    junk = b"JUNK" + struct.pack("<I", 6) + b"ignore"
+    at = avi.index(b"LIST", 12)
+    patched = bytearray(avi[:at] + junk + avi[at:])
+    patched[4:8] = struct.pack("<I", len(patched) - 8)
+    assert parse_avi_mjpeg(bytes(patched))["frames"] == frames
+
+    # header/payload mismatch is an error, not a shrug
+    lied = bytearray(avi)
+    avih_at = avi.index(b"avih") + 8
+    lied[avih_at + 16 : avih_at + 20] = struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="frame-count mismatch"):
+        parse_avi_mjpeg(bytes(lied))
+
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_avi_mjpeg(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([], 4, 4)
+    with pytest.raises(ValueError):
+        sample_avi_frames(avi, 0)
+
+    # fuzz: cuts and flips only ever raise ValueError
+    for cut in range(0, len(avi), 9):
+        with pytest.raises(ValueError):
+            parse_avi_mjpeg(avi[:cut])
+    for pos in range(0, len(avi), 5):
+        mutated = bytearray(avi)
+        mutated[pos] ^= 0xFF
+        try:
+            parse_avi_mjpeg(bytes(mutated))
+        except ValueError:
+            pass
