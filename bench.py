@@ -93,6 +93,10 @@ SF1_QUERIES = [
     "join_spatial_grid",
     "mm_decode_progressive",
     "agg_countmin_sketch",
+    # late-r8 addition: per-row mux→demux→sampled-frame decode — the
+    # second-heaviest per-row CPU path after progressive JPEG, same
+    # embarrassingly-parallel mapInPandas shape
+    "mm_video_frames",
 ]
 
 

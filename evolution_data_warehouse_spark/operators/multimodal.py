@@ -638,7 +638,7 @@ def decode_image_auto(data: bytes) -> dict:
     """Dispatch on magic bytes and decode for real. Returns format,
     dimensions, and EXACT per-channel integer pixel sums (alpha ignored
     for RGBA) — integer outputs keep the operator bit-deterministic.
-    JPEG (and anything else entropy-coded) stays honestly gated."""
+    Unknown magics raise ValueError (quarantine contract)."""
     if data[:2] == b"\xff\xd8":
         from evolution_data_warehouse_spark.operators.jpeg import decode_jpeg
 
