@@ -73,25 +73,45 @@ def encode_bmp(pixels: np.ndarray, top_down: bool = False) -> bytes:
     return header + rows.tobytes()
 
 
+# Same plausibility cap as the JPEG decoder (jpeg.py::_MAX_PIXELS):
+# dimensions are attacker-controlled header fields, and a paletted
+# decode allocates h*w index + 3*h*w RGB bytes — bound it BEFORE any
+# allocation so a tiny crafted payload cannot escape the
+# ValueError-only quarantine contract via OOM or pinned CPU.
+_BMP_MAX_PIXELS = 1 << 26
+
+
+def _paletted_bmp_header(
+    w: int, h: int, bpp: int, compression: int, img_size: int,
+    palette: np.ndarray,
+) -> bytes:
+    """File header + BITMAPINFOHEADER + BGRX quad palette shared by
+    every paletted encoder (8-bit, sub-8-bit, RLE)."""
+    n = palette.shape[0]
+    off = 14 + 40 + 4 * n
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + img_size, 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, bpp, compression, img_size, 2835, 2835, n, 0,
+    )
+    quads = np.zeros((n, 4), dtype=np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
+    return header + quads.tobytes()
+
+
 def encode_bmp8(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Encode an (h, w) uint8 index array + (n, 3) RGB palette as an
     8-bit paletted BI_RGB BMP (BGRX quad palette after the info
     header, bottom-up rows)."""
     h, w = indices.shape
-    n = palette.shape[0]
     stride = (w + 3) // 4 * 4
-    img_size = stride * h
-    offset = 14 + 40 + 4 * n
-    header = struct.pack(
-        "<2sIHHI", b"BM", offset + img_size, 0, 0, offset
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, img_size, 2835, 2835, n, 0
-    )
-    quads = np.zeros((n, 4), dtype=np.uint8)
-    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
     rows = np.zeros((h, stride), dtype=np.uint8)
     rows[:, :w] = indices[::-1]
-    return header + quads.tobytes() + rows.tobytes()
+    return (
+        _paletted_bmp_header(w, h, 8, 0, stride * h, palette)
+        + rows.tobytes()
+    )
 
 
 def _decode_bmp_rle(body: bytes, w: int, h: int, bpp: int) -> np.ndarray:
@@ -162,7 +182,6 @@ def encode_bmp_sub8(
     if bpp not in (1, 4):
         raise ValueError(f"encode_bmp_sub8 handles bpp 1/4, got {bpp}")
     h, w = indices.shape
-    n = palette.shape[0]
     stride = (bpp * w + 31) // 32 * 4
     rows = np.zeros((h, stride), dtype=np.uint8)
     flipped = indices[::-1].astype(np.uint8)
@@ -175,16 +194,10 @@ def encode_bmp_sub8(
         padded[:, :w] = flipped
         packed = np.packbits(padded, axis=1)
     rows[:, : packed.shape[1]] = packed
-    img_size = stride * h
-    off = 14 + 40 + 4 * n
-    header = struct.pack(
-        "<2sIHHI", b"BM", off + img_size, 0, 0, off
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, img_size, 2835, 2835, n, 0
+    return (
+        _paletted_bmp_header(w, h, bpp, 0, stride * h, palette)
+        + rows.tobytes()
     )
-    quads = np.zeros((n, 4), dtype=np.uint8)
-    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
-    return header + quads.tobytes() + rows.tobytes()
 
 
 def encode_bmp_rle(
@@ -199,7 +212,6 @@ def encode_bmp_rle(
     if bpp not in (4, 8):
         raise ValueError(f"encode_bmp_rle handles bpp 4/8, got {bpp}")
     h, w = indices.shape
-    n = palette.shape[0]
     out = bytearray()
 
     def emit_run(cnt: int, v: int) -> None:
@@ -252,17 +264,12 @@ def encode_bmp_rle(
             emit_literal(lit)
         out.extend((0, 0))  # end of line
     out.extend((0, 1))  # end of bitmap
-    off = 14 + 40 + 4 * n
-    header = struct.pack(
-        "<2sIHHI", b"BM", off + len(out), 0, 0, off
-    ) + struct.pack(
-        "<IiiHHIIiiII",
-        40, w, h, 1, bpp, 1 if bpp == 8 else 2, len(out),
-        2835, 2835, n, 0,
+    return (
+        _paletted_bmp_header(
+            w, h, bpp, 1 if bpp == 8 else 2, len(out), palette
+        )
+        + bytes(out)
     )
-    quads = np.zeros((n, 4), dtype=np.uint8)
-    quads[:, :3] = palette[:, ::-1]  # RGB → BGRX
-    return header + quads.tobytes() + bytes(out)
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -282,6 +289,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
             f"unsupported BMP compression {compression} (BI_RGB/BI_RLE8/"
             f"BI_RLE4 only)"
         )
+    if compression == 0 and bpp == 16:
+        # spec-valid BI_RGB variant we don't parse: an honest gate,
+        # not a malformed-input claim
+        raise NotImplementedError("16-bit BI_RGB BMP not supported")
     ok_bpp = {0: (1, 4, 8, 24, 32), 1: (8,), 2: (4,)}[compression]
     if bpp not in ok_bpp:
         raise ValueError(
@@ -291,6 +302,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     h = abs(h)
     if h == 0 or w <= 0:
         raise ValueError(f"unsupported BMP dimensions {w}x{h}")
+    if h * w > _BMP_MAX_PIXELS:
+        raise ValueError(
+            f"implausible BMP dimensions {w}x{h} "
+            f"(cap {_BMP_MAX_PIXELS} pixels)"
+        )
     if offset > len(data):
         raise ValueError("BMP pixel offset beyond payload")
     if bpp >= 24:

@@ -49,7 +49,7 @@ def encode_avi_mjpeg(
 
     avih = struct.pack(
         "<14I",
-        1_000_000 // fps,  # dwMicroSecPerFrame
+        max(1, 1_000_000 // fps),  # dwMicroSecPerFrame (informational)
         max_frame * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         0x10,  # dwFlags: AVIF_HASINDEX
@@ -133,6 +133,7 @@ def parse_avi_mjpeg(data: bytes) -> dict:
 
     avih = None
     micro_per_frame = 0
+    scale = rate = 0
     frames: list[bytes] = []
     saw_movi = False
     for tag, body, size in _walk_chunks(data, 12, end):
@@ -146,6 +147,19 @@ def parse_avi_mjpeg(data: bytes) -> dict:
                         raise ValueError("truncated AVI main header")
                     avih = struct.unpack_from(f"<{_AVIH_FIELDS}I", data, b2)
                     micro_per_frame = avih[0]
+                elif t2 == b"LIST" and s2 >= 4 and (
+                    data[b2 : b2 + 4] == b"strl"
+                ):
+                    for t3, b3, s3 in _walk_chunks(data, b2 + 4, b2 + s2):
+                        # dwScale/dwRate sit at strh bytes 20/24 — the
+                        # EXACT frame rate (rate/scale), unlike the
+                        # floor-divided avih microseconds-per-frame
+                        if t3 == b"strh" and s3 >= 28 and (
+                            data[b3 : b3 + 4] == b"vids"
+                        ):
+                            scale, rate = struct.unpack_from(
+                                "<II", data, b3 + 20
+                            )
         elif kind == b"movi":
             saw_movi = True
             for t2, b2, s2 in _walk_chunks(data, body + 4, body + size):
@@ -158,10 +172,16 @@ def parse_avi_mjpeg(data: bytes) -> dict:
             f"AVI frame-count mismatch: header says {avih[4]}, "
             f"movi carries {len(frames)}"
         )
+    if scale:
+        fps = rate // scale  # exact for integer rates (scale=1)
+    elif micro_per_frame:
+        fps = 1_000_000 // micro_per_frame  # fallback: no strh seen
+    else:
+        fps = 0
     return {
         "width": avih[8],
         "height": avih[9],
-        "fps": 1_000_000 // micro_per_frame if micro_per_frame else 0,
+        "fps": fps,
         "frames": frames,
     }
 

@@ -779,7 +779,7 @@ def test_bmp_sub8_and_rle():
         idx4 = rng.integers(0, 16, (h, w), dtype=np.uint8)
         idx8 = rng.integers(0, 256, (h, w), dtype=np.uint8)
         # runny variant so the RLE encoder hits encoded-run mode too
-        runny = np.repeat(idx8[:, :: max(1, w // 4) or 1], w, axis=1)[:, :w]
+        runny = np.repeat(idx8[:, :: max(1, w // 4)], w, axis=1)[:, :w]
         assert np.array_equal(
             decode_bmp(encode_bmp_sub8(idx1, pal2, 1))[2], pal2[idx1]
         )
@@ -820,6 +820,19 @@ def test_bmp_sub8_and_rle():
     expect[2, 0] = expect[2, 1] = 1  # bottom row (storage row 0)
     expect[0, 2] = 2  # delta skipped to x=2, y=2 (storage) = top row
     assert np.array_equal(out, pal[expect])
+
+    # a tiny payload claiming huge dimensions must fail BEFORE any
+    # allocation — the quarantine contract is ValueError, not OOM
+    bomb = bytearray(encode_bmp_rle(np.zeros((2, 2), np.uint8), pal2, 8))
+    bomb[18:26] = struct.pack("<ii", 200_000, 200_000)
+    with pytest.raises(ValueError, match="implausible BMP dimensions"):
+        decode_bmp(bytes(bomb))
+    # 16-bpp BI_RGB is spec-valid but unimplemented: an honest gate
+    sixteen = bytearray(encode_bmp_rle(np.zeros((2, 2), np.uint8), pal2, 8))
+    sixteen[28:30] = (16).to_bytes(2, "little")
+    sixteen[30:34] = (0).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_bmp(bytes(sixteen))
 
     # fuzz: cuts and byte flips only ever raise ValueError /
     # NotImplementedError — the mapInPandas quarantine contract
@@ -1684,6 +1697,13 @@ def test_avi_mjpeg_container():
     assert (parsed["width"], parsed["height"], parsed["fps"]) == (24, 16, 10)
     assert parsed["frames"] == frames  # muxed bytes come back untouched
     assert [i for i, _ in sample_avi_frames(avi, 3)] == [0, 3, 6]
+    # fps comes from strh dwRate/dwScale, so non-divisor rates
+    # round-trip exactly (the avih µs/frame reciprocal would not)
+    for odd_fps in (7, 1500, 999_983):
+        parsed_fps = parse_avi_mjpeg(
+            encode_avi_mjpeg(frames[:1], 24, 16, fps=odd_fps)
+        )["fps"]
+        assert parsed_fps == odd_fps
     w, h, _ = decode_jpeg(sample_avi_frames(avi, 3)[1][1])
     assert (w, h) == (24, 16)
 
