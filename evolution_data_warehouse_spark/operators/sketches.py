@@ -1,4 +1,5 @@
-"""Bounded-memory heavy hitters: Misra-Gries candidates + exact re-count.
+"""Bounded-memory sketches: Misra-Gries heavy hitters (+ exact
+re-count), count-min frequency cells, and KMV distinct/intersection.
 
 The two-pass exact top-k pattern for corpora whose key cardinality is
 too large to groupBy comfortably but whose heavy hitters are what the
@@ -210,4 +211,122 @@ def countmin_estimate(
         keyed.join(F.broadcast(cells), ["r", "b"])
         .groupBy(*probes.columns)
         .agg(F.min("cnt").cast("long").alias("cm_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch + set-intersection estimate
+# ---------------------------------------------------------------------------
+#
+# Bar-Yossef et al. 2002 / Beyer et al. 2007 ("distinct sampling"):
+# keep the k smallest hash values of a set; the k-th minimum hash
+# estimates the distinct count ((k-1)/theta), and — the property HLL
+# lacks — two sketches INTERSECT: common hashes below the shared
+# threshold estimate |A INTERSECT B| without ever joining the raw sets.
+# Hashes come from dedup.content_hash64 (60-bit md5 prefix), so the
+# whole estimator is bit-deterministic and DuckDB-mirrorable.
+
+KMV_SPACE = 1 << 60  # content_hash64 range: 15 hex chars = 60 bits
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 60-bit key hashes
+    as rows (seg, hv, rn). The rank filter compiles to Spark's
+    WindowGroupLimit, so each map task keeps only its local top-k per
+    group before the shuffle — O(k) state per (group, partition), the
+    shape that survives a 100 TB build. Groups with fewer than k
+    distinct keys keep everything (the sketch is then exact)."""
+    from pyspark.sql import Window
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    hashed = df.select(
+        F.col(group_col).alias("seg"),
+        content_hash64(
+            F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+        ).alias("hv"),
+    ).distinct()  # KMV state is a SET of hashes: collisions merge
+    w = Window.partitionBy("seg").orderBy("hv")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    seg_a: str,
+    seg_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """One-row distinct-overlap estimate between two segments from
+    their KMV sketches: per-segment distinct estimates ((k-1)/theta)
+    and the intersection estimate (common sketch hashes below the
+    shared threshold, scaled by it). Exact when a segment holds fewer
+    than k distinct keys (theta degrades to the full hash space).
+    Everything after the sketch build is model-sized (<= 2k rows);
+    the scalar threshold rides a 1-row broadcast cross join."""
+    m_int = F.lit(KMV_SPACE)
+    m_dbl = F.lit(float(KMV_SPACE))  # 2^60: exact as a double
+    # The sketch feeds three subtrees (stats, side A, side B). Kept
+    # declarative (no checkpoint) so the WindowGroupLimit build shows
+    # in the plan and AQE can reuse the identical distinct exchange at
+    # runtime; at a real corpus scale you would persist the <=2k-row
+    # sketch once instead.
+    sk = kmv_sketch(
+        df.filter(F.col(group_col).isin([seg_a, seg_b])),
+        group_col, key_col, k,
+    )
+    stats = sk.groupBy("seg").agg(
+        F.count("*").alias("n_kept"), F.max("hv").alias("kth")
+    )
+
+    def side(tag: str, seg: str) -> list:
+        n = F.max(F.when(F.col("seg") == seg, F.col("n_kept")))
+        kth = F.max(F.when(F.col("seg") == seg, F.col("kth")))
+        return [
+            n.alias(f"n_kept_{tag}"),
+            kth.alias(f"kth_{tag}"),
+        ]
+
+    row = stats.agg(*(side("a", seg_a) + side("b", seg_b)))
+    theta = F.least(
+        F.when(F.col("n_kept_a") < k, m_int).otherwise(F.col("kth_a")),
+        F.when(F.col("n_kept_b") < k, m_int).otherwise(F.col("kth_b")),
+    ).alias("theta")
+    row = row.select("*", theta)
+
+    common = (
+        sk.filter(F.col("seg") == seg_a).select("hv")
+        .join(sk.filter(F.col("seg") == seg_b).select("hv"), "hv")
+        .crossJoin(F.broadcast(row.select("theta")))
+        .filter(F.col("hv") < F.col("theta"))
+        .agg(F.count("*").alias("p_common"))
+    )
+
+    def est_distinct(tag: str):
+        n = F.col(f"n_kept_{tag}")
+        kth = F.col(f"kth_{tag}")
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * m_dbl / kth.cast("double")
+        )
+
+    est_inter = (
+        F.col("p_common").cast("double") * m_dbl
+        / F.col("theta").cast("double")
+    )
+    return row.crossJoin(F.broadcast(common)).select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_kept_a").cast("long").alias("n_kept_a"),
+        F.col("n_kept_b").cast("long").alias("n_kept_b"),
+        est_distinct("a").alias("raw_est_a"),
+        est_distinct("b").alias("raw_est_b"),
+        F.col("p_common").cast("long").alias("p_common"),
+        est_inter.alias("raw_est_intersection"),
     )

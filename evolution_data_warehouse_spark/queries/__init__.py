@@ -50,12 +50,12 @@ from evolution_data_warehouse_spark.queries import extensions_r8 as _extensions_
 # registry passed drive_contract at harness defaults, at a truly-
 # vanilla 200-shuffle-partition session, AND at sf0.1 (274/274 on all
 # three axes) — the determinism rules are partition-count- and
-# scale-independent across the full surface.  The 13 round-8 additions
+# scale-independent across the full surface.  The 14 round-8 additions
 # (mm_decode_progressive, join_spatial_grid, stats_ab_test,
 # quality_k_anonymity, surv_kaplan_meier, agg_countmin_sketch,
 # stats_mannwhitney_u, stats_ks_two_sample, drift_psi,
 # mm_decode_interlaced, tok_bpe_segment, mm_decode_tolerant,
-# mm_video_frames) carry the
+# mm_video_frames, agg_kmv_overlap) carry the
 # same three-axis evidence: defaults (LOCAL_CONTRACT_r08.json plus a
 # follow-up for the last addition), a 200-shuffle-partition session,
 # and sf0.1 — all green.

@@ -1224,3 +1224,112 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, n_sampled int, width int, "
         "height int, exact_match boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-intersection sketch (segment-overlap cardinality)
+# ---------------------------------------------------------------------------
+#
+# The set operation HLL cannot do: estimate |A INTERSECT B| distinct
+# keys from two bounded sketches (k minimum 60-bit md5 hashes per
+# segment — operators/sketches.py::kmv_overlap). Deterministic by
+# construction (content_hash64 on both engines), so the ESTIMATOR
+# itself is oracle-checked, not just row counts.
+
+_KMV_K = 256
+_KMV_SEG_A = "1-URGENT"
+_KMV_SEG_B = "2-HIGH"
+_KMV_M = 1 << 60
+_KMV_M_DBL = repr(float(_KMV_M))
+
+_KMV_ORACLE = f"""
+WITH pts AS (
+    SELECT DISTINCT o_orderpriority AS seg,
+           CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS hv
+    FROM orders
+    WHERE o_orderpriority IN ('{_KMV_SEG_A}', '{_KMV_SEG_B}')
+),
+sk AS (
+    SELECT seg, hv FROM (
+        SELECT seg, hv,
+               row_number() OVER (PARTITION BY seg ORDER BY hv) AS rn
+        FROM pts
+    ) WHERE rn <= {_KMV_K}
+),
+st AS (
+    SELECT
+        MAX(CASE WHEN seg = '{_KMV_SEG_A}' THEN n_kept END) AS n_kept_a,
+        MAX(CASE WHEN seg = '{_KMV_SEG_A}' THEN kth END) AS kth_a,
+        MAX(CASE WHEN seg = '{_KMV_SEG_B}' THEN n_kept END) AS n_kept_b,
+        MAX(CASE WHEN seg = '{_KMV_SEG_B}' THEN kth END) AS kth_b
+    FROM (
+        SELECT seg, COUNT(*) AS n_kept, MAX(hv) AS kth FROM sk GROUP BY seg
+    )
+),
+th AS (
+    SELECT *,
+           LEAST(
+               CASE WHEN n_kept_a < {_KMV_K} THEN {_KMV_M} ELSE kth_a END,
+               CASE WHEN n_kept_b < {_KMV_K} THEN {_KMV_M} ELSE kth_b END
+           ) AS theta
+    FROM st
+),
+p AS (
+    SELECT COUNT(*) AS p_common
+    FROM (SELECT hv FROM sk WHERE seg = '{_KMV_SEG_A}') a
+    JOIN (SELECT hv FROM sk WHERE seg = '{_KMV_SEG_B}') b USING (hv)
+    CROSS JOIN th
+    WHERE hv < theta
+)
+SELECT CAST({_KMV_K} AS INT) AS k,
+       CAST(n_kept_a AS BIGINT) AS n_kept_a,
+       CAST(n_kept_b AS BIGINT) AS n_kept_b,
+       {fpq_sql(
+           f"CASE WHEN n_kept_a < {_KMV_K} THEN CAST(n_kept_a AS DOUBLE) "
+           f"ELSE {float(_KMV_K - 1)!r} * {_KMV_M_DBL} "
+           f"/ CAST(kth_a AS DOUBLE) END", 4)} AS est_distinct_a,
+       {fpq_sql(
+           f"CASE WHEN n_kept_b < {_KMV_K} THEN CAST(n_kept_b AS DOUBLE) "
+           f"ELSE {float(_KMV_K - 1)!r} * {_KMV_M_DBL} "
+           f"/ CAST(kth_b AS DOUBLE) END", 4)} AS est_distinct_b,
+       CAST(p_common AS BIGINT) AS p_common,
+       {fpq_sql(
+           f"CAST(p_common AS DOUBLE) * {_KMV_M_DBL} "
+           f"/ CAST(theta AS DOUBLE)", 4)} AS est_intersection
+FROM th CROSS JOIN p
+"""
+
+
+@register(
+    "agg_kmv_overlap",
+    _KMV_ORACLE,
+    doc="KMV (k-minimum-values) distinct sketch with the set operation "
+    "HLL lacks: |A INTERSECT B| between two order-priority segments, "
+    "estimated from 256 minimum 60-bit md5 hashes per segment "
+    "(Bar-Yossef 2002 / Beyer 2007; operators/sketches.py::"
+    "kmv_overlap). The rank filter compiles to WindowGroupLimit, so "
+    "every map task ships at most k rows per segment — O(k) sketch "
+    "state at any corpus size; everything past the build is "
+    "model-sized (<= 2k rows) with the scalar threshold on a 1-row "
+    "broadcast. Degrades to EXACT when a segment has < k distinct "
+    "keys. Hashing is content_hash64 on both engines, so the "
+    "estimator itself hash-matches the oracle, not just counts.",
+)
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    raw = kmv_overlap(
+        t(spark, sf_dir, "orders"),
+        "o_orderpriority", "o_custkey",
+        _KMV_SEG_A, _KMV_SEG_B, _KMV_K,
+    )
+    return raw.select(
+        "k", "n_kept_a", "n_kept_b",
+        fpq(F.col("raw_est_a"), 4).alias("est_distinct_a"),
+        fpq(F.col("raw_est_b"), 4).alias("est_distinct_b"),
+        "p_common",
+        fpq(F.col("raw_est_intersection"), 4).alias("est_intersection"),
+    )

@@ -1739,3 +1739,31 @@ def test_avi_mjpeg_container():
             parse_avi_mjpeg(bytes(mutated))
         except ValueError:
             pass
+
+
+def test_kmv_overlap_accuracy_and_exact_degradation(spark):
+    """KMV distinct-intersection sketch: estimates within the ~1/sqrt(k)
+    error band on a synthetic 10k/10k split with known 5k overlap, and
+    EXACT (not approximate) when both segments hold < k distinct keys."""
+    from evolution_data_warehouse_spark.operators.sketches import kmv_overlap
+
+    rows = [("A", i) for i in range(10_000)] + [
+        ("B", i) for i in range(5_000, 15_000)
+    ]
+    df = spark.createDataFrame(rows, "seg string, key long")
+    est = kmv_overlap(df, "seg", "key", "A", "B", k=256).collect()[0]
+    assert est["n_kept_a"] == est["n_kept_b"] == 256
+    for col, truth in [
+        ("raw_est_a", 10_000),
+        ("raw_est_b", 10_000),
+        ("raw_est_intersection", 5_000),
+    ]:
+        assert abs(est[col] - truth) / truth < 0.2, (col, est[col])
+
+    small = spark.createDataFrame(
+        [("A", i) for i in range(20)] + [("B", i) for i in range(15, 35)],
+        "seg string, key long",
+    )
+    exact = kmv_overlap(small, "seg", "key", "A", "B", k=256).collect()[0]
+    assert exact["raw_est_a"] == 20.0 and exact["raw_est_b"] == 20.0
+    assert exact["p_common"] == 5 and exact["raw_est_intersection"] == 5.0

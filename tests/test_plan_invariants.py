@@ -45,6 +45,7 @@ _BNL_OK = {
     "ts_revenue_anomaly_months",  # 1-row moments broadcast into the z-scores
     "agg_heavy_hitters_mg",  # 1-row n_total broadcast into the certificate
     "ts_cusum_drift",  # 1-row total/day-count broadcast into the CUSUM terms
+    "agg_kmv_overlap",  # 1-row theta + p_common broadcasts over <=2k sketch rows
 }
 
 
