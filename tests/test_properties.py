@@ -650,3 +650,78 @@ def test_jpeg_truncation_never_hangs(seed, cut):
         assert out.shape == (h, w, 3)
     except (ValueError, IndexError, struct.error):
         pass
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    bpp=st.sampled_from([1, 4, 8]),
+    rle=st.booleans(),
+    h=st.integers(min_value=1, max_value=20),
+    w=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_paletted_roundtrip_property(seed, bpp, rle, h, w):
+    """Paletted BMP round-trip across every (bpp, compression) pair the
+    decoder supports — random indices (runs included via low-entropy
+    draws) survive packing, padding, and RLE escape codes exactly."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+        encode_bmp_rle,
+        encode_bmp_sub8,
+    )
+
+    if rle and bpp == 1:
+        bpp = 4  # RLE exists only for 4/8-bit
+    rng = np.random.default_rng(seed)
+    n = 1 << bpp
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    # low-entropy indices so runs, literals, and mixed rows all occur
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    idx[:, : w // 2] = idx[:, :1]
+    if rle:
+        data = encode_bmp_rle(idx, pal, bpp)
+    elif bpp == 8:
+        data = encode_bmp8(idx, pal)
+    else:
+        data = encode_bmp_sub8(idx, pal, bpp)
+    w2, h2, out = decode_bmp(data)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, pal[idx])
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_frames=st.integers(min_value=1, max_value=6),
+    fps=st.integers(min_value=1, max_value=120),
+    stride=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_mjpeg_roundtrip_property(seed, n_frames, fps, stride):
+    """AVI-MJPEG mux/demux property: arbitrary frame counts, rates, and
+    strides round-trip byte-exactly, and sampling yields exactly the
+    every-stride-th frames."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.jpeg import encode_jpeg
+    from evolution_data_warehouse_spark.operators.video import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+        sample_avi_frames,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(1, 17)), int(rng.integers(1, 17))
+    frames = [
+        encode_jpeg(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    avi = encode_avi_mjpeg(frames, w, h, fps=fps)
+    parsed = parse_avi_mjpeg(avi)
+    assert (parsed["width"], parsed["height"], parsed["fps"]) == (w, h, fps)
+    assert parsed["frames"] == frames
+    sampled = sample_avi_frames(avi, stride)
+    assert [i for i, _ in sampled] == list(range(0, n_frames, stride))
+    assert all(f == frames[i] for i, f in sampled)
