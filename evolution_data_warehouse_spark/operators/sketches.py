@@ -244,12 +244,19 @@ def kmv_sketch(
         content_hash64,
     )
 
-    hashed = df.select(
-        F.col(group_col).alias("seg"),
-        content_hash64(
-            F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
-        ).alias("hv"),
-    ).distinct()  # KMV state is a SET of hashes: collisions merge
+    hashed = (
+        df.select(
+            F.col(group_col).alias("seg"),
+            content_hash64(
+                F.concat(F.lit("kmv:"), F.col(key_col).cast("string"))
+            ).alias("hv"),
+        )
+        # NULL keys hash to NULL; Spark's NULLS-FIRST window order
+        # would let one occupy a sketch slot (and diverge from a
+        # NULLS-LAST engine) — a NULL key is no distinct value, drop it
+        .filter(F.col("hv").isNotNull())
+        .distinct()  # KMV state is a SET of hashes: collisions merge
+    )
     w = Window.partitionBy("seg").orderBy("hv")
     return (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -268,8 +275,10 @@ def kmv_overlap(
     """One-row distinct-overlap estimate between two segments from
     their KMV sketches: per-segment distinct estimates ((k-1)/theta)
     and the intersection estimate (common sketch hashes below the
-    shared threshold, scaled by it). Exact when a segment holds fewer
-    than k distinct keys (theta degrades to the full hash space).
+    shared threshold, scaled by it). A segment with fewer than k
+    distinct keys gets an EXACT distinct count (its theta degrades to
+    the full hash space); the intersection is exact only when BOTH
+    segments are below k.
     Everything after the sketch build is model-sized (<= 2k rows);
     the scalar threshold rides a 1-row broadcast cross join."""
     m_int = F.lit(KMV_SPACE)

@@ -50,7 +50,7 @@ def encode_avi_mjpeg(
     avih = struct.pack(
         "<14I",
         max(1, 1_000_000 // fps),  # dwMicroSecPerFrame (informational)
-        max_frame * fps,  # dwMaxBytesPerSec
+        min(max_frame * fps, 0xFFFFFFFF),  # dwMaxBytesPerSec (u32 cap)
         0,  # dwPaddingGranularity
         0x10,  # dwFlags: AVIF_HASINDEX
         len(frames),  # dwTotalFrames
@@ -151,10 +151,13 @@ def parse_avi_mjpeg(data: bytes) -> dict:
                     data[b2 : b2 + 4] == b"strl"
                 ):
                     for t3, b3, s3 in _walk_chunks(data, b2 + 4, b2 + s2):
-                        # dwScale/dwRate sit at strh bytes 20/24 — the
-                        # EXACT frame rate (rate/scale), unlike the
-                        # floor-divided avih microseconds-per-frame
-                        if t3 == b"strh" and s3 >= 28 and (
+                        # dwScale/dwRate sit at strh bytes 20/24; the
+                        # FIRST video stream wins (AVI convention).
+                        # rate/scale carries the exact rational rate —
+                        # the int fps floors it (29.97 reports as 29),
+                        # still better than the avih µs reciprocal
+                        # which also misses integer non-divisor rates
+                        if t3 == b"strh" and s3 >= 28 and scale == 0 and (
                             data[b3 : b3 + 4] == b"vids"
                         ):
                             scale, rate = struct.unpack_from(

@@ -1239,14 +1239,23 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 256
 _KMV_SEG_A = "1-URGENT"
 _KMV_SEG_B = "2-HIGH"
-_KMV_M = 1 << 60
+from evolution_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    content_hash64_sql as _ch64_sql,
+)
+from evolution_data_warehouse_spark.operators.sketches import (  # noqa: E402
+    KMV_SPACE as _KMV_M,
+)
+
 _KMV_M_DBL = repr(float(_KMV_M))
+# Same hash expression the Spark side gets from content_hash64 — one
+# definition in operators/dedup.py, mirrored here through its _sql twin
+# so a future hash-width change cannot desynchronize the oracle.
+_KMV_HV_SQL = _ch64_sql("'kmv:' || CAST(o_custkey AS VARCHAR)")
 
 _KMV_ORACLE = f"""
 WITH pts AS (
     SELECT DISTINCT o_orderpriority AS seg,
-           CAST(('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)),
-                 1, 15)) AS BIGINT) AS hv
+           {_KMV_HV_SQL} AS hv
     FROM orders
     WHERE o_orderpriority IN ('{_KMV_SEG_A}', '{_KMV_SEG_B}')
 ),
@@ -1312,8 +1321,9 @@ FROM th CROSS JOIN p
     "every map task ships at most k rows per segment — O(k) sketch "
     "state at any corpus size; everything past the build is "
     "model-sized (<= 2k rows) with the scalar threshold on a 1-row "
-    "broadcast. Degrades to EXACT when a segment has < k distinct "
-    "keys. Hashing is content_hash64 on both engines, so the "
+    "broadcast. A below-k segment gets its EXACT distinct count (the "
+    "intersection is exact only when both sides are below k). "
+    "Hashing is content_hash64 on both engines, so the "
     "estimator itself hash-matches the oracle, not just counts.",
 )
 def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
