@@ -488,3 +488,106 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def window_spans(
+    tokens: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tk",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring duplicate detection (the window-hash
+    construction of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-shaped for a distributed engine: the
+    paper's suffix array is a single-machine structure; hashed
+    fixed-width windows give the same duplicated-span recall for spans
+    >= w tokens with nothing but hash aggregates).
+
+    Input: one row per document with a tokens array. Every w-token
+    sliding window is hashed (content_hash64); a window is *duplicated*
+    when its hash occurs >= ``min_occurrences`` times corpus-wide
+    (cross-document or within-document). Each document's duplicated
+    window positions are then merged into maximal spans by a
+    gaps-and-islands pass, so the output says WHICH token ranges to cut,
+    not merely which documents look alike (that is the doc-level
+    families' job — dedup_ngram_jaccard / minhash).
+
+    Returns one row per document that contains at least one duplicated
+    span: (id, n_tokens, n_dup_windows, n_dup_spans, dup_tokens) — all
+    integers, so the result is exactly reproducible on any engine.
+
+    Scale: strictly linear — the corpus is never self-joined. Stages:
+    (1) explode to one row per window (output ~w x corpus tokens, all
+    map-side), (2) hash aggregate on the 60-bit window hash with
+    map-side partial counts, (3) shuffle join positions<->duplicated
+    hashes on the hash key, (4) per-document windows over the (tiny)
+    duplicated subset only. The expensive relation after step 3 holds
+    just the duplicated windows — on real corpora a few percent of all
+    windows — so the island pass is a small sort per document.
+    """
+    n_tokens = F.size(F.col(tokens_col))
+    wins = (
+        tokens.filter(n_tokens >= w)
+        .select(
+            F.col(id_col),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_tokens - w + 1),
+                    lambda i: F.array_join(
+                        F.slice(F.col(tokens_col), i, w), " "
+                    ),
+                )
+            ).alias("_p0", "_win"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("_p0") + 1).cast("long").alias("pos"),
+            content_hash64(F.col("_win")).alias("_h"),
+        )
+    )
+    dup = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= min_occurrences)
+        .select("_h")
+    )
+    d = wins.join(dup, "_h").select(id_col, "n_tokens", "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        d.withColumn("_prev_end", F.max(F.col("pos") + w - 1).over(w_prev))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev_end").isNull()
+                | (F.col("pos") > F.col("_prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_brk").over(w_cum))
+    )
+    spans = isl.groupBy(id_col, "_island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count("*").alias("_n_windows"),
+        F.min("pos").alias("_start"),
+        (F.max("pos") + w - 1).alias("_end"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("_n_windows").cast("long").alias("n_dup_windows"),
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.sum(F.col("_end") - F.col("_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+    )

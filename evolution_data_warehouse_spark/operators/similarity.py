@@ -447,3 +447,98 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, f"{id_col} long, proj array<double>"
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    tau: float,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster, vectors whose cosine
+    similarity exceeds ``tau`` form an epsilon-neighborhood, and only
+    the member FARTHEST from the cluster centroid is kept — the paper's
+    keep-low-centroid-similarity rule, which preserves the cluster's
+    boundary examples and drops its redundant core.
+
+    The cluster key is ``label_col`` (upstream k-means assignment —
+    sim_kmeans_assign is the engine's assignment step). The keep
+    ranking is (centroid_cosine ASC, id ASC); a vector is removed iff
+    some tau-neighbor in its cluster outranks it. This pairwise rule is
+    deterministic and engine-reproducible, unlike the paper's
+    order-dependent greedy sweep, and agrees with it whenever the
+    neighborhood graph is transitive (the common case at high tau).
+
+    Returns one row per vector: (id, label, cent_cos DOUBLE,
+    n_better_neighbors BIGINT, removed BOOLEAN).
+
+    Determinism: the centroid is computed in fixed point — per-dimension
+    sums of floor(v*1e12) as int64 — so it is exact and
+    partitioning-independent; cosine folds are sequential
+    (see module docstring). Scale: the only quadratic term is the
+    within-cluster pair join, which is the SemDeDup design itself —
+    cluster count grows with the corpus, so cluster SIZE (and the pair
+    fan-out per key) stays bounded; everything else is hash aggregates
+    and a broadcast of the k x d centroid table.
+    """
+    e = with_norm(embeddings, vec_col).select(
+        id_col, label_col, "_vec", "_norm"
+    )
+    sums = (
+        e.select(label_col, F.posexplode(F.col("_vec")).alias("_pos", "_v"))
+        .groupBy(label_col, "_pos")
+        .agg(F.sum(F.floor(F.col("_v") * 1e12).cast("long")).alias("_s"))
+    )
+    cent = sums.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_s"))),
+            lambda x: x["_s"].cast("double"),
+        ).alias("_cvec")
+    )
+    cent = cent.withColumn("_cnorm", vec_norm(F.col("_cvec")))
+    cc = e.join(F.broadcast(cent), label_col).withColumn(
+        "_cc",
+        cosine(F.col("_vec"), F.col("_cvec"), F.col("_norm"), F.col("_cnorm")),
+    )
+    a = cc.select(
+        F.col(label_col).alias("_lbl"),
+        F.col(id_col).alias("_ida"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+        F.col("_cc").alias("_cca"),
+    )
+    b = cc.select(
+        F.col(label_col).alias("_lbl"),
+        F.col(id_col).alias("_idb"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+        F.col("_cc").alias("_ccb"),
+    )
+    nb = (
+        a.join(b, "_lbl")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(
+            cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
+            >= tau
+        )
+        .filter(
+            (F.col("_ccb") < F.col("_cca"))
+            | (
+                (F.col("_ccb") == F.col("_cca"))
+                & (F.col("_idb") < F.col("_ida"))
+            )
+        )
+        .groupBy("_ida")
+        .agg(F.count("*").alias("_n_better"))
+    )
+    return cc.join(nb, cc[id_col] == nb["_ida"], "left").select(
+        id_col,
+        label_col,
+        F.col("_cc").alias("cent_cos"),
+        F.coalesce(F.col("_n_better"), F.lit(0))
+        .cast("long")
+        .alias("n_better_neighbors"),
+        (F.coalesce(F.col("_n_better"), F.lit(0)) > 0).alias("removed"),
+    )

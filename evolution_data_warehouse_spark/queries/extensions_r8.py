@@ -1343,3 +1343,167 @@ def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_common",
         fpq(F.col("raw_est_intersection"), 4).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact-substring dedup (Lee et al. 2022, window-hash shape)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 5
+
+_SPAN_ORACLE = f"""
+WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+wins AS (
+    SELECT doc_id, len(tk) AS n_tokens, CAST(i AS BIGINT) AS pos,
+           CAST(('0x' || substr(md5(array_to_string(tk[i:i+{_SPAN_W - 1}], ' ')),
+                 1, 15)) AS BIGINT) AS h
+    FROM toks, LATERAL unnest(range(1, len(tk) - {_SPAN_W} + 2)) t(i)
+    WHERE len(tk) >= {_SPAN_W}
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+d AS (SELECT w.doc_id, w.n_tokens, w.pos FROM wins w JOIN dup USING (h)),
+isl0 AS (
+    SELECT doc_id, n_tokens, pos,
+           MAX(pos + {_SPAN_W} - 1) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM d
+),
+isl AS (
+    SELECT doc_id, n_tokens, pos,
+           SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl0
+),
+spans AS (
+    SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens, island,
+           COUNT(*) AS n_windows,
+           MIN(pos) AS span_start,
+           MAX(pos) + {_SPAN_W} - 1 AS span_end
+    FROM isl GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_windows) AS BIGINT) AS n_dup_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    _SPAN_ORACLE,
+    doc="Span-level exact-substring dedup (the window-hash reshaping of "
+    "Lee et al. 2022's suffix-array method; operators/dedup.py::"
+    "window_spans): every 5-token sliding window is 60-bit-hashed, a "
+    "window duplicated >= 2 times corpus-wide marks its positions, and "
+    "a per-document gaps-and-islands pass merges overlapping windows "
+    "into maximal spans — the output says WHICH token ranges to cut "
+    "(doc-level Jaccard/minhash only say which docs look alike). "
+    "All-integer output, so exactly engine-reproducible. Strictly "
+    "linear: explode -> hash aggregate -> join back on the hash — the "
+    "corpus is never self-joined, and the island sort runs only over "
+    "the duplicated windows (a few percent of all windows on real "
+    "corpora). The reference has no substring-level operator at all "
+    "(its dedup is row-level DISTINCT, transformation/nettoyage.py).",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import window_spans
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    )
+    return window_spans(docs, w=_SPAN_W)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup over the embedding column
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.25  # epsilon-neighborhood threshold, calibrated to the
+# synthetic corpus (near-random vectors: within-label cosine tops out
+# ~0.47, so 0.25 marks the top ~2% of pairs as semantic duplicates;
+# real-embedding deployments run 0.9+)
+
+_SEM_DIM = 64
+
+
+def _sem_oracle() -> str:
+    csum = ", ".join(
+        f"CAST(SUM(CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1e12) AS "
+        f"BIGINT)) AS BIGINT) AS c{i}"
+        for i in range(1, _SEM_DIM + 1)
+    )
+    vnorm = " + ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) * CAST(embedding[{i}] AS DOUBLE)"
+        for i in range(1, _SEM_DIM + 1)
+    )
+    cnorm = " + ".join(
+        f"CAST(c.c{i} AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
+        for i in range(1, _SEM_DIM + 1)
+    )
+    dot_vc = " + ".join(
+        f"CAST(e.embedding[{i}] AS DOUBLE) * CAST(c.c{i} AS DOUBLE)"
+        for i in range(1, _SEM_DIM + 1)
+    )
+    dot_ab = " + ".join(
+        f"CAST(a.embedding[{i}] AS DOUBLE) * CAST(b.embedding[{i}] AS DOUBLE)"
+        for i in range(1, _SEM_DIM + 1)
+    )
+    return f"""
+WITH cent AS (SELECT label, {csum} FROM embeddings GROUP BY label),
+e AS (SELECT vec_id, label, embedding, sqrt({vnorm}) AS norm
+      FROM embeddings),
+cc AS (
+    SELECT e.vec_id, e.label, e.embedding, e.norm,
+           ({dot_vc}) / NULLIF(e.norm * sqrt({cnorm}), 0.0) AS cc
+    FROM e JOIN cent c ON e.label = c.label
+),
+nb AS (
+    SELECT a.vec_id,
+           COUNT(*) FILTER (WHERE (b.cc < a.cc)
+               OR (b.cc = a.cc AND b.vec_id < a.vec_id)) AS n_better
+    FROM cc a JOIN cc b ON a.label = b.label AND a.vec_id <> b.vec_id
+    WHERE ({dot_ab}) / NULLIF(a.norm * b.norm, 0.0) >= {_SEM_TAU}
+    GROUP BY a.vec_id
+)
+SELECT c.vec_id, c.label,
+       {fpq_sql('c.cc', 9)} AS cent_cos,
+       CAST(COALESCE(nb.n_better, 0) AS BIGINT) AS n_better_neighbors,
+       COALESCE(nb.n_better, 0) > 0 AS removed
+FROM cc c LEFT JOIN nb ON nb.vec_id = c.vec_id
+"""
+
+
+@register(
+    "sim_semantic_dedup",
+    _sem_oracle(),
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023; operators/"
+    "similarity.py::semantic_dedup): within each cluster (the label "
+    "column stands in for the upstream k-means assignment), vectors "
+    "closer than tau in cosine form an epsilon-neighborhood and only "
+    "the member farthest from the cluster centroid survives — the "
+    "paper's keep-low-centroid-similarity rule as a deterministic "
+    "pairwise rank (centroid-cosine ASC, id ASC), not an "
+    "order-dependent greedy sweep. Centroids are fixed-point "
+    "(floor(v*1e12) int64 sums), so exact under any partitioning; "
+    "cosine folds are sequential and oracle-matchable. The only "
+    "quadratic term is the within-cluster pair join — bounded by "
+    "construction, because SemDeDup grows CLUSTER COUNT with the "
+    "corpus, not cluster size.",
+)
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    raw = semantic_dedup(t(spark, sf_dir, "embeddings"), _SEM_TAU)
+    return raw.select(
+        "vec_id",
+        "label",
+        fpq(F.col("cent_cos"), 9).alias("cent_cos"),
+        "n_better_neighbors",
+        "removed",
+    )
