@@ -668,7 +668,12 @@ def decode_image_auto(data: bytes) -> dict:
             "sum_g": int(sums[1]),
             "sum_b": int(sums[2]),
         }
-    if data[:2] == b"BM":
+    if data[:4] == b"GIF8":
+        from evolution_data_warehouse_spark.operators.gif import decode_gif
+
+        fmt, (w, h, px) = "gif", decode_gif(data)
+        px = px.reshape(h, w, 3)
+    elif data[:2] == b"BM":
         fmt, (w, h, px) = "bmp", decode_bmp(data)
     elif data[:2] == b"P6":
         fmt, (w, h, px) = "ppm", decode_ppm(data)

@@ -683,10 +683,13 @@ def test_image_codecs_roundtrip_and_gates():
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
 
-    # baseline JPEG now decodes for real (see test_jpeg_codec_*);
-    # unknown magics still refuse
-    with pytest.raises(ValueError, match="magic"):
+    # baseline JPEG now decodes for real (see test_jpeg_codec_*), and
+    # GIF dispatches to the real LZW decoder (a garbage body is a
+    # truncation, not an unknown magic); unknown magics still refuse
+    with pytest.raises(ValueError, match="truncated"):
         decode_image_auto(b"GIF89a....")
+    with pytest.raises(ValueError, match="magic"):
+        decode_image_auto(b"RIFX....")
 
 
 def test_bmp_variants_and_16bit_ppm():
@@ -1767,3 +1770,233 @@ def test_kmv_overlap_accuracy_and_exact_degradation(spark):
     exact = kmv_overlap(small, "seg", "key", "A", "B", k=256).collect()[0]
     assert exact["raw_est_a"] == 20.0 and exact["raw_est_b"] == 20.0
     assert exact["p_common"] == 5 and exact["raw_est_intersection"] == 5.0
+
+
+def test_gif_codec_roundtrip_and_meta():
+    """Real-LZW GIF round-trips bit-exactly across palette sizes (every
+    root width 2..8), interlace, transparency, and comments; gif_meta
+    reports container facts without pixel decode."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        gif_meta,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for trial in range(40):
+        h, w = int(rng.integers(1, 48)), int(rng.integers(1, 48))
+        npal = int(rng.integers(2, 257))
+        pal = rng.integers(0, 256, size=(npal, 3)).astype(np.uint8)
+        idx = rng.integers(0, npal, size=(h, w)).astype(np.uint8)
+        interlace = bool(rng.integers(0, 2))
+        data = encode_gif(
+            idx,
+            pal,
+            interlace=interlace,
+            transparent=0 if trial % 3 == 0 else None,
+            comment="c" * (trial % 7) if trial % 2 else None,
+        )
+        ww, hh, px = decode_gif(data)
+        assert (ww, hh) == (w, h)
+        assert np.array_equal(px, pal[idx]), f"trial {trial}"
+        m = gif_meta(data)
+        assert m["n_frames"] == 1
+        assert m["interlaced"] == interlace
+        assert m["transparent"] == (trial % 3 == 0)
+        assert (m["version"] == "87a") == (
+            trial % 3 != 0 and not trial % 2
+        )
+
+
+def test_gif_lzw_stress_paths():
+    """The LZW paths random content rarely hits: KwKwK codes and width
+    growth on repetitive content, the 4096-entry table-full clear, and
+    the end-of-stream width boundary — the final data code installs no
+    encoder entry, so the decoder's table crosses 2**width exactly at
+    the EOI read (the desync a lag-one width rule writes one bit too
+    narrow; found by the corpus sweep, kept as a regression)."""
+    import numpy as np
+
+    from evolution_data_warehouse_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    # exact regression: 5x4 periodic frame over a 4-color palette whose
+    # decoder table hits 16 == 2**4 on the very last install
+    ii, jj = np.indices((4, 5))
+    idx = ((ii * 7 + jj * 3 + 2) % 4).astype(np.uint8)
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    assert np.array_equal(decode_gif(encode_gif(idx, pal))[2], pal[idx])
+
+    # KwKwK: aaa... runs force code == next_free immediately
+    run = np.zeros((3, 50), dtype=np.uint8)
+    pal2 = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    assert np.array_equal(decode_gif(encode_gif(run, pal2))[2], pal2[run])
+
+    # table-full: > 4096 distinct sequences forces the clear-and-reset
+    rep = (np.arange(512 * 1024, dtype=np.int64) % 64).astype(
+        np.uint8
+    ).reshape(512, 1024)
+    pal64 = (np.arange(192, dtype=np.int64) % 256).astype(np.uint8).reshape(
+        64, 3
+    )
+    assert np.array_equal(decode_gif(encode_gif(rep, pal64))[2], pal64[rep])
+
+
+def test_gif_real_encoder_conformance():
+    """Decode GIFs produced by REAL third-party encoders — the icons
+    CPython ships in idlelib (public, stable fixtures) — covering
+    interlaced and non-interlaced 89a streams with GCE transparency.
+    This fences off complementary encoder/decoder bugs that hermetic
+    round-trips cannot see."""
+    import os
+
+    import idlelib
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.gif import (
+        decode_gif,
+        gif_meta,
+    )
+
+    icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    if not os.path.isdir(icons):
+        pytest.skip("idlelib Icons not present in this Python build")
+    expected_sums = {  # decoded-RGB totals, pinned from first decode
+        "idle_48.gif": 1009702,
+        "folder.gif": 97545,  # interlaced
+        "openfolder.gif": 95808,  # interlaced
+    }
+    n = 0
+    for f in sorted(os.listdir(icons)):
+        if not f.endswith(".gif"):
+            continue
+        data = open(os.path.join(icons, f), "rb").read()
+        m = gif_meta(data)
+        w, h, px = decode_gif(data)
+        assert px.shape == (h, w, 3)
+        assert m["n_frames"] == 1 and m["transparent"]
+        if f in expected_sums:
+            assert int(px.astype(np.int64).sum()) == expected_sums[f], f
+        n += 1
+    assert n >= 5
+    meta_folder = gif_meta(
+        open(os.path.join(icons, "folder.gif"), "rb").read()
+    )
+    assert meta_folder["interlaced"]
+
+
+def test_gif_fuzz_valueerror_contract():
+    """EVERY truncation either raises ValueError or — when the cut
+    still contains the complete first frame — decodes to the exact
+    intact pixels; gif_meta (which must walk to the trailer) raises on
+    every proper prefix. Single-byte corruption anywhere yields
+    ValueError or a successful decode, never any other exception."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        gif_meta,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(17, 3)).astype(np.uint8)
+    idx = rng.integers(0, 17, size=(9, 11)).astype(np.uint8)
+    for interlace in (False, True):
+        data = encode_gif(
+            idx, pal, interlace=interlace, transparent=3, comment="x"
+        )
+        _, _, full = decode_gif(data)
+        for cut in range(0, len(data)):
+            with pytest.raises(ValueError):
+                gif_meta(data[:cut])
+            try:
+                _, _, out = decode_gif(data[:cut])
+            except ValueError:
+                continue
+            assert np.array_equal(out, full), f"cut={cut}"
+        for pos in range(len(data)):
+            mut = bytearray(data)
+            mut[pos] ^= 0xFF
+            for fn in (decode_gif, gif_meta):
+                try:
+                    fn(bytes(mut))
+                except (ValueError, NotImplementedError):
+                    pass
+
+
+def test_gif_guards():
+    """Header forgery and stream abuse fail closed: dimension bombs are
+    rejected BEFORE allocation, out-of-palette indices, zero sizes, bad
+    signatures, and a non-literal first LZW code are all ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    good = bytearray(encode_gif(idx, pal))
+    desc = good.index(0x2C)
+    forged = bytearray(good)
+    forged[desc + 5 : desc + 9] = struct.pack("<HH", 60000, 60000)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_gif(bytes(forged))
+    zero = bytearray(good)
+    zero[desc + 5 : desc + 9] = struct.pack("<HH", 0, 2)
+    with pytest.raises(ValueError, match="zero-sized"):
+        decode_gif(bytes(zero))
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"GIF90a" + bytes(good[6:]))
+
+    # index 7 under a 4-entry color table: mcs=3 stream (roots 0..7)
+    # against GCT size bits 0b001 (4 entries)
+    lzw = _lzw_encode(3, bytes([7]))
+    crafted = (
+        b"GIF87a"
+        + struct.pack("<HH", 1, 1)
+        + bytes([0x81, 0, 0])
+        + bytes(12)  # 4 RGB entries
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, 1, 1)
+        + b"\x00"
+        + bytes([3, len(lzw)])
+        + lzw
+        + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="outside color table"):
+        decode_gif(crafted)
+
+    # a first post-clear code that is not a literal root
+    bad_first = bytes([0b10101100])  # width 3: clear(100), then 101=EOI+? -> 5
+    crafted2 = (
+        b"GIF87a"
+        + struct.pack("<HH", 2, 1)
+        + bytes([0x81, 0, 0])
+        + bytes(12)
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, 2, 1)
+        + b"\x00"
+        + bytes([2, 2])
+        + bytes([0b00110100, 0])  # clear=100 then 110=6 (undefined)
+        + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError):
+        decode_gif(crafted2)
+
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(idx, np.zeros((1, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="outside palette"):
+        encode_gif(np.full((2, 2), 9, dtype=np.uint8), pal)
