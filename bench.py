@@ -97,6 +97,17 @@ SF1_QUERIES = [
     # second-heaviest per-row CPU path after progressive JPEG, same
     # embarrassingly-parallel mapInPandas shape
     "mm_video_frames",
+    # late-r8: the LZW codec leg (GIF encode+decode per doc) and the
+    # window-hash span dedup (linear, no self-join: the claim worth
+    # measuring at 10x). sim_semantic_dedup is deliberately NOT here:
+    # gen_sf1 replicates embeddings 10x under the SAME 10 labels, so a
+    # 10x leg grows cluster SIZE instead of cluster COUNT and measures
+    # a 100x pair blowup the real operator never sees (SemDeDup's
+    # boundedness comes from k growing with the corpus — see
+    # operators/similarity.py::semantic_dedup); measured once: 31 s at
+    # sf1 vs ~2 s at sf0.1, exactly the predicted artifact.
+    "mm_decode_gif",
+    "dedup_substring_spans",
 ]
 
 

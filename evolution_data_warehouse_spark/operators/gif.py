@@ -255,11 +255,16 @@ def _palette(r: _Reader, packed: int) -> np.ndarray | None:
     return np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
 
 
+def _interlace_order(h: int) -> list[int]:
+    """Row order of the 4 interlace passes — the single source both the
+    decoder (scatter) and encoder (gather) use, so the two sides cannot
+    drift into a complementary-bug pair."""
+    return [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+
+
 def _deinterlace(rows: np.ndarray) -> np.ndarray:
-    h = rows.shape[0]
-    order = [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
     out = np.empty_like(rows)
-    out[order] = rows
+    out[_interlace_order(rows.shape[0])] = rows
     return out
 
 
@@ -399,6 +404,8 @@ def encode_gif(
     if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("gif: index outside palette")
     h, w = idx.shape
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError(f"gif: unencodable dimensions {w}x{h}")
     bits = max(2, int(pal.shape[0] - 1).bit_length())
     n_slots = 1 << bits
     table = np.zeros((n_slots, 3), dtype=np.uint8)
@@ -419,12 +426,7 @@ def encode_gif(
         out += b"\x00"
     out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
     out.append(0x40 if interlace else 0x00)
-    rows = idx
-    if interlace:
-        order = [
-            y for start, step in _INTERLACE_PASSES for y in range(start, h, step)
-        ]
-        rows = idx[order]
+    rows = idx[_interlace_order(h)] if interlace else idx
     out.append(bits)
     lzw = _lzw_encode(bits, rows.tobytes())
     for i in range(0, len(lzw), 255):

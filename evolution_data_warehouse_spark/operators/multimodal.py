@@ -672,7 +672,6 @@ def decode_image_auto(data: bytes) -> dict:
         from evolution_data_warehouse_spark.operators.gif import decode_gif
 
         fmt, (w, h, px) = "gif", decode_gif(data)
-        px = px.reshape(h, w, 3)
     elif data[:2] == b"BM":
         fmt, (w, h, px) = "bmp", decode_bmp(data)
     elif data[:2] == b"P6":

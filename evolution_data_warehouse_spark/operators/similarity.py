@@ -478,10 +478,16 @@ def semantic_dedup(
     sums of floor(v*1e12) as int64 — so it is exact and
     partitioning-independent; cosine folds are sequential
     (see module docstring). Scale: the only quadratic term is the
-    within-cluster pair join, which is the SemDeDup design itself —
-    cluster count grows with the corpus, so cluster SIZE (and the pair
-    fan-out per key) stays bounded; everything else is hash aggregates
-    and a broadcast of the k x d centroid table.
+    within-cluster pair join; its boundedness is an OBLIGATION ON THE
+    CLUSTERING STEP, not a property of this operator — SemDeDup keeps
+    cluster size fixed by growing cluster COUNT with the corpus
+    (k ~ sqrt(N) in the paper; sim_kmeans_assign is the engine's
+    assignment step). Feeding it a clustering whose cluster size grows
+    with the data reintroduces the quadratic (measured: the sf1 bench
+    replica keeps the synthetic table's 10 labels, so 10x rows cost
+    ~100x — which is why the sf1 smoke excludes this entry, see
+    bench.py::SF1_QUERIES). Everything else is hash aggregates and a
+    broadcast of the k x d centroid table.
     """
     e = with_norm(embeddings, vec_col).select(
         id_col, label_col, "_vec", "_norm"
@@ -498,9 +504,21 @@ def semantic_dedup(
         ).alias("_cvec")
     )
     cent = cent.withColumn("_cnorm", vec_norm(F.col("_cvec")))
-    cc = e.join(F.broadcast(cent), label_col).withColumn(
-        "_cc",
-        cosine(F.col("_vec"), F.col("_cvec"), F.col("_norm"), F.col("_cnorm")),
+    # cc is consumed three times (both pair-join sides + the final
+    # left join); eager localCheckpoint materializes the centroid
+    # subtree once with reclaimable blocks (same pattern as
+    # dedup.py::dedup_ngram_jaccard's shingle relation) instead of
+    # recomputing the embeddings scan + fixed-point aggregation 3x.
+    cc = (
+        e.join(F.broadcast(cent), label_col)
+        .withColumn(
+            "_cc",
+            cosine(
+                F.col("_vec"), F.col("_cvec"), F.col("_norm"), F.col("_cnorm")
+            ),
+        )
+        .drop("_cvec", "_cnorm")
+        .localCheckpoint(eager=True)
     )
     a = cc.select(
         F.col(label_col).alias("_lbl"),

@@ -1355,8 +1355,7 @@ _SPAN_ORACLE = f"""
 WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
 wins AS (
     SELECT doc_id, len(tk) AS n_tokens, CAST(i AS BIGINT) AS pos,
-           CAST(('0x' || substr(md5(array_to_string(tk[i:i+{_SPAN_W - 1}], ' ')),
-                 1, 15)) AS BIGINT) AS h
+           {_ch64_sql(f"array_to_string(tk[i:i+{_SPAN_W - 1}], ' ')")} AS h
     FROM toks, LATERAL unnest(range(1, len(tk) - {_SPAN_W} + 2)) t(i)
     WHERE len(tk) >= {_SPAN_W}
 ),

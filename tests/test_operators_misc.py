@@ -2000,3 +2000,9 @@ def test_gif_guards():
         encode_gif(idx, np.zeros((1, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="outside palette"):
         encode_gif(np.full((2, 2), 9, dtype=np.uint8), pal)
+    # the encoder enforces the same ValueError-only contract: no
+    # undecodable zero-size output, no struct.error on >u16 dims
+    with pytest.raises(ValueError, match="unencodable"):
+        encode_gif(np.zeros((0, 5), dtype=np.uint8), pal)
+    with pytest.raises(ValueError, match="unencodable"):
+        encode_gif(np.zeros((70000, 1), dtype=np.uint8), pal)
