@@ -725,3 +725,151 @@ def test_avi_mjpeg_roundtrip_property(seed, n_frames, fps, stride):
     sampled = sample_avi_frames(avi, stride)
     assert [i for i, _ in sampled] == list(range(0, n_frames, stride))
     assert all(f == frames[i] for i, f in sampled)
+
+
+# ---------------------------------------------------------------------------
+# window_spans (span-level substring dedup) vs the sequential model
+# ---------------------------------------------------------------------------
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _span_model(docs: list[list[str]], w: int) -> dict:
+    """Obvious sequential model: count every w-token window corpus-wide,
+    mark positions of windows seen >= 2 times, merge overlapping-or-
+    adjacent [pos, pos+w-1] intervals per doc."""
+    from collections import Counter
+
+    wins = []
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - w + 1):
+            wins.append((did, i, " ".join(toks[i : i + w])))
+    cnt = Counter(k for _, _, k in wins)
+    out = {}
+    for did, toks in enumerate(docs):
+        poss = [i for d, i, k in wins if d == did and cnt[k] >= 2]
+        if not poss:
+            continue
+        spans: list[list[int]] = []  # [start, end, n_windows]
+        for p in sorted(poss):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + w - 1)
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p + w - 1, 1])
+        out[did] = (
+            len(toks),
+            sum(c for _, _, c in spans),
+            len(spans),
+            sum(e - s + 1 for s, e, _ in spans),
+        )
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_span_docs)
+def test_window_spans_matches_sequential_model(spark, docs):
+    from evolution_data_warehouse_spark.operators.dedup import window_spans
+
+    w = 3
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, tk array<string>",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_dup_spans, r.dup_tokens)
+        for r in window_spans(df, w=w).collect()
+    }
+    assert got == _span_model(docs, w)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup) vs the sequential model
+# ---------------------------------------------------------------------------
+
+_sem_vecs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label
+        st.lists(
+            st.sampled_from([-1.0, 0.0, 0.5, 1.0]), min_size=4, max_size=4
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _sem_model(rows, tau):
+    """Per label: fixed-point centroid sums, sequential-fold cosines
+    (None on zero norms, mirroring NULLIF), removal = exists a
+    tau-neighbor with (cent_cos, id) strictly lower (SQL null
+    comparisons drop pairs involving a None cosine)."""
+    import math
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        d = fold_dot(a, b)
+        na, nb = math.sqrt(fold_dot(a, a)), math.sqrt(fold_dot(b, b))
+        return None if na * nb == 0.0 else d / (na * nb)
+
+    cents = {}
+    for lbl in {l for l, _ in rows}:
+        vs = [v for l, v in rows if l == lbl]
+        cents[lbl] = [
+            float(sum(int(math.floor(v[i] * 1e12)) for v in vs))
+            for i in range(4)
+        ]
+    cc = [cos(v, cents[l]) for l, v in rows]
+    out = {}
+    for i, (li, vi) in enumerate(rows):
+        better = 0
+        for j, (lj, vj) in enumerate(rows):
+            if j == i or lj != li:
+                continue
+            c = cos(vi, vj)
+            if c is None or c < tau:
+                continue
+            if cc[i] is None or cc[j] is None:
+                continue
+            if cc[j] < cc[i] or (cc[j] == cc[i] and j < i):
+                better += 1
+        out[i] = (better, better > 0)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_sem_vecs)
+def test_semantic_dedup_matches_sequential_model(spark, rows):
+    from evolution_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    tau = 0.5
+    df = spark.createDataFrame(
+        [(i, lbl, [float(x) for x in vec]) for i, (lbl, vec) in enumerate(rows)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.n_better_neighbors, r.removed)
+        for r in semantic_dedup(df, tau).collect()
+    }
+    assert got == _sem_model(rows, tau)
