@@ -2006,3 +2006,64 @@ def test_gif_guards():
         encode_gif(np.zeros((0, 5), dtype=np.uint8), pal)
     with pytest.raises(ValueError, match="unencodable"):
         encode_gif(np.zeros((70000, 1), dtype=np.uint8), pal)
+
+
+def test_gif_local_palette_multiframe_and_offsets():
+    """Real-web-GIF container shapes the hermetic encoder never emits:
+    a file with NO global color table whose frames carry LOCAL color
+    tables, a second (animation) frame with a left/top offset, and a
+    frame with no palette anywhere (ValueError). decode_gif returns the
+    FIRST frame resolved through its local table; gif_meta counts both
+    frames without decoding."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif,
+        gif_meta,
+    )
+
+    def frame(w, h, idx_bytes, mcs, lct=None, left=0, top=0):
+        out = b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+        if lct is not None:
+            bits = (lct.shape[0] - 1).bit_length()
+            out += bytes([0x80 | (bits - 1)]) + lct.tobytes()
+        else:
+            out += b"\x00"
+        lzw = _lzw_encode(mcs, idx_bytes)
+        return out + bytes([mcs, len(lzw)]) + lzw + b"\x00"
+
+    lct1 = np.array(
+        [[10, 20, 30], [40, 50, 60], [70, 80, 90], [100, 110, 120]],
+        dtype=np.uint8,
+    )
+    lct2 = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    idx1 = bytes([0, 1, 2, 3, 2, 1])  # 3x2 first frame
+    data = (
+        b"GIF89a"
+        + struct.pack("<HH", 3, 2)
+        + bytes([0x00, 0, 0])  # no global color table
+        + frame(3, 2, idx1, 2, lct=lct1)
+        + frame(2, 2, bytes([3, 3, 3, 3]), 2, lct=lct2, left=1, top=0)
+        + b"\x3b"
+    )
+    w, h, px = decode_gif(data)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(
+        px, lct1[np.frombuffer(idx1, dtype=np.uint8).reshape(2, 3)]
+    )
+    m = gif_meta(data)
+    assert m["n_frames"] == 2 and m["n_palette"] == 0
+
+    no_pal = (
+        b"GIF87a"
+        + struct.pack("<HH", 2, 1)
+        + bytes([0x00, 0, 0])
+        + frame(2, 1, bytes([0, 1]), 2)
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="no color table"):
+        decode_gif(no_pal)
