@@ -157,3 +157,73 @@ def route_quarantine(
     )
     got = obs.get
     return {"clean": int(got["clean"]), "quarantined": int(got["quarantined"])}
+
+
+def blocklist_matches(
+    docs: DataFrame,
+    phrases: list[tuple[str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-length blocklist phrase screening — the safety-filter
+    stage of a training-corpus pipeline (profanity / policy / brand
+    blocklists), producing what an Aho-Corasick scan would: every
+    (document, token position, phrase, severity) hit, for phrases of
+    ANY token length in one pass over the corpus.
+
+    Plan shape instead of an automaton: group the dictionary by token
+    length; for each length k present, explode the corpus into its
+    k-token windows and equi-join against that length's phrases. The
+    dictionary is model-sized, so every join is a broadcast; the
+    explode fan-out is sum_k (n_tokens) ~ (#distinct lengths) x corpus
+    tokens — linear, embarrassingly parallel, no shuffle of the corpus
+    at all (the downstream per-doc aggregate is the only exchange).
+    A trie-based matcher beats this only below memory scale; at 100 TB
+    the broadcast-join form wins because it never materializes
+    per-task automaton state and Catalyst prunes the scan to the text
+    column alone.
+
+    Severities are caller-defined small ints (convention: 3 = drop the
+    document, 2 = flag for review, 1 = note); the aggregation into a
+    verdict lives in the query layer so policies stay declarative.
+
+    Positions are 1-based token indices. Matching is lowercase
+    whitespace-token exact — the same token model as the rest of the
+    text suite (normalization belongs upstream).
+    """
+    spark = docs.sparkSession
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(id_col, toks.alias("_tk"))
+    by_len: dict[int, list[tuple[str, int]]] = {}
+    for phrase, severity in phrases:
+        k = len(phrase.split(" "))
+        by_len.setdefault(k, []).append((phrase, severity))
+    parts = []
+    for k, plist in sorted(by_len.items()):
+        dic = spark.createDataFrame(
+            sorted(plist), "phrase string, severity int"
+        )
+        grams = (
+            base.filter(F.size("_tk") >= k)
+            .select(
+                id_col,
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_tk") - k + 1),
+                        lambda i: F.array_join(
+                            F.slice(F.col("_tk"), i, k), " "
+                        ),
+                    )
+                ).alias("_p0", "phrase"),
+            )
+            .select(
+                id_col,
+                (F.col("_p0") + 1).cast("long").alias("pos"),
+                "phrase",
+            )
+        )
+        parts.append(grams.join(F.broadcast(dic), "phrase"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(id_col, "pos", "phrase", "severity")

@@ -1597,3 +1597,75 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, format string, width int, height int, "
         "interlaced boolean, n_frames int, exact_match boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist phrase screening (safety-filter stage)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST: list[tuple[str, int]] = [
+    ("vector", 1),
+    ("stream", 1),
+    ("slow filter", 2),
+    ("big table", 2),
+    ("fast merge batch", 3),
+]
+
+_BLOCKLIST_ORACLE = f"""
+WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+bl(phrase, severity) AS (VALUES {", ".join(
+    f"('{p}', {s})" for p, s in _BLOCKLIST
+)}),
+g AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           array_to_string(tk[i:i+k-1], ' ') AS phrase
+    FROM toks, (SELECT unnest([1, 2, 3]) AS k) ks,
+         LATERAL unnest(range(1, len(tk) - k + 2)) t(i)
+    WHERE len(tk) >= k
+),
+m AS (SELECT g.doc_id, g.pos, g.phrase, severity FROM g JOIN bl USING (phrase))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(COUNT(DISTINCT phrase) AS BIGINT) AS n_phrases,
+       CAST(MAX(severity) AS INT) AS max_severity,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CASE WHEN MAX(severity) >= 3 THEN 'drop'
+            WHEN MAX(severity) = 2 THEN 'flag'
+            ELSE 'note' END AS verdict
+FROM m GROUP BY doc_id
+"""
+
+
+@register(
+    "quality_blocklist_phrases",
+    _BLOCKLIST_ORACLE,
+    doc="Blocklist phrase screening (operators/quality.py::"
+    "blocklist_matches) — the safety-filter stage every production "
+    "training-corpus pipeline runs: a severity-weighted phrase "
+    "dictionary of MIXED token lengths matched in one corpus pass, "
+    "with token positions, aggregated into a per-document "
+    "drop/flag/note verdict. Aho-Corasick output via a scale-shaped "
+    "plan: per phrase-length k, the corpus explodes into k-token "
+    "windows broadcast-joined against that length's (model-sized) "
+    "dictionary — linear in corpus tokens x distinct lengths, the "
+    "corpus itself is never shuffled, and the scan is pruned to the "
+    "text column. The reference has no content-screening operator "
+    "(its nettoyage is row-level DISTINCT + type casts).",
+)
+def quality_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.quality import (
+        blocklist_matches,
+    )
+
+    m = blocklist_matches(t(spark, sf_dir, "documents"), _BLOCKLIST)
+    sev = F.max("severity")
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_matches"),
+        F.countDistinct("phrase").cast("long").alias("n_phrases"),
+        sev.cast("int").alias("max_severity"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.when(sev >= 3, "drop")
+        .when(sev == 2, "flag")
+        .otherwise("note")
+        .alias("verdict"),
+    )

@@ -233,3 +233,36 @@ def test_send_report_smtp_transport():
         )
         is False
     )
+
+
+def test_blocklist_matches_positions_and_lengths(spark):
+    """Multi-length dictionary matching: exact 1-based token positions,
+    overlapping hits of different lengths both reported, lowercase
+    matching, and within-doc repeats each reported once per position."""
+    from evolution_data_warehouse_spark.operators.quality import (
+        blocklist_matches,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Bad Word here bad word"),
+            (2, "totally clean text"),
+            (3, "word bad word salad"),
+        ],
+        "doc_id long, text string",
+    )
+    bl = [("bad word", 2), ("word", 1), ("clean", 1)]
+    got = sorted(
+        (r.doc_id, r.pos, r.phrase, r.severity)
+        for r in blocklist_matches(docs, bl).collect()
+    )
+    assert got == [
+        (1, 1, "bad word", 2),
+        (1, 2, "word", 1),
+        (1, 4, "bad word", 2),
+        (1, 5, "word", 1),
+        (2, 2, "clean", 1),
+        (3, 1, "word", 1),
+        (3, 2, "bad word", 2),
+        (3, 3, "word", 1),
+    ]
