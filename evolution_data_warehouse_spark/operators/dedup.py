@@ -21,6 +21,10 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from evolution_data_warehouse_spark.operators.textops import (
+    k_gram_windows as _k_gram_windows,
+)
+
 MERSENNE_P = 2147483647  # 2^31 - 1; keeps a·h+b within int64
 N_MINHASH = 16
 N_BANDS = 4
@@ -533,12 +537,7 @@ def window_spans(
             F.col(id_col),
             n_tokens.cast("long").alias("n_tokens"),
             F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_tokens - w + 1),
-                    lambda i: F.array_join(
-                        F.slice(F.col(tokens_col), i, w), " "
-                    ),
-                )
+                _k_gram_windows(F.col(tokens_col), w)
             ).alias("_p0", "_win"),
         )
         .select(

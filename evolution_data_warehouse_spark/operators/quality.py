@@ -188,16 +188,25 @@ def blocklist_matches(
     verdict lives in the query layer so policies stay declarative.
 
     Positions are 1-based token indices. Matching is lowercase
-    whitespace-token exact — the same token model as the rest of the
-    text suite (normalization belongs upstream).
+    whitespace-token exact; BOTH sides are lowered here (a curated
+    blocklist naturally arrives mixed-case — lowering only the corpus
+    would make such phrases silently match nothing).
     """
+    from evolution_data_warehouse_spark.operators.textops import (
+        k_gram_windows,
+    )
+
     spark = docs.sparkSession
     toks = F.split(F.lower(F.col(text_col)), " ")
     base = docs.select(id_col, toks.alias("_tk"))
     by_len: dict[int, list[tuple[str, int]]] = {}
     for phrase, severity in phrases:
-        k = len(phrase.split(" "))
-        by_len.setdefault(k, []).append((phrase, severity))
+        p = phrase.lower()
+        by_len.setdefault(len(p.split(" ")), []).append((p, severity))
+    if not by_len:  # dynamic blocklists may legitimately be empty
+        return spark.createDataFrame(
+            [], f"{id_col} long, pos long, phrase string, severity int"
+        )
     parts = []
     for k, plist in sorted(by_len.items()):
         dic = spark.createDataFrame(
@@ -207,14 +216,9 @@ def blocklist_matches(
             base.filter(F.size("_tk") >= k)
             .select(
                 id_col,
-                F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_tk") - k + 1),
-                        lambda i: F.array_join(
-                            F.slice(F.col("_tk"), i, k), " "
-                        ),
-                    )
-                ).alias("_p0", "phrase"),
+                F.posexplode(k_gram_windows(F.col("_tk"), k)).alias(
+                    "_p0", "phrase"
+                ),
             )
             .select(
                 id_col,

@@ -67,3 +67,19 @@ def fingerprint(text: Column) -> Column:
     classic near-dup canonicalization key."""
     toks = F.array_sort(F.array_distinct(tokens_ws(F.lower(text))))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def k_gram_windows(tokens: Column, k: int) -> Column:
+    """All k-token sliding windows of a tokens array, joined with a
+    single space — array of length ``size(tokens) - k + 1``. The single
+    source for every window-gram construction (span dedup, blocklist
+    matching): window i (1-based) covers tokens [i, i+k-1], so
+    ``posexplode`` over this array yields 0-based positions that become
+    the engine-wide 1-based token-position convention via ``pos + 1``.
+    Callers must filter ``size(tokens) >= k`` first (Spark's
+    ``sequence`` runs DESCENDING for a negative span instead of
+    yielding an empty array)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - k + 1),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
+    )

@@ -1611,15 +1611,18 @@ _BLOCKLIST: list[tuple[str, int]] = [
     ("fast merge batch", 3),
 ]
 
+_BL_LENGTHS = sorted({len(p.split(" ")) for p, _ in _BLOCKLIST})
+_BL_VALUES = ", ".join(
+    "('" + p.replace("'", "''") + "', " + str(s) + ")" for p, s in _BLOCKLIST
+)
+
 _BLOCKLIST_ORACLE = f"""
 WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
-bl(phrase, severity) AS (VALUES {", ".join(
-    f"('{p}', {s})" for p, s in _BLOCKLIST
-)}),
+bl(phrase, severity) AS (VALUES {_BL_VALUES}),
 g AS (
     SELECT doc_id, CAST(i AS BIGINT) AS pos,
            array_to_string(tk[i:i+k-1], ' ') AS phrase
-    FROM toks, (SELECT unnest([1, 2, 3]) AS k) ks,
+    FROM toks, (SELECT unnest({_BL_LENGTHS}) AS k) ks,
          LATERAL unnest(range(1, len(tk) - k + 2)) t(i)
     WHERE len(tk) >= k
 ),

@@ -266,3 +266,10 @@ def test_blocklist_matches_positions_and_lengths(spark):
         (3, 2, "bad word", 2),
         (3, 3, "word", 1),
     ]
+    # mixed-case dictionary entries match (both sides are lowered) and
+    # an empty dynamic blocklist yields an empty, correctly-typed frame
+    upper = blocklist_matches(docs, [("BAD Word", 3)]).collect()
+    assert [(r.doc_id, r.pos) for r in sorted(upper)] == [(1, 1), (1, 4), (3, 2)]
+    empty = blocklist_matches(docs, [])
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "pos", "phrase", "severity"]
