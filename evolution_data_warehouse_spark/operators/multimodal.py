@@ -6,14 +6,21 @@ batch shape, `mapInPandas` signatures, partitioning — is real and
 tested. Decode comes in two tiers:
 
 * REAL stdlib codecs (no PIL/libjpeg needed): BMP (24-bit BGR, 32-bit
-  BGRA, 1/4/8-bit paletted, RLE4/RLE8 compression; bottom-up or
-  top-down rows), binary PPM (P6, maxval 255 or 16-bit big-endian up
-  to 65535), and PNG (8/16-bit RGB/RGBA, Adam7-interlaced or not,
+  BGRA, 1/4/8-bit paletted, RLE4/RLE8 compression, 16/32-bit
+  BI_BITFIELDS with arbitrary channel masks and 16-bit BI_RGB 555;
+  bottom-up or top-down rows), the binary netpbm family (P6 RGB at
+  maxval 255 or 16-bit big-endian, P5 grayscale, P4 bilevel), and PNG
+  at EVERY spec color type (grayscale 1/2/4/8/16-bit, RGB, paletted
+  1/2/4/8-bit with PLTE, gray+alpha, RGBA; Adam7-interlaced or not,
   zlib inflate + full None/Sub/Up/Average/Paeth unfiltering,
   CRC-checked). These parse the actual byte format —
   `decode_image_real_batch` dispatches on magic bytes and emits
   width/height plus exact per-channel pixel sums (integer sums, so the
-  output is bit-deterministic and oracle-checkable).
+  output is bit-deterministic and oracle-checkable). Conformance is
+  pinned to real third-party encoders, not just hermetic round-trips:
+  the CPython-shipped test images decode with bit-identical channel
+  sums across the independent PNG/BMP/PPM paths
+  (test_real_file_cross_format_conformance).
 * JPEG decodes for real too — pure-numpy Huffman + IDCT in
   operators/jpeg.py, both baseline-sequential (SOF0/SOF1, sampling
   factors 1-2, restart markers) and progressive (SOF2, spectral
@@ -284,16 +291,14 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     (offset,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"unsupported BMP compression {compression} (BI_RGB/BI_RLE8/"
-            f"BI_RLE4 only)"
+            f"BI_RLE4/BI_BITFIELDS only)"
         )
-    if compression == 0 and bpp == 16:
-        # spec-valid BI_RGB variant we don't parse: an honest gate,
-        # not a malformed-input claim
-        raise NotImplementedError("16-bit BI_RGB BMP not supported")
-    ok_bpp = {0: (1, 4, 8, 24, 32), 1: (8,), 2: (4,)}[compression]
+    ok_bpp = {0: (1, 4, 8, 16, 24, 32), 1: (8,), 2: (4,), 3: (16, 32)}[
+        compression
+    ]
     if bpp not in ok_bpp:
         raise ValueError(
             f"invalid BMP bpp {bpp} for compression {compression}"
@@ -309,6 +314,49 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
         )
     if offset > len(data):
         raise ValueError("BMP pixel offset beyond payload")
+    if compression == 3 or bpp == 16:
+        # masked pixels: BI_BITFIELDS carries explicit channel masks —
+        # 3 DWORDs right after a 40-byte header, in-header at the same
+        # file offset (54) for V2/V3/V4/V5, with an alpha mask from V3
+        # (hdr_size >= 56) on; 16-bit BI_RGB defaults to 555
+        if compression == 3:
+            if len(data) < 66:
+                raise ValueError("truncated BMP bitfields masks")
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+            am = (
+                struct.unpack_from("<I", data, 66)[0]
+                if hdr_size >= 56 and len(data) >= 70
+                else 0
+            )
+        else:
+            rm, gm, bm, am = 0x7C00, 0x03E0, 0x001F, 0
+        if not (rm and gm and bm):
+            raise ValueError("BMP bitfields with a zero channel mask")
+        nb = bpp // 8
+        stride = (nb * w + 3) // 4 * 4
+        if offset + stride * h > len(data):
+            raise ValueError("truncated BMP pixel data")
+        body = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=offset
+        ).reshape(h, stride)[:, : nb * w]
+        words = (
+            np.ascontiguousarray(body)
+            .view("<u2" if bpp == 16 else "<u4")
+            .reshape(h, w)
+            .astype(np.uint32)
+        )
+        if not top_down:
+            words = words[::-1]
+
+        def chan(mask: int) -> np.ndarray:
+            shift = (mask & -mask).bit_length() - 1
+            peak = mask >> shift  # max raw value the mask can hold
+            raw = (words & np.uint32(mask)) >> np.uint32(shift)
+            # exact integer rescale to 8-bit (x * 255 // peak)
+            return ((raw * 255) // peak).astype(np.uint8)
+
+        chans = [chan(rm), chan(gm), chan(bm)] + ([chan(am)] if am else [])
+        return w, h, np.stack(chans, axis=2)
     if bpp >= 24:
         ch = bpp // 8
         stride = (ch * w + 3) // 4 * 4
@@ -372,14 +420,19 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a binary PPM (P6, maxval 255), honoring '#' comments."""
-    if data[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
-    # header = 4 whitespace-separated tokens (magic, w, h, maxval),
-    # with '#' comments running to end-of-line; pixel data starts after
-    # the single whitespace byte that terminates maxval
+    """Decode the binary netpbm family, honoring '#' comments: P6
+    (RGB, maxval 255 or 16-bit big-endian), P5 (grayscale, expanded to
+    RGB), and P4 (1-bit, MSB-first packed rows; 1 = black per the PBM
+    spec). Everything returns (w, h, RGB)."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5", b"P4"):
+        raise ValueError("not a binary PPM/PGM/PBM payload")
+    # header = whitespace-separated tokens (magic, w, h[, maxval]) with
+    # '#' comments running to end-of-line; pixel data starts after the
+    # single whitespace byte that terminates the last header token
+    n_tokens = 3 if magic == b"P4" else 4
     pos, tokens = 0, []
-    while len(tokens) < 4:
+    while len(tokens) < n_tokens:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
         if data[pos : pos + 1] == b"#":
@@ -389,21 +442,45 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
         start = pos
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
         tokens.append(data[start:pos])
-    pos += 1  # the single whitespace after maxval
-    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    pos += 1  # the single whitespace after the last header token
+    w, h = int(tokens[1]), int(tokens[2])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if magic == b"P4":
+        rowbytes = (w + 7) // 8
+        if pos + rowbytes * h > len(data):
+            raise ValueError("truncated PBM pixel data")
+        body = np.frombuffer(
+            data, dtype=np.uint8, count=rowbytes * h, offset=pos
+        ).reshape(h, rowbytes)
+        bits = np.unpackbits(body, axis=1)[:, :w]
+        g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+        return w, h, np.repeat(g[:, :, None], 3, axis=2)
+    maxval = int(tokens[3])
+    ch = 3 if magic == b"P6" else 1
     if maxval == 255:
-        if pos + 3 * w * h > len(data):
+        if pos + ch * w * h > len(data):
             raise ValueError("truncated PPM pixel data")
-        body = np.frombuffer(data, dtype=np.uint8, count=3 * w * h, offset=pos)
-        return w, h, body.reshape(h, w, 3)
-    if 256 <= maxval <= 65535:
+        body = np.frombuffer(
+            data, dtype=np.uint8, count=ch * w * h, offset=pos
+        ).reshape(h, w, ch)
+    elif 256 <= maxval <= 65535:
         # 2-byte big-endian samples per the netpbm spec
-        if pos + 6 * w * h > len(data):
+        if pos + 2 * ch * w * h > len(data):
             raise ValueError("truncated PPM pixel data")
-        body = np.frombuffer(data, dtype=">u2", count=3 * w * h, offset=pos)
-        return w, h, body.reshape(h, w, 3).astype(np.uint16)
-    raise ValueError(f"invalid PPM maxval {maxval}")
+        body = (
+            np.frombuffer(data, dtype=">u2", count=ch * w * h, offset=pos)
+            .reshape(h, w, ch)
+            .astype(np.uint16)
+        )
+    else:
+        raise ValueError(f"invalid PPM maxval {maxval}")
+    if ch == 1:
+        return w, h, np.repeat(body, 3, axis=2)
+    return w, h, body
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -538,6 +615,119 @@ def encode_png(
     )
 
 
+def _pack_bits_row(vals: np.ndarray, depth: int) -> np.ndarray:
+    """Pack one row of sub-8-bit samples MSB-first into whole bytes
+    (the PNG/BMP packed-row convention)."""
+    bits = (
+        (vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits)
+
+
+def _png_container(
+    w: int,
+    h: int,
+    color_type: int,
+    depth: int,
+    stream: bytes,
+    plte: bytes | None = None,
+    interlace: int = 0,
+) -> bytes:
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(stream)) + _png_chunk(b"IEND", b"")
+
+
+def _png_filtered_stream(
+    planes: np.ndarray, depth: int, fch: int, interlace: int, pick
+) -> bytes:
+    """Filter an (h, w, fch) sample grid into a PNG pixel stream
+    (packing sub-8 samples first; filters operate on the packed
+    bytes, filter unit max(1, fch*depth//8) per spec)."""
+    h, w = planes.shape[0], planes.shape[1]
+    bpp = max(1, fch * depth // 8)
+    passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    stream = bytearray()
+    for x0, y0, dx, dy in passes:
+        block = planes[y0::dy, x0::dx]
+        hp, wp = block.shape[0], block.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        if depth < 8:
+            rows = np.stack(
+                [_pack_bits_row(block[y, :, 0], depth) for y in range(hp)]
+            )
+        elif depth == 8:
+            rows = block.reshape(hp, wp * fch).astype(np.uint8)
+        else:
+            b16 = block.astype(">u2").view(np.uint8)
+            rows = b16.reshape(hp, wp * fch * 2)
+        prev = np.zeros(rows.shape[1], dtype=np.uint8)
+        for y in range(hp):
+            raw = rows[y]
+            ftype = pick(y)
+            stream.append(ftype)
+            stream.extend(_png_filter_row(ftype, raw, prev, bpp).tobytes())
+            prev = raw
+    return bytes(stream)
+
+
+def encode_png_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    depth: int = 8,
+    interlace: int = 0,
+    filter_per_row=None,
+) -> bytes:
+    """Encode a paletted (color type 3) PNG at depth 1/2/4/8 — the
+    dominant shape of real web PNGs (icons, screenshots, pixel art).
+    Indices pack MSB-first at sub-8 depths; the PLTE carries the RGB
+    palette; every scanline filter is exercised by default."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8) or interlace not in (0, 1):
+        raise ValueError(f"unsupported indexed encode (depth={depth})")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= (1 << depth):
+        raise ValueError("palette must be (1..2**depth, 3)")
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index outside palette")
+    h, w = idx.shape
+    pick = filter_per_row or (lambda y: y % 5)
+    stream = _png_filtered_stream(idx[:, :, None], depth, 1, interlace, pick)
+    return _png_container(w, h, 3, depth, stream, plte=pal.tobytes(), interlace=interlace)
+
+
+def encode_png_gray(
+    gray: np.ndarray,
+    depth: int = 8,
+    alpha: np.ndarray | None = None,
+    interlace: int = 0,
+    filter_per_row=None,
+) -> bytes:
+    """Encode a grayscale (color type 0, depth 1/2/4/8/16) or
+    gray+alpha (type 4, depth 8/16) PNG."""
+    g = np.asarray(gray)
+    if alpha is None:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"unsupported gray depth {depth}")
+    elif depth not in (8, 16):
+        raise ValueError(f"unsupported gray+alpha depth {depth}")
+    if int(g.max(initial=0)) >= (1 << depth):
+        raise ValueError("gray sample exceeds depth")
+    h, w = g.shape
+    if alpha is None:
+        planes = g[:, :, None]
+        ctype, fch = 0, 1
+    else:
+        planes = np.stack([g, np.asarray(alpha)], axis=2)
+        ctype, fch = 4, 2
+    pick = filter_per_row or (lambda y: y % 5)
+    stream = _png_filtered_stream(planes, depth, fch, interlace, pick)
+    return _png_container(w, h, ctype, depth, stream, interlace=interlace)
+
+
 def decode_png_text(data: bytes) -> dict[str, str]:
     """Extract tEXt metadata chunks from a PNG (CRC-checked chunk walk,
     same framing as decode_png) — the metadata-curation half of real
@@ -566,15 +756,31 @@ def decode_png_text(data: bytes) -> dict[str, str]:
     return out
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an 8/16-bit RGB/RGBA PNG, interlaced (Adam7) or not →
-    (w, h, pixels); uint8 for depth 8, uint16 for depth 16. CRC-checked
-    per chunk; multiple IDAT chunks are concatenated; each Adam7 pass
+    """Decode a PNG of ANY spec color type — grayscale (0, depths
+    1/2/4/8/16), RGB (2), paletted (3, depths 1/2/4/8, PLTE),
+    gray+alpha (4), RGBA (6) — interlaced (Adam7) or not →
+    (w, h, pixels). Paletted resolves through the PLTE (tRNS is
+    compositing metadata and is ignored, like the GIF transparent
+    index); grayscale expands to RGB with the spec's exact
+    bit-replication scale (255/(2**d-1) is integral for every legal
+    d). uint8 out for depth <= 8, uint16 for 16. CRC-checked per
+    chunk; multiple IDAT chunks are concatenated; each Adam7 pass
     unfilters independently and scatters into the full-resolution grid
     per the spec's (x0, y0, dx, dy) lattice."""
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = len(_PNG_SIG), bytearray(), None
+    pos, idat, ihdr, plte = len(_PNG_SIG), bytearray(), None, None
     while pos < len(data):
         if pos + 8 > len(data):
             raise ValueError("truncated PNG chunk header")
@@ -588,6 +794,8 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -596,14 +804,18 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16) or color_type not in (2, 6) or interlace not in (0, 1):
+    if (
+        color_type not in _PNG_CHANNELS
+        or depth not in _PNG_DEPTHS[color_type]
+        or interlace not in (0, 1)
+    ):
         raise NotImplementedError(
-            f"only 8/16-bit RGB/RGBA PNG, interlace 0/1 supported "
-            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+            f"unsupported PNG shape (depth={depth}, "
+            f"color_type={color_type}, interlace={interlace})"
         )
-    ch = 3 if color_type == 2 else 4
-    sb = depth // 8
-    bpp = ch * sb
+    fch = _PNG_CHANNELS[color_type]
+    # The filter unit is whole bytes: max(1, bits-per-pixel // 8).
+    bpp = max(1, fch * depth // 8)
     try:
         inflated = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -612,10 +824,11 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
 
     def unfilter_block(off: int, wp: int, hp: int) -> tuple[np.ndarray, int]:
         """Unfilter one (sub-)image of wp x hp pixels starting at byte
-        ``off`` of the decompressed stream → ((hp, wp, ch) samples,
-        next offset). 16-bit samples are rejoined from their big-endian
-        byte pairs AFTER unfiltering (filters operate on bytes)."""
-        rowbytes = wp * bpp
+        ``off`` of the decompressed stream → ((hp, wp, fch) raw
+        samples, next offset). 16-bit samples are rejoined from their
+        big-endian byte pairs AFTER unfiltering (filters operate on
+        bytes); sub-8-bit rows unpack MSB-first packed samples."""
+        rowbytes = (wp * fch * depth + 7) // 8
         end = off + hp * (1 + rowbytes)
         if end > len(stream):
             raise ValueError("PNG pixel stream length mismatch")
@@ -626,28 +839,56 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             prev = _png_unfilter_row(int(block[y, 0]), block[y, 1:], prev, bpp)
             rows[y] = prev
         if depth == 8:
-            return rows.reshape(hp, wp, ch), end
-        px16 = rows.reshape(hp, wp, ch, 2).astype(np.uint16)
-        return (px16[..., 0] << 8) | px16[..., 1], end
+            return rows.reshape(hp, wp, fch), end
+        if depth == 16:
+            px16 = rows.reshape(hp, wp, fch, 2).astype(np.uint16)
+            return (px16[..., 0] << 8) | px16[..., 1], end
+        bits = np.unpackbits(rows, axis=1)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        vals = (bits.reshape(hp, -1, depth) * weights).sum(
+            axis=2, dtype=np.uint8
+        )
+        return vals[:, :wp].reshape(hp, wp, 1), end
 
     if interlace == 0:
-        px, end = unfilter_block(0, w, h)
+        samples, end = unfilter_block(0, w, h)
         if end != len(stream):
             raise ValueError("PNG pixel stream length mismatch")
-        return w, h, px
+    else:
+        samples = np.zeros(
+            (h, w, fch), dtype=np.uint8 if depth <= 8 else np.uint16
+        )
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp == 0 or hp == 0:
+                continue  # pass contributes no scanlines for these dims
+            block, off = unfilter_block(off, wp, hp)
+            samples[y0::dy, x0::dx] = block
+        if off != len(stream):
+            raise ValueError("PNG pixel stream length mismatch")
 
-    out = np.zeros((h, w, ch), dtype=np.uint8 if depth == 8 else np.uint16)
-    off = 0
-    for x0, y0, dx, dy in _ADAM7:
-        wp = (w - x0 + dx - 1) // dx
-        hp = (h - y0 + dy - 1) // dy
-        if wp == 0 or hp == 0:
-            continue  # pass contributes no scanlines for these dims
-        block, off = unfilter_block(off, wp, hp)
-        out[y0::dy, x0::dx] = block
-    if off != len(stream):
-        raise ValueError("PNG pixel stream length mismatch")
-    return w, h, out
+    if color_type in (2, 6):
+        return w, h, samples
+    if color_type == 3:
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("paletted PNG missing or invalid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return w, h, pal[idx]
+    # grayscale (0) / gray+alpha (4): expand gray to RGB
+    if depth == 16:
+        g = samples
+    else:
+        scale = 255 // ((1 << depth) - 1)  # integral for d in 1,2,4,8
+        g = (samples.astype(np.uint16) * scale).astype(np.uint8)
+    rgb = np.repeat(g[:, :, :1], 3, axis=2)
+    if color_type == 0:
+        return w, h, rgb
+    return w, h, np.concatenate([rgb, g[:, :, 1:]], axis=2)
 
 
 def decode_image_auto(data: bytes) -> dict:
@@ -674,8 +915,9 @@ def decode_image_auto(data: bytes) -> dict:
         fmt, (w, h, px) = "gif", decode_gif(data)
     elif data[:2] == b"BM":
         fmt, (w, h, px) = "bmp", decode_bmp(data)
-    elif data[:2] == b"P6":
-        fmt, (w, h, px) = "ppm", decode_ppm(data)
+    elif data[:2] in (b"P6", b"P5", b"P4"):
+        fmt = {b"P6": "ppm", b"P5": "pgm", b"P4": "pbm"}[data[:2]]
+        fmt, (w, h, px) = fmt, decode_ppm(data)
     elif data[: len(_PNG_SIG)] == _PNG_SIG:
         fmt, (w, h, px) = "png", decode_png(data)
     else:

@@ -1672,3 +1672,128 @@ def quality_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("note")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# paletted / grayscale PNG + masked BMP decode — late-r8 codec evidence
+# ---------------------------------------------------------------------------
+
+_MM_PAL_ORACLE = """
+SELECT doc_id,
+       CAST(2 + doc_id % 13 AS INT) AS width,
+       CAST(1 + doc_id % 8 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1
+                 WHEN doc_id % 4 = 1 THEN 2
+                 WHEN doc_id % 4 = 2 THEN 4
+                 ELSE 8 END AS INT) AS depth,
+       doc_id % 2 = 1 AS interlaced,
+       TRUE AS paletted_match,
+       TRUE AS gray_match,
+       TRUE AS bitfields_match
+FROM documents
+"""
+
+
+@register(
+    "mm_decode_paletted",
+    _MM_PAL_ORACLE,
+    doc="Late-r8 codec-gate evidence: per document, (1) a paletted "
+    "(color type 3) PNG at depth doc_id%4 -> 1/2/4/8 bits, "
+    "Adam7-interlaced for odd ids, round-trips bit-exactly through "
+    "the real decoder (operators/multimodal.py::decode_png — MSB-first "
+    "packed samples, PLTE resolution); (2) a grayscale (type 0) PNG at "
+    "the same depth round-trips through the spec's exact replication "
+    "scale; (3) a 16-bpp BI_BITFIELDS BMP (565 masks) of the same "
+    "pixels decodes to the closed-form mask-extraction model. "
+    "Paletted is the dominant real-web-PNG shape; the real-encoder "
+    "cross-check lives in test_real_file_cross_format_conformance "
+    "(CPython's imghdr images: PNG/BMP/PPM channel sums identical). "
+    "Same embarrassingly-parallel mapInPandas shape as every decode "
+    "query.",
+)
+def mm_decode_paletted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    def synth_and_decode(batches):
+        from evolution_data_warehouse_spark.operators.multimodal import (
+            decode_bmp,
+            decode_png,
+            encode_png_gray,
+            encode_png_indexed,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 2 + d % 13, 1 + d % 8
+                depth = (1, 2, 4, 8)[d % 4]
+                inter = d % 2
+                n = 1 << depth
+                ii, jj = np.indices((h, w))
+                idx = ((ii * 5 + jj * 3 + d) % n).astype(np.uint8)
+                k = np.arange(n, dtype=np.int64)
+                pal = np.stack(
+                    [(k * 7 + d) % 256, (k * 13) % 256, (k * 29 + d) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                _, _, ppx = decode_png(
+                    encode_png_indexed(idx, pal, depth=depth, interlace=inter)
+                )
+                pal_ok = np.array_equal(ppx, pal[idx])
+                g = idx  # gray samples at the same depth
+                scale = 255 // (n - 1)
+                _, _, gpx = decode_png(
+                    encode_png_gray(g, depth=depth, interlace=inter)
+                )
+                gray_ok = np.array_equal(
+                    gpx, np.repeat((g * scale).astype(np.uint8)[:, :, None], 3, axis=2)
+                )
+                # 16-bpp 565 bitfields BMP of deterministic words
+                words = ((ii * 131 + jj * 17 + d) % (1 << 16)).astype("<u2")
+                stride = (2 * w + 3) // 4 * 4
+                rowbuf = np.zeros((h, stride), dtype=np.uint8)
+                rowbuf[:, : 2 * w] = words.view(np.uint8).reshape(h, 2 * w)
+                bmp = (
+                    _struct.pack("<2sIHHI", b"BM", 14 + 40 + 12 + stride * h, 0, 0, 14 + 40 + 12)
+                    + _struct.pack(
+                        "<IiiHHIIiiII",
+                        40, w, h, 1, 16, 3, stride * h, 2835, 2835, 0, 0,
+                    )
+                    + _struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+                    + rowbuf[::-1].tobytes()
+                )
+                _, _, bpx = decode_bmp(bmp)
+                wu = words.astype(np.uint32)
+                exp = np.stack(
+                    [
+                        (((wu >> 11) & 0x1F) * 255 // 31).astype(np.uint8),
+                        (((wu >> 5) & 0x3F) * 255 // 63).astype(np.uint8),
+                        ((wu & 0x1F) * 255 // 31).astype(np.uint8),
+                    ],
+                    axis=2,
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": np.int32(w),
+                        "height": np.int32(h),
+                        "depth": np.int32(depth),
+                        "interlaced": bool(inter),
+                        "paletted_match": bool(pal_ok),
+                        "gray_match": bool(gray_ok),
+                        "bitfields_match": bool(np.array_equal(bpx, exp)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_decode,
+        "doc_id long, width int, height int, depth int, "
+        "interlaced boolean, paletted_match boolean, gray_match boolean, "
+        "bitfields_match boolean",
+    )

@@ -830,12 +830,14 @@ def test_bmp_sub8_and_rle():
     bomb[18:26] = struct.pack("<ii", 200_000, 200_000)
     with pytest.raises(ValueError, match="implausible BMP dimensions"):
         decode_bmp(bytes(bomb))
-    # 16-bpp BI_RGB is spec-valid but unimplemented: an honest gate
+    # 16-bpp BI_RGB (default 555 masks) decodes for real now — the
+    # late-r8 BI_BITFIELDS path closed this gate, so reinterpreting the
+    # old RLE payload as raw 555 words is a well-formed decode
     sixteen = bytearray(encode_bmp_rle(np.zeros((2, 2), np.uint8), pal2, 8))
     sixteen[28:30] = (16).to_bytes(2, "little")
     sixteen[30:34] = (0).to_bytes(4, "little")
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_bmp(bytes(sixteen))
+    w16, h16, px16 = decode_bmp(bytes(sixteen))
+    assert (w16, h16) == (2, 2) and px16.shape == (2, 2, 3)
 
     # fuzz: cuts and byte flips only ever raise ValueError /
     # NotImplementedError — the mapInPandas quarantine contract
@@ -2067,3 +2069,197 @@ def test_gif_local_palette_multiframe_and_offsets():
     )
     with pytest.raises(ValueError, match="no color table"):
         decode_gif(no_pal)
+
+
+def test_png_paletted_and_gray_roundtrips():
+    """The late-r8 PNG gates closed: paletted (color type 3) at depths
+    1/2/4/8 — the dominant real-web-PNG shape — plus grayscale (0) at
+    1/2/4/8/16 and gray+alpha (4) at 8/16, interlaced or not, all
+    bit-exact round-trips through the hermetic encoders (every
+    scanline filter exercised). Sub-8 gray expands by the spec's exact
+    replication scale; invalid palettes and out-of-range indices are
+    ValueError."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for depth in (1, 2, 4, 8):
+        for interlace in (0, 1):
+            n = 1 << depth
+            pal = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+            for h, w in [(1, 1), (3, 2), (9, 13)]:
+                idx = rng.integers(0, n, size=(h, w)).astype(np.uint8)
+                ww, hh, px = decode_png(
+                    encode_png_indexed(idx, pal, depth=depth, interlace=interlace)
+                )
+                assert (ww, hh) == (w, h)
+                assert np.array_equal(px, pal[idx]), (depth, interlace, h, w)
+    for depth in (1, 2, 4, 8, 16):
+        scale = 255 // ((1 << depth) - 1) if depth <= 8 else 1
+        dt = np.uint16 if depth == 16 else np.uint8
+        g = rng.integers(0, 1 << depth, size=(7, 5)).astype(dt)
+        _, _, px = decode_png(encode_png_gray(g, depth=depth))
+        base = (g.astype(np.uint16) * scale).astype(np.uint8) if depth <= 8 else g
+        assert np.array_equal(px, np.repeat(base[:, :, None], 3, axis=2)), depth
+    for depth in (8, 16):
+        mx = (1 << depth) - 1
+        dt = np.uint16 if depth == 16 else np.uint8
+        g = rng.integers(0, mx + 1, size=(4, 6)).astype(dt)
+        a = rng.integers(0, mx + 1, size=(4, 6)).astype(dt)
+        _, _, px = decode_png(encode_png_gray(g, depth=depth, alpha=a))
+        assert px.shape == (4, 6, 4)
+        assert np.array_equal(px[:, :, 0], g) and np.array_equal(px[:, :, 3], a)
+
+    # contract: paletted stream missing its PLTE / index past palette
+    pal4 = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    good = encode_png_indexed(
+        np.zeros((2, 2), np.uint8), pal4, depth=2
+    )
+    plte_at = good.index(b"PLTE")
+    no_plte = good[: plte_at - 4] + good[plte_at - 4 + 12 + 12 :]
+    with pytest.raises(ValueError):
+        decode_png(no_plte)
+    small_pal = encode_png_indexed(
+        np.full((1, 1), 2, np.uint8), pal4[:3], depth=2
+    )
+    assert decode_png(small_pal)[2].tolist() == [[[6, 7, 8]]]
+    with pytest.raises(ValueError, match="outside palette"):
+        encode_png_indexed(np.full((1, 1), 3, np.uint8), pal4[:3], depth=2)
+
+    # fuzz the new packed path: cuts and flips are ValueError-only
+    data = encode_png_indexed(
+        rng.integers(0, 16, size=(9, 7)).astype(np.uint8),
+        rng.integers(0, 256, size=(16, 3)).astype(np.uint8),
+        depth=4,
+        interlace=1,
+    )
+    for cut in range(0, len(data), 3):
+        with pytest.raises(ValueError):
+            decode_png(data[:cut])
+    for pos in range(8, len(data), 2):
+        mut = bytearray(data)
+        mut[pos] ^= 0xFF
+        try:
+            decode_png(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_bmp_bitfields_and_16bpp():
+    """BI_BITFIELDS decodes with arbitrary channel masks (565, 555,
+    custom widths, V4-header alpha) and 16-bpp BI_RGB defaults to 555 —
+    verified against a closed-form numpy model on hand-built payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    def build(words, masks, bpp, hdr_size=40, compression=3, height_sign=1):
+        h, w = words.shape
+        nb = bpp // 8
+        stride = (nb * w + 3) // 4 * 4
+        n_masks = 4 if hdr_size >= 56 else 3
+        offset = 14 + hdr_size + (4 * n_masks if hdr_size == 40 else 0)
+        hdr = struct.pack(
+            "<2sIHHI", b"BM", offset + stride * h, 0, 0, offset
+        ) + struct.pack(
+            "<IiiHHIIiiII",
+            hdr_size, w, h * height_sign, 1, bpp, compression,
+            stride * h, 2835, 2835, 0, 0,
+        )
+        hdr += struct.pack(f"<{n_masks}I", *(masks + [0] * n_masks)[:n_masks])
+        if hdr_size > 40:  # in-header masks: pad the rest of the header
+            hdr += bytes(offset - len(hdr))
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        lab = words.astype("<u2" if bpp == 16 else "<u4").view(np.uint8)
+        rows[:, : nb * w] = lab.reshape(h, nb * w)
+        ordered = rows if height_sign < 0 else rows[::-1]
+        return hdr + ordered.tobytes()
+
+    def model(words, masks):
+        chans = []
+        for m in masks:
+            if m == 0:
+                continue
+            shift = (m & -m).bit_length() - 1
+            peak = m >> shift
+            chans.append((((words & m) >> shift) * 255 // peak).astype(np.uint8))
+        return np.stack(chans, axis=2)
+
+    rng = np.random.default_rng(6)
+    # 565 and 555 via explicit bitfields, top-down and bottom-up
+    for masks in ([0xF800, 0x07E0, 0x001F], [0x7C00, 0x03E0, 0x001F]):
+        words = rng.integers(0, 1 << 16, size=(5, 3)).astype(np.uint32)
+        for sign in (1, -1):
+            w, h, px = decode_bmp(build(words, masks, 16, height_sign=sign))
+            assert (w, h) == (3, 5)
+            assert np.array_equal(px, model(words, masks)), (masks, sign)
+    # 32-bpp custom masks with alpha (V4 header, masks in-header)
+    masks = [0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000]
+    words = rng.integers(0, 1 << 32, size=(4, 2), dtype=np.uint64).astype(np.uint32)
+    w, h, px = decode_bmp(build(words, masks, 32, hdr_size=108))
+    assert px.shape == (4, 2, 4)
+    assert np.array_equal(px, model(words, masks))
+    # 16-bpp BI_RGB defaults to 555
+    words = rng.integers(0, 1 << 15, size=(2, 4)).astype(np.uint32)
+    w, h, px = decode_bmp(build(words, [], 16, compression=0))
+    assert np.array_equal(px, model(words, [0x7C00, 0x03E0, 0x001F]))
+    # zero mask is malformed, not a crash
+    with pytest.raises(ValueError, match="zero channel mask"):
+        decode_bmp(build(words, [0, 0x3E0, 0x1F], 16))
+
+
+def test_real_file_cross_format_conformance():
+    """CPython's imghdr test images — the SAME 16x16 picture really
+    encoded by third-party tools in every format — decode through five
+    fully independent paths, and the lossless trio (paletted PNG via
+    DEFLATE+filters, 32-bpp BI_BITFIELDS BMP, raw P6 PPM) produces
+    BIT-IDENTICAL per-channel sums. No hermetic round-trip can fake
+    that agreement: it pins decoder correctness to real encoders."""
+    import os
+    import sysconfig
+
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_image_auto,
+    )
+
+    d = os.path.join(sysconfig.get_paths()["stdlib"], "test", "imghdrdata")
+    if not os.path.isdir(d):
+        pytest.skip("stdlib test images not present")
+    out = {}
+    for f in (
+        "python.png",
+        "python.bmp",
+        "python.ppm",
+        "python.pgm",
+        "python.pbm",
+        "python.gif",
+        "python.jpg",
+        "python-raw.jpg",
+    ):
+        data = open(os.path.join(d, f), "rb").read()
+        r = decode_image_auto(data)
+        assert (r["width"], r["height"]) == (16, 16), f
+        out[f] = (r["sum_r"], r["sum_g"], r["sum_b"])
+    # lossless cross-format identity + pinned sums
+    assert (
+        out["python.png"] == out["python.bmp"] == out["python.ppm"]
+        == (24683, 26085, 17950)
+    )
+    # the two JPEG variants carry the same scan data
+    assert out["python.jpg"] == out["python-raw.jpg"]
+    # grayscale conversions are channel-uniform
+    assert len(set(out["python.pgm"])) == 1
+    assert len(set(out["python.pbm"])) == 1
