@@ -352,8 +352,9 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
             shift = (mask & -mask).bit_length() - 1
             peak = mask >> shift  # max raw value the mask can hold
             raw = (words & np.uint32(mask)) >> np.uint32(shift)
-            # exact integer rescale to 8-bit (x * 255 // peak)
-            return ((raw * 255) // peak).astype(np.uint8)
+            # exact integer rescale to 8-bit (x * 255 // peak); widen
+            # first — raw*255 overflows uint32 for masks > 24 bits wide
+            return ((raw.astype(np.uint64) * 255) // peak).astype(np.uint8)
 
         chans = [chan(rm), chan(gm), chan(bm)] + ([chan(am)] if am else [])
         return w, h, np.stack(chans, axis=2)
@@ -421,9 +422,12 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
 
 def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode the binary netpbm family, honoring '#' comments: P6
-    (RGB, maxval 255 or 16-bit big-endian), P5 (grayscale, expanded to
-    RGB), and P4 (1-bit, MSB-first packed rows; 1 = black per the PBM
-    spec). Everything returns (w, h, RGB)."""
+    (RGB), P5 (grayscale, expanded to RGB), and P4 (1-bit, MSB-first
+    packed rows; 1 = black per the PBM spec). Any spec maxval is
+    accepted — 1-byte samples below 256, big-endian 2-byte above —
+    and samples come back RAW (0..maxval, no rescale; for the common
+    maxval 255 that IS full-range 8-bit). Everything returns
+    (w, h, RGB)."""
     magic = data[:2]
     if magic not in (b"P6", b"P5", b"P4"):
         raise ValueError("not a binary PPM/PGM/PBM payload")
@@ -461,7 +465,10 @@ def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
         return w, h, np.repeat(g[:, :, None], 3, axis=2)
     maxval = int(tokens[3])
     ch = 3 if magic == b"P6" else 1
-    if maxval == 255:
+    if 1 <= maxval <= 255:
+        # 1-byte samples per the netpbm spec; values are returned RAW
+        # (0..maxval, no rescale) — deterministic, and for the common
+        # maxval 255 identical to full-range 8-bit
         if pos + ch * w * h > len(data):
             raise ValueError("truncated PPM pixel data")
         body = np.frombuffer(
@@ -553,17 +560,6 @@ _ADAM7 = (
 )
 
 
-def _rows_to_bytes(rows: np.ndarray, depth: int) -> np.ndarray:
-    """(hp, wp, ch) pixel block → flat per-row byte matrix (hp, wp*ch*sb),
-    big-endian samples for 16-bit per the PNG spec."""
-    hp = rows.shape[0]
-    if depth == 8:
-        return rows.reshape(hp, -1).astype(np.uint8)
-    return (
-        rows.astype(">u2").view(np.uint8).reshape(hp, -1)
-    )
-
-
 def encode_png(
     pixels: np.ndarray,
     filter_per_row=None,
@@ -583,35 +579,9 @@ def encode_png(
     if depth not in (8, 16) or interlace not in (0, 1):
         raise ValueError(f"unsupported encode (depth={depth}, interlace={interlace})")
     pick = filter_per_row or (lambda y: y % 5)
-    bpp = ch * (depth // 8)
-    stream = bytearray()
-    passes = (
-        [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
-    )
-    for x0, y0, dx, dy in passes:
-        block = pixels[y0::dy, x0::dx]
-        hp, wp = block.shape[0], block.shape[1]
-        if hp == 0 or wp == 0:
-            continue  # empty pass: contributes no scanlines at all
-        rows = _rows_to_bytes(block, depth)
-        prev = np.zeros(wp * bpp, dtype=np.uint8)
-        for y in range(hp):
-            raw = rows[y]
-            ftype = pick(y)
-            stream.append(ftype)
-            stream.extend(_png_filter_row(ftype, raw, prev, bpp).tobytes())
-            prev = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
-    text_chunks = b"".join(
-        _png_chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
-        for k, v in sorted((text or {}).items())
-    )
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + text_chunks
-        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
-        + _png_chunk(b"IEND", b"")
+    stream = _png_filtered_stream(pixels, depth, ch, interlace, pick)
+    return _png_container(
+        w, h, color_type, depth, stream, interlace=interlace, text=text
     )
 
 
@@ -632,11 +602,16 @@ def _png_container(
     stream: bytes,
     plte: bytes | None = None,
     interlace: int = 0,
+    text: dict[str, str] | None = None,
 ) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
         out += _png_chunk(b"PLTE", plte)
+    out += b"".join(
+        _png_chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in sorted((text or {}).items())
+    )
     return out + _png_chunk(b"IDAT", zlib.compress(stream)) + _png_chunk(b"IEND", b"")
 
 
@@ -646,7 +621,6 @@ def _png_filtered_stream(
     """Filter an (h, w, fch) sample grid into a PNG pixel stream
     (packing sub-8 samples first; filters operate on the packed
     bytes, filter unit max(1, fch*depth//8) per spec)."""
-    h, w = planes.shape[0], planes.shape[1]
     bpp = max(1, fch * depth // 8)
     passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
     stream = bytearray()
@@ -721,7 +695,12 @@ def encode_png_gray(
         planes = g[:, :, None]
         ctype, fch = 0, 1
     else:
-        planes = np.stack([g, np.asarray(alpha)], axis=2)
+        a = np.asarray(alpha)
+        if a.shape != g.shape:
+            raise ValueError("alpha shape must match gray")
+        if int(a.max(initial=0)) >= (1 << depth):
+            raise ValueError("alpha sample exceeds depth")
+        planes = np.stack([g, a], axis=2)
         ctype, fch = 4, 2
     pick = filter_per_row or (lambda y: y % 5)
     stream = _png_filtered_stream(planes, depth, fch, interlace, pick)

@@ -2214,6 +2214,13 @@ def test_bmp_bitfields_and_16bpp():
     words = rng.integers(0, 1 << 15, size=(2, 4)).astype(np.uint32)
     w, h, px = decode_bmp(build(words, [], 16, compression=0))
     assert np.array_equal(px, model(words, [0x7C00, 0x03E0, 0x001F]))
+    # masks wider than 24 bits must not overflow the rescale (raw*255
+    # wrapped in uint32 before the uint64 widening fix): a peak-value
+    # 30-bit red channel is 255, not a wrapped residue
+    wide = [0x3FFFFFFC, 0x00000002, 0x00000001]
+    words = np.full((1, 1), 0xFFFFFFFF, dtype=np.uint32)
+    _, _, px = decode_bmp(build(words, wide, 32))
+    assert px.tolist() == [[[255, 255, 255]]]
     # zero mask is malformed, not a crash
     with pytest.raises(ValueError, match="zero channel mask"):
         decode_bmp(build(words, [0, 0x3E0, 0x1F], 16))
@@ -2225,19 +2232,16 @@ def test_real_file_cross_format_conformance():
     fully independent paths, and the lossless trio (paletted PNG via
     DEFLATE+filters, 32-bpp BI_BITFIELDS BMP, raw P6 PPM) produces
     BIT-IDENTICAL per-channel sums. No hermetic round-trip can fake
-    that agreement: it pins decoder correctness to real encoders."""
+    that agreement: it pins decoder correctness to real encoders. The
+    images are vendored (tests/data/imghdr, PSF-licensed CPython test
+    data) so the check survives Python 3.13's removal of imghdr."""
     import os
-    import sysconfig
-
-    import pytest
 
     from evolution_data_warehouse_spark.operators.multimodal import (
         decode_image_auto,
     )
 
-    d = os.path.join(sysconfig.get_paths()["stdlib"], "test", "imghdrdata")
-    if not os.path.isdir(d):
-        pytest.skip("stdlib test images not present")
+    d = os.path.join(os.path.dirname(__file__), "data", "imghdr")
     out = {}
     for f in (
         "python.png",
