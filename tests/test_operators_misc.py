@@ -2267,3 +2267,121 @@ def test_real_file_cross_format_conformance():
     # grayscale conversions are channel-uniform
     assert len(set(out["python.pgm"])) == 1
     assert len(set(out["python.pbm"])) == 1
+
+
+def test_wav_codec_roundtrip_and_real_file_conformance():
+    """Real RIFF-PCM WAV decode: bit-exact round-trips at widths
+    1/2/3/4 and 1-3 channels, and — the part hermetic round-trips
+    cannot fake — CPython's pluck-pcm{8,16,24,32}.wav (real
+    third-party encodes) decode byte-exactly against the stdlib `wave`
+    module's independent parse, with 24-bit samples cross-checked by a
+    pure-python int.from_bytes conversion and the 24/32-bit variants
+    of the same sound agreeing after shift normalization."""
+    import os
+    import wave as wave_mod
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(20260815)
+    for width in (1, 2, 3, 4):
+        hi = (1 << (8 * width - 1)) - 1
+        for ch in (1, 2, 3):
+            s = rng.integers(-hi - 1, hi + 1, size=(37, ch)).astype(np.int64)
+            out = decode_wav(encode_wav(s, 8000, width))
+            assert (out["sample_width"], out["n_channels"]) == (width, ch)
+            assert np.array_equal(out["samples"], s), (width, ch)
+
+    d = os.path.join(
+        os.path.dirname(os.__file__), "test", "audiodata"
+    )
+    if not os.path.isdir(d):
+        pytest.skip("stdlib audio test data not present")
+    decoded = {}
+    for width in (1, 2, 3, 4):
+        f = os.path.join(d, f"pluck-pcm{8 * width}.wav")
+        mine = decode_wav(open(f, "rb").read())
+        wv = wave_mod.open(f)
+        assert mine["sample_rate"] == wv.getframerate()
+        assert mine["samples"].shape == (
+            wv.getnframes(),
+            wv.getnchannels(),
+        )
+        frames = wv.readframes(wv.getnframes())
+        if width == 1:
+            exp = np.frombuffer(frames, dtype=np.uint8).astype(np.int32) - 128
+        elif width == 3:
+            exp = np.array(
+                [
+                    int.from_bytes(frames[i : i + 3], "little", signed=True)
+                    for i in range(0, len(frames), 3)
+                ],
+                dtype=np.int32,
+            )
+        else:
+            exp = np.frombuffer(
+                frames, dtype="<i2" if width == 2 else "<i4"
+            ).astype(np.int32)
+        assert np.array_equal(mine["samples"].reshape(-1), exp), width
+        decoded[width] = mine["samples"]
+    # same source sound: the 24-bit variant is exactly the 32-bit one
+    # truncated (the 8/16-bit conversions involved clamping upstream)
+    assert np.array_equal(decoded[3], decoded[4] >> 8)
+
+
+def test_wav_fuzz_and_guards():
+    """WAV error contract: every truncation and byte flip is ValueError
+    or a successful decode; forged data-chunk sizes are rejected before
+    allocation; non-PCM format tags, bad block alignment, and ragged
+    frame counts all fail closed."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-(1 << 15), 1 << 15, size=(19, 2)).astype(np.int64)
+    data = encode_wav(s, 11025, 2)
+    full = decode_wav(data)["samples"]
+    for cut in range(0, len(data)):
+        try:
+            out = decode_wav(data[:cut])["samples"]
+        except ValueError:
+            continue
+        # a cut that keeps fmt+data whole decodes identically
+        assert np.array_equal(out, full), f"cut={cut}"
+    for pos in range(len(data)):
+        mut = bytearray(data)
+        mut[pos] ^= 0xFF
+        try:
+            decode_wav(bytes(mut))
+        except ValueError:
+            pass
+
+    # format tag 3 (IEEE float) is a plain refusal
+    alaw = bytearray(data)
+    alaw[20:22] = struct.pack("<H", 3)
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(bytes(alaw))
+    # ragged data size: not a whole number of frames
+    ragged = bytearray(data)
+    at = bytes(ragged).index(b"data") + 4
+    (size,) = struct.unpack_from("<I", ragged, at)
+    struct.pack_into("<I", ragged, at, size - 1)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(ragged[:-1]))
+    # a forged giant data length is a truncation error, never an alloc
+    bomb = bytearray(data)
+    struct.pack_into("<I", bomb, at, 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(bytes(bomb))
