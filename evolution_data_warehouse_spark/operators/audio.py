@@ -39,20 +39,26 @@ def decode_wav(data: bytes) -> dict:
     n_channels, sample_width (bytes), and `samples`: an (n_frames,
     n_channels) int32 array. 8-bit samples are stored unsigned per the
     spec and come back centered (v - 128); wider samples are signed
-    little-endian, sign-extended. Unknown chunks are skipped with RIFF
-    word alignment; anything malformed raises ValueError."""
+    little-endian, sign-extended. Chunk semantics match the stdlib
+    ``wave`` reference exactly: the walk honors the RIFF size field
+    (trailing metadata like appended ID3/INFO tags is legal and
+    ignored), the FIRST fmt/data chunks win, and unknown chunks are
+    skipped with word alignment; anything malformed raises
+    ValueError."""
+    from evolution_data_warehouse_spark.operators.video import (
+        _walk_chunks,
+    )
+
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF-WAVE payload")
-    pos = 12
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = 8 + riff_size
+    if end > len(data) or riff_size < 4:
+        raise ValueError("truncated WAV payload")
     fmt = None
     body = None
-    while pos + 8 <= len(data):
-        tag = data[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        start = pos + 8
-        if start + size > len(data):
-            raise ValueError(f"truncated WAV chunk {tag!r}")
-        if tag == b"fmt ":
+    for tag, start, size in _walk_chunks(data, 12, end):
+        if tag == b"fmt " and fmt is None:
             if size < 16:
                 raise ValueError("WAV fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", data, start)
@@ -68,9 +74,8 @@ def decode_wav(data: bytes) -> dict:
                 raise ValueError(
                     f"unsupported WAV format tag {fmt[0]} (PCM only)"
                 )
-        elif tag == b"data":
+        elif tag == b"data" and body is None:
             body = data[start : start + size]
-        pos = start + size + (size & 1)  # chunks are word-aligned
     if fmt is None or body is None:
         raise ValueError("WAV missing fmt or data chunk")
     _tag, ch, rate, _brate, balign, bits = fmt
@@ -119,8 +124,14 @@ def encode_wav(samples: np.ndarray, rate: int, width: int) -> bytes:
     s = np.asarray(samples)
     if s.ndim != 2 or s.shape[0] == 0 or s.shape[1] == 0:
         raise ValueError("samples must be (n_frames, n_channels)")
+    if not np.issubdtype(s.dtype, np.integer):
+        raise ValueError(
+            f"samples must be integers, got {s.dtype} (quantize first)"
+        )
     if width not in (1, 2, 3, 4):
         raise ValueError(f"unsupported WAV width {width}")
+    if not 1 <= rate <= 0xFFFFFFFF // (s.shape[1] * width):
+        raise ValueError(f"WAV sample rate {rate} out of range")
     lo, hi = (-128, 127) if width == 1 else (
         -(1 << (8 * width - 1)),
         (1 << (8 * width - 1)) - 1,

@@ -104,17 +104,19 @@ def encode_avi_mjpeg(
 
 
 def _walk_chunks(data: bytes, start: int, end: int):
-    """Yield (tag, body_start, body_size) over a sibling chunk run,
-    honouring word alignment; raise ValueError on any overrun."""
+    """Yield (tag, body_start, body_size) over a sibling RIFF chunk
+    run, honouring word alignment; raise ValueError on any overrun.
+    Shared by every RIFF container here (AVI in this module, WAVE in
+    operators/audio.py) — one copy of the spec-critical walk."""
     pos = start
     while pos < end:
         if pos + 8 > end:
-            raise ValueError("truncated AVI chunk header")
+            raise ValueError("truncated RIFF chunk header")
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if body + size > end:
-            raise ValueError("AVI chunk overruns its parent")
+            raise ValueError("RIFF chunk overruns its parent")
         yield tag, body, size
         pos = body + size + (size & 1)
 

