@@ -1871,3 +1871,78 @@ def mm_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, n_channels int, sample_width int, "
         "n_frames int, exact_match boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC web-archive ingestion (Common Crawl layout) — source-format evidence
+# ---------------------------------------------------------------------------
+
+_WARC_ORACLE = """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_records,
+       'response' AS rec_type,
+       'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+       CAST(length(text) AS BIGINT) AS content_len,
+       TRUE AS payload_match
+FROM documents
+"""
+
+
+@register(
+    "src_warc_records",
+    _WARC_ORACLE,
+    doc="WARC (ISO 28500) web-archive ingestion — the source format of "
+    "web-scale LLM corpora (sources/warc.py): per document a 2-record "
+    "WARC (warcinfo + response) is written in the Common Crawl layout "
+    "(each record its OWN gzip member, concatenated) and parsed back — "
+    "version line, CRLF headers, Content-Length framing, trailing "
+    "CRLFCRLF, multistream gzip inflate. The member-per-record layout "
+    "is the scale property: any worker can start at a member boundary, "
+    "so a 100 TB crawl ingests parallel at record granularity with no "
+    "shuffle (one mapInPandas pass, like every codec here). "
+    "payload_match demands the response payload round-trip "
+    "byte-exactly; content_len is cross-checked against the oracle's "
+    "length(text) (ASCII corpus: octets == characters).",
+)
+def src_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def mux_and_parse(batches):
+        from evolution_data_warehouse_spark.sources.warc import (
+            build_warc,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                payload = str(text).encode("utf-8")
+                uri = f"http://corpus.local/doc/{d}"
+                data = build_warc(
+                    [
+                        ("warcinfo", "", b"software: engine\r\n"),
+                        ("response", uri, payload),
+                    ],
+                    per_record_gzip=True,
+                )
+                recs = parse_warc(data)
+                resp = recs[-1]
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_records": len(recs),
+                        "rec_type": resp["type"],
+                        "uri": resp["uri"],
+                        "content_len": resp["content_length"],
+                        "payload_match": resp["payload"] == payload,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        mux_and_parse,
+        "doc_id long, n_records int, rec_type string, uri string, "
+        "content_len long, payload_match boolean",
+    )

@@ -1,0 +1,130 @@
+"""WARC (Web ARChive, ISO 28500) record parsing — the ingestion format
+of web-scale LLM corpora (Common Crawl's WARC/WET files).
+
+A WARC file is a sequence of records: a `WARC/1.0` version line, CRLF
+header lines (`WARC-Type`, `WARC-Target-URI`, `Content-Length`, ...),
+CRLF CRLF, `Content-Length` octets of payload, CRLF CRLF. Common Crawl
+stores each record as its OWN gzip member, concatenated — that is the
+property that makes a 100 TB crawl splittable: any worker can start at
+a member boundary and stream records without seeing the rest of the
+file, so ingestion parallelizes at record granularity, not file
+granularity. `parse_warc` handles both the plain and the
+member-per-record gzip form (multistream inflate via
+zlib.decompressobj and unused_data).
+
+Engine shape: WARC bytes ride a binary column; parsing is a
+mapInPandas batch over payloads (same plumbing as every codec in
+operators/), so a crawl ingests at scan speed with no shuffle.
+
+Reference parity note: the reference warehouse ingests CSV/JSON/REST
+(analytics/etl); a web-archive source exceeds parity the way the
+codec suite does — it is what an LLM-corpus deployment of this engine
+reads first.
+
+Error contract (same as the codecs): malformed or truncated input
+raises ValueError only.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+# Forged Content-Length guard, checked before slicing (same role as
+# jpeg._MAX_PIXELS): a tiny record claiming a huge payload must fail
+# closed, not allocate.
+_MAX_RECORD = 1 << 28
+
+
+def _inflate_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the Common Crawl layout)
+    into one byte string; ValueError on corrupt streams."""
+    out = bytearray()
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError(f"warc: bad gzip member: {exc}") from exc
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes (plain, or gzip member-per-record) into a list
+    of records: {type, uri, content_length, payload (bytes),
+    headers (dict)}. Strict framing: every record must carry a valid
+    Content-Length and the trailing CRLF CRLF; anything else is
+    ValueError."""
+    if data[:2] == b"\x1f\x8b":
+        data = _inflate_members(data)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("warc: truncated record header")
+        lines = data[pos:head_end].split(b"\r\n")
+        if not lines[0].startswith(b"WARC/"):
+            raise ValueError(
+                f"warc: bad version line {lines[0][:20]!r}"
+            )
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(b":")
+            if not sep or not k.strip():
+                raise ValueError(f"warc: bad header line {line[:40]!r}")
+            headers[k.strip().decode("latin-1").lower()] = (
+                v.strip().decode("latin-1")
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("warc: missing/bad Content-Length") from exc
+        if clen < 0 or clen > _MAX_RECORD:
+            raise ValueError(f"warc: implausible Content-Length {clen}")
+        body_at = head_end + 4
+        rec_end = body_at + clen
+        if rec_end + 4 > n:
+            raise ValueError("warc: truncated record payload")
+        if data[rec_end : rec_end + 4] != b"\r\n\r\n":
+            raise ValueError("warc: record missing trailing CRLFCRLF")
+        records.append(
+            {
+                "type": headers.get("warc-type", ""),
+                "uri": headers.get("warc-target-uri", ""),
+                "content_length": clen,
+                "payload": data[body_at:rec_end],
+                "headers": headers,
+            }
+        )
+        pos = rec_end + 4
+    return records
+
+
+def build_warc(
+    records: list[tuple[str, str, bytes]], per_record_gzip: bool = False
+) -> bytes:
+    """Hermetic WARC writer: records are (warc_type, target_uri,
+    payload) triples. ``per_record_gzip=True`` writes each record as
+    its own gzip member — the Common Crawl layout whose member
+    boundaries make the file splittable."""
+    out = bytearray()
+    for rtype, uri, payload in records:
+        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode("latin-1")]
+        if uri:
+            head.append(b"WARC-Target-URI: " + uri.encode("latin-1"))
+        head.append(
+            b"Content-Length: " + str(len(payload)).encode("ascii")
+        )
+        rec = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        if per_record_gzip:
+            out += gzip.compress(rec, compresslevel=1, mtime=0)
+        else:
+            out += rec
+    return bytes(out)

@@ -2405,3 +2405,62 @@ def test_wav_fuzz_and_guards():
             encode_wav(s, rate, 4)
     with pytest.raises(ValueError, match="integers"):
         encode_wav(np.array([[0.5], [1.2]]), 8000, 2)
+
+
+def test_warc_build_parse_and_splittability():
+    """WARC record framing round-trips in both layouts (plain and the
+    Common Crawl member-per-record gzip); a prefix cut at a gzip member
+    boundary yields the complete leading records (the splittability
+    property that parallelizes crawl ingestion); every other truncation
+    or corruption is ValueError; forged Content-Length fails before
+    allocation."""
+    import gzip
+    import struct
+
+    import pytest
+
+    from evolution_data_warehouse_spark.sources.warc import (
+        build_warc,
+        parse_warc,
+    )
+
+    recs = [
+        ("warcinfo", "", b"software: engine\r\n"),
+        ("response", "http://example.com/a", b"hello world " * 40),
+        ("response", "http://example.com/b", b""),
+    ]
+    for gz in (False, True):
+        out = parse_warc(build_warc(recs, per_record_gzip=gz))
+        assert [(r["type"], r["uri"], r["payload"]) for r in out] == recs
+        assert out[2]["content_length"] == 0
+
+    # splittability: the byte length of the first two members is a
+    # legal file containing exactly those records
+    first_two = build_warc(recs[:2], per_record_gzip=True)
+    data = build_warc(recs, per_record_gzip=True)
+    assert data[: len(first_two)] == first_two
+    assert len(parse_warc(first_two)) == 2
+
+    for payload in (data, build_warc(recs)):
+        for cut in range(0, len(payload)):
+            try:
+                got = parse_warc(payload[:cut])
+                assert len(got) < 3  # only member-boundary cuts succeed
+            except ValueError:
+                pass
+        for pos in range(len(payload)):
+            mut = bytearray(payload)
+            mut[pos] ^= 0xFF
+            try:
+                parse_warc(bytes(mut))
+            except ValueError:
+                pass
+
+    # forged Content-Length: rejected by the cap, not allocated
+    big = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: " + str(
+        1 << 40
+    ).encode() + b"\r\n\r\n"
+    with pytest.raises(ValueError, match="implausible"):
+        parse_warc(big)
+    with pytest.raises(ValueError, match="version"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
