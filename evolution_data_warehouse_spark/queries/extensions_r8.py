@@ -1882,7 +1882,8 @@ SELECT doc_id,
        CAST(2 AS INT) AS n_records,
        'response' AS rec_type,
        'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS uri,
-       CAST(length(text) AS BIGINT) AS content_len,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+           AS content_len,
        TRUE AS payload_match
 FROM documents
 """
@@ -1902,7 +1903,8 @@ FROM documents
     "shuffle (one mapInPandas pass, like every codec here). "
     "payload_match demands the response payload round-trip "
     "byte-exactly; content_len is cross-checked against the oracle's "
-    "length(text) (ASCII corpus: octets == characters).",
+    "octet_length(encode(text)) — UTF-8 octets on both sides, "
+    "NULL-safe via COALESCE.",
 )
 def src_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -1917,7 +1919,9 @@ def src_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(doc_id)
-                payload = str(text).encode("utf-8")
+                payload = ("" if text is None else str(text)).encode(
+                    "utf-8"
+                )
                 uri = f"http://corpus.local/doc/{d}"
                 data = build_warc(
                     [

@@ -34,23 +34,54 @@ import zlib
 # jpeg._MAX_PIXELS): a tiny record claiming a huge payload must fail
 # closed, not allocate.
 _MAX_RECORD = 1 << 28
+# Running cap on TOTAL inflated bytes — a gzip bomb (zeros compress
+# ~1000:1) must fail with ValueError during chunked inflation, never
+# allocate first (cap-before-allocate, the repo-wide codec rule).
+_MAX_INFLATED = 1 << 28
+_GZ_CHUNK = 1 << 16
 
 
 def _inflate_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (the Common Crawl layout)
-    into one byte string; ValueError on corrupt streams."""
+    into one byte string; ValueError on corrupt or truncated streams.
+
+    Streamed in fixed compressed chunks with a bounded output budget
+    per call, for two reasons: (1) the running `_MAX_INFLATED` cap
+    fires DURING inflation, so a gzip bomb raises ValueError instead
+    of exhausting memory; (2) member boundaries hand over at most one
+    chunk of `unused_data`, so a shard with tens of thousands of
+    members (the Common Crawl shape) stays linear — the naive
+    re-feed-the-whole-tail loop is O(N²/member) in memcpy."""
     out = bytearray()
-    rest = data
-    while rest:
-        d = zlib.decompressobj(wbits=31)
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    d = zlib.decompressobj(wbits=31)
+    buf = b""
+    fed = False  # current member has consumed bytes but not finished
+    while True:
+        if not buf:
+            if pos >= n:
+                if fed:
+                    raise ValueError("warc: truncated gzip member")
+                break
+            buf = bytes(view[pos : pos + _GZ_CHUNK])
+            pos += len(buf)
         try:
-            out += d.decompress(rest)
-            out += d.flush()
+            out += d.decompress(buf, 1 << 20)
         except zlib.error as exc:
             raise ValueError(f"warc: bad gzip member: {exc}") from exc
-        if not d.eof:
-            raise ValueError("warc: truncated gzip member")
-        rest = d.unused_data
+        fed = True
+        if len(out) > _MAX_INFLATED:
+            raise ValueError(
+                f"warc: inflated size exceeds cap {_MAX_INFLATED}"
+            )
+        if d.eof:
+            buf = d.unused_data  # at most one chunk: next member's head
+            d = zlib.decompressobj(wbits=31)
+            fed = False
+        else:
+            buf = d.unconsumed_tail
     return bytes(out)
 
 
@@ -79,9 +110,13 @@ def parse_warc(data: bytes) -> list[dict]:
             k, sep, v = line.partition(b":")
             if not sep or not k.strip():
                 raise ValueError(f"warc: bad header line {line[:40]!r}")
-            headers[k.strip().decode("latin-1").lower()] = (
-                v.strip().decode("latin-1")
-            )
+            key = k.strip().decode("latin-1").lower()
+            # first occurrence wins (deterministic, and a forged
+            # duplicate Content-Length/WARC-Type cannot override the
+            # real one); ISO 28500's repeatable fields like
+            # WARC-Concurrent-To keep their first value only —
+            # a documented simplification
+            headers.setdefault(key, v.strip().decode("latin-1"))
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
@@ -116,9 +151,20 @@ def build_warc(
     boundaries make the file splittable."""
     out = bytearray()
     for rtype, uri, payload in records:
-        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode("latin-1")]
+        for field in (rtype, uri):
+            # WARC header values must be ASCII and single-line: a
+            # non-ASCII or CR/LF-bearing URI would either blow the
+            # ValueError-only contract (UnicodeEncodeError) or inject
+            # a forged header line — callers percent-encode first,
+            # per the spec's URI rules
+            if not field.isascii() or "\r" in field or "\n" in field:
+                raise ValueError(
+                    f"warc: header value not single-line ASCII: "
+                    f"{field[:40]!r}"
+                )
+        head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode("ascii")]
         if uri:
-            head.append(b"WARC-Target-URI: " + uri.encode("latin-1"))
+            head.append(b"WARC-Target-URI: " + uri.encode("ascii"))
         head.append(
             b"Content-Length: " + str(len(payload)).encode("ascii")
         )

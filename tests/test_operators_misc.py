@@ -2464,3 +2464,33 @@ def test_warc_build_parse_and_splittability():
         parse_warc(big)
     with pytest.raises(ValueError, match="version"):
         parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")
+
+    # gzip bomb: the running inflate cap fires with ValueError during
+    # chunked decompression — never a MemoryError-scale allocation
+    bomb_gz = gzip.compress(b"\x00" * (1 << 20), compresslevel=9) * 512
+    with pytest.raises(ValueError, match="inflated size exceeds cap"):
+        parse_warc(bomb_gz)
+
+    # builder contract: non-ASCII or CRLF header values are ValueError
+    # (UnicodeEncodeError escape / header injection), never emitted
+    for bad_uri in ("http://x/☃", "http://x/a\r\nWARC-Type: evil"):
+        with pytest.raises(ValueError, match="single-line ASCII"):
+            build_warc([("response", bad_uri, b"")])
+
+    # duplicate headers: FIRST occurrence wins, so a forged trailing
+    # Content-Length cannot reframe the record
+    dup = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n"
+        b"WARC-Type: forged\r\nContent-Length: 9999\r\n\r\nhi\r\n\r\n"
+    )
+    rec = parse_warc(dup)
+    assert len(rec) == 1 and rec[0]["type"] == "response"
+    assert rec[0]["payload"] == b"hi"
+
+    # member-count linearity smoke: thousands of tiny members parse
+    # (the O(N^2) tail-copy shape would crawl here)
+    many = build_warc(
+        [("response", f"http://x/{i}", b"p") for i in range(4000)],
+        per_record_gzip=True,
+    )
+    assert len(parse_warc(many)) == 4000
