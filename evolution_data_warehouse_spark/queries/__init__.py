@@ -36,55 +36,41 @@ from evolution_data_warehouse_spark.queries import extensions_r8 as _extensions_
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-8 window (per the CLAUDE.md rotation): first the 2 r7 driver
-# FAILs (win_cumulative_unique, ts_concurrency_sweep — the HUGEINT
-# oracle-type defect, fixed this round by CAST(... AS BIGINT) on the
-# oracle side; the whole class is now fenced by
-# tests/test_oracle_types.py), then the 31 r7 additions that have
-# never had an official driver verdict (all green in
-# LOCAL_CONTRACT_r07.json and re-verified after the r8 HUGEINT casts),
-# then the 17 alphabetically-first of the 43 r3-stale entries to fill
-# the window at exactly 50.  Queries added during round 8 land AFTER
-# the window (verified locally by drive_contract) and lead the
-# round-9 head.  Carried-forward evidence: end-of-r7 the whole
-# registry passed drive_contract at harness defaults, at a truly-
-# vanilla 200-shuffle-partition session, AND at sf0.1 (274/274 on all
-# three axes) — the determinism rules are partition-count- and
-# scale-independent across the full surface.  The 14 round-8 additions
-# (mm_decode_progressive, join_spatial_grid, stats_ab_test,
-# quality_k_anonymity, surv_kaplan_meier, agg_countmin_sketch,
-# stats_mannwhitney_u, stats_ks_two_sample, drift_psi,
-# mm_decode_interlaced, tok_bpe_segment, mm_decode_tolerant,
-# mm_video_frames, agg_kmv_overlap) carry the
-# same three-axis evidence: defaults (LOCAL_CONTRACT_r08.json plus a
-# follow-up for the last addition), a 200-shuffle-partition session,
-# and sf0.1 — all green.
-_R8_WINDOW = (
-    # 2 r7 driver FAILs, fixed (HUGEINT oracle outputs cast to BIGINT)
-    "win_cumulative_unique", "ts_concurrency_sweep",
-    # 31 never-driver-verified (the r7 additions, registration order)
-    "text_hapax_ratio", "corpus_token_drift", "pii_scan_report",
-    "win_yoy_growth", "seq_top_paths", "graph_copurchase_triangles",
-    "graph_degree_distribution", "ts_autocorr_daily", "agg_skew_report",
-    "agg_bitmap_presence", "agg_cramers_v", "text_charclass_profile",
-    "emb_centroid_separation", "mm_decode_jpeg", "text_zipf_slope",
-    "session_duration_pct", "agg_theil_index", "ts_weekday_seasonality",
-    "win_drawdown_max", "agg_hhi_concentration", "text_simpson_diversity",
-    "event_cooccurrence_pmi", "ts_revenue_anomaly_months",
-    "agg_heavy_hitters_mg", "mm_channel_histogram", "warehouse_time_travel",
-    "event_error_spike", "quality_key_gaps", "text_ttr_curve",
-    "quality_financial_reconcile", "ts_cusum_drift",
-    # 17 oldest-stale (r3 verdicts, alphabetical)
-    "agg_approx_distinct", "agg_cube", "agg_grouping_sets",
-    "agg_percentile", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "fn_array_join", "fn_derived_measure", "fn_explode",
-    "fn_json_serialize", "fn_map_ops", "fn_string_suite",
-    "fn_struct_extract", "fn_unpivot",
+# round-9 window (per the CLAUDE.md rotation): first the 21 round-8
+# additions that have never had an official driver verdict (all green
+# in LOCAL_CONTRACT_r08.json at 295/295, plus 200-shuffle-partition
+# and sf0.1 spot checks), then the whole 26-entry r3-stale block, then
+# the 3 alphabetically-first r4-stale entries to fill the window at
+# exactly 50.  After this round no entry's freshest driver verdict is
+# older than round 4.  Queries added during round 9 land AFTER the
+# window (verified locally by drive_contract) and lead the round-10
+# head.  Carried-forward evidence: end-of-r8 the full 295-query
+# registry passed drive_contract (LOCAL_CONTRACT_r08.json) — the
+# determinism rules are partition-count- and scale-independent across
+# the full surface.
+_R9_WINDOW = (
+    # 21 never-driver-verified (the r8 additions, registration order)
+    "mm_decode_progressive", "join_spatial_grid", "stats_ab_test",
+    "quality_k_anonymity", "surv_kaplan_meier", "agg_countmin_sketch",
+    "stats_mannwhitney_u", "stats_ks_two_sample", "drift_psi",
+    "mm_decode_interlaced", "tok_bpe_segment", "mm_decode_tolerant",
+    "mm_video_frames", "agg_kmv_overlap", "dedup_substring_spans",
+    "sim_semantic_dedup", "mm_decode_gif", "quality_blocklist_phrases",
+    "mm_decode_paletted", "mm_audio_wav", "src_warc_records",
+    # all 26 remaining r3-stale entries (alphabetical)
+    "join_asof", "mm_decode_stub", "proc_scd1", "proc_scd2",
+    "proc_scd2_rekey", "proc_scd3", "set_except", "set_intersect",
+    "sim_ann_bruteforce", "sim_ann_lsh", "text_fingerprint",
+    "text_langid", "text_quality", "text_redact", "text_tokens",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "udtf_rls_predicate",
+    "view_dashboard_twograin", "view_scd3_changes", "view_scd_history",
+    "view_scd_summary", "win_lag_lead", "win_ntile_rank",
+    # 3 oldest r4-stale entries (alphabetical) to fill the 50
+    "agg_approx_percentile", "agg_avg_min_max", "agg_conditional_sum",
 )
-_ordered: list[str] = list(_R8_WINDOW)
+_ordered: list[str] = list(_R9_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R8_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R9_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
