@@ -735,6 +735,7 @@ def decode_png_text(data: bytes) -> dict[str, str]:
     return out
 
 
+_PNG_MAX_PIXELS = 1 << 26  # same dimension-bomb cap as jpeg/_BMP/_GIF
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _PNG_DEPTHS = {
     0: (1, 2, 4, 8, 16),
@@ -793,12 +794,40 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             f"color_type={color_type}, interlace={interlace})"
         )
     fch = _PNG_CHANNELS[color_type]
+    # Dimension bomb guard BEFORE any allocation or inflation: a forged
+    # IHDR (e.g. 60000x60000 interlaced) would otherwise provoke a
+    # multi-GiB np.zeros + unbounded inflate from a ~100-byte payload,
+    # and MemoryError escapes the per-row ValueError quarantine
+    # contract.  Same cap as jpeg._MAX_PIXELS / _BMP_MAX_PIXELS.
+    if w == 0 or h == 0 or w * h > _PNG_MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} out of bounds")
     # The filter unit is whole bytes: max(1, bits-per-pixel // 8).
     bpp = max(1, fch * depth // 8)
+    # The exact decompressed size is implied by IHDR: per (sub-)image,
+    # hp rows of (1 filter byte + rowbytes).  Cap the inflate at that
+    # size so a zlib bomb can never materialize more than one legal
+    # image's worth of bytes (mirrors warc._inflate_members).
+    def _rowbytes(wp: int) -> int:
+        return (wp * fch * depth + 7) // 8
+
+    if interlace == 0:
+        expected = h * (1 + _rowbytes(w))
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp and hp:
+                expected += hp * (1 + _rowbytes(wp))
+    dec = zlib.decompressobj()
     try:
-        inflated = zlib.decompress(bytes(idat))
+        inflated = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT decompress failed: {exc}") from exc
+    if len(inflated) > expected:
+        raise ValueError("PNG IDAT inflates beyond the IHDR-implied size")
+    if not dec.eof:
+        raise ValueError("PNG IDAT stream truncated")
     stream = np.frombuffer(inflated, dtype=np.uint8)
 
     def unfilter_block(off: int, wp: int, hp: int) -> tuple[np.ndarray, int]:

@@ -204,8 +204,16 @@ def blocklist_matches(
         p = phrase.lower()
         by_len.setdefault(len(p.split(" ")), []).append((p, severity))
     if not by_len:  # dynamic blocklists may legitimately be empty
-        return spark.createDataFrame(
-            [], f"{id_col} long, pos long, phrase string, severity int"
+        # Build the empty frame FROM the input so the id column keeps
+        # the caller's actual type (string/int/...), matching the
+        # non-empty path which propagates it through the join.
+        return base.select(id_col).limit(0).select(
+            id_col,
+            # non-null literal: the non-empty path's pos (posexplode+1)
+            # is non-nullable, and the schemas must match exactly
+            F.lit(0).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("phrase"),
+            F.lit(None).cast("int").alias("severity"),
         )
     parts = []
     for k, plist in sorted(by_len.items()):

@@ -31,7 +31,11 @@ _EVENTS_US_SQL = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 _SQL_KEYWORDS = frozenset(
     "group order where join left right inner outer cross full on union "
     "window limit having qualify using natural select except intersect "
-    "and or not".split()
+    "and or not "
+    # remaining DuckDB clause starters that can follow a table ref —
+    # without these, `FROM events ASOF JOIN x` would capture ASOF as a
+    # table alias and silently change oracle semantics
+    "asof semi anti positional pivot unpivot tablesample fetch offset".split()
 )
 
 _EVENTS_REF_RE = re.compile(

@@ -1035,6 +1035,82 @@ def test_pca_fit_project_properties(spark, sf_dir):
     assert e8 < e2
 
 
+def test_png_bomb_guards():
+    """Hostile-input guards (r8 ADVICE): a forged IHDR (huge or zero
+    dims) and a zlib bomb must each raise ValueError BEFORE any large
+    allocation — a MemoryError would escape decode_image_tolerant_batch's
+    (ValueError, NotImplementedError) quarantine net and kill the task.
+    CRC-valid payloads are required because the chunk walk checks CRCs
+    first (bit-flip fuzzing can never reach these paths)."""
+    import struct
+    import time
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.multimodal import (
+        decode_image_tolerant_batch,
+        decode_png,
+    )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, ctype, interlace, idat_raw) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        return (
+            sig
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # ~100-byte payload claiming 60000x60000 RGBA interlaced: without
+    # the pixel cap this allocates ~10 GiB before any stream check
+    forged = png(60000, 60000, 8, 6, 1, b"\x00" * 16)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_png(forged)
+    assert time.monotonic() - t0 < 1.0
+    for w, h in [(0, 4), (4, 0)]:
+        with pytest.raises(ValueError, match="out of bounds"):
+            decode_png(png(w, h, 8, 2, 0, b""))
+
+    # legal 4x4 dims but the IDAT inflates to 10 MB (IHDR implies 52 B):
+    # the capped decompressobj stops at expected+1 bytes and raises
+    bomb = png(4, 4, 8, 2, 0, b"\x00" * 10_000_000)
+    with pytest.raises(ValueError, match="beyond the IHDR-implied size"):
+        decode_png(bomb)
+
+    # a cleanly-cut zlib stream (valid prefix, no bomb) still ValueErrors
+    short = png(4, 4, 8, 2, 0, b"\x00" * 40)  # 12 B short of 52
+    with pytest.raises(ValueError, match="truncated|length mismatch"):
+        decode_png(short)
+
+    # the tolerant batch path quarantines both hostile rows per-row
+    fn = decode_image_tolerant_batch()
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [forged, bomb]})
+    out = pd.concat(list(fn(iter([pdf]))))
+    assert list(out["status"]) == ["error", "error"]
+    assert out["width"].isna().all()
+    # and a legitimate image still decodes through the same net
+    from evolution_data_warehouse_spark.operators.multimodal import encode_png
+
+    ok = encode_png(np.full((2, 2, 3), 7, dtype=np.uint8))
+    out2 = pd.concat(list(fn(iter([pd.DataFrame({"doc_id": [3], "payload": [ok]})]))))
+    assert list(out2["status"]) == ["ok"]
+    assert int(out2["sum_r"].iloc[0]) == 7 * 4
+
+
 def test_png_text_chunks_roundtrip():
     import numpy as np
     import pytest

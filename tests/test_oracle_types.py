@@ -124,6 +124,16 @@ def test_pin_events_us_rewrite_shapes(con):
     # string literals are untouched
     out = pin_events_us("SELECT 'events' AS tag FROM orders")
     assert out == "SELECT 'events' AS tag FROM orders"
+    # every DuckDB clause starter that can follow a table ref is in the
+    # keyword blocklist — ASOF/SEMI/... must not be captured as aliases
+    # (r8 ADVICE: `FROM events ASOF JOIN x` would otherwise silently
+    # become a plain join on an ASOF-aliased view)
+    for kw in (
+        "ASOF", "SEMI", "ANTI", "POSITIONAL", "PIVOT", "UNPIVOT",
+        "TABLESAMPLE", "FETCH", "OFFSET",
+    ):
+        out = pin_events_us(f"SELECT * FROM events {kw} JOIN x ON y")
+        assert f"{pinned} events {kw} JOIN" in out, kw
     # rewritten SQL still parses and pins the type in DuckDB
     desc = con.execute(
         f"DESCRIBE ({pin_events_us('SELECT ts FROM events LIMIT 1')})"

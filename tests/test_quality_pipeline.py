@@ -273,3 +273,13 @@ def test_blocklist_matches_positions_and_lengths(spark):
     empty = blocklist_matches(docs, [])
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "pos", "phrase", "severity"]
+    # the empty-blocklist schema tracks the INPUT's id type (r8 ADVICE:
+    # a hardcoded `doc_id long` diverged from the non-empty path for
+    # string/int ids)
+    sdocs = spark.createDataFrame(
+        [("a", "bad word")], "doc_id string, text string"
+    )
+    assert (
+        blocklist_matches(sdocs, []).schema
+        == blocklist_matches(sdocs, [("bad word", 1)]).schema
+    )
