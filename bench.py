@@ -140,6 +140,46 @@ def _hot_guard_seconds(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _sem_guard_seconds(spark, sf_dir: str) -> float:
+    """Time semantic_dedup on input that actually trips the default
+    cluster-size guard: the corpus embeddings plus one synthetic
+    degenerate cluster of 1200 vectors (> DEFAULT_MAX_CLUSTER = 1000).
+    Unguarded that cluster alone contributes ~1.44M cosine pairs; the
+    guard sub-splits it into ceil(1200/1000)=2 hash slices, so the
+    timing demonstrates the pair join stays bounded on a clustering
+    that violates SemDeDup's k~sqrt(N) obligation — the mirror of
+    dedup_minhash_hot_guarded for the embedding path."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    base = t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    hot = spark.range(1200).select(
+        (F.lit(10**12) + F.col("id")).alias("vec_id"),
+        F.lit(10**6).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: ((F.col("id") * 7 + i) % 13).cast("float") / 13.0,
+        ).alias("embedding"),
+    )
+    vecs = base.unionByName(hot)
+
+    def run():
+        semantic_dedup(vecs, 0.95).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    run()  # warm plan/codegen
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 3)
+
+
 def _shingle_guard_seconds(spark, sf_dir: str) -> float:
     """Time the exact n-gram Jaccard pair generation on input that trips
     the DEFAULT_MAX_SHINGLE_DF guard: the corpus' shingles plus one
@@ -388,6 +428,7 @@ def main() -> None:
     extras = {
         "dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir),
         "shingle_join_hot_guarded": _shingle_guard_seconds(spark, sf_dir),
+        "semantic_dedup_hot_guarded": _sem_guard_seconds(spark, sf_dir),
         "heavy_hitters_mg": _heavy_hitters_seconds(spark, sf_dir),
     }
     extras.update(_skew_seconds(spark))

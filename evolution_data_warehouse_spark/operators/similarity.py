@@ -449,12 +449,19 @@ def pca_project(
     )
 
 
+# Within-cluster pair-join fan-out guard default, mirroring
+# dedup.DEFAULT_MAX_BUCKET: above this size a cluster is
+# deterministically sub-split before the pair join.
+DEFAULT_MAX_CLUSTER = 1000
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     tau: float,
     label_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster: int | None = DEFAULT_MAX_CLUSTER,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): within each cluster, vectors whose cosine
@@ -478,16 +485,29 @@ def semantic_dedup(
     sums of floor(v*1e12) as int64 — so it is exact and
     partitioning-independent; cosine folds are sequential
     (see module docstring). Scale: the only quadratic term is the
-    within-cluster pair join; its boundedness is an OBLIGATION ON THE
-    CLUSTERING STEP, not a property of this operator — SemDeDup keeps
-    cluster size fixed by growing cluster COUNT with the corpus
-    (k ~ sqrt(N) in the paper; sim_kmeans_assign is the engine's
-    assignment step). Feeding it a clustering whose cluster size grows
-    with the data reintroduces the quadratic (measured: the sf1 bench
-    replica keeps the synthetic table's 10 labels, so 10x rows cost
-    ~100x — which is why the sf1 smoke excludes this entry, see
-    bench.py::SF1_QUERIES). Everything else is hash aggregates and a
-    broadcast of the k x d centroid table.
+    within-cluster pair join. SemDeDup keeps cluster size bounded by
+    growing cluster COUNT with the corpus (k ~ sqrt(N) in the paper;
+    sim_kmeans_assign is the engine's assignment step), but this
+    operator no longer TRUSTS that obligation: ``max_cluster``
+    (default ON, ``DEFAULT_MAX_CLUSTER`` = 1000 — the same policy as
+    dedup.DEFAULT_MAX_BUCKET) counts cluster sizes first and
+    deterministically sub-splits any oversize cluster by a secondary
+    hash of the id into ceil(n/max_cluster) slices before the pair
+    join, capping fan-out at ~n·max_cluster pairs (linear in n)
+    instead of n². The degrade is loud and well-defined: within an
+    oversize cluster only same-slice pairs are compared, so
+    ``n_better_neighbors`` is an undercount and ``removed`` a SUBSET
+    of the unguarded answer (never a false removal); ``cent_cos`` is
+    unaffected (centroids are always per original label). Use
+    :func:`oversize_clusters` to audit what the guard sub-split —
+    at scale those clusters mean the upstream k was too small.
+    Fed one degenerate clustering at 100 TB, the unguarded join melts
+    silently (measured: the sf1 bench replica keeps 10 labels, so 10x
+    rows cost ~100x = 31 s); opt-out (``max_cluster=None``) is the
+    special case. The per-label counts are a map-side-combined
+    aggregate broadcast back onto the rows — k rows, never a shuffle
+    of the corpus. Everything else is hash aggregates and a broadcast
+    of the k x d centroid table.
     """
     e = with_norm(embeddings, vec_col).select(
         id_col, label_col, "_vec", "_norm"
@@ -520,22 +540,37 @@ def semantic_dedup(
         .drop("_cvec", "_cnorm")
         .localCheckpoint(eager=True)
     )
-    a = cc.select(
+    if max_cluster is not None:
+        # Per-label sizes: k-row aggregate (map-side combined) broadcast
+        # back — the corpus rows are never shuffled for the guard.
+        counts = cc.groupBy(label_col).agg(F.count("*").alias("_cl_n"))
+        guarded = cc.join(F.broadcast(counts), label_col).withColumn(
+            "_sub",
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.ceil(F.col("_cl_n") / F.lit(max_cluster)).cast("long"),
+            ),
+        )
+    else:
+        guarded = cc.withColumn("_sub", F.lit(0).cast("bigint"))
+    a = guarded.select(
         F.col(label_col).alias("_lbl"),
+        F.col("_sub"),
         F.col(id_col).alias("_ida"),
         F.col("_vec").alias("_va"),
         F.col("_norm").alias("_na"),
         F.col("_cc").alias("_cca"),
     )
-    b = cc.select(
+    b = guarded.select(
         F.col(label_col).alias("_lbl"),
+        F.col("_sub"),
         F.col(id_col).alias("_idb"),
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
         F.col("_cc").alias("_ccb"),
     )
     nb = (
-        a.join(b, "_lbl")
+        a.join(b, ["_lbl", "_sub"])
         .filter(F.col("_ida") != F.col("_idb"))
         .filter(
             cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"))
@@ -559,4 +594,26 @@ def semantic_dedup(
         .cast("long")
         .alias("n_better_neighbors"),
         (F.coalesce(F.col("_n_better"), F.lit(0)) > 0).alias("removed"),
+    )
+
+
+def oversize_clusters(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    max_cluster: int = DEFAULT_MAX_CLUSTER,
+) -> DataFrame:
+    """The clusters :func:`semantic_dedup` would sub-split under
+    ``max_cluster``: (label, cluster_n, n_slices) for every cluster
+    whose membership exceeds the guard. Use this to audit/report where
+    the guard degraded the neighborhood to same-slice pairs — at scale
+    these rows mean the upstream k-means k was too small for the
+    corpus (SemDeDup wants k ~ sqrt(N)). Mirror of dedup.hot_buckets."""
+    return (
+        embeddings.groupBy(label_col)
+        .agg(F.count("*").alias("cluster_n"))
+        .filter(F.col("cluster_n") > max_cluster)
+        .withColumn(
+            "n_slices",
+            F.ceil(F.col("cluster_n") / F.lit(max_cluster)).cast("long"),
+        )
     )

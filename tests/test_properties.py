@@ -873,3 +873,60 @@ def test_semantic_dedup_matches_sequential_model(spark, rows):
         for r in semantic_dedup(df, tau).collect()
     }
     assert got == _sem_model(rows, tau)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_sem_vecs)
+def test_semantic_dedup_guard_properties(spark, rows):
+    """The max_cluster guard's contract: with the cap above every
+    cluster size the result is bit-identical to unguarded; with the cap
+    forcing sub-splits, cent_cos is unchanged, n_better_neighbors can
+    only shrink, and removed is a SUBSET of the unguarded removals
+    (same-slice pairs are a subset of same-cluster pairs — the guard
+    never fabricates a removal)."""
+    from evolution_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    tau = 0.5
+    df = spark.createDataFrame(
+        [(i, lbl, [float(x) for x in vec]) for i, (lbl, vec) in enumerate(rows)],
+        "vec_id long, label int, embedding array<float>",
+    )
+
+    def snap(frame):
+        return {
+            r.vec_id: (r.cent_cos, r.n_better_neighbors, r.removed)
+            for r in frame.collect()
+        }
+
+    unguarded = snap(semantic_dedup(df, tau, max_cluster=None))
+    assert snap(semantic_dedup(df, tau, max_cluster=1000)) == unguarded
+    forced = snap(semantic_dedup(df, tau, max_cluster=2))
+    assert forced.keys() == unguarded.keys()
+    for vid, (cc, n, rem) in forced.items():
+        ucc, un, urem = unguarded[vid]
+        assert cc == ucc
+        assert n <= un
+        assert (not rem) or urem
+
+
+def test_oversize_clusters_audit(spark):
+    from evolution_data_warehouse_spark.operators.similarity import (
+        oversize_clusters,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 0 if i < 10 else 1, [1.0, 0.0]) for i in range(13)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r.label: (r.cluster_n, r.n_slices)
+        for r in oversize_clusters(df, max_cluster=3).collect()
+    }
+    assert got == {0: (10, 4)}  # label 1 (3 members) is under the cap
