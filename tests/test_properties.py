@@ -930,3 +930,72 @@ def test_oversize_clusters_audit(spark):
         for r in oversize_clusters(df, max_cluster=3).collect()
     }
     assert got == {0: (10, 4)}  # label 1 (3 members) is under the cap
+
+
+# ---------------------------------------------------------------------------
+# dhash64 perceptual hash: invariances + banded pair recall
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    shift=st.integers(min_value=0, max_value=60),
+    sx=st.integers(min_value=1, max_value=3),
+    sy=st.integers(min_value=1, max_value=3),
+)
+def test_dhash64_invariances(seed, h, w, shift, sx, sy):
+    """dHash is exactly invariant to uniform brightness shift (no
+    clipping) and to pixel-replication upscaling when the upscaled
+    dims stay multiples of the grid (w,h multiplied whole); 2-D gray
+    and 3-D gray-replicated RGB hash identically."""
+    from evolution_data_warehouse_spark.operators.phash import dhash64
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(0, 196, (h, w), dtype=np.uint8)  # 195+60 < 256
+    base = dhash64(gray)
+    assert dhash64(gray + shift) == base
+    up = np.repeat(np.repeat(gray, sy, axis=0), sx, axis=1)
+    # exact invariance needs block boundaries to align: guaranteed when
+    # original dims are multiples of the 9x8 grid
+    if h % 8 == 0 and w % 9 == 0:
+        assert dhash64(up) == base
+    rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    assert dhash64(rgb) == base
+    assert -(2**63) <= base < 2**63
+
+
+def test_dhash_pairs_recall_and_guard(spark):
+    """Banding recall (every pair within max_dist shares a band —
+    pigeonhole) and the default-ON hot-bucket guard (a degenerate
+    bucket above max_bucket is dropped from candidate generation)."""
+    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
+
+    base_hash = 0x123456789ABCDEF0
+    rows = [(0, base_hash)]
+    # ids 1..3: flip 1..3 distinct bits spread across bands
+    for i, bits in enumerate([(0,), (5, 21), (2, 30, 55)], start=1):
+        v = base_hash
+        for b in bits:
+            v ^= 1 << b
+        rows.append((i, v))
+    rows.append((4, base_hash ^ 0xF0F0))  # distance 8: outside
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dhash_pairs(df, max_dist=3).collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2 and got[(0, 3)] == 3
+    assert (0, 4) not in got
+    # distances between the flipped variants that fall within 3
+    assert got[(1, 2)] == 3
+    # hot bucket: 40 identical hashes with max_bucket=10 are dropped
+    hot = spark.createDataFrame(
+        [(100 + i, 7777) for i in range(40)], "doc_id long, dhash long"
+    )
+    assert dhash_pairs(hot, max_bucket=10).count() == 0
+    assert dhash_pairs(hot, max_bucket=None).count() == 40 * 39 // 2
