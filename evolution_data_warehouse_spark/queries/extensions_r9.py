@@ -151,3 +151,302 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash_batch(), "doc_id long, dhash long"
     )
     return dhash_pairs(hashes, max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end web-corpus curation: WARC → strip → gates → dedup → report
+# ---------------------------------------------------------------------------
+
+_HTML_PREFIX = '<div class="post"><p>'
+_HTML_SUFFIX = "</p><br/>&amp; <b>more</b></div>"
+
+
+def _warc_html_batch():
+    """mapInPandas fn: wrap each document in deterministic HTML, mux it
+    into a Common Crawl-layout WARC (warcinfo + response, each record
+    its own gzip member), parse the archive back, and emit the text the
+    PARSER recovered — downstream gates consume what came out of the
+    WARC path, not the original column, so the whole ingestion stack is
+    on the hook for every row."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from evolution_data_warehouse_spark.sources.warc import (
+            build_warc,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                d = int(doc_id)
+                body = "" if text is None else str(text)
+                html = f"{_HTML_PREFIX}{body}{_HTML_SUFFIX}"
+                payload = html.encode("utf-8")
+                data = build_warc(
+                    [
+                        ("warcinfo", "", b"software: engine\r\n"),
+                        ("response", f"http://corpus.local/doc/{d}", payload),
+                    ],
+                    per_record_gzip=True,
+                )
+                recs = parse_warc(data)
+                resp = recs[-1]
+                ok = (
+                    len(recs) == 2
+                    and resp["type"] == "response"
+                    and resp["payload"] == payload
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "lang": lang,
+                        "source": source,
+                        "html": resp["payload"].decode("utf-8"),
+                        "warc_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def _web_funnel_oracle() -> str:
+    from evolution_data_warehouse_spark.operators import textops
+    from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        N_MINHASH,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _mh_sql_fragments,
+    )
+
+    langs = sorted(textops.STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(list_filter(str_split(lower(ctext), ' '), "
+        f"x -> list_contains([{', '.join(repr(w) for w in textops.STOPWORDS[lang])}], x))) AS INT)"
+        f" AS s_{lang}"
+        for lang in langs
+    )
+    en = ", ".join(repr(w) for w in textops.STOPWORDS["en"])
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    chain = " ".join(
+        f"WHEN s_{lang} >= {best} THEN '{lang}'" for lang in langs
+    )
+    f = _mh_sql_fragments()
+    return f"""
+WITH raw AS (
+    SELECT doc_id, lang, source,
+           '{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}' AS html
+    FROM documents
+),
+clean AS (
+    SELECT doc_id, lang, source,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''),
+               ' +', ' ', 'g')) AS ctext
+    FROM raw
+),
+staged AS (
+    SELECT doc_id, lang, source, ctext,
+           row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id)
+               AS rn,
+           CAST(len(str_split(ctext, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(str_split(lower(ctext), ' '),
+                    x -> list_contains([{en}], x))) AS BIGINT) AS stop_hits,
+           {score_cols}
+    FROM clean
+),
+flags AS (
+    SELECT doc_id, source, ctext, n_tokens,
+           rn = 1 AS exact_survivor,
+           rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
+               AS quality_pass,
+           rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
+               AND (CASE {chain} END) = lang AS lang_match
+    FROM staged
+),
+gated AS (
+    SELECT doc_id, source, ctext, n_tokens FROM flags WHERE lang_match
+),
+sh AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 1, 1)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               ))) AS shingle
+        FROM (SELECT doc_id, str_split(lower(ctext), ' ') AS toks
+              FROM gated)
+    )
+),
+h AS (SELECT doc_id, {f["hm"]} AS hm FROM sh),
+mh AS (SELECT doc_id, {f["mh_cols"]} FROM h GROUP BY doc_id),
+bands_raw AS ({f["bands"]}),
+bands AS (
+    SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM bands_raw
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+removed AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM cand
+    JOIN mh sa ON doc_a = sa.doc_id
+    JOIN mh sb ON doc_b = sb.doc_id
+    WHERE CAST(({f["eq"]}) AS DOUBLE) / CAST({N_MINHASH} AS DOUBLE) >= 0.5
+),
+kept AS (
+    SELECT g.source, g.n_tokens FROM gated g
+    LEFT JOIN removed r ON g.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+),
+agg_flags AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) AS n_warc_ok,
+           CAST(SUM(CASE WHEN exact_survivor THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_unique,
+           CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_pass,
+           CAST(SUM(CASE WHEN lang_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_match
+    FROM flags GROUP BY source
+),
+agg_kept AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_near_unique,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_final
+    FROM kept GROUP BY source
+)
+SELECT a.source, a.n_docs, a.n_warc_ok, a.n_exact_unique,
+       a.n_quality_pass, a.n_lang_match,
+       COALESCE(k.n_near_unique, 0) AS n_near_unique,
+       COALESCE(k.n_tokens_final, 0) AS n_tokens_final
+FROM agg_flags a LEFT JOIN agg_kept k ON a.source = k.source
+"""
+
+
+@register(
+    "web_corpus_curation",
+    _web_funnel_oracle(),
+    doc="The actual Common Crawl workflow as ONE query: every document "
+    "is wrapped in HTML, muxed into a per-record-gzip WARC "
+    "(sources/warc.py, the ISO 28500 Common Crawl layout) and parsed "
+    "back — downstream consumes the PARSER's output — then "
+    "html-stripped (tag/entity column expressions, text_html_strip's "
+    "chain), exact-deduped (content-hash window), quality-gated "
+    "(integer cross-multiplied length + stopword density), "
+    "language-verified (stopword argmax == label), MinHash-LSH "
+    "near-deduped (operators/dedup.py's banded pair join with its "
+    "default-ON hot-bucket guard, est_jaccard >= 0.5 removes the "
+    "higher id), and rolled into the per-source curation funnel "
+    "report. One WARC pass feeds every gate (the parsed frame is "
+    "cached, reused by the flag aggregate and the near-dup path); at "
+    "100 TB the same plan reads member-boundary-split WARC files at "
+    "record granularity with no shuffle before the funnel aggregate.",
+)
+def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators import textops
+    from evolution_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    parsed = docs.mapInPandas(
+        _warc_html_batch(),
+        "doc_id long, lang string, source string, html string, "
+        "warc_ok boolean",
+    )
+    stripped = F.regexp_replace("html", "<[^>]*>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'")]:
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    ctext = F.trim(F.regexp_replace(stripped, " +", " "))
+    w = W.partitionBy(F.md5("ctext")).orderBy("doc_id")
+    scores = textops.lang_scores(F.col("ctext"))
+    staged = (
+        parsed.withColumn("ctext", ctext)
+        .select(
+            "doc_id", "lang", "source", "ctext", "warc_ok",
+            F.row_number().over(w).alias("rn"),
+            F.size(textops.tokens_ws(F.col("ctext")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            textops.stopword_hits(F.col("ctext"), textops.STOPWORDS["en"])
+            .cast("bigint")
+            .alias("stop_hits"),
+            textops.predict_lang(scores).alias("pred_lang"),
+        )
+        .cache()  # ONE WARC pass feeds the flag aggregate + dedup path
+    )
+    exact = F.col("rn") == 1
+    quality = (
+        exact
+        & (F.col("n_tokens") >= 20)
+        & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
+    )
+    lang_match = quality & (F.col("pred_lang") == F.col("lang"))
+    gated = staged.filter(lang_match).select(
+        "doc_id", "source", "ctext", "n_tokens"
+    )
+    toks = F.split(F.lower(F.col("ctext")), " ")
+    n = F.size(toks)
+    sh3 = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingled = gated.select(
+        "doc_id", F.explode(F.array_distinct(sh3)).alias("shingle")
+    )
+    removed = (
+        minhash_lsh_pairs(shingled)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = gated.join(removed, "doc_id", "left_anti")
+    agg_flags = staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("warc_ok").cast("int")).cast("bigint").alias("n_warc_ok"),
+        F.sum(exact.cast("int")).cast("bigint").alias("n_exact_unique"),
+        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
+        F.sum(lang_match.cast("int")).cast("bigint").alias("n_lang_match"),
+    )
+    agg_kept = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_near_unique"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens_final"),
+    )
+    return agg_flags.join(agg_kept, "source", "left").select(
+        "source", "n_docs", "n_warc_ok", "n_exact_unique",
+        "n_quality_pass", "n_lang_match",
+        F.coalesce(F.col("n_near_unique"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_unique"),
+        F.coalesce(F.col("n_tokens_final"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens_final"),
+    )
