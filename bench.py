@@ -140,6 +140,35 @@ def _hot_guard_seconds(spark, sf_dir: str) -> float:
     return round(time.time() - t0, 3)
 
 
+def _bpe_encode_seconds(spark, sf_dir: str) -> float:
+    """Steady-state time to tokenize the whole documents table to
+    vocabulary ids (bpe_encode_ids under the pinned 12-merge table) —
+    the frozen-vocab throughput line a pretraining data pipeline cares
+    about: distinct-word segmentation + equi-join back + literal-map
+    id lookup, materializing every (doc, word_pos, sub_pos, token_id)
+    row through a noop sink."""
+    import time
+
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    def run():
+        bpe_encode_ids(
+            t(spark, sf_dir, "documents"), _BPE_MERGES, bpe_vocab(_BPE_MERGES)
+        ).write.mode("overwrite").format("noop").save()
+
+    run()  # warm plan/codegen
+    t0 = time.time()
+    run()
+    return round(time.time() - t0, 3)
+
+
 def _sem_guard_seconds(spark, sf_dir: str) -> float:
     """Time semantic_dedup on input that actually trips the default
     cluster-size guard: the corpus embeddings plus one synthetic
@@ -429,6 +458,7 @@ def main() -> None:
         "dedup_minhash_hot_guarded": _hot_guard_seconds(spark, sf_dir),
         "shingle_join_hot_guarded": _shingle_guard_seconds(spark, sf_dir),
         "semantic_dedup_hot_guarded": _sem_guard_seconds(spark, sf_dir),
+        "bpe_encode_corpus": _bpe_encode_seconds(spark, sf_dir),
         "heavy_hitters_mg": _heavy_hitters_seconds(spark, sf_dir),
     }
     extras.update(_skew_seconds(spark))

@@ -137,6 +137,90 @@ def bpe_train(
     return merges
 
 
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """The deterministic id table a trained tokenizer ships: the
+    end-of-word sentinel, the base alphabet (a-z, 0-9), then each
+    merged symbol in merge-rank order. Symbols outside the table
+    encode as -1 (the <unk> id)."""
+    toks = [EOW] + list("abcdefghijklmnopqrstuvwxyz0123456789") + [
+        a + b for a, b in merges
+    ]
+    return {tok: i for i, tok in enumerate(toks)}
+
+
+def bpe_segment_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """word → space-joined subword string under the ordered merge
+    table: space-sentinel the characters, apply each merge as a
+    scan-replace (left-to-right, non-overlapping — semantics identical
+    in Spark and DuckDB, see tok_bpe_segment), trim. Pure column
+    expressions, scan speed."""
+    s = F.concat(
+        F.lit(" "), F.regexp_replace(word, "(.)", "$1 "), F.lit(EOW + " ")
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return F.trim(s)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus to vocabulary IDS — the trainer's runtime
+    counterpart (what every pretraining data job runs over the full
+    100 TB once the vocab is frozen). Returns one row per subword
+    instance: (id, word_pos, sub_pos, subword, token_id), positions
+    0-based over the doc's whitespace words and the word's subwords;
+    unknown subwords get token_id -1.
+
+    Scale shape: the merge replaces (the CPU) run once per DISTINCT
+    word — the corpus words equi-join back to the segmented word table
+    (Zipf makes that table vastly smaller than the token stream; at
+    corpus scale it is a shuffle join on the word, not a broadcast).
+    The vocab itself IS broadcast — a model-sized literal map riding
+    the task closure, looked up JVM-side inside `transform`; no join,
+    no Python. One explode + one join + one explode, nothing else."""
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "word_pos", "w"
+        ),
+    ).filter(F.col("w") != "")
+    vmap = F.create_map(
+        *[
+            F.lit(x)
+            for tok, i in sorted(vocab.items())
+            for x in (tok, i)
+        ]
+    )
+    subs = F.split(bpe_segment_expr(F.col("w"), merges), " ")
+    seg = words.select("w").distinct().select(
+        "w",
+        subs.alias("subs"),
+        F.transform(
+            subs, lambda x: F.coalesce(vmap[x], F.lit(-1))
+        ).alias("ids"),
+    )
+    return (
+        words.join(seg, "w")
+        .select(
+            id_col,
+            "word_pos",
+            F.posexplode(F.arrays_zip("subs", "ids")).alias("sub_pos", "z"),
+        )
+        .select(
+            id_col,
+            "word_pos",
+            "sub_pos",
+            F.col("z.subs").alias("subword"),
+            F.col("z.ids").cast("int").alias("token_id"),
+        )
+    )
+
+
 def bpe_train_df(
     docs: DataFrame, text_col: str = "text", n_merges: int = 10
 ) -> DataFrame:

@@ -549,3 +549,99 @@ def mm_audio_companding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, sample_rate int, n_channels int, "
         "n_frames int, roundtrip_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenize-to-ids — the trainer's runtime counterpart
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.bpe import bpe_vocab
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    s = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '▁ '"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    vocab_case = (
+        "CASE sub "
+        + " ".join(
+            f"WHEN '{tok}' THEN {i}"
+            for tok, i in sorted(bpe_vocab(_BPE_MERGES).items())
+        )
+        + " ELSE -1 END"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, str_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+wraw AS (
+    SELECT doc_id,
+           CAST(unnest(range(1, len(tk) + 1)) AS INT) AS wp,
+           unnest(tk) AS w
+    FROM toks
+),
+words AS (SELECT doc_id, wp, w FROM wraw WHERE w <> ''),
+seg AS (
+    SELECT doc_id, wp, str_split(trim({s}), ' ') AS subs FROM words
+),
+subrows AS (
+    SELECT doc_id, wp,
+           CAST(unnest(range(1, len(subs) + 1)) AS INT) AS sp,
+           unnest(subs) AS sub
+    FROM seg
+),
+ids AS (SELECT doc_id, wp, sp, {vocab_case} AS id FROM subrows)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_subwords,
+       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       CAST(SUM(CAST(wp AS BIGINT) * sp * (id + 131)) AS BIGINT)
+           AS id_checksum
+FROM ids
+GROUP BY doc_id
+"""
+
+
+@register(
+    "tok_bpe_encode",
+    _bpe_encode_oracle(),
+    doc="BPE tokenize-to-ids (operators/bpe.py::bpe_encode_ids) — the "
+    "frozen-vocab runtime counterpart of the distributed trainer: the "
+    "corpus encodes to vocabulary ids under the pinned 12-merge table "
+    "and its deterministic id table (bpe_vocab; unknown subwords are "
+    "-1). The merge replaces run once per DISTINCT word and equi-join "
+    "back to the token stream (Zipf: the word table is tiny next to "
+    "the stream); the id map is a literal broadcast looked up JVM-side "
+    "inside `transform` — no join, no Python. Verified at doc grain "
+    "by an exact positional checksum over every (word_pos, sub_pos, "
+    "token_id) instance, so a single mis- id'd or mis-ordered subword "
+    "anywhere in the corpus breaks the hash.",
+)
+def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    enc = bpe_encode_ids(
+        t(spark, sf_dir, "documents"), _BPE_MERGES, bpe_vocab(_BPE_MERGES)
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_subwords"),
+        F.sum((F.col("token_id") == -1).cast("int"))
+        .cast("bigint")
+        .alias("n_unk"),
+        F.sum(
+            (F.col("word_pos") + 1).cast("bigint")
+            * (F.col("sub_pos") + 1)
+            * (F.col("token_id") + 131)
+        )
+        .cast("bigint")
+        .alias("id_checksum"),
+    )
