@@ -445,6 +445,8 @@ def encode_wav_ima(
                 for k in range(0, 8, 2):
                     out.append(grp[k] | (grp[k + 1] << 4))
     brate = rate * balign // spb
+    if brate > 0xFFFFFFFF:
+        raise ValueError(f"WAV sample rate {rate} out of range")
     fmt = struct.pack(
         "<HHIIHHHH", 0x11, ch, rate, brate, balign, 4, 2, spb
     )

@@ -162,6 +162,18 @@ def bpe_segment_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     return F.trim(s)
 
 
+def bpe_segment_sql(word_expr: str, merges: list[tuple[str, str]]) -> str:
+    """The DuckDB mirror of :func:`bpe_segment_expr` — ONE source of
+    truth for the segmentation SQL (the _mh_sql_fragments discipline:
+    a change to the sentinel, char-spacing regex, or replace formatting
+    cannot silently diverge an engine/oracle pair). Used by both the
+    tok_bpe_segment and tok_bpe_encode oracles."""
+    s = f"' ' || regexp_replace({word_expr}, '(.)', '\\1 ', 'g') || '{EOW} '"
+    for a, b in merges:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return f"trim({s})"
+
+
 def bpe_encode_ids(
     docs: DataFrame,
     merges: list[tuple[str, str]],

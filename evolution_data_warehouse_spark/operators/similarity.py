@@ -542,14 +542,21 @@ def semantic_dedup(
     )
     if max_cluster is not None:
         # Per-label sizes: k-row aggregate (map-side combined) broadcast
-        # back — the corpus rows are never shuffled for the guard.
+        # back — the corpus rows are never shuffled for the guard.  The
+        # sub-split hash is content_hash64 (md5-based, non-negative) and
+        # slice count is integer arithmetic, NOT xxhash64/float-ceil:
+        # both are exactly expressible in ANSI SQL, so the DuckDB
+        # oracle models the guard and the oracle-checked query stays
+        # scale-independent even when clusters exceed the cap.
+        from evolution_data_warehouse_spark.operators.dedup import (
+            content_hash64,
+        )
+
         counts = cc.groupBy(label_col).agg(F.count("*").alias("_cl_n"))
         guarded = cc.join(F.broadcast(counts), label_col).withColumn(
             "_sub",
-            F.pmod(
-                F.xxhash64(F.col(id_col)),
-                F.ceil(F.col("_cl_n") / F.lit(max_cluster)).cast("long"),
-            ),
+            content_hash64(F.col(id_col).cast("string"))
+            % F.expr(f"(_cl_n + {max_cluster - 1}) div {max_cluster}"),
         )
     else:
         guarded = cc.withColumn("_sub", F.lit(0).cast("bigint"))

@@ -1019,9 +1019,11 @@ _BPE_TOPK = 30
 
 
 def _bpe_seg_sql() -> str:
-    s = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '▁ '"
-    for a, b in _BPE_MERGES:
-        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_sql,
+    )
+
+    s = bpe_segment_sql("w", _BPE_MERGES)
     return f"""
 WITH words AS (
     SELECT w, COUNT(*) AS n FROM (
@@ -1031,7 +1033,7 @@ WITH words AS (
 ),
 seg AS (SELECT {s} AS s, n FROM words),
 subs AS (
-    SELECT unnest(str_split(trim(s), ' ')) AS subword, n FROM seg
+    SELECT unnest(str_split(s, ' ')) AS subword, n FROM seg
 )
 SELECT subword, CAST(SUM(n) AS BIGINT) AS cnt
 FROM subs WHERE subword <> ''
@@ -1063,16 +1065,14 @@ def tok_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("n"))
     )
-    s = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.col("w"), "(.)", "$1 "),
-        F.lit("▁ "),
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_expr,
     )
-    for a, b in _BPE_MERGES:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+
+    s = bpe_segment_expr(F.col("w"), _BPE_MERGES)
     subs = (
         words.select(s.alias("s"), "n")
-        .select(F.explode(F.split(F.trim(F.col("s")), " ")).alias("subword"), "n")
+        .select(F.explode(F.split(F.col("s"), " ")).alias("subword"), "n")
         .filter(F.col("subword") != "")
     )
     return (
@@ -1430,6 +1430,15 @@ _SEM_DIM = 64
 
 
 def _sem_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+    from evolution_data_warehouse_spark.operators.similarity import (
+        DEFAULT_MAX_CLUSTER,
+    )
+
+    cap = DEFAULT_MAX_CLUSTER
+    sub_hash = content_hash64_sql("CAST(cc.vec_id AS VARCHAR)")
     csum = ", ".join(
         f"CAST(SUM(CAST(floor(CAST(embedding[{i}] AS DOUBLE) * 1e12) AS "
         f"BIGINT)) AS BIGINT) AS c{i}"
@@ -1460,11 +1469,22 @@ cc AS (
            ({dot_vc}) / NULLIF(e.norm * sqrt({cnorm}), 0.0) AS cc
     FROM e JOIN cent c ON e.label = c.label
 ),
+cnt AS (SELECT label, COUNT(*) AS cl_n FROM cc GROUP BY label),
+-- the engine's default-on cluster-size guard, modeled exactly: above
+-- DEFAULT_MAX_CLUSTER members a cluster sub-splits by the md5-based
+-- content hash of the id into ceil(n/cap) slices, and only same-slice
+-- pairs are compared (operators/similarity.py::semantic_dedup)
+g AS (
+    SELECT cc.*,
+           {sub_hash} % ((cnt.cl_n + {cap - 1}) // {cap}) AS sub
+    FROM cc JOIN cnt ON cc.label = cnt.label
+),
 nb AS (
     SELECT a.vec_id,
            COUNT(*) FILTER (WHERE (b.cc < a.cc)
                OR (b.cc = a.cc AND b.vec_id < a.vec_id)) AS n_better
-    FROM cc a JOIN cc b ON a.label = b.label AND a.vec_id <> b.vec_id
+    FROM g a JOIN g b ON a.label = b.label AND a.sub = b.sub
+        AND a.vec_id <> b.vec_id
     WHERE ({dot_ab}) / NULLIF(a.norm * b.norm, 0.0) >= {_SEM_TAU}
     GROUP BY a.vec_id
 )
@@ -1489,9 +1509,12 @@ FROM cc c LEFT JOIN nb ON nb.vec_id = c.vec_id
     "order-dependent greedy sweep. Centroids are fixed-point "
     "(floor(v*1e12) int64 sums), so exact under any partitioning; "
     "cosine folds are sequential and oracle-matchable. The only "
-    "quadratic term is the within-cluster pair join — bounded by "
-    "construction, because SemDeDup grows CLUSTER COUNT with the "
-    "corpus, not cluster size.",
+    "quadratic term is the within-cluster pair join, bounded two ways: "
+    "SemDeDup grows CLUSTER COUNT with the corpus, and (r9) the "
+    "engine's default-on max_cluster guard sub-splits any oversize "
+    "cluster by an md5-based id hash — modeled EXACTLY in this oracle "
+    "(the g CTE), so the query stays scale-independent even on a "
+    "degenerate clustering.",
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.similarity import (

@@ -353,7 +353,8 @@ FROM agg_flags a LEFT JOIN agg_kept k ON a.source = k.source
     "default-ON hot-bucket guard, est_jaccard >= 0.5 removes the "
     "higher id), and rolled into the per-source curation funnel "
     "report. One WARC pass feeds every gate (the parsed frame is "
-    "cached, reused by the flag aggregate and the near-dup path); at "
+    "locally checkpointed — reclaimable blocks, not a session-pinned "
+    "cache — and reused by the flag aggregate and the near-dup path); at "
     "100 TB the same plan reads member-boundary-split WARC files at "
     "record granularity with no shuffle before the funnel aggregate.",
 )
@@ -393,7 +394,12 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stop_hits"),
             textops.predict_lang(scores).alias("pred_lang"),
         )
-        .cache()  # ONE WARC pass feeds the flag aggregate + dedup path
+        # ONE WARC pass feeds the flag aggregate + the dedup path.
+        # localCheckpoint, not cache: blocks are reclaimed when the
+        # result is dropped instead of pinning the parsed corpus in the
+        # CacheManager for the rest of the session (the lifecycle
+        # dedup.py prescribes for composition into longer pipelines).
+        .localCheckpoint(eager=False)
     )
     exact = F.col("rn") == 1
     quality = (
@@ -423,7 +429,7 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(sh3)).alias("shingle")
     )
     removed = (
-        minhash_lsh_pairs(shingled)
+        minhash_lsh_pairs(shingled, sig_storage="checkpoint")
         .filter(F.col("est_jaccard") >= 0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -557,14 +563,15 @@ def mm_audio_companding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle() -> str:
-    from evolution_data_warehouse_spark.operators.bpe import bpe_vocab
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_sql,
+        bpe_vocab,
+    )
     from evolution_data_warehouse_spark.queries.extensions_r8 import (
         _BPE_MERGES,
     )
 
-    s = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') || '▁ '"
-    for a, b in _BPE_MERGES:
-        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    s = bpe_segment_sql("w", _BPE_MERGES)
     vocab_case = (
         "CASE sub "
         + " ".join(
@@ -586,7 +593,7 @@ wraw AS (
 ),
 words AS (SELECT doc_id, wp, w FROM wraw WHERE w <> ''),
 seg AS (
-    SELECT doc_id, wp, str_split(trim({s}), ' ') AS subs FROM words
+    SELECT doc_id, wp, str_split({s}, ' ') AS subs FROM words
 ),
 subrows AS (
     SELECT doc_id, wp,

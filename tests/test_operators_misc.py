@@ -2607,6 +2607,13 @@ def test_wav_companded_codecs():
     bad[dstart + 2] = 99
     with pytest.raises(ValueError, match="step index"):
         decode_wav(bytes(bad))
+    # a rate whose derived byte-rate overflows the fmt field is a
+    # ValueError, never struct.error (balign > spb makes brate > rate)
+    with pytest.raises(ValueError, match="rate"):
+        encode_wav_ima(
+            np.zeros((10, 2), dtype=np.int64), 0xFFFFFFFF,
+            frames_per_block=9,
+        )
 
     # 6) truncation fuzz for both new families: ValueError or identical
     for data in (encode_wav_g711(dec.reshape(-1, 2), 11025, "ulaw"), wav):

@@ -111,8 +111,11 @@ def main() -> int:
 
     con = duckdb.connect()
     for tbl in TABLES:
+        path = f"{sf_dir}/{tbl}.parquet"
+        if os.path.isdir(path):  # Spark-written dir (e.g. .bench/sf1)
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
         )
 
     import __spark_entry__ as entrymod
