@@ -558,6 +558,119 @@ def mm_audio_companding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) layout — multi-dimensional clustering evidence
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.layout import (
+        grid_sql,
+        zvalue_sql,
+    )
+
+    return f"""
+WITH b AS (
+    SELECT MIN(l_partkey) AS xmin, MAX(l_partkey) AS xmax,
+           MIN(l_suppkey) AS ymin, MAX(l_suppkey) AS ymax
+    FROM lineitem
+),
+g AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+           {grid_sql("l.l_partkey", "b.xmin", "b.xmax")} AS xg,
+           {grid_sql("l.l_suppkey", "b.ymin", "b.ymax")} AS yg
+    FROM lineitem l, b
+),
+z AS (SELECT *, {zvalue_sql("xg", "yg")} AS zv FROM g),
+t AS (
+    SELECT xg, yg,
+           NTILE(16) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS zb,
+           NTILE(16) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber)
+               AS lb
+    FROM z
+),
+za AS (
+    SELECT zb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(xg) - MIN(xg) AS BIGINT) AS x_span_z,
+           CAST(MAX(yg) - MIN(yg) AS BIGINT) AS y_span_z
+    FROM t GROUP BY zb
+),
+la AS (
+    SELECT lb AS bucket,
+           CAST(MAX(xg) - MIN(xg) AS BIGINT) AS x_span_lin,
+           CAST(MAX(yg) - MIN(yg) AS BIGINT) AS y_span_lin
+    FROM t GROUP BY lb
+)
+SELECT CAST(za.bucket AS INT) AS bucket, za.n_rows,
+       za.x_span_z, za.y_span_z, la.x_span_lin, la.y_span_lin
+FROM za JOIN la ON za.bucket = la.bucket
+"""
+
+
+@register(
+    "proc_zorder_report",
+    _zorder_oracle(),
+    doc="Z-order (Morton curve) multi-dimensional clustering "
+    "(operators/layout.py) — the OPTIMIZE ZORDER BY leg of layout "
+    "maintenance beside proc_maintenance_layout's compaction leg: "
+    "lineitem rows grid-normalize (exact BIGINT arithmetic over a "
+    "1-row min/max broadcast) and bit-interleave (l_partkey, "
+    "l_suppkey) into a 16-bit curve value; 16 equal buckets in curve "
+    "order report their per-dimension grid spans NEXT TO the same "
+    "buckets under a plain single-key sort. The output IS the pruning "
+    "evidence: z-buckets bound BOTH dimensions (y_span_z well below "
+    "the 255 grid span every single-key bucket shows), which is what "
+    "lets parquet min/max footer stats prune scans filtered on either "
+    "column at 100 TB. NTILE here makes bucket assignment "
+    "oracle-checkable; the physical write path (zorder_layout) uses "
+    "repartitionByRange — one range shuffle — and is asserted on real "
+    "files in test_warehouse.",
+)
+def proc_zorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.layout import (
+        grid_expr,
+        zvalue,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    bounds = li.agg(
+        F.min("l_partkey").alias("xmin"), F.max("l_partkey").alias("xmax"),
+        F.min("l_suppkey").alias("ymin"), F.max("l_suppkey").alias("ymax"),
+    )
+    g = (
+        li.join(F.broadcast(bounds))
+        .withColumn("xg", F.expr(grid_expr("l_partkey", "xmin", "xmax")))
+        .withColumn("yg", F.expr(grid_expr("l_suppkey", "ymin", "ymax")))
+        .withColumn("zv", zvalue(F.col("xg"), F.col("yg")))
+    )
+    tiled = g.select(
+        "xg", "yg",
+        F.ntile(16)
+        .over(W.orderBy("zv", "l_orderkey", "l_linenumber"))
+        .alias("zb"),
+        F.ntile(16)
+        .over(W.orderBy("l_partkey", "l_orderkey", "l_linenumber"))
+        .alias("lb"),
+    )
+    za = tiled.groupBy("zb").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.max("xg") - F.min("xg")).cast("bigint").alias("x_span_z"),
+        (F.max("yg") - F.min("yg")).cast("bigint").alias("y_span_z"),
+    )
+    la = tiled.groupBy("lb").agg(
+        (F.max("xg") - F.min("xg")).cast("bigint").alias("x_span_lin"),
+        (F.max("yg") - F.min("yg")).cast("bigint").alias("y_span_lin"),
+    )
+    return za.join(la, za["zb"] == la["lb"]).select(
+        F.col("zb").cast("int").alias("bucket"),
+        "n_rows", "x_span_z", "y_span_z", "x_span_lin", "y_span_lin",
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE tokenize-to-ids — the trainer's runtime counterpart
 # ---------------------------------------------------------------------------
 

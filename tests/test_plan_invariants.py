@@ -42,6 +42,7 @@ _BNL_OK = {
     "event_cooccurrence_pmi",  # 1-row basket-count broadcast into the PMI
     "surv_kaplan_meier",  # 1-row observation-horizon broadcast over user spans
     "stats_ks_two_sample",  # 1-row (n1, n2) totals broadcast into the CDF scan
+    "proc_zorder_report",  # 1-row grid min/max broadcast into the curve math
     "ts_revenue_anomaly_months",  # 1-row moments broadcast into the z-scores
     "agg_heavy_hitters_mg",  # 1-row n_total broadcast into the certificate
     "ts_cusum_drift",  # 1-row total/day-count broadcast into the CUSUM terms

@@ -544,3 +544,63 @@ def test_manifest_time_travel_api(spark, sf_dir, tmp_path):
     assert 0 not in list_versions(spark, root)
     with pytest.raises(FileNotFoundError, match="retention"):
         read_version(spark, root, "orders", 0)
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Physical Z-order layout (operators/layout.py::zorder_layout):
+    the files written in curve order bound BOTH dimensions, so their
+    per-file (x span x y span) rectangles are far smaller than a
+    single-key-sorted layout's — the property that makes parquet
+    min/max footer stats prune scans filtered on either column."""
+    import glob
+
+    from evolution_data_warehouse_spark.operators.layout import (
+        zorder_layout,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    zorder_layout(li, "l_partkey", "l_suppkey", zdir, n_files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def spans(d: str) -> list[tuple[int, int]]:
+        out = []
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            st = (
+                spark.read.parquet(f)
+                .agg(
+                    F.max("l_partkey") - F.min("l_partkey"),
+                    F.max("l_suppkey") - F.min("l_suppkey"),
+                )
+                .collect()[0]
+            )
+            out.append((int(st[0]), int(st[1])))
+        assert len(out) == 8, d
+        return out
+
+    gx, gy = (
+        li.agg(
+            F.max("l_partkey") - F.min("l_partkey"),
+            F.max("l_suppkey") - F.min("l_suppkey"),
+        ).collect()[0]
+    )
+    zs, ls = spans(zdir), spans(ldir)
+    assert (
+        spark.read.parquet(zdir).count()
+        == spark.read.parquet(ldir).count()
+        == li.count()
+    )
+    # single-key sort: every file's y span is the FULL global range —
+    # a filter on l_suppkey prunes nothing
+    assert all(y == gy for _, y in ls), (ls, gy)
+    # z-order: both dimensions bounded simultaneously (each file covers
+    # a small rectangle), so min/max stats prune on EITHER predicate
+    assert sum(x for x, _ in zs) / 8 < 0.66 * gx, (zs, gx)
+    assert sum(y for _, y in zs) / 8 < 0.66 * gy, (zs, gy)
