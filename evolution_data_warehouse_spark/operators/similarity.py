@@ -604,6 +604,113 @@ def semantic_dedup(
     )
 
 
+#: fixed-point scale for PQ distance arithmetic — floor(v * PQ_SCALE)
+#: as int64 makes every distance, argmin, and ADC sum EXACT integer
+#: arithmetic (no float summation order to disagree across engines).
+PQ_SCALE = 1_000_000
+
+
+def pq_quantize_codebooks(
+    codebooks: list[list[list[float]]],
+) -> list[list[list[int]]]:
+    """Codebook floats → the fixed-point integers the assignment
+    actually compares against (round(c * PQ_SCALE))."""
+    return [
+        [[round(c * PQ_SCALE) for c in cent] for cent in book]
+        for book in codebooks
+    ]
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al. 2011, the
+    standard PQ for billion-scale ANN): the d-dim vector splits into
+    m contiguous subspaces; each subspace snaps to its nearest of k
+    pinned centroids; the vector compresses to m small codes (here
+    m=len(codebooks), k<=16 → one BIGINT packs all codes at 4 bits
+    each). Distances are EXACT int64 arithmetic over floor(v*PQ_SCALE)
+    fixed-point values, so assignment is bit-deterministic and
+    oracle-mirrorable; argmin ties break to the lowest centroid id.
+
+    Scale: codebooks are model-sized literals in the task closure
+    (the k·m·d_sub ~ 1k doubles every ADC scan broadcasts); the whole
+    assignment is one narrow projection — whole-stage codegen, no
+    shuffle, no Python — compressing a 100 TB float table ~32x before
+    the ANN scan. Returns (id, code0..code{m-1} INT).
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qbooks = pq_quantize_codebooks(codebooks)
+    # stage 1: fixed-point components (shared by all 16 distances)
+    vq = embeddings.select(
+        id_col,
+        *[
+            F.floor(
+                F.element_at(F.col(vec_col), i + 1).cast("double")
+                * F.lit(float(PQ_SCALE))
+            )
+            .cast("long")
+            .alias(f"v{i}")
+            for i in range(m * dsub)
+        ],
+    )
+    # stage 2: squared distances per (subspace, centroid)
+    dist_cols = []
+    for j in range(m):
+        for c in range(k):
+            terms = None
+            for i in range(dsub):
+                diff = F.col(f"v{j * dsub + i}") - F.lit(qbooks[j][c][i])
+                term = diff * diff
+                terms = term if terms is None else terms + term
+            dist_cols.append(terms.alias(f"d{j}_{c}"))
+    d = vq.select(id_col, *dist_cols)
+    # stage 3: argmin per subspace, ties to the lowest centroid id
+    code_cols = []
+    for j in range(m):
+        dists = [F.col(f"d{j}_{c}") for c in range(k)]
+        best = F.least(*dists)
+        code = None
+        for c in range(k):
+            cond = dists[c] <= best
+            code = (
+                F.when(cond, F.lit(c))
+                if code is None
+                else code.when(cond, F.lit(c))
+            )
+        code_cols.append(code.cast("int").alias(f"code{j}"))
+    return d.select(id_col, *code_cols)
+
+
+def pq_adc_lut(
+    codebooks: list[list[list[float]]], query: list[float]
+) -> list[list[int]]:
+    """Asymmetric-distance lookup tables for a query vector: per
+    subspace j and centroid c, the EXACT fixed-point squared distance
+    from the query's subspace to the centroid. ADC distance of any
+    coded vector is then Σ_j lut[j][code_j] — m table lookups instead
+    of d multiplications, the PQ scan trick."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qbooks = pq_quantize_codebooks(codebooks)
+    qq = [
+        [round(query[j * dsub + i] * PQ_SCALE) for i in range(dsub)]
+        for j in range(m)
+    ]
+    return [
+        [
+            sum((qq[j][i] - cent[i]) ** 2 for i in range(dsub))
+            for cent in qbooks[j]
+        ]
+        for j in range(m)
+    ]
+
+
 def oversize_clusters(
     embeddings: DataFrame,
     label_col: str = "label",
