@@ -643,48 +643,40 @@ def pq_assign(
     the ANN scan. Returns (id, code0..code{m-1} INT).
     """
     m = len(codebooks)
-    k = len(codebooks[0])
     dsub = len(codebooks[0][0])
     qbooks = pq_quantize_codebooks(codebooks)
-    # stage 1: fixed-point components (shared by all 16 distances)
-    vq = embeddings.select(
-        id_col,
-        *[
-            F.floor(
-                F.element_at(F.col(vec_col), i + 1).cast("double")
-                * F.lit(float(PQ_SCALE))
-            )
-            .cast("long")
-            .alias(f"v{i}")
-            for i in range(m * dsub)
-        ],
-    )
-    # stage 2: squared distances per (subspace, centroid)
-    dist_cols = []
-    for j in range(m):
-        for c in range(k):
-            terms = None
-            for i in range(dsub):
-                diff = F.col(f"v{j * dsub + i}") - F.lit(qbooks[j][c][i])
-                term = diff * diff
-                terms = term if terms is None else terms + term
-            dist_cols.append(terms.alias(f"d{j}_{c}"))
-    d = vq.select(id_col, *dist_cols)
-    # stage 3: argmin per subspace, ties to the lowest centroid id
+    # Array higher-order functions, NOT flat per-centroid columns: a
+    # k x dsub argmin written as k least()/when chains of dsub-term
+    # expressions explodes whole-stage codegen (a 16x64 coarse book
+    # spent minutes in janino before this rewrite); transform over the
+    # codebook LITERAL keeps the expression tree data-sized.
     code_cols = []
-    for j in range(m):
-        dists = [F.col(f"d{j}_{c}") for c in range(k)]
-        best = F.least(*dists)
-        code = None
-        for c in range(k):
-            cond = dists[c] <= best
-            code = (
-                F.when(cond, F.lit(c))
-                if code is None
-                else code.when(cond, F.lit(c))
-            )
+    for j, book in enumerate(qbooks):
+        book_lit = F.array(
+            *[
+                F.array(*[F.lit(int(c)) for c in cent])
+                for cent in book
+            ]
+        )
+        vq = F.transform(
+            F.slice(F.col(vec_col), j * dsub + 1, dsub),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(PQ_SCALE))
+            ).cast("long"),
+        )
+        dists = F.transform(
+            book_lit,
+            lambda cent: F.aggregate(
+                F.zip_with(cent, vq, lambda c, v: (v - c) * (v - c)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # array_position returns the FIRST match → ties break to the
+        # lowest centroid id, the same rule as the SQL CASE oracle
+        code = F.array_position(dists, F.array_min(dists)) - 1
         code_cols.append(code.cast("int").alias(f"code{j}"))
-    return d.select(id_col, *code_cols)
+    return embeddings.select(id_col, *code_cols)
 
 
 def pq_adc_lut(
@@ -709,6 +701,23 @@ def pq_adc_lut(
         ]
         for j in range(m)
     ]
+
+
+def pq_probe_lists(
+    coarse: list[list[float]], query: list[float], n_probe: int
+) -> list[int]:
+    """The IVF lists to probe for a query: the ``n_probe`` coarse
+    centroids nearest to the query under the SAME fixed-point metric
+    pq_assign uses (so the probe choice is reproducible in the oracle
+    builder), ties to the lowest list id. Driver-side model-sized
+    arithmetic — k·d integers."""
+    qc = pq_quantize_codebooks([coarse])[0]
+    qq = [round(x * PQ_SCALE) for x in query]
+    dists = [
+        (sum((qq[i] - cent[i]) ** 2 for i in range(len(cent))), lid)
+        for lid, cent in enumerate(qc)
+    ]
+    return [lid for _, lid in sorted(dists)[:n_probe]]
 
 
 def oversize_clusters(

@@ -576,52 +576,85 @@ from evolution_data_warehouse_spark.queries.pq_codebooks import (  # noqa: E402
 _PQ_QUERY = np.random.default_rng(99).normal(0, 0.125, 64).tolist()
 
 
-def _pq_oracle() -> str:
+# Shared SQL fragment builders for every PQ oracle (the
+# _mh_sql_fragments discipline — one source of truth so the
+# sim_pq_assign and sim_ivfpq_topk oracles cannot silently diverge).
+
+
+def _pq_vdefs_sql() -> str:
+    """The fixed-point embedding list (vq CTE column) every PQ oracle
+    shares — the SQL mirror of pq_assign's floor(v*PQ_SCALE)."""
     from evolution_data_warehouse_spark.operators.similarity import (
         PQ_SCALE,
+    )
+
+    return (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{PQ_SCALE}.0) AS BIGINT)) AS vq"
+    )
+
+
+def _pq_dist_code_sql(
+    qbooks: list, prefix: str
+) -> tuple[list[str], list[str]]:
+    """(distance-list defs, code defs) for one codebook set over the
+    ``vq`` fixed-point list column; codebook j covers contiguous dims
+    [j*dsub, (j+1)*dsub). List lambdas, NOT k flat per-centroid column
+    expressions: the flat form cost DuckDB ~28 s of bind/execute per
+    query (and minutes of Spark codegen engine-side before the twin
+    rewrite in pq_assign). list_position's first-occurrence semantics
+    are the same lowest-centroid-id tie-break as the engine."""
+    dsub = len(qbooks[0][0])
+    ddefs, codes = [], []
+    for j, book in enumerate(qbooks):
+        book_lit = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(str(int(c)) for c in cent) + "]"
+                for cent in book
+            )
+            + "]"
+        )
+        ddefs.append(
+            f"list_transform({book_lit}, cent -> list_sum("
+            f"list_transform(cent, (cv, i) -> "
+            f"(vq[{j * dsub} + i] - cv) * (vq[{j * dsub} + i] - cv))))"
+            f" AS {prefix}l{j}"
+        )
+        codes.append(
+            f"(list_position({prefix}l{j}, list_min({prefix}l{j})) - 1)"
+            f" AS {prefix}code{j}"
+        )
+    return ddefs, codes
+
+
+def _pq_adc_sql(lut: list[list[int]], prefix: str) -> str:
+    return " + ".join(
+        f"(CASE {prefix}code{j} "
+        + " ".join(
+            f"WHEN {c} THEN CAST({v} AS BIGINT)"
+            for c, v in enumerate(row)
+        )
+        + " END)"
+        for j, row in enumerate(lut)
+    )
+
+
+def _pq_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.similarity import (
         pq_adc_lut,
         pq_quantize_codebooks,
     )
 
-    qbooks = pq_quantize_codebooks(_PQ_BOOKS)
-    lut = pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
-    vdefs = ", ".join(
-        f"CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE) * {PQ_SCALE}.0) "
-        f"AS BIGINT) AS v{i}"
-        for i in range(_PQ_M * _PQ_DSUB)
+    ddefs, codes = _pq_dist_code_sql(
+        pq_quantize_codebooks(_PQ_BOOKS), "d"
     )
-    ddefs = []
-    for j in range(_PQ_M):
-        for c in range(_PQ_K):
-            terms = " + ".join(
-                f"(v{j * _PQ_DSUB + i} - ({qbooks[j][c][i]})) * "
-                f"(v{j * _PQ_DSUB + i} - ({qbooks[j][c][i]}))"
-                for i in range(_PQ_DSUB)
-            )
-            ddefs.append(f"({terms}) AS d{j}_{c}")
-    codes = []
-    for j in range(_PQ_M):
-        least = "LEAST(" + ", ".join(
-            f"d{j}_{c}" for c in range(_PQ_K)
-        ) + ")"
-        chain = " ".join(
-            f"WHEN d{j}_{c} <= {least} THEN {c}" for c in range(_PQ_K)
-        )
-        codes.append(f"(CASE {chain} END) AS code{j}")
+    adc = _pq_adc_sql(pq_adc_lut(_PQ_BOOKS, _PQ_QUERY), "d")
     packed = " + ".join(
-        f"CAST(code{j} AS BIGINT) * {16 ** j}" for j in range(_PQ_M)
-    )
-    adc = " + ".join(
-        "(CASE code{j} ".format(j=j)
-        + " ".join(
-            f"WHEN {c} THEN CAST({lut[j][c]} AS BIGINT)"
-            for c in range(_PQ_K)
-        )
-        + " END)"
-        for j in range(_PQ_M)
+        f"CAST(dcode{j} AS BIGINT) * {16 ** j}" for j in range(_PQ_M)
     )
     return f"""
-WITH v AS (SELECT vec_id, {vdefs} FROM embeddings),
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
 d AS (SELECT vec_id, {", ".join(ddefs)} FROM v),
 c AS (SELECT vec_id, {", ".join(codes)} FROM d)
 SELECT vec_id,
@@ -670,6 +703,96 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         packed.cast("bigint").alias("code_packed"),
         adc.cast("bigint").alias("adc_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ top-k search — the composed billion-scale ANN architecture
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 4
+_IVFPQ_TOPK = 25
+
+
+def _ivfpq_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_probe_lists,
+        pq_quantize_codebooks,
+    )
+    from evolution_data_warehouse_spark.queries.pq_codebooks import (
+        PQ_COARSE,
+    )
+
+    fine_d, fine_c = _pq_dist_code_sql(pq_quantize_codebooks(_PQ_BOOKS), "d")
+    coarse_d, coarse_c = _pq_dist_code_sql(
+        pq_quantize_codebooks([PQ_COARSE]), "g"
+    )
+    adc = _pq_adc_sql(pq_adc_lut(_PQ_BOOKS, _PQ_QUERY), "d")
+    probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, _IVFPQ_NPROBE)
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+d AS (SELECT vec_id, {", ".join(fine_d + coarse_d)} FROM v),
+c AS (SELECT vec_id, {", ".join(fine_c + coarse_c)} FROM d)
+SELECT vec_id,
+       CAST(gcode0 AS INT) AS list_id,
+       CAST({adc} AS BIGINT) AS adc_dist
+FROM c
+WHERE gcode0 IN ({", ".join(str(p) for p in probes)})
+ORDER BY adc_dist, vec_id
+LIMIT {_IVFPQ_TOPK}
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    _ivfpq_oracle(),
+    doc="IVF-PQ top-k search — the composed architecture behind every "
+    "billion-scale ANN system (coarse inverted lists + product-"
+    "quantized compressed-domain scan, FAISS's IVFADC): vectors "
+    "assign to their nearest trained coarse centroid (the IVF list), "
+    "the query probes its 4 nearest of 16 lists, and only probed-list "
+    "vectors are ranked by the 8-lookup integer ADC distance, "
+    "tie-broken (adc, vec_id) to top-25. The 100 TB claim this query "
+    "verifies row-exactly is the SCAN FRACTION: ~nprobe/16 of the "
+    "corpus is touched (measured ~25% at sf0.01; at scale the coded "
+    "table is written PARTITIONED BY list_id like the IVF lists in "
+    "operators/similarity.py, so probing is directory-level pruning). "
+    "Recall on THIS table is data-limited (near-isotropic synthetic "
+    "vectors spread true neighbors across lists — the known IVF "
+    "behavior on unclustered data; measured in test_properties): the "
+    "honest trade is stated, not hidden.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_assign,
+        pq_probe_lists,
+    )
+    from evolution_data_warehouse_spark.queries.pq_codebooks import (
+        PQ_COARSE,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    lists = pq_assign(emb, [PQ_COARSE]).select(
+        "vec_id", F.col("code0").cast("int").alias("list_id")
+    )
+    fine = pq_assign(emb, _PQ_BOOKS)
+    lut = pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
+    adc = None
+    for j in range(_PQ_M):
+        aterm = F.element_at(
+            F.array(*[F.lit(x).cast("bigint") for x in lut[j]]),
+            F.col(f"code{j}") + 1,
+        )
+        adc = aterm if adc is None else adc + aterm
+    probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, _IVFPQ_NPROBE)
+    return (
+        lists.filter(F.col("list_id").isin(probes))
+        .join(fine, "vec_id")
+        .select("vec_id", "list_id", adc.cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_TOPK)
     )
 
 

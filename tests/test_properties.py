@@ -984,6 +984,29 @@ def test_pq_assign_exactness_and_recall(spark, sf_dir):
     top10 = set(np.argsort(exact, kind="stable")[:10])
     assert len(shortlist & top10) / 10 >= 0.6, len(shortlist & top10)
 
+    # IVF-PQ composition (sim_ivfpq_topk): probing 4 of 16 coarse lists
+    # touches a bounded corpus fraction — the scan-cost claim. Recall
+    # through the probe is data-limited on these near-isotropic
+    # vectors (documented in the query); assert the fraction, and that
+    # probed lists are exactly the nearest-coarse-centroid choice.
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pq_probe_lists,
+    )
+    from evolution_data_warehouse_spark.queries.pq_codebooks import (
+        PQ_COARSE,
+    )
+
+    qc = np.array(pq_quantize_codebooks([PQ_COARSE])[0])
+    vq_full = np.floor(V * PQ_SCALE).astype(np.int64)
+    lists = ((vq_full[:, None, :] - qc[None]) ** 2).sum(axis=2).argmin(axis=1)
+    probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, 4)
+    qq = np.array([round(x * PQ_SCALE) for x in _PQ_QUERY])
+    qdist = ((qq[None, :] - qc) ** 2).sum(axis=1)
+    assert probes == sorted(np.argsort(qdist, kind="stable")[:4].tolist(),
+                            key=lambda lid: (qdist[lid], lid))
+    frac = float(np.isin(lists, probes).mean())
+    assert frac < 0.5, frac  # bounded scan: well under half the corpus
+
 
 # ---------------------------------------------------------------------------
 # dhash64 perceptual hash: invariances + banded pair recall
