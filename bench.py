@@ -99,15 +99,23 @@ SF1_QUERIES = [
     "mm_video_frames",
     # late-r8: the LZW codec leg (GIF encode+decode per doc) and the
     # window-hash span dedup (linear, no self-join: the claim worth
-    # measuring at 10x). sim_semantic_dedup is deliberately NOT here:
-    # gen_sf1 replicates embeddings 10x under the SAME 10 labels, so a
-    # 10x leg grows cluster SIZE instead of cluster COUNT and measures
-    # a 100x pair blowup the real operator never sees (SemDeDup's
-    # boundedness comes from k growing with the corpus — see
-    # operators/similarity.py::semantic_dedup); measured once: 31 s at
-    # sf1 vs ~2 s at sf0.1, exactly the predicted artifact.
+    # measuring at 10x).
     "mm_decode_gif",
     "dedup_substring_spans",
+    # r9: sim_semantic_dedup is back IN the smoke — gen_sf1 keeps the
+    # same 10 labels at 10x rows (a degenerate clustering: cluster SIZE
+    # grows instead of cluster COUNT), which is now exactly the input
+    # the default-on max_cluster guard exists for. r8 measured 31 s
+    # unguarded (the ~100x pair artifact); guarded r9 measures ~15 s
+    # and scales ~linearly (pairs are capped at n*max_cluster).
+    "sim_semantic_dedup",
+    # r9 additions: the WARC->curation composite (mux+parse+gates+
+    # minhash in one plan), perceptual-hash image dedup (codec + banded
+    # join), BPE tokenize-to-ids, and the IVF-PQ compressed-domain scan
+    "web_corpus_curation",
+    "dedup_image_phash",
+    "tok_bpe_encode",
+    "sim_ivfpq_topk",
 ]
 
 
