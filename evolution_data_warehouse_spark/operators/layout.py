@@ -47,21 +47,15 @@ def grid_sql(col: str, vmin: str, vmax: str, bits: int = ZORDER_BITS) -> str:
 
 
 def zvalue(xg: Column, yg: Column, bits: int = ZORDER_BITS) -> Column:
-    """Morton interleave of two grid coordinates: bit b of xg lands at
-    position 2b+1, bit b of yg at 2b. A fixed sum of shift/mask terms —
-    pure codegen, exactly mirrorable in SQL."""
-    terms = []
-    for b in range(bits):
-        terms.append(
-            F.shiftleft(F.shiftright(xg, b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        )
-        terms.append(
-            F.shiftleft(F.shiftright(yg, b).bitwiseAND(F.lit(1)), 2 * b)
-        )
-    out = terms[0]
-    for t_ in terms[1:]:
-        out = out + t_
-    return out.cast("bigint")
+    """Morton interleave of two grid coordinates — delegates to the
+    canonical warehouse/etl.py::zorder_key (one interleave
+    implementation in the engine); this module adds what that
+    engine+tests helper lacked: exact-integer grid normalization
+    (grid_expr), the DuckDB mirror (zvalue_sql), and the driver-level
+    oracle query (proc_zorder_report)."""
+    from evolution_data_warehouse_spark.warehouse.etl import zorder_key
+
+    return zorder_key(xg, yg, bits=bits).cast("bigint")
 
 
 def zvalue_sql(xg: str, yg: str, bits: int = ZORDER_BITS) -> str:
