@@ -707,6 +707,231 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# robots.txt URL filtering — the crawl-compliance gate
+# ---------------------------------------------------------------------------
+
+# Pre-parsed per-host rule groups (what operators/robots.py::
+# parse_robots_txt emits for the crawler's agent — parsing itself is
+# unit-tested against RFC 9309 semantics in test_operators_misc).
+# The fixture exercises longest-match override (h0), '*' wildcard with
+# '$' anchor (h1), allow-carve-out under a disallow-all (h2), the
+# tie→Allow rule (h3), and the empty group → allow-all default (h4).
+_ROBOTS_RULES: dict[str, list[tuple[bool, str]]] = {
+    "h0": [(False, "/private/"), (True, "/private/stats$")],
+    "h1": [(False, "/tmp/*/index.htm$")],
+    "h2": [(False, "/"), (True, "/public/")],
+    "h3": [(False, "/public/page"), (True, "/public/page")],
+    "h4": [],
+}
+
+
+def _robots_rule_rows() -> list[tuple[str, int, int, str]]:
+    from evolution_data_warehouse_spark.operators.robots import (
+        robots_pattern_regex,
+    )
+
+    return [
+        (host, 1 if allow else 0, len(pattern),
+         robots_pattern_regex(pattern))
+        for host, rules in sorted(_ROBOTS_RULES.items())
+        for allow, pattern in rules
+    ]
+
+
+_ROBOTS_URL_SQL = """
+SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+       CASE doc_id % 4
+            WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+            WHEN 1 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+                 || '.html'
+            WHEN 2 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+                 || '/index.htm'
+            ELSE '/private/stats' END AS path
+FROM documents
+"""
+
+
+def _robots_oracle() -> str:
+    vals = ", ".join(
+        f"('{h}', {a}, {p}, '{rx}')" for h, a, p, rx in _robots_rule_rows()
+    )
+    return f"""
+WITH urls AS ({_ROBOTS_URL_SQL}),
+rules(host, allow_i, plen, rx) AS (VALUES {vals}),
+m AS (
+    SELECT u.doc_id, MAX(2 * r.plen + r.allow_i) AS best,
+           COUNT(*) AS n_matching
+    FROM urls u
+    JOIN rules r ON u.host = r.host AND regexp_matches(u.path, r.rx)
+    GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.host, u.path,
+       COALESCE(m.best % 2 = 1, TRUE) AS allowed,
+       CAST(COALESCE(m.n_matching, 0) AS BIGINT) AS n_matching
+FROM urls u LEFT JOIN m ON u.doc_id = m.doc_id
+"""
+
+
+@register(
+    "web_robots_filter",
+    _robots_oracle(),
+    doc="robots.txt URL filtering (RFC 9309; operators/robots.py) — "
+    "the crawl-compliance gate between WARC ingestion and curation: "
+    "corpus URLs join the (dimension-sized, broadcast) parsed rule "
+    "table on host; each rule's path pattern evaluates as ONE shared "
+    "regex translation on both engines ('*' wildcard, '$' anchor, "
+    "longest-match override, tie goes to Allow, no match means "
+    "allowed); the RFC's winner selection compiles to a single hash "
+    "aggregate — max(2*pattern_len + allow) odd — so the whole gate "
+    "is scan, broadcast join, aggregate: the only shape that holds "
+    "against 100 TB of URLs. Group selection inside robots.txt "
+    "(longest user-agent token, '*' fallback) is parse_robots_txt, "
+    "unit-tested against RFC examples.",
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "'h' || CAST(doc_id % 5 AS STRING) AS host",
+        "CASE CAST(doc_id % 4 AS INT) "
+        "WHEN 0 THEN '/private/doc' || CAST(doc_id AS STRING) "
+        "WHEN 1 THEN '/public/page' || CAST(doc_id AS STRING) || '.html' "
+        "WHEN 2 THEN '/tmp/x' || CAST(doc_id AS STRING) || '/index.htm' "
+        "ELSE '/private/stats' END AS path",
+    )
+    rules = spark.createDataFrame(
+        _robots_rule_rows(), "host string, allow_i int, plen int, rx string"
+    )
+    m = (
+        urls.join(F.broadcast(rules), "host")
+        .filter(F.expr("path RLIKE rx"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(2 * F.col("plen") + F.col("allow_i")).alias("best"),
+            F.count("*").alias("n_matching"),
+        )
+    )
+    return urls.join(m, "doc_id", "left").select(
+        "doc_id", "host", "path",
+        F.coalesce(F.col("best") % 2 == 1, F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("n_matching"), F.lit(0))
+        .cast("bigint")
+        .alias("n_matching"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata extraction + GPS/PII redaction
+# ---------------------------------------------------------------------------
+
+_EXIF_ORACLE = """
+SELECT doc_id,
+       'Cam' || CAST(doc_id % 7 AS VARCHAR) AS make,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       doc_id % 3 = 0 AS has_gps,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 90 AS INT)
+            ELSE NULL END AS lat_deg,
+       CASE WHEN doc_id % 3 = 0 THEN 'W' ELSE NULL END AS lon_ref,
+       TRUE AS redact_ok
+FROM documents
+"""
+
+
+@register(
+    "mm_exif_gps_redact",
+    _EXIF_ORACLE,
+    doc="EXIF metadata extraction + GPS redaction (operators/exif.py) "
+    "— the metadata half of image-corpus curation: per doc a REAL "
+    "JPEG (the engine's own encoder) gains a real APP1 Exif segment "
+    "(TIFF writer, byte order alternating II/MM by doc parity, GPS "
+    "sub-IFD with rational coordinate triples on every third doc); "
+    "the parser walks the TIFF structure back out (make/orientation/"
+    "GPS degrees, closed-form in doc_id), and strip_exif removes the "
+    "segment by byte surgery. redact_ok demands BOTH halves of the "
+    "PII contract: the scrubbed payload parses as EXIF-free AND "
+    "decodes bit-identically to the original pixels (metadata-only "
+    "surgery, entropy stream untouched). Parse never touches the "
+    "entropy stream — header-IO cost, the filter-before-decode "
+    "ordering a 100 TB image corpus needs. One narrow mapInPandas "
+    "stage, no shuffle.",
+)
+def mm_exif_gps_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_parse(batches):
+        from evolution_data_warehouse_spark.operators.exif import (
+            build_exif_jpeg,
+            parse_exif,
+            strip_exif,
+        )
+        from evolution_data_warehouse_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                x = np.arange(w, dtype=np.uint8)
+                y = np.arange(h, dtype=np.uint8)
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = x[None, :]
+                px[:, :, 1] = y[:, None]
+                px[:, :, 2] = d % 256
+                gps = (
+                    (d % 90 + 0.5, -(d % 180 + 0.25))
+                    if d % 3 == 0
+                    else None
+                )
+                jpg = build_exif_jpeg(
+                    px,
+                    make=f"Cam{d % 7}",
+                    model=f"M{d % 4}",
+                    orientation=1 + d % 8,
+                    gps=gps,
+                    byte_order="II" if d % 2 else "MM",
+                )
+                meta = parse_exif(jpg)
+                scrubbed = strip_exif(jpg)
+                sm = parse_exif(scrubbed)
+                dw, dh, dp = decode_jpeg(jpg)
+                sw, sh, sp = decode_jpeg(scrubbed)
+                ok = (
+                    not sm["has_exif"]
+                    and (dw, dh) == (sw, sh)
+                    and bool(np.array_equal(dp, sp))
+                )
+                g = meta["gps"]
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "make": meta["make"],
+                        "orientation": np.int32(meta["orientation"][0]),
+                        "byte_order": meta["byte_order"],
+                        "has_gps": g is not None,
+                        "lat_deg": (
+                            np.int32(g["gps_lat"][0][0])
+                            if g is not None
+                            else None
+                        ),
+                        "lon_ref": (
+                            g["gps_lon_ref"] if g is not None else None
+                        ),
+                        "redact_ok": bool(ok),
+                    }
+                )
+            out = pd.DataFrame(rows)
+            out["lat_deg"] = out["lat_deg"].astype("Int32")
+            yield out
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_parse,
+        "doc_id long, make string, orientation int, byte_order string, "
+        "has_gps boolean, lat_deg int, lon_ref string, redact_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ top-k search — the composed billion-scale ANN architecture
 # ---------------------------------------------------------------------------
 

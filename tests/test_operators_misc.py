@@ -2626,6 +2626,141 @@ def test_wav_companded_codecs():
             assert np.array_equal(got, full), f"cut={cut}"
 
 
+def test_robots_parsing_and_verdicts():
+    """RFC 9309 semantics in operators/robots.py: group selection by
+    longest user-agent token with '*' fallback and same-specificity
+    merge; verdicts by longest matching pattern with Allow winning
+    ties; '*' wildcards and '$' anchors; no match (or no rules) means
+    allowed; comments/unknown fields ignored; an empty Disallow is
+    ignored (allow-all)."""
+    from evolution_data_warehouse_spark.operators.robots import (
+        is_allowed,
+        parse_robots_txt,
+        robots_pattern_regex,
+    )
+
+    txt = "\n".join([
+        "# corpus policy",
+        "User-agent: GoogleBot",
+        "Disallow: /g/",
+        "",
+        "User-agent: *",
+        "Disallow: /all/",
+        "Crawl-delay: 10",
+        "",
+        "User-agent: Engine",
+        "User-agent: Other",
+        "Allow: /private/stats$",
+        "Disallow: /private/",
+        "Disallow:",  # empty pattern: allow-all no-op per spec
+        "",
+        "User-agent: EngineBot",
+        "Disallow: /deep/",
+    ])
+    # longest agent-token match: 'enginebot' (9) beats 'engine' (6)
+    assert parse_robots_txt(txt, "EngineBot/1.0") == [(False, "/deep/")]
+    # 'engine' group for a shorter product token; both agent lines head it
+    assert parse_robots_txt(txt, "Engine/2") == [
+        (True, "/private/stats$"),
+        (False, "/private/"),
+    ]
+    assert parse_robots_txt(txt, "Other crawler") == [
+        (True, "/private/stats$"),
+        (False, "/private/"),
+    ]
+    # unmatched agent falls back to the '*' group
+    assert parse_robots_txt(txt, "RandomBot") == [(False, "/all/")]
+    # no groups at all → no rules → everything allowed
+    assert parse_robots_txt("Sitemap: /s.xml", "x") == []
+
+    rules = parse_robots_txt(txt, "Engine/2")
+    assert is_allowed(rules, "/private/stats") is True   # longest + $
+    assert is_allowed(rules, "/private/stats2") is False  # $ anchor
+    assert is_allowed(rules, "/private/doc") is False
+    assert is_allowed(rules, "/public/x") is True         # no match
+    # tie → Allow wins
+    tie = [(False, "/public/page"), (True, "/public/page")]
+    assert is_allowed(tie, "/public/page9") is True
+    # wildcard
+    wc = [(False, "/tmp/*/index.htm$")]
+    assert is_allowed(wc, "/tmp/a/b/index.htm") is False
+    assert is_allowed(wc, "/tmp/a/index.html") is True   # $ blocks suffix
+    # regex translation escapes literals ('.' must not be a wildcard)
+    assert robots_pattern_regex("/a.b") == "^/a\\.b"
+
+
+def test_exif_parse_strip_contract():
+    """EXIF (operators/exif.py): parse/strip round-trip on both TIFF
+    byte orders, strip is exact byte surgery (equals the EXIF-free
+    encode; pixels decode bit-identically), non-Exif APP1 segments are
+    skipped not errored, and the ValueError-only quarantine contract
+    holds under truncation at every boundary and byte flips across the
+    header (forged entry counts/offsets fail closed, never
+    struct.error/IndexError/MemoryError)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.exif import (
+        build_exif_jpeg,
+        parse_exif,
+        strip_exif,
+    )
+    from evolution_data_warehouse_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    px = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3) % 200
+    for bo in ("II", "MM"):
+        j = build_exif_jpeg(
+            px, make="Acme", model="X1", orientation=6,
+            gps=(48.8566, -2.3522), byte_order=bo,
+        )
+        m = parse_exif(j)
+        assert (m["make"], m["model"], m["byte_order"]) == ("Acme", "X1", bo)
+        assert m["orientation"] == [6]
+        assert m["gps"]["gps_lat"] == [(48, 1), (51, 1), (2376, 100)]
+        assert m["gps"]["gps_lon_ref"] == "W"
+        s = strip_exif(j)
+        assert parse_exif(s)["has_exif"] is False
+        assert s == encode_jpeg(px)
+        assert np.array_equal(decode_jpeg(s)[2], decode_jpeg(j)[2])
+
+    plain = encode_jpeg(px)
+    assert parse_exif(plain) == {
+        "has_exif": False, "byte_order": None, "gps": None,
+    }
+    assert strip_exif(plain) == plain
+    # a non-Exif APP1 (e.g. XMP) is skipped by parse but removed by strip
+    xmp = b"http://ns.adobe.com/xap/1.0/\x00hello"
+    app1 = b"\xff\xe1" + struct.pack(">H", len(xmp) + 2) + xmp
+    with_xmp = plain[:2] + app1 + plain[2:]
+    assert parse_exif(with_xmp)["has_exif"] is False
+    assert strip_exif(with_xmp) == plain
+
+    data = build_exif_jpeg(px, gps=(1.5, -2.5))
+    for cut in range(2, min(len(data), 700)):
+        try:
+            parse_exif(data[:cut])
+        except ValueError:
+            pass
+    for pos in range(4, min(len(data), 700)):
+        mut = bytearray(data)
+        mut[pos] ^= 0xFF
+        try:
+            parse_exif(bytes(mut))
+        except ValueError:
+            pass
+    # forged IFD entry count far beyond the segment fails closed
+    at = data.index(b"Exif\x00\x00") + 6 + 8  # IFD0 count position
+    forged = bytearray(data)
+    struct.pack_into("<H", forged, at, 0xFFFF)
+    with pytest.raises(ValueError):
+        parse_exif(bytes(forged))
+
+
 def test_warc_build_parse_and_splittability():
     """WARC record framing round-trips in both layouts (plain and the
     Common Crawl member-per-record gzip); a prefix cut at a gzip member
