@@ -37,7 +37,7 @@ import struct
 # entry-count / segment-size caps: a forged header must fail before
 # any large allocation (the jpeg._MAX_PIXELS discipline)
 _MAX_IFD_ENTRIES = 256
-_MAX_APP1 = 1 << 16  # APP1 length field is 16-bit by construction
+_MAX_APP1 = 0xFFFF  # the 16-bit length field's maximum (includes itself)
 
 _TAGS_IFD0 = {
     0x010F: "make",
@@ -127,6 +127,10 @@ def _app1_segments(data: bytes):
         if marker == 0xE1:
             yield pos, pos + 2 + seglen
         pos += 2 + seglen
+    # fell off the end without reaching SOS/EOI: a payload cut exactly
+    # at a segment boundary must not read as "clean, no EXIF" — a GPS
+    # scrub that silently passes a truncated object is a PII leak
+    raise ValueError("truncated JPEG header (no SOS/EOI reached)")
 
 
 def parse_exif(data: bytes) -> dict:
@@ -134,7 +138,9 @@ def parse_exif(data: bytes) -> dict:
     gps (None or dict with lat/lon refs and rational triples), plus
     byte_order ('II'/'MM'). Returns has_exif=False when no APP1 Exif
     segment exists; malformed structures raise ValueError."""
-    for start, end in _app1_segments(data):
+    # materialize the full header walk FIRST so truncation anywhere in
+    # the header raises even when an earlier Exif segment is complete
+    for start, end in list(_app1_segments(data)):
         body = data[start + 4 : end]
         if not body.startswith(b"Exif\x00\x00"):
             continue
@@ -155,7 +161,15 @@ def parse_exif(data: bytes) -> dict:
         gps = None
         if _TAG_GPS_IFD in raw:
             ptr = raw[_TAG_GPS_IFD]
-            if not isinstance(ptr, list) or len(ptr) != 1:
+            # the pointer must be ONE integer (type SHORT/LONG): an
+            # ASCII value decodes to str and a RATIONAL to a tuple —
+            # both must fail closed as ValueError, never TypeError in
+            # the IFD bounds arithmetic
+            if (
+                not isinstance(ptr, list)
+                or len(ptr) != 1
+                or not isinstance(ptr[0], int)
+            ):
                 raise ValueError("bad GPS IFD pointer")
             gps, _ = _parse_ifd(tiff, endian, ptr[0], _TAGS_GPS)
         out = {

@@ -28,11 +28,18 @@ ZORDER_BITS = 8
 
 
 def grid_expr(col: str, vmin: str, vmax: str, bits: int = ZORDER_BITS) -> str:
-    """Spark-SQL expression normalizing a numeric column into the
+    """Spark-SQL expression normalizing an INTEGRAL column into the
     [0, 2**bits) integer grid with exact integer arithmetic:
     ((v - min) * cells) div (span + 1). BIGINT multiply before the
     floor-division, so no float boundary can disagree across engines.
-    The DuckDB mirror is :func:`grid_sql` (`//` instead of `div`)."""
+    The DuckDB mirror is :func:`grid_sql` (`//` instead of `div`).
+
+    PRECONDITION (same as zorder_key's): the column must already be an
+    integral type — CAST(x AS BIGINT) TRUNCATES fractional values in
+    Spark but ROUNDS them in DuckDB, so a DOUBLE/DECIMAL input would
+    silently diverge between an engine plan and its oracle. Bucket or
+    rank non-integral columns first; zorder_layout enforces this at
+    runtime."""
     cells = 1 << bits
     return (
         f"(CAST({col} AS BIGINT) - {vmin}) * {cells} div ({vmax} - {vmin} + 1)"
@@ -84,6 +91,16 @@ def zorder_layout(
     min/max footer stats bound BOTH dimensions. Tested by reading the
     files back individually and comparing per-file span products
     against a single-key-sorted layout (test_warehouse)."""
+    from pyspark.sql import types as T
+
+    for c in (x_col, y_col):
+        if not isinstance(df.schema[c].dataType, T.IntegralType):
+            raise ValueError(
+                f"zorder_layout requires integral sort columns; {c!r} is "
+                f"{df.schema[c].dataType.simpleString()} — bucket or rank "
+                "it first (grid_expr's documented precondition: BIGINT "
+                "casts truncate in Spark but round in DuckDB)"
+            )
     bounds = df.agg(
         F.min(x_col).alias("_xmin"), F.max(x_col).alias("_xmax"),
         F.min(y_col).alias("_ymin"), F.max(y_col).alias("_ymax"),

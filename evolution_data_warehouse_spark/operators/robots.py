@@ -79,8 +79,11 @@ def parse_robots_txt(text: str, agent: str) -> list[tuple[bool, str]]:
             in_agent_run = False
             if cur_agents and value:
                 cur_rules.append((field == "allow", value))
-        else:
-            in_agent_run = False  # sitemap/crawl-delay/...: ignored
+        # sitemap/crawl-delay/unknown lines: ignored AS IF ABSENT (RFC
+        # 9309 §2.2.3) — in particular they must NOT terminate a run of
+        # User-agent lines, or 'User-agent: A / Crawl-delay: 5 /
+        # User-agent: B / Disallow: /x' would wrongly give A an empty
+        # (allow-all) group instead of sharing B's rules
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 

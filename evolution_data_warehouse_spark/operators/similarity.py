@@ -642,41 +642,53 @@ def pq_assign(
     shuffle, no Python — compressing a 100 TB float table ~32x before
     the ANN scan. Returns (id, code0..code{m-1} INT).
     """
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     qbooks = pq_quantize_codebooks(codebooks)
-    # Array higher-order functions, NOT flat per-centroid columns: a
-    # k x dsub argmin written as k least()/when chains of dsub-term
-    # expressions explodes whole-stage codegen (a 16x64 coarse book
-    # spent minutes in janino before this rewrite); transform over the
-    # codebook LITERAL keeps the expression tree data-sized.
-    code_cols = []
-    for j, book in enumerate(qbooks):
-        book_lit = F.array(
-            *[
-                F.array(*[F.lit(int(c)) for c in cent])
-                for cent in book
-            ]
-        )
-        vq = F.transform(
-            F.slice(F.col(vec_col), j * dsub + 1, dsub),
-            lambda x: F.floor(
-                x.cast("double") * F.lit(float(PQ_SCALE))
-            ).cast("long"),
-        )
-        dists = F.transform(
-            book_lit,
-            lambda cent: F.aggregate(
-                F.zip_with(cent, vq, lambda c, v: (v - c) * (v - c)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        # array_position returns the FIRST match → ties break to the
-        # lowest centroid id, the same rule as the SQL CASE oracle
-        code = F.array_position(dists, F.array_min(dists)) - 1
-        code_cols.append(code.cast("int").alias(f"code{j}"))
-    return embeddings.select(id_col, *code_cols)
+    dsub = len(qbooks[0][0])
+    return embeddings.select(
+        id_col,
+        *[
+            pq_code_column(F.col(vec_col), book, j * dsub).alias(f"code{j}")
+            for j, book in enumerate(qbooks)
+        ],
+    )
+
+
+def pq_code_column(
+    vec: Column, quantized_book: list[list[int]], dim_start: int
+) -> Column:
+    """Nearest-centroid code (INT) for the subvector of ``vec``
+    starting at 0-based ``dim_start``, against one fixed-point
+    codebook (``pq_quantize_codebooks`` output). Array higher-order
+    functions, NOT flat per-centroid columns: a k x dsub argmin
+    written as k least()/when chains of dsub-term expressions explodes
+    whole-stage codegen (a 16x64 coarse book spent minutes in janino
+    before this rewrite); transform over the codebook LITERAL keeps
+    the expression tree data-sized. Shared by pq_assign and the
+    single-scan IVF-PQ search (sim_ivfpq_topk)."""
+    dsub = len(quantized_book[0])
+    book_lit = F.array(
+        *[
+            F.array(*[F.lit(int(c)) for c in cent])
+            for cent in quantized_book
+        ]
+    )
+    vq = F.transform(
+        F.slice(vec, dim_start + 1, dsub),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(PQ_SCALE))
+        ).cast("long"),
+    )
+    dists = F.transform(
+        book_lit,
+        lambda cent: F.aggregate(
+            F.zip_with(cent, vq, lambda c, v: (v - c) * (v - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # array_position returns the FIRST match → ties break to the
+    # lowest centroid id, the same rule as the SQL CASE oracle
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def pq_adc_lut(

@@ -991,31 +991,46 @@ LIMIT {_IVFPQ_TOPK}
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.similarity import (
         pq_adc_lut,
-        pq_assign,
+        pq_code_column,
         pq_probe_lists,
+        pq_quantize_codebooks,
     )
     from evolution_data_warehouse_spark.queries.pq_codebooks import (
         PQ_COARSE,
     )
 
-    emb = t(spark, sf_dir, "embeddings")
-    lists = pq_assign(emb, [PQ_COARSE]).select(
-        "vec_id", F.col("code0").cast("int").alias("list_id")
-    )
-    fine = pq_assign(emb, _PQ_BOOKS)
+    # ONE scan: assign the coarse list, PRUNE to the probed lists, and
+    # only then compute the 8 fine codes + ADC — the at-scale order
+    # (a prior version scanned twice and shuffle-joined the code
+    # tables; review finding)
+    probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, _IVFPQ_NPROBE)
+    coarse_q = pq_quantize_codebooks([PQ_COARSE])[0]
+    fine_q = pq_quantize_codebooks(_PQ_BOOKS)
     lut = pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
+    probed = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            pq_code_column(F.col("embedding"), coarse_q, 0).alias(
+                "list_id"
+            ),
+        )
+        .filter(F.col("list_id").isin(probes))
+    )
     adc = None
     for j in range(_PQ_M):
+        code = pq_code_column(
+            F.col("embedding"), fine_q[j], j * _PQ_DSUB
+        )
         aterm = F.element_at(
-            F.array(*[F.lit(x).cast("bigint") for x in lut[j]]),
-            F.col(f"code{j}") + 1,
+            F.array(*[F.lit(x).cast("bigint") for x in lut[j]]), code + 1
         )
         adc = aterm if adc is None else adc + aterm
-    probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, _IVFPQ_NPROBE)
     return (
-        lists.filter(F.col("list_id").isin(probes))
-        .join(fine, "vec_id")
-        .select("vec_id", "list_id", adc.cast("bigint").alias("adc_dist"))
+        probed.select(
+            "vec_id", "list_id", adc.cast("bigint").alias("adc_dist")
+        )
         .orderBy("adc_dist", "vec_id")
         .limit(_IVFPQ_TOPK)
     )

@@ -2672,6 +2672,12 @@ def test_robots_parsing_and_verdicts():
     assert parse_robots_txt(txt, "RandomBot") == [(False, "/all/")]
     # no groups at all → no rules → everything allowed
     assert parse_robots_txt("Sitemap: /s.xml", "x") == []
+    # an ignored line BETWEEN User-agent lines does not split the group
+    # (RFC 9309: unrecognized lines are ignored as if absent) — agent A
+    # must share B's rules, not get an empty allow-all group
+    split = "User-agent: A\nCrawl-delay: 5\nUser-agent: B\nDisallow: /x"
+    assert parse_robots_txt(split, "A") == [(False, "/x")]
+    assert parse_robots_txt(split, "B") == [(False, "/x")]
 
     rules = parse_robots_txt(txt, "Engine/2")
     assert is_allowed(rules, "/private/stats") is True   # longest + $
@@ -2759,6 +2765,25 @@ def test_exif_parse_strip_contract():
     struct.pack_into("<H", forged, at, 0xFFFF)
     with pytest.raises(ValueError):
         parse_exif(bytes(forged))
+    # review regressions: a header cut exactly at a segment boundary is
+    # a ValueError, never a silent "clean, no EXIF" (PII-leak shape)
+    with pytest.raises(ValueError, match="truncated JPEG header"):
+        parse_exif(b"\xff\xd8")
+    marker = data.index(b"Exif\x00\x00") - 4  # the 0xFF 0xE1 position
+    (seglen,) = struct.unpack_from(">H", data, marker + 2)
+    with pytest.raises(ValueError, match="truncated JPEG header"):
+        parse_exif(data[: marker + 2 + seglen])  # cut AT the boundary
+    # a GPS IFD pointer forged to type RATIONAL is ValueError, never a
+    # TypeError escaping the quarantine net
+    ptr_at = data.index(struct.pack("<HH", 0x8825, 4))
+    forged = bytearray(data)
+    struct.pack_into("<HH", forged, ptr_at, 0x8825, 5)
+    with pytest.raises(ValueError, match="GPS IFD pointer"):
+        parse_exif(bytes(forged))
+    # oversized EXIF body is ValueError, never struct.error on the
+    # 16-bit length field
+    with pytest.raises(ValueError, match="too large"):
+        build_exif_jpeg(px, make="x" * 65520)
 
 
 def test_warc_build_parse_and_splittability():
