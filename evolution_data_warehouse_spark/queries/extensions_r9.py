@@ -707,6 +707,145 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Main-content extraction — text-density boilerplate removal
+# ---------------------------------------------------------------------------
+
+_BLOCK_RX = "</?(?:p|li|ul|nav|footer|header|h1|div)[^>]*>"
+_LINK_RX = "<a[^>]*>([^<]*)</a>"
+_MAIN_MIN_CHARS = 25  # blocks shorter than this are chrome/junk
+# keep iff 3*link_chars < text_chars (link density < 1/3) — integer
+# cross-multiplied, no float boundary
+
+_MAIN_PAGE_SQL = """
+SELECT doc_id,
+       '<nav><li><a href="/">Home</a></li><li><a href="/a">About</a>'
+       || '</li></nav><h1>Title ' || CAST(doc_id AS VARCHAR)
+       || '</h1><p>' || text || '</p><p>ad</p><footer>'
+       || '<a href="/t">Terms</a> <a href="/p">Privacy</a></footer>'
+           AS html
+FROM documents
+"""
+
+
+def _main_content_oracle() -> str:
+    return f"""
+WITH pages AS ({_MAIN_PAGE_SQL}),
+segs AS (
+    SELECT doc_id,
+           CAST(unnest(range(1, len(parts) + 1)) AS INT) AS pos,
+           unnest(parts) AS seg
+    FROM (SELECT doc_id, str_split_regex(html, '{_BLOCK_RX}') AS parts
+          FROM pages)
+),
+scored AS (
+    SELECT doc_id, pos,
+           trim(regexp_replace(regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+                ' +', ' ', 'g')) AS txt,
+           -- COALESCE: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' — an un-coalesced NULL silently
+           -- fails the keep predicate for every linkless block
+           COALESCE(length(array_to_string(
+               regexp_extract_all(seg, '{_LINK_RX}', 1), '')), 0)
+               AS link_chars
+    FROM segs
+),
+kept AS (
+    SELECT doc_id, pos, txt
+    FROM scored
+    WHERE length(txt) >= {_MAIN_MIN_CHARS}
+      AND 3 * link_chars < length(txt)
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN k.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN k.pos IS NOT NULL
+                         THEN length(k.txt) ELSE 0 END), 0) AS BIGINT)
+           AS main_chars,
+       md5(COALESCE(string_agg(k.txt, ' ' ORDER BY k.pos), ''))
+           AS main_text_md5
+FROM scored s
+LEFT JOIN kept k ON s.doc_id = k.doc_id AND s.pos = k.pos
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "web_main_content",
+    _main_content_oracle(),
+    doc="Main-content extraction (text-density boilerplate removal — "
+    "the Readability/Boilerpipe family, Kohlschütter et al. 2010 "
+    "public heuristic): pages split into block-level segments; each "
+    "block keeps or drops on two INTEGER rules — minimum text length "
+    "and link density (3*link_chars < text_chars, cross-multiplied so "
+    "no float boundary exists) — and the kept blocks reassemble in "
+    "document order. Navigation, footers, and short junk blocks are "
+    "exactly the high-link-density/short segments the rules drop; the "
+    "synthetic pages wrap each document's real text in that chrome, "
+    "and the oracle recomputes the identical regex chain (split / "
+    "strip / extract-all verified byte-equal across both engines). "
+    "Pure column expressions at scan speed — the curation stage "
+    "between html_strip and the quality gates at 100 TB; main text "
+    "verified via md5 so the hash check covers every byte of every "
+    "kept block without shipping megabytes through the compare.",
+)
+def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<nav><li><a href="/">Home</a></li><li><a href="/a">'),
+            F.lit("About</a></li></nav><h1>Title "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit('</p><p>ad</p><footer><a href="/t">Terms</a> '),
+            F.lit('<a href="/p">Privacy</a></footer>'),
+        ).alias("html"),
+    )
+    segs = pages.select(
+        "doc_id",
+        F.posexplode(F.split("html", _BLOCK_RX)).alias("pos0", "seg"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "seg")
+    stripped = F.regexp_replace("seg", "<[^>]*>", " ")
+    txt = F.trim(F.regexp_replace(stripped, " +", " "))
+    link_chars = F.length(
+        F.array_join(
+            F.regexp_extract_all(F.col("seg"), F.lit(_LINK_RX), 1), ""
+        )
+    )
+    scored = segs.select(
+        "doc_id", "pos", txt.alias("txt"), link_chars.alias("link_chars")
+    )
+    keep = (F.length("txt") >= _MAIN_MIN_CHARS) & (
+        3 * F.col("link_chars") < F.length("txt")
+    )
+    flagged = scored.withColumn("_keep", keep)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("_keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), F.length("txt")).otherwise(0))
+        .cast("bigint")
+        .alias("main_chars"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct("pos", F.col("txt").alias("t")),
+                            )
+                        )
+                    ),
+                    lambda x: x["t"],
+                ),
+            )
+        ).alias("main_text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # robots.txt URL filtering — the crawl-compliance gate
 # ---------------------------------------------------------------------------
 
