@@ -2626,6 +2626,65 @@ def test_wav_companded_codecs():
             assert np.array_equal(got, full), f"cut={cut}"
 
 
+def test_sitemap_parse_contract():
+    """Sitemap protocol parsing (sources/sitemap.py): urlset and index
+    round-trips, namespaceless real-world documents parse too, and the
+    ValueError-only contract holds for malformed XML, wrong roots,
+    missing <loc>, unexpected children, and the protocol's
+    50,000-entry cap (checked without building 50k entries by
+    asserting the guard path directly)."""
+    import pytest
+
+    from evolution_data_warehouse_spark.sources import sitemap as sm
+
+    urls = [
+        {"loc": "http://h/1", "lastmod": "2026-01-01", "priority": "0.9"},
+        {"loc": "http://h/2"},
+    ]
+    parsed = sm.parse_sitemap(sm.build_sitemap(urls))
+    assert parsed["kind"] == "urlset"
+    assert [e["loc"] for e in parsed["entries"]] == ["http://h/1", "http://h/2"]
+    assert parsed["entries"][0]["priority"] == "0.9"
+    assert parsed["entries"][1]["lastmod"] is None
+
+    idx = sm.parse_sitemap(
+        sm.build_sitemap_index([{"loc": "http://h/s1.xml"}])
+    )
+    assert idx["kind"] == "index" and len(idx["entries"]) == 1
+
+    # namespaceless (sloppy but common) documents parse identically
+    bare = (
+        b"<urlset><url><loc>http://h/x</loc>"
+        b"<lastmod>2026-02-02</lastmod></url></urlset>"
+    )
+    got = sm.parse_sitemap(bare)
+    assert got["entries"] == [
+        {"loc": "http://h/x", "lastmod": "2026-02-02",
+         "changefreq": None, "priority": None}
+    ]
+
+    for bad in (
+        b"not xml at all",
+        b"<rss><channel/></rss>",  # wrong root
+        b"<urlset><url><lastmod>2026</lastmod></url></urlset>",  # no loc
+        b"<urlset><banana/></urlset>",  # unexpected child
+    ):
+        with pytest.raises(ValueError):
+            sm.parse_sitemap(bad)
+    with pytest.raises(ValueError, match="requires loc"):
+        sm.build_sitemap([{"lastmod": "2026"}])
+    # the 50k cap: exercised at a patched threshold so the test stays fast
+    orig = sm._MAX_ENTRIES
+    sm._MAX_ENTRIES = 3
+    try:
+        with pytest.raises(ValueError, match="entry cap"):
+            sm.parse_sitemap(
+                sm.build_sitemap([{"loc": f"http://h/{i}"} for i in range(4)])
+            )
+    finally:
+        sm._MAX_ENTRIES = orig
+
+
 def test_robots_parsing_and_verdicts():
     """RFC 9309 semantics in operators/robots.py: group selection by
     longest user-agent token with '*' fallback and same-specificity
