@@ -707,6 +707,90 @@ def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Charset detection + decode — bytes → str for crawled payloads
+# ---------------------------------------------------------------------------
+
+_CHARSET_ORACLE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+            WHEN 2 THEN 'utf-16-le' ELSE 'windows-1252' END AS charset,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'utf8-valid' WHEN 1 THEN 'bom'
+            WHEN 2 THEN 'bom' ELSE 'meta' END AS method,
+       CAST(CASE WHEN doc_id % 4 = 3
+                 THEN 51 + length(CAST(doc_id AS VARCHAR))
+                 ELSE length(text) END AS BIGINT) AS n_chars,
+       TRUE AS text_match
+FROM documents
+"""
+
+
+@register(
+    "web_charset_detect",
+    _CHARSET_ORACLE,
+    doc="Charset detection + decode (sources/charset.py) — the "
+    "bytes-to-str step between WARC ingestion and every text "
+    "operator, as the practical WHATWG sniff ladder: BOM (UTF-8 and "
+    "UTF-16-LE payloads built per doc), meta-declared charset "
+    "(windows-1252 pages carrying a real 0xE9 byte that strict UTF-8 "
+    "would reject), and strict-UTF-8 validation for bare payloads. "
+    "text_match demands the decoded string equal the original "
+    "exactly; charset/method/char counts are closed-form in doc_id. "
+    "decode_payload never raises — the fallback leg accepts every "
+    "byte string, so this stage needs no quarantine at all. One "
+    "narrow mapInPandas pass, zero shuffle.",
+)
+def web_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_decode(batches):
+        from evolution_data_warehouse_spark.sources.charset import (
+            decode_payload,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = "" if text is None else str(text)
+                leg = d % 4
+                if leg == 0:
+                    payload, expect = s.encode("utf-8"), s
+                elif leg == 1:
+                    payload = b"\xef\xbb\xbf" + s.encode("utf-8")
+                    expect = s
+                elif leg == 2:
+                    payload = b"\xff\xfe" + s.encode("utf-16-le")
+                    expect = s
+                else:
+                    # meta-declared legacy page with a genuine non-UTF-8
+                    # byte (0xE9 = e-acute in cp1252) so the UTF-8
+                    # validator could never claim it
+                    expect = (
+                        f'<meta charset="windows-1252"><p>café '
+                        f"page {d} body</p>"
+                    )
+                    payload = expect.encode("windows-1252")
+                charset, method, decoded = decode_payload(payload)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "charset": charset,
+                        "method": method,
+                        "n_chars": len(decoded),
+                        "text_match": decoded == expect,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        synth_and_decode,
+        "doc_id long, charset string, method string, n_chars long, "
+        "text_match boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sitemap URL discovery — the crawl frontier source
 # ---------------------------------------------------------------------------
 

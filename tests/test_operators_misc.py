@@ -2626,6 +2626,43 @@ def test_wav_companded_codecs():
             assert np.array_equal(got, full), f"cut={cut}"
 
 
+def test_charset_detect_and_decode():
+    """Charset sniff ladder (sources/charset.py): BOMs win and are
+    stripped; meta declarations (incl. the WHATWG iso-8859-1 →
+    windows-1252 mapping) beat UTF-8 validation; strict-UTF-8 bare
+    payloads detect as utf-8; arbitrary bytes NEVER raise (fallback
+    decodes everything); an unknown meta-declared codec falls back
+    instead of raising LookupError."""
+    from evolution_data_warehouse_spark.sources.charset import (
+        decode_payload,
+        detect_charset,
+    )
+
+    assert decode_payload(b"\xef\xbb\xbfhi") == ("utf-8", "bom", "hi")
+    assert decode_payload(b"\xff\xfeh\x00i\x00") == (
+        "utf-16-le", "bom", "hi",
+    )
+    assert decode_payload(b"\xfe\xff\x00h\x00i") == (
+        "utf-16-be", "bom", "hi",
+    )
+    cs, method, txt = decode_payload(
+        b'<meta charset="ISO-8859-1">caf\xe9'
+    )
+    assert (cs, method) == ("windows-1252", "meta")
+    assert txt.endswith("café")
+    assert decode_payload("snow☃".encode("utf-8"))[:2] == (
+        "utf-8", "utf8-valid",
+    )
+    # invalid UTF-8, no hints: fallback, and decoding cannot raise
+    assert detect_charset(b"\xff\x00\xfe junk") == (
+        "windows-1252", "fallback",
+    )
+    assert decode_payload(bytes(range(256)))[0] == "windows-1252"
+    # meta-declared codec Python does not ship → fallback, not LookupError
+    cs, method, _ = decode_payload(b'<meta charset="x-martian">abc')
+    assert (cs, method) == ("windows-1252", "fallback")
+
+
 def test_sitemap_parse_contract():
     """Sitemap protocol parsing (sources/sitemap.py): urlset and index
     round-trips, namespaceless real-world documents parse too, and the
