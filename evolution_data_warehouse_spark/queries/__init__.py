@@ -37,41 +37,42 @@ from evolution_data_warehouse_spark.queries import extensions_r9 as _extensions_
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-9 window (per the CLAUDE.md rotation): first the 21 round-8
+# round-10 window (per the CLAUDE.md rotation): first the 12 round-9
 # additions that have never had an official driver verdict (all green
-# in LOCAL_CONTRACT_r08.json at 295/295, plus 200-shuffle-partition
-# and sf0.1 spot checks), then the whole 26-entry r3-stale block, then
-# the 3 alphabetically-first r4-stale entries to fill the window at
-# exactly 50.  After this round no entry's freshest driver verdict is
-# older than round 4.  Queries added during round 9 land AFTER the
-# window (verified locally by drive_contract) and lead the round-10
-# head.  Carried-forward evidence: end-of-r8 the full 295-query
-# registry passed drive_contract (LOCAL_CONTRACT_r08.json) — the
-# determinism rules are partition-count- and scale-independent across
-# the full surface.
-_R9_WINDOW = (
-    # 21 never-driver-verified (the r8 additions, registration order)
-    "mm_decode_progressive", "join_spatial_grid", "stats_ab_test",
-    "quality_k_anonymity", "surv_kaplan_meier", "agg_countmin_sketch",
-    "stats_mannwhitney_u", "stats_ks_two_sample", "drift_psi",
-    "mm_decode_interlaced", "tok_bpe_segment", "mm_decode_tolerant",
-    "mm_video_frames", "agg_kmv_overlap", "dedup_substring_spans",
-    "sim_semantic_dedup", "mm_decode_gif", "quality_blocklist_phrases",
-    "mm_decode_paletted", "mm_audio_wav", "src_warc_records",
-    # all 26 remaining r3-stale entries (alphabetical)
-    "join_asof", "mm_decode_stub", "proc_scd1", "proc_scd2",
-    "proc_scd2_rekey", "proc_scd3", "set_except", "set_intersect",
-    "sim_ann_bruteforce", "sim_ann_lsh", "text_fingerprint",
-    "text_langid", "text_quality", "text_redact", "text_tokens",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "udtf_rls_predicate",
-    "view_dashboard_twograin", "view_scd3_changes", "view_scd_history",
-    "view_scd_summary", "win_lag_lead", "win_ntile_rank",
-    # 3 oldest r4-stale entries (alphabetical) to fill the 50
-    "agg_approx_percentile", "agg_avg_min_max", "agg_conditional_sum",
+# in LOCAL_CONTRACT_r09.json at 307/307 and independently re-verified
+# 12/12 by the r9 judge), then the 38 alphabetically-first entries of
+# the 47-entry r4-stale block (the relational core + data-pipe batch)
+# to fill the window at exactly 50.  The 9 remaining r4-stale entries
+# (src_csv .. win_session_gap) lead the r11 fill.  Queries added
+# during round 10 land AFTER the window (verified locally by
+# drive_contract) and lead the round-11 head.  Carried-forward
+# evidence: end-of-r9 the full 307-query registry passed
+# drive_contract (LOCAL_CONTRACT_r09.json) — the determinism rules are
+# partition-count- and scale-independent across the full surface.
+_R10_WINDOW = (
+    # 12 never-driver-verified (the r9 additions, registration order)
+    "dedup_image_phash", "web_corpus_curation", "mm_audio_companding",
+    "sim_pq_assign", "web_charset_detect", "src_sitemap_urls",
+    "web_main_content", "web_robots_filter", "mm_exif_gps_redact",
+    "sim_ivfpq_topk", "proc_zorder_report", "tok_bpe_encode",
+    # 38 alphabetically-first r4-stale entries to fill the 50
+    "agg_count", "agg_filtered_multi", "agg_groupby_sum", "agg_pivot",
+    "agg_ratio_postagg", "agg_scalar_lookup", "agg_skew_salted",
+    "agg_string_concat", "decontaminate_ngram", "dedup_incremental",
+    "dedup_rows", "filter_current_version", "filter_dropna_keys",
+    "filter_equality", "filter_null_pred", "filter_threshold",
+    "filter_view_level", "fn_array_ops", "fn_date_trunc",
+    "join_anti_notexists", "join_broadcast_lookup", "join_change_detect",
+    "join_cross", "join_full_merge_events", "join_inner_equi",
+    "join_left_outer", "join_left_subquery", "join_range_bucketed",
+    "join_self_hierarchy", "join_semi_exists", "join_skew_salted",
+    "pack_sequences", "proj_rename_normalize", "proj_select",
+    "sample_stratified_hash", "snk_json", "snk_parquet",
+    "split_train_hash",
 )
-_ordered: list[str] = list(_R9_WINDOW)
+_ordered: list[str] = list(_R10_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R9_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R10_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
