@@ -118,6 +118,13 @@ def _app1_segments(data: bytes):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync in header walk")
+        # ITU T.81 §B.1.1.2: any number of 0xFF fill bytes may pad
+        # before a marker — skip the run so the marker byte read below
+        # is the first non-FF (a fill run is NOT a bogus length field)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: done
             return

@@ -69,6 +69,11 @@ def parse_robots_txt(text: str, agent: str) -> list[tuple[bool, str]]:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
+            if not value:
+                # empty product token is invalid per RFC 9309 §2.2.1 —
+                # ignored as if absent, so a malformed empty-agent
+                # group can never outrank the '*' fallback
+                continue
             if not in_agent_run:
                 if cur_agents:
                     groups.append((cur_agents, cur_rules))

@@ -719,9 +719,12 @@ def pq_probe_lists(
     coarse: list[list[float]], query: list[float], n_probe: int
 ) -> list[int]:
     """The IVF lists to probe for a query: the ``n_probe`` coarse
-    centroids nearest to the query under the SAME fixed-point metric
-    pq_assign uses (so the probe choice is reproducible in the oracle
-    builder), ties to the lowest list id. Driver-side model-sized
+    centroids nearest to the query under the ADC-side metric — the
+    query is quantized with ``round(x*PQ_SCALE)`` exactly as
+    :func:`pq_adc_tables` does (note :func:`pq_assign` floors the
+    *database* vectors; the probe choice is still reproducible in the
+    oracle builder because both sides share this driver-side
+    computation), ties to the lowest list id. Driver-side model-sized
     arithmetic — k·d integers."""
     qc = pq_quantize_codebooks([coarse])[0]
     qq = [round(x * PQ_SCALE) for x in query]

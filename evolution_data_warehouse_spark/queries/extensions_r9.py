@@ -238,7 +238,7 @@ def _web_funnel_oracle() -> str:
     return f"""
 WITH raw AS (
     SELECT doc_id, lang, source,
-           '{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}' AS html
+           '{_HTML_PREFIX}' || COALESCE(text, '') || '{_HTML_SUFFIX}' AS html
     FROM documents
 ),
 clean AS (
@@ -720,7 +720,7 @@ SELECT doc_id,
             WHEN 2 THEN 'bom' ELSE 'meta' END AS method,
        CAST(CASE WHEN doc_id % 4 = 3
                  THEN 51 + length(CAST(doc_id AS VARCHAR))
-                 ELSE length(text) END AS BIGINT) AS n_chars,
+                 ELSE length(COALESCE(text, '')) END AS BIGINT) AS n_chars,
        TRUE AS text_match
 FROM documents
 """

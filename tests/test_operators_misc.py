@@ -2774,6 +2774,21 @@ def test_robots_parsing_and_verdicts():
     split = "User-agent: A\nCrawl-delay: 5\nUser-agent: B\nDisallow: /x"
     assert parse_robots_txt(split, "A") == [(False, "/x")]
     assert parse_robots_txt(split, "B") == [(False, "/x")]
+    # an EMPTY User-agent value is invalid (RFC 9309 §2.2.1) and must
+    # be ignored as if absent — '' prefix-matches every agent with
+    # len 0 > -1, so accepting it would let a malformed group beat the
+    # '*' fallback for all crawlers
+    empty_ua = "\n".join([
+        "User-agent:",
+        "Disallow: /malformed/",
+        "",
+        "User-agent: *",
+        "Disallow: /all/",
+    ])
+    assert parse_robots_txt(empty_ua, "AnyBot") == [(False, "/all/")]
+    # an empty-agent line inside a valid run is dropped, not a splitter
+    mixed = "User-agent: A\nUser-agent:\nDisallow: /x"
+    assert parse_robots_txt(mixed, "A") == [(False, "/x")]
 
     rules = parse_robots_txt(txt, "Engine/2")
     assert is_allowed(rules, "/private/stats") is True   # longest + $
@@ -2841,6 +2856,18 @@ def test_exif_parse_strip_contract():
     with_xmp = plain[:2] + app1 + plain[2:]
     assert parse_exif(with_xmp)["has_exif"] is False
     assert strip_exif(with_xmp) == plain
+
+    # spec-legal 0xFF fill bytes between markers (ITU T.81 §B.1.1.2)
+    # must be skipped, not read as a bogus segment length — real-world
+    # encoders pad with them; both parse and strip stay correct
+    j = build_exif_jpeg(px, make="Acme", gps=(1.5, -2.5))
+    exif_at = j.index(b"Exif\x00\x00") - 4  # the 0xFF 0xE1 position
+    filled = j[:exif_at] + b"\xff" * 3 + j[exif_at:]
+    assert parse_exif(filled)["make"] == "Acme"
+    assert parse_exif(strip_exif(filled))["has_exif"] is False
+    # a trailing fill run with no marker is still a truncated header
+    with pytest.raises(ValueError, match="truncated JPEG header"):
+        parse_exif(j[:exif_at] + b"\xff" * 8)
 
     data = build_exif_jpeg(px, gps=(1.5, -2.5))
     for cut in range(2, min(len(data), 700)):
