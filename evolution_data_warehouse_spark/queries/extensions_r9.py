@@ -1319,6 +1319,20 @@ LIMIT {_IVFPQ_TOPK}
     "honest trade is stated, not hidden.",
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ivfpq_adc_df(spark, sf_dir)
+        .orderBy("adc_dist", "vec_id")
+        .limit(_IVFPQ_TOPK)
+    )
+
+
+def _ivfpq_adc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-scan IVF-PQ compressed-domain scan shared by
+    sim_ivfpq_topk and the r10 refine stage: assign the coarse list,
+    PRUNE to the probed lists, and only then compute the 8 fine codes
+    + ADC — the at-scale order (a prior version scanned twice and
+    shuffle-joined the code tables; review finding). Returns
+    (vec_id, list_id INT, adc_dist BIGINT) for probed-list rows."""
     from evolution_data_warehouse_spark.operators.similarity import (
         pq_adc_lut,
         pq_code_column,
@@ -1329,10 +1343,6 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_COARSE,
     )
 
-    # ONE scan: assign the coarse list, PRUNE to the probed lists, and
-    # only then compute the 8 fine codes + ADC — the at-scale order
-    # (a prior version scanned twice and shuffle-joined the code
-    # tables; review finding)
     probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, _IVFPQ_NPROBE)
     coarse_q = pq_quantize_codebooks([PQ_COARSE])[0]
     fine_q = pq_quantize_codebooks(_PQ_BOOKS)
@@ -1357,12 +1367,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.lit(x).cast("bigint") for x in lut[j]]), code + 1
         )
         adc = aterm if adc is None else adc + aterm
-    return (
-        probed.select(
-            "vec_id", "list_id", adc.cast("bigint").alias("adc_dist")
-        )
-        .orderBy("adc_dist", "vec_id")
-        .limit(_IVFPQ_TOPK)
+    return probed.select(
+        "vec_id", "list_id", adc.cast("bigint").alias("adc_dist")
     )
 
 
