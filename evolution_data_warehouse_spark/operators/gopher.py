@@ -1,0 +1,188 @@
+"""Gopher text-quality rules (Rae et al. 2021, "Scaling Language
+Models: Methods, Analysis & Insights from Training Gopher", §A1.1 —
+public paper) as one single-scan column-expression suite.
+
+The complete published rule set, each emitted as a per-document
+boolean plus the integer evidence counts behind it:
+
+* word count within [min_words, max_words];
+* mean word length within [3, 10] characters;
+* symbol-to-word ratio (``#`` and ellipsis) at most 0.1;
+* at most 90% of lines starting with a bullet point;
+* at most 30% of lines ending with an ellipsis;
+* at least 80% of words containing an alphabetic character;
+* at least 2 stop-word hits from the paper's 8-word list (hits are
+  counted as OCCURRENCES, the reading of the public RedPajama-Data /
+  Dolma implementations of these rules — on any corpus "the ... the"
+  is evidence of running English text).
+
+Every ratio rule is an integer cross-multiplication (``10*symbols <=
+words``), never a float division, so the verdicts are bit-identical
+between Spark and the DuckDB oracle and independent of partitioning.
+The whole suite is pure ``pyspark.sql.functions`` over one scan —
+whole-stage codegen, zero shuffle, zero Python — so it gates a 100 TB
+corpus at scan speed (the same single-scan shape as
+quality_expectations).
+
+Spark/SQL twin builders live side by side (the _mh_sql_fragments
+discipline) so the engine and the oracle cannot silently diverge.
+
+Reference parity: the reference (haelbrek/Evolution-DATA-WAREHOUSE)
+has no text-quality surface; this extends the engine's LLM-pipeline
+coverage (SURVEY §7 growth direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: the paper's stop-word list, verbatim (§A1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: published defaults; word bounds are corpus-tunable parameters in
+#: every public implementation (the funnel composition tightens them).
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_STOP_HITS = 2
+
+_BULLET_RE = r"^\s*[•*-]"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring, by length difference —
+    exact, non-overlapping, identical semantics in both engines."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_metrics(text: Column) -> dict[str, Column]:
+    """The integer evidence counts behind every rule, from ONE pass
+    over the text column (names are the contract the flag builder and
+    the SQL twin share)."""
+    toks = F.split(text, " ")
+    ltoks = F.split(F.lower(text), " ")
+    lines = F.split(text, "\n")
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    return {
+        "n_words": F.size(toks).cast("long"),
+        "total_chars": F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        "n_alpha_words": F.size(
+            F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("long"),
+        "n_symbols": (
+            _count_occurrences(text, "#")
+            + _count_occurrences(text, "...")
+            + _count_occurrences(text, "…")
+        ).cast("long"),
+        "n_lines": F.size(lines).cast("long"),
+        "n_bullet_lines": F.size(
+            F.filter(lines, lambda ln: ln.rlike(_BULLET_RE))
+        ).cast("long"),
+        "n_ellipsis_lines": F.size(
+            F.filter(lines, lambda ln: ln.rlike(_ELLIPSIS_RE))
+        ).cast("long"),
+        "stop_hits": F.size(
+            F.filter(ltoks, lambda w: F.array_contains(stop_lit, w))
+        ).cast("long"),
+    }
+
+
+def gopher_flags(
+    m: dict[str, Column],
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+) -> dict[str, Column]:
+    """Per-rule booleans over :func:`gopher_metrics` output. Integer
+    cross-multiplied ratios — no float ever enters a verdict."""
+    flags = {
+        "r_word_count": (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words),
+        "r_mean_word_len": (3 * m["n_words"] <= m["total_chars"])
+        & (m["total_chars"] <= 10 * m["n_words"]),
+        "r_symbol_ratio": 10 * m["n_symbols"] <= m["n_words"],
+        "r_bullet_lines": 10 * m["n_bullet_lines"] <= 9 * m["n_lines"],
+        "r_ellipsis_lines": 10 * m["n_ellipsis_lines"] <= 3 * m["n_lines"],
+        "r_alpha_words": 5 * m["n_alpha_words"] >= 4 * m["n_words"],
+        "r_stop_words": m["stop_hits"] >= MIN_STOP_HITS,
+    }
+    verdict = None
+    for c in flags.values():
+        verdict = c if verdict is None else verdict & c
+    flags["gopher_pass"] = verdict
+    return flags
+
+
+def gopher_metrics_sql(expr: str, prefix: str = "") -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_metrics` over a text expression
+    (same names, same integer semantics). ``prefix`` namespaces the
+    metric names when they would collide with host-query columns
+    (pass the same prefix to :func:`gopher_flags_sql`)."""
+    stop_lit = ", ".join(repr(w) for w in GOPHER_STOPWORDS)
+    out = {
+        "n_words": f"CAST(len(str_split({expr}, ' ')) AS BIGINT)",
+        "total_chars": (
+            f"CAST(list_sum(list_transform(str_split({expr}, ' '), "
+            "w -> length(w))) AS BIGINT)"
+        ),
+        "n_alpha_words": (
+            f"CAST(len(list_filter(str_split({expr}, ' '), "
+            "w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)"
+        ),
+        "n_symbols": (
+            f"CAST((length({expr}) - length(replace({expr}, '#', '')))"
+            f" + (length({expr}) - length(replace({expr}, '...', ''))) // 3"
+            f" + (length({expr}) - length(replace({expr}, '…', '')))"
+            " AS BIGINT)"
+        ),
+        "n_lines": f"CAST(len(str_split({expr}, chr(10))) AS BIGINT)",
+        "n_bullet_lines": (
+            f"CAST(len(list_filter(str_split({expr}, chr(10)), "
+            f"ln -> regexp_matches(ln, '{_BULLET_RE}'))) AS BIGINT)"
+        ),
+        "n_ellipsis_lines": (
+            f"CAST(len(list_filter(str_split({expr}, chr(10)), "
+            f"ln -> regexp_matches(ln, '{_ELLIPSIS_RE}'))) AS BIGINT)"
+        ),
+        "stop_hits": (
+            f"CAST(len(list_filter(str_split(lower({expr}), ' '), "
+            f"w -> list_contains([{stop_lit}], w))) AS BIGINT)"
+        ),
+    }
+    return {prefix + name: sql for name, sql in out.items()}
+
+
+def gopher_flags_sql(
+    min_words: int = MIN_WORDS,
+    max_words: int = MAX_WORDS,
+    prefix: str = "",
+) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_flags`, referencing the metric
+    column NAMES (compute :func:`gopher_metrics_sql` with the same
+    ``prefix`` in a prior CTE)."""
+    p = prefix
+    flags = {
+        "r_word_count": (
+            f"({p}n_words >= {min_words} AND {p}n_words <= {max_words})"
+        ),
+        "r_mean_word_len": (
+            f"(3 * {p}n_words <= {p}total_chars"
+            f" AND {p}total_chars <= 10 * {p}n_words)"
+        ),
+        "r_symbol_ratio": f"(10 * {p}n_symbols <= {p}n_words)",
+        "r_bullet_lines": f"(10 * {p}n_bullet_lines <= 9 * {p}n_lines)",
+        "r_ellipsis_lines": (
+            f"(10 * {p}n_ellipsis_lines <= 3 * {p}n_lines)"
+        ),
+        "r_alpha_words": f"(5 * {p}n_alpha_words >= 4 * {p}n_words)",
+        "r_stop_words": f"({p}stop_hits >= {MIN_STOP_HITS})",
+    }
+    flags["gopher_pass"] = "(" + " AND ".join(flags.values()) + ")"
+    return {p + name: sql for name, sql in flags.items()}

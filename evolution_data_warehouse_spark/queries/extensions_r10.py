@@ -147,3 +147,61 @@ def sim_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("exact_dist", "vec_id")
         .limit(_IVFPQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher text-quality rule suite — the full published gate, one scan
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags_sql,
+        gopher_metrics_sql,
+    )
+
+    m = gopher_metrics_sql("COALESCE(text, '')")
+    f = gopher_flags_sql()
+    mcols = ", ".join(f"{sql} AS {name}" for name, sql in m.items())
+    fcols = ", ".join(f"{sql} AS {name}" for name, sql in f.items())
+    return f"""
+WITH m AS (SELECT doc_id, {mcols} FROM documents)
+SELECT doc_id, n_words, total_chars, n_alpha_words, n_symbols,
+       n_lines, n_bullet_lines, n_ellipsis_lines, stop_hits,
+       {fcols}
+FROM m
+"""
+
+
+@register(
+    "text_quality_gopher",
+    _gopher_oracle(),
+    doc="The complete published Gopher quality-rule suite (Rae et al. "
+    "2021 §A1.1; operators/gopher.py) as ONE scan: word-count bounds, "
+    "mean word length 3-10, symbol-to-word ratio, bullet-line and "
+    "ellipsis-line ratios, alphabetic-word fraction, and stop-word "
+    "presence (occurrence-counted, the public RedPajama/Dolma "
+    "reading), each emitted as a boolean beside its integer evidence "
+    "counts plus the conjunction verdict — the per-rule observability "
+    "a curation operator needs to tune thresholds. Every ratio is an "
+    "integer cross-multiplication, never a float division, so "
+    "verdicts are bit-identical across engines and partitionings. "
+    "Pure column expressions over one documents scan — whole-stage "
+    "codegen, zero shuffle, zero Python — the same single-scan shape "
+    "as quality_expectations (plan-locked); gates a 100 TB corpus at "
+    "scan speed and drops into web_corpus_curation as a funnel stage.",
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags,
+        gopher_metrics,
+    )
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    m = gopher_metrics(text)
+    f = gopher_flags(m)
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        *[c.alias(name) for name, c in m.items()],
+        *[c.alias(name) for name, c in f.items()],
+    )

@@ -212,11 +212,22 @@ def _warc_html_batch():
     return fn
 
 
+#: the funnel's Gopher word-count floor — the corpus-tuned bound the
+#: module documents (the synthetic documents run 10-99 words; the
+#: published 50 floor is a web-scale default), aligned with the
+#: funnel's existing n_tokens >= 20 quality gate.
+_FUNNEL_GOPHER_MIN_WORDS = 20
+
+
 def _web_funnel_oracle() -> str:
     from evolution_data_warehouse_spark.operators import textops
     from evolution_data_warehouse_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET,
         N_MINHASH,
+    )
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags_sql,
+        gopher_metrics_sql,
     )
     from evolution_data_warehouse_spark.queries.llm_ops import (
         _mh_sql_fragments,
@@ -235,6 +246,11 @@ def _web_funnel_oracle() -> str:
         f"WHEN s_{lang} >= {best} THEN '{lang}'" for lang in langs
     )
     f = _mh_sql_fragments()
+    gm = gopher_metrics_sql("ctext", prefix="g_")
+    gm_cols = ", ".join(f"{sql} AS {name}" for name, sql in gm.items())
+    gpass = gopher_flags_sql(
+        min_words=_FUNNEL_GOPHER_MIN_WORDS, prefix="g_"
+    )["g_gopher_pass"]
     return f"""
 WITH raw AS (
     SELECT doc_id, lang, source,
@@ -258,7 +274,8 @@ staged AS (
            CAST(len(str_split(ctext, ' ')) AS BIGINT) AS n_tokens,
            CAST(len(list_filter(str_split(lower(ctext), ' '),
                     x -> list_contains([{en}], x))) AS BIGINT) AS stop_hits,
-           {score_cols}
+           {score_cols},
+           {gm_cols}
     FROM clean
 ),
 flags AS (
@@ -267,11 +284,13 @@ flags AS (
            rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
                AS quality_pass,
            rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
-               AND (CASE {chain} END) = lang AS lang_match
+               AND (CASE {chain} END) = lang AS lang_match,
+           rn = 1 AND n_tokens >= 20 AND stop_hits * 20 >= n_tokens
+               AND (CASE {chain} END) = lang AND {gpass} AS gopher_pass
     FROM staged
 ),
 gated AS (
-    SELECT doc_id, source, ctext, n_tokens FROM flags WHERE lang_match
+    SELECT doc_id, source, ctext, n_tokens FROM flags WHERE gopher_pass
 ),
 sh AS (
     SELECT doc_id, shingle FROM (
@@ -321,7 +340,9 @@ agg_flags AS (
            CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
                AS n_quality_pass,
            CAST(SUM(CASE WHEN lang_match THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_lang_match
+               AS n_lang_match,
+           CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher_pass
     FROM flags GROUP BY source
 ),
 agg_kept AS (
@@ -331,7 +352,7 @@ agg_kept AS (
     FROM kept GROUP BY source
 )
 SELECT a.source, a.n_docs, a.n_warc_ok, a.n_exact_unique,
-       a.n_quality_pass, a.n_lang_match,
+       a.n_quality_pass, a.n_lang_match, a.n_gopher_pass,
        COALESCE(k.n_near_unique, 0) AS n_near_unique,
        COALESCE(k.n_tokens_final, 0) AS n_tokens_final
 FROM agg_flags a LEFT JOIN agg_kept k ON a.source = k.source
@@ -348,7 +369,10 @@ FROM agg_flags a LEFT JOIN agg_kept k ON a.source = k.source
     "html-stripped (tag/entity column expressions, text_html_strip's "
     "chain), exact-deduped (content-hash window), quality-gated "
     "(integer cross-multiplied length + stopword density), "
-    "language-verified (stopword argmax == label), MinHash-LSH "
+    "language-verified (stopword argmax == label), Gopher-rule-gated "
+    "(the complete published suite from operators/gopher.py — "
+    "text_quality_gopher's rules as a drop-in funnel stage, word "
+    "floor tuned to this corpus), MinHash-LSH "
     "near-deduped (operators/dedup.py's banded pair join with its "
     "default-ON hot-bucket guard, est_jaccard >= 0.5 removes the "
     "higher id), and rolled into the per-source curation funnel "
@@ -364,6 +388,10 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators import textops
     from evolution_data_warehouse_spark.operators.dedup import (
         minhash_lsh_pairs,
+    )
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags,
+        gopher_metrics,
     )
 
     docs = t(spark, sf_dir, "documents").select(
@@ -408,7 +436,12 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_hits") * 20 >= F.col("n_tokens"))
     )
     lang_match = quality & (F.col("pred_lang") == F.col("lang"))
-    gated = staged.filter(lang_match).select(
+    gm = gopher_metrics(F.col("ctext"))
+    gopher_ok = gopher_flags(gm, min_words=_FUNNEL_GOPHER_MIN_WORDS)[
+        "gopher_pass"
+    ]
+    gopher_gate = lang_match & gopher_ok
+    gated = staged.filter(gopher_gate).select(
         "doc_id", "source", "ctext", "n_tokens"
     )
     toks = F.split(F.lower(F.col("ctext")), " ")
@@ -441,6 +474,7 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(exact.cast("int")).cast("bigint").alias("n_exact_unique"),
         F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
         F.sum(lang_match.cast("int")).cast("bigint").alias("n_lang_match"),
+        F.sum(gopher_gate.cast("int")).cast("bigint").alias("n_gopher_pass"),
     )
     agg_kept = kept.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_near_unique"),
@@ -448,7 +482,7 @@ def web_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg_flags.join(agg_kept, "source", "left").select(
         "source", "n_docs", "n_warc_ok", "n_exact_unique",
-        "n_quality_pass", "n_lang_match",
+        "n_quality_pass", "n_lang_match", "n_gopher_pass",
         F.coalesce(F.col("n_near_unique"), F.lit(0))
         .cast("bigint")
         .alias("n_near_unique"),

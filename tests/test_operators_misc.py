@@ -2996,3 +2996,93 @@ def test_warc_build_parse_and_splittability():
         per_record_gzip=True,
     )
     assert len(parse_warc(many)) == 4000
+
+
+def test_gopher_rules_model():
+    """Gopher quality rules (operators/gopher.py): every rule verified
+    on crafted texts that trip it — bullet-started lines, ellipsis-
+    ended lines, symbol density, non-alphabetic words, word-length
+    extremes, stop-word occurrences — against hand-computed verdicts,
+    on BOTH the Spark expressions and the DuckDB SQL twins (the twin
+    builders must agree verbatim, including the prefix namespacing the
+    funnel composition uses)."""
+    import duckdb
+
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags,
+        gopher_flags_sql,
+        gopher_metrics,
+        gopher_metrics_sql,
+    )
+    from evolution_data_warehouse_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", shuffle_partitions=8)
+    good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with zeal"] * 5
+    )
+    cases = [
+        # (name, text, expected dict of rule -> bool)
+        ("good", good, dict(r_word_count=True, r_mean_word_len=True,
+                            r_symbol_ratio=True, r_bullet_lines=True,
+                            r_ellipsis_lines=True, r_alpha_words=True,
+                            r_stop_words=True, gopher_pass=True)),
+        ("short", "the cat sat with me", dict(r_word_count=False,
+                                              gopher_pass=False)),
+        ("bullets", "\n".join(["- item one of the list"] * 10),
+         dict(r_bullet_lines=False, gopher_pass=False)),
+        ("ellipses", "\n".join(["the story continues..."] * 10),
+         dict(r_ellipsis_lines=False, gopher_pass=False)),
+        ("symbols", "# " * 40 + good, dict(r_symbol_ratio=False)),
+        ("numeric", " ".join(["12345"] * 60),
+         dict(r_alpha_words=False, r_stop_words=False,
+              gopher_pass=False)),
+        ("longwords", " ".join(["the"] * 2 + ["x" * 30] * 58),
+         dict(r_mean_word_len=False, gopher_pass=False)),
+        ("onestop", "the " + " ".join(["word"] * 60),
+         dict(r_stop_words=False, gopher_pass=False)),
+        ("twostop", "the rest of " + " ".join(["word"] * 60),
+         dict(r_stop_words=True)),
+    ]
+    df = spark.createDataFrame(
+        [(n, t_) for n, t_, _ in cases], "name string, text string"
+    )
+    m = gopher_metrics(F.col("text"))
+    fl = gopher_flags(m)
+    got = {
+        r["name"]: r.asDict()
+        for r in df.select(
+            "name", *[c.alias(k) for k, c in fl.items()]
+        ).collect()
+    }
+    for name, _, want in cases:
+        for rule, exp in want.items():
+            assert got[name][rule] == exp, (name, rule, got[name])
+
+    # DuckDB twins agree rule-for-rule (prefixed, the funnel shape)
+    con = duckdb.connect()
+    msql = gopher_metrics_sql("text", prefix="g_")
+    fsql = gopher_flags_sql(prefix="g_")
+    mcols = ", ".join(f"{s} AS {k}" for k, s in msql.items())
+    fcols = ", ".join(f"{s} AS {k}" for k, s in fsql.items())
+    # bind parameters — repr() would embed newlines as literal '\n'
+    values = ", ".join("(?, ?)" for _ in cases)
+    params = [x for n, t_, _ in cases for x in (n, t_)]
+    rows = con.execute(
+        f"WITH raw(name, text) AS (VALUES {values}), "
+        f"m AS (SELECT name, {mcols} FROM raw) "
+        f"SELECT name, {fcols} FROM m",
+        params,
+    ).fetchall()
+    cols = ["name"] + [f"g_{k}" for k in
+                       ["r_word_count", "r_mean_word_len",
+                        "r_symbol_ratio", "r_bullet_lines",
+                        "r_ellipsis_lines", "r_alpha_words",
+                        "r_stop_words", "gopher_pass"]]
+    for row in rows:
+        rec = dict(zip(cols, row))
+        for rule in list(got[rec["name"]].keys()):
+            if rule == "name":
+                continue
+            assert rec["g_" + rule] == got[rec["name"]][rule], (
+                rec["name"], rule, rec, got[rec["name"]],
+            )
