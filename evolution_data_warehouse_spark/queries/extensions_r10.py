@@ -205,3 +205,220 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.alias(name) for name, c in m.items()],
         *[c.alias(name) for name, c in f.items()],
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio spectral features — the post-decode analysis stage
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_ORACLE = """
+SELECT doc_id,
+       CAST(2 + doc_id % 5 AS INT) AS n_frames,
+       CAST(32 AS INT) AS n_bins,
+       CAST(1 + doc_id % 30 AS INT) AS dominant_bin,
+       TRUE AS spectral_ok
+FROM documents
+"""
+
+
+@register(
+    "mm_audio_spectral",
+    _SPECTRAL_ORACLE,
+    doc="Frame-level spectral features (operators/audio_fp.py::"
+    "spectrum32) — what audio curation computes AFTER decode: per doc "
+    "a pure tone at DFT bin 1 + doc_id % 30 is synthesized "
+    "(2 + doc_id % 5 full 64-sample frames), round-tripped through "
+    "the engine's REAL PCM16 WAV codec, framed, and transformed to "
+    "the 32-bin integer-quantized magnitude spectrum. dominant_bin "
+    "(modal per-frame argmax, DC excluded) is closed-form in doc_id; "
+    "spectral_ok demands every frame agree on the bin AND the peak "
+    "dominate the runner-up 4x in quantized integer magnitude (an "
+    "integer-cycle tone under a rectangular window leaks nothing, so "
+    "only a correct DFT over correctly decoded samples passes). One "
+    "narrow mapInPandas stage, zero shuffle — linear in corpus bytes, "
+    "the same scale shape as every decoder.",
+)
+def mm_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_analyze(batches):
+        from evolution_data_warehouse_spark.operators.audio import (
+            decode_wav,
+            encode_wav,
+        )
+        from evolution_data_warehouse_spark.operators.audio_fp import (
+            N_FFT,
+            dominant_bin,
+            spectrum32,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = 1 + d % 30
+                n_frames = 2 + d % 5
+                n = np.arange(N_FFT * n_frames, dtype=np.float64)
+                sig = np.floor(
+                    6000.0 * np.sin(2.0 * np.pi * k * n / N_FFT) + 0.5
+                ).astype(np.int64)[:, None]
+                wav = encode_wav(sig, 16000, width=2)
+                out = decode_wav(wav)
+                spec = spectrum32(out["samples"])
+                per_frame = spec[:, 1:].argmax(axis=1) + 1
+                peak = spec[np.arange(len(spec)), per_frame]
+                rest = spec[:, 1:].copy()
+                rest[np.arange(len(spec)), per_frame - 1] = 0
+                runner = rest.max(axis=1)
+                ok = bool(
+                    np.all(per_frame == k) and np.all(peak >= 4 * runner)
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": np.int32(spec.shape[0]),
+                        "n_bins": np.int32(spec.shape[1]),
+                        "dominant_bin": np.int32(dominant_bin(spec)),
+                        "spectral_ok": ok,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_analyze,
+        "doc_id long, n_frames int, n_bins int, dominant_bin int, "
+        "spectral_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio near-duplicate detection — energy fingerprint + banded pairs
+# ---------------------------------------------------------------------------
+
+# Near-dup audio families, closed-form in doc_id (the dedup_image_phash
+# fixture discipline): docs in the same `doc_id div 10` family render
+# the SAME 65-block energy profile (per-block alternating-sign
+# amplitude from a splitmix64 mix — the r9 lesson: a linear formula
+# collides across families), subjected to a per-doc transformation the
+# fingerprint is exactly invariant to (uniform amplitude scaling
+# 1 + d % 3; energies scale by s^2, comparisons unchanged) through the
+# engine's REAL PCM16 WAV round-trip. Every 10th doc (d % 10 == 5)
+# additionally swaps two pinned block pairs — (0,1) and (56,57) —
+# flipping EXACTLY fingerprint bits 0 and 56: blocks 2, 55 and 58 are
+# pinned to a 7500 amplitude exceeding every other block (random
+# blocks cap at 5099), so the neighboring comparisons cannot flip.
+# The oracle states the expected pair set in closed form.
+
+_AFP_AMP_CAP = 5000
+_AFP_PINNED = {0: 1000, 1: 2000, 2: 7500, 55: 7500, 56: 1000, 57: 2000,
+               58: 7500}
+
+
+def _afp_payload_batch():
+    """mapInPandas fn: doc_id → a REAL PCM16 WAV payload from the
+    near-dup family construction above."""
+
+    def gen(batches):
+        from evolution_data_warehouse_spark.operators.audio import (
+            encode_wav,
+        )
+        from evolution_data_warehouse_spark.operators.audio_fp import (
+            N_BUCKETS,
+        )
+
+        mask = (1 << 64) - 1
+
+        def mix(v: int) -> int:
+            v = (v * 0x9E3779B97F4A7C15) & mask
+            v ^= v >> 29
+            v = (v * 0xBF58476D1CE4E5B9) & mask
+            v ^= v >> 32
+            return v
+
+        block = 64
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d // 10
+                amps = np.array(
+                    [
+                        100 + mix(base * N_BUCKETS + b) % _AFP_AMP_CAP
+                        for b in range(N_BUCKETS)
+                    ],
+                    dtype=np.int64,
+                )
+                for b, a in _AFP_PINNED.items():
+                    amps[b] = a
+                if d % 10 == 5:
+                    amps[0], amps[1] = amps[1], amps[0]
+                    amps[56], amps[57] = amps[57], amps[56]
+                amps = amps * (1 + d % 3)  # scale: fingerprint-invariant
+                sig = np.repeat(amps, block)
+                sig[1::2] *= -1  # alternating sign: no DC
+                payloads.append(encode_wav(sig[:, None], 16000, width=2))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return gen
+
+
+_AFP_ORACLE = """
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       CAST(CASE WHEN (a.doc_id % 10 = 5) <> (b.doc_id % 10 = 5)
+                 THEN 2 ELSE 0 END AS INT) AS hamming
+FROM documents a
+JOIN documents b
+  ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_audio_fingerprint",
+    _AFP_ORACLE,
+    doc="Audio near-duplicate detection (operators/audio_fp.py + "
+    "phash.py's band join): per-doc REAL PCM16 WAV payloads (near-dup "
+    "families closed-form in doc_id) → decode through the engine's "
+    "own WAV parser → 64-bit energy-profile fingerprint (65 exact "
+    "integer block energies, bit i = E[i+1] > E[i] — exactly "
+    "invariant to the family's amplitude-scaling variants) → the SAME "
+    "Hamming-banded candidate join as dedup_image_phash (4x16-bit "
+    "bands, pigeonhole-exact recall for distance <= 3, default-ON "
+    "hot-bucket guard) → JVM-side bit_count(XOR) verification. "
+    "Scaled copies land at distance 0 and the block-swapped variants "
+    "at exactly distance 2, so the oracle enumerates the expected "
+    "pairs in closed form. Two narrow Arrow stages + one band-"
+    "bucketed equi-join — never all-pairs.",
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
+
+    def fp_batch(batches):
+        from evolution_data_warehouse_spark.operators.audio import (
+            decode_wav,
+        )
+        from evolution_data_warehouse_spark.operators.audio_fp import (
+            audio_fingerprint64,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "afp": [
+                        audio_fingerprint64(decode_wav(bytes(p))["samples"])
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    payloads = ids.mapInPandas(
+        _afp_payload_batch(), "doc_id long, payload binary"
+    )
+    hashes = payloads.mapInPandas(fp_batch, "doc_id long, afp long")
+    return dhash_pairs(hashes, hash_col="afp", max_dist=2)

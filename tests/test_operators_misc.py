@@ -3086,3 +3086,64 @@ def test_gopher_rules_model():
             assert rec["g_" + rule] == got[rec["name"]][rule], (
                 rec["name"], rule, rec, got[rec["name"]],
             )
+
+
+def test_audio_fingerprint_and_spectrum():
+    """audio_fp.py contracts: the 64-bit energy-profile fingerprint is
+    exactly invariant to uniform amplitude scaling and to the PCM16
+    WAV round-trip; the pinned block swap of the dedup fixture flips
+    EXACTLY bits 0 and 56; spectrum32 finds an integer-bin tone with
+    zero leakage; undersized inputs raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from evolution_data_warehouse_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+    from evolution_data_warehouse_spark.operators.audio_fp import (
+        N_BUCKETS,
+        N_FFT,
+        audio_fingerprint64,
+        dominant_bin,
+        spectrum32,
+    )
+
+    rng = np.random.default_rng(7)
+    amps = rng.integers(100, 5100, N_BUCKETS).astype(np.int64)
+    for b, a in {0: 1000, 1: 2000, 2: 7500, 55: 7500, 56: 1000,
+                 57: 2000, 58: 7500}.items():
+        amps[b] = a
+    sig = np.repeat(amps, 64)
+    sig[1::2] *= -1
+    fp = audio_fingerprint64(sig)
+    # amplitude scaling: energies scale by s^2, comparisons unchanged
+    assert audio_fingerprint64(sig * 3) == fp
+    # PCM16 WAV round-trip is exact
+    wav = encode_wav(sig[:, None], 16000, width=2)
+    assert audio_fingerprint64(decode_wav(wav)["samples"]) == fp
+    # the fixture's pinned swap flips exactly bits 0 and 56
+    swapped = amps.copy()
+    swapped[0], swapped[1] = swapped[1], swapped[0]
+    swapped[56], swapped[57] = swapped[57], swapped[56]
+    sig2 = np.repeat(swapped, 64)
+    sig2[1::2] *= -1
+    fp2 = audio_fingerprint64(sig2)
+    assert bin((fp ^ fp2) & ((1 << 64) - 1)).count("1") == 2
+    assert (fp ^ fp2) & 1 and (fp ^ fp2) >> 56 & 1
+
+    # spectrum: an integer-bin tone dominates its bin in every frame
+    k = 11
+    n = np.arange(N_FFT * 4, dtype=np.float64)
+    tone = np.floor(
+        6000.0 * np.sin(2.0 * np.pi * k * n / N_FFT) + 0.5
+    ).astype(np.int64)
+    spec = spectrum32(tone)
+    assert spec.shape == (4, 32)
+    assert dominant_bin(spec) == k
+    assert np.all(spec[:, 1:].argmax(axis=1) + 1 == k)
+
+    with pytest.raises(ValueError, match="needs >="):
+        spectrum32(tone[: N_FFT - 1])
+    with pytest.raises(ValueError, match="needs >="):
+        audio_fingerprint64(np.arange(N_BUCKETS - 1))
