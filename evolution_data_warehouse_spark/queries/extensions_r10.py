@@ -422,3 +422,213 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashes = payloads.mapInPandas(fp_batch, "doc_id long, afp long")
     return dhash_pairs(hashes, hash_col="afp", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# WARC revisit records — the multi-snapshot crawl workflow
+# ---------------------------------------------------------------------------
+
+_REVISIT_PROFILE = (
+    "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+_REVISIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'response' ELSE 'revisit' END
+           AS rec2_type,
+       CAST(CASE WHEN doc_id % 3 = 0
+                 THEN octet_length(encode(COALESCE(text, ''))) + 3
+                 ELSE 0 END AS BIGINT) AS n_bytes_2,
+       TRUE AS digest_ok,
+       TRUE AS refers_ok
+FROM documents
+"""
+
+
+@register(
+    "src_warc_revisit",
+    _REVISIT_ORACLE,
+    doc="WARC revisit-record handling (sources/warc.py) — the "
+    "multi-snapshot Common Crawl shape: a recrawled URL whose payload "
+    "is unchanged is stored as a 'revisit' record (ISO 28500 / the "
+    "netpreserve identical-payload-digest profile) carrying only the "
+    "sha1-base32 WARC-Payload-Digest of the payload it did NOT "
+    "re-store, plus WARC-Refers-To-Target-URI. Per doc, crawl 1's "
+    "response and crawl 2's record (unchanged docs → revisit; every "
+    "third doc changes → a fresh response) mux into one per-record-"
+    "gzip WARC and parse back. digest_ok demands the engine-computed "
+    "digest of the ORIGINAL payload equal the revisit record's header "
+    "(the exact cross-crawl match a dedup stage joins on) — for "
+    "changed docs, that the new digest header verifies AND differs "
+    "from crawl 1's; refers_ok checks the back-reference URI. "
+    "rec2_type and the stored byte count are closed-form in doc_id. "
+    "One narrow mapInPandas stage, zero shuffle.",
+)
+def src_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_parse(batches):
+        from evolution_data_warehouse_spark.sources.warc import (
+            build_warc,
+            parse_warc,
+            payload_digest,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = ("" if text is None else str(text)).encode("utf-8")
+                uri = f"http://corpus.local/doc/{d}"
+                dig1 = payload_digest(body)
+                recs = [
+                    (
+                        "response",
+                        uri,
+                        body,
+                        {"WARC-Payload-Digest": dig1},
+                    )
+                ]
+                if d % 3 == 0:
+                    body2 = body + b" v2"
+                    recs.append(
+                        (
+                            "response",
+                            uri,
+                            body2,
+                            {"WARC-Payload-Digest": payload_digest(body2)},
+                        )
+                    )
+                else:
+                    recs.append(
+                        (
+                            "revisit",
+                            uri,
+                            b"",
+                            {
+                                "WARC-Payload-Digest": dig1,
+                                "WARC-Profile": _REVISIT_PROFILE,
+                                "WARC-Refers-To-Target-URI": uri,
+                            },
+                        )
+                    )
+                parsed = parse_warc(build_warc(recs, per_record_gzip=True))
+                r1, r2 = parsed[0], parsed[1]
+                h2 = r2["headers"]
+                if r2["type"] == "revisit":
+                    digest_ok = (
+                        h2.get("warc-payload-digest")
+                        == payload_digest(r1["payload"])
+                        and r2["payload"] == b""
+                        and h2.get("warc-profile") == _REVISIT_PROFILE
+                    )
+                    refers_ok = h2.get("warc-refers-to-target-uri") == uri
+                else:
+                    digest_ok = (
+                        h2.get("warc-payload-digest")
+                        == payload_digest(r2["payload"])
+                        and h2.get("warc-payload-digest") != dig1
+                    )
+                    refers_ok = r2["uri"] == uri
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "rec2_type": r2["type"],
+                        "n_bytes_2": len(r2["payload"]),
+                        "digest_ok": bool(digest_ok),
+                        "refers_ok": bool(refers_ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        synth_and_parse,
+        "doc_id long, rec2_type string, n_bytes_2 long, "
+        "digest_ok boolean, refers_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-crawl snapshot dedup — digest anti-join between crawls
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_ORACLE = """
+WITH a AS (
+    SELECT doc_id,
+           'http://corpus.local/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+           COALESCE(text, '') AS body
+    FROM documents
+),
+b AS (
+    SELECT doc_id, uri,
+           CASE WHEN doc_id % 4 = 0 THEN body || ' v2' ELSE body END
+               AS body
+    FROM a
+)
+SELECT b.doc_id, b.uri,
+       CAST(octet_length(encode(b.body)) AS BIGINT) AS n_bytes
+FROM b
+WHERE NOT EXISTS (
+    SELECT 1 FROM a WHERE a.uri = b.uri AND a.body = b.body
+)
+"""
+
+
+@register(
+    "dedup_crawl_snapshots",
+    _SNAPSHOT_ORACLE,
+    doc="Cross-crawl incremental dedup (sources/warc.py + the "
+    "incremental_new anti-join shape, operators/datapipe.py): two "
+    "crawl snapshots of the corpus ride REAL per-record-gzip WARCs "
+    "(crawl 2 re-fetches every URL; every fourth page changed), each "
+    "parsed back and keyed by (uri, sha1-base32 payload digest) — the "
+    "exact key a revisit record carries. New-crawl rows whose key "
+    "already exists in the prior snapshot are dropped by a LEFT ANTI "
+    "join (never a full join: the plan builds a hash relation of "
+    "prior-crawl keys and streams the new crawl through it, the "
+    "daily-ingest shape where the archive is petabytes and only "
+    "changed pages survive to re-processing). Output is the changed "
+    "pages — closed-form in doc_id — with their stored byte counts.",
+)
+def dedup_crawl_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def snap_batch(crawl: int):
+        def fn(batches):
+            from evolution_data_warehouse_spark.sources.warc import (
+                build_warc,
+                parse_warc,
+                payload_digest,
+            )
+
+            for pdf in batches:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    d = int(doc_id)
+                    body = (
+                        "" if text is None else str(text)
+                    ).encode("utf-8")
+                    if crawl == 2 and d % 4 == 0:
+                        body = body + b" v2"
+                    uri = f"http://corpus.local/doc/{d}"
+                    rec = parse_warc(
+                        build_warc(
+                            [("response", uri, body)], per_record_gzip=True
+                        )
+                    )[0]
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "uri": rec["uri"],
+                            "digest": payload_digest(rec["payload"]),
+                            "n_bytes": len(rec["payload"]),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return fn
+
+    schema = "doc_id long, uri string, digest string, n_bytes long"
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.mapInPandas(snap_batch(1), schema)
+    fresh = docs.mapInPandas(snap_batch(2), schema)
+    return fresh.join(
+        prior.select("uri", "digest"), ["uri", "digest"], "left_anti"
+    ).select("doc_id", "uri", "n_bytes")

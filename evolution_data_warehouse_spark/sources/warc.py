@@ -27,7 +27,9 @@ raises ValueError only.
 
 from __future__ import annotations
 
+import base64
 import gzip
+import hashlib
 import zlib
 
 # Forged Content-Length guard, checked before slicing (same role as
@@ -142,29 +144,54 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def payload_digest(payload: bytes) -> str:
+    """The labelled payload digest Common Crawl writes in
+    ``WARC-Payload-Digest``: SHA-1 in RFC 4648 base32, prefixed with
+    its algorithm label (``sha1:3I42H3S6...``). Revisit records carry
+    the digest of the payload they DIDN'T re-store — matching it
+    against the referred response is the cross-crawl dedup key."""
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(payload).digest()
+    ).decode("ascii")
+
+
+def _check_header_field(field: str, what: str) -> None:
+    # WARC header names/values must be ASCII and single-line: a
+    # non-ASCII or CR/LF-bearing value would either blow the
+    # ValueError-only contract (UnicodeEncodeError) or inject a forged
+    # header line — callers percent-encode first, per the spec's URI
+    # rules; a ':' in a NAME would split into a bogus header
+    if not field.isascii() or "\r" in field or "\n" in field:
+        raise ValueError(
+            f"warc: {what} not single-line ASCII: {field[:40]!r}"
+        )
+
+
 def build_warc(
-    records: list[tuple[str, str, bytes]], per_record_gzip: bool = False
+    records: list[tuple], per_record_gzip: bool = False
 ) -> bytes:
     """Hermetic WARC writer: records are (warc_type, target_uri,
-    payload) triples. ``per_record_gzip=True`` writes each record as
-    its own gzip member — the Common Crawl layout whose member
-    boundaries make the file splittable."""
+    payload) triples, optionally extended with a 4th element — a dict
+    of extra WARC headers (``WARC-Payload-Digest``, ``WARC-Profile``,
+    ``WARC-Refers-To-Target-URI``, ... — what a ``revisit`` record
+    carries). ``per_record_gzip=True`` writes each record as its own
+    gzip member — the Common Crawl layout whose member boundaries make
+    the file splittable."""
     out = bytearray()
-    for rtype, uri, payload in records:
+    for rec_tuple in records:
+        rtype, uri, payload = rec_tuple[0], rec_tuple[1], rec_tuple[2]
+        extra: dict[str, str] = rec_tuple[3] if len(rec_tuple) > 3 else {}
         for field in (rtype, uri):
-            # WARC header values must be ASCII and single-line: a
-            # non-ASCII or CR/LF-bearing URI would either blow the
-            # ValueError-only contract (UnicodeEncodeError) or inject
-            # a forged header line — callers percent-encode first,
-            # per the spec's URI rules
-            if not field.isascii() or "\r" in field or "\n" in field:
-                raise ValueError(
-                    f"warc: header value not single-line ASCII: "
-                    f"{field[:40]!r}"
-                )
+            _check_header_field(field, "header value")
         head = [b"WARC/1.0", b"WARC-Type: " + rtype.encode("ascii")]
         if uri:
             head.append(b"WARC-Target-URI: " + uri.encode("ascii"))
+        for k, v in extra.items():
+            _check_header_field(k, "header name")
+            if ":" in k:
+                raise ValueError(f"warc: ':' in header name {k[:40]!r}")
+            _check_header_field(v, "header value")
+            head.append(f"{k}: {v}".encode("ascii"))
         head.append(
             b"Content-Length: " + str(len(payload)).encode("ascii")
         )

@@ -2997,6 +2997,41 @@ def test_warc_build_parse_and_splittability():
     )
     assert len(parse_warc(many)) == 4000
 
+    # revisit extension: extra headers round-trip; the payload digest
+    # is the Common Crawl sha1-base32 convention (pinned against the
+    # public SHA-1 empty-string vector); a ':' in a header NAME is a
+    # ValueError (header injection), never a silent bogus line
+    from evolution_data_warehouse_spark.sources.warc import (
+        payload_digest,
+    )
+
+    assert payload_digest(b"") == "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ"
+    rev = build_warc(
+        [
+            ("response", "http://x/a", b"body"),
+            (
+                "revisit",
+                "http://x/a",
+                b"",
+                {
+                    "WARC-Payload-Digest": payload_digest(b"body"),
+                    "WARC-Refers-To-Target-URI": "http://x/a",
+                },
+            ),
+        ],
+        per_record_gzip=True,
+    )
+    r1, r2 = parse_warc(rev)
+    assert r2["type"] == "revisit" and r2["payload"] == b""
+    assert r2["headers"]["warc-payload-digest"] == payload_digest(
+        r1["payload"]
+    )
+    assert r2["headers"]["warc-refers-to-target-uri"] == "http://x/a"
+    with pytest.raises(ValueError, match="header name"):
+        build_warc([("response", "http://x/a", b"", {"Bad: Name": "v"})])
+    with pytest.raises(ValueError, match="single-line ASCII"):
+        build_warc([("response", "http://x/a", b"", {"H": "a\r\nX: y"})])
+
 
 def test_gopher_rules_model():
     """Gopher quality rules (operators/gopher.py): every rule verified

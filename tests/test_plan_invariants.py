@@ -156,3 +156,23 @@ def test_cdc_apply_uses_window_group_limit(spark, sf_dir):
 def test_quality_expectations_single_scan(spark, sf_dir):
     # N rules in ONE scan is the operator's whole point.
     assert _plan(spark, sf_dir, "quality_expectations").count("Scan parquet") == 1
+
+
+def test_crawl_snapshot_dedup_is_anti_join(spark, sf_dir):
+    # Cross-crawl dedup must drop already-seen (uri, digest) keys via
+    # a LEFT ANTI join — a full/outer join materializing both crawls'
+    # row product would not survive a petabyte archive.
+    plan = _plan(spark, sf_dir, "dedup_crawl_snapshots")
+    assert "LeftAnti" in plan
+    assert "FullOuter" not in plan
+
+
+def test_ivfpq_refine_joins_only_candidates(spark, sf_dir):
+    # The refine stage's raw-vector join must build on the bounded
+    # ADC shortlist (TakeOrderedAndProject feeding a BroadcastExchange)
+    # — re-joining the probed lists would defeat the O(R·d) refine
+    # cost claim.
+    plan = _plan(spark, sf_dir, "sim_ivfpq_refine")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
