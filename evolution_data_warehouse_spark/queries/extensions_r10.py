@@ -632,3 +632,175 @@ def dedup_crawl_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fresh.join(
         prior.select("uri", "digest"), ["uri", "digest"], "left_anti"
     ).select("doc_id", "uri", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier build — sitemap discovery ∘ canonicalize ∘ robots
+# ---------------------------------------------------------------------------
+
+# Frontier fixture: urlset docs (d % 10 != 0; index shards are the
+# recursion src_sitemap_urls already verifies) publish 1 + d % 7 URLs
+# for share-group g = d % 20 — docs in the same group publish the SAME
+# logical pages (the cross-site syndication that makes frontier dedup
+# real), dressed in canonicalization fodder (uppercase scheme/host,
+# leading www., explicit :80, tracking query). Note g determines the
+# host (d % 20 = g ⇒ d % 5 = g % 5), so colliding URLs collide fully.
+_FRONTIER_PATHS = (
+    "/private/doc{g}_{i}",
+    "/public/page{g}_{i}.html",
+    "/tmp/x{g}_{i}/index.htm",
+    "/private/stats",
+)
+
+
+def _frontier_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        _robots_rule_rows,
+    )
+
+    vals = ", ".join(
+        f"('{h}', {a}, {p}, '{rx}')" for h, a, p, rx in _robots_rule_rows()
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id, doc_id % 20 AS g, 1 + doc_id % 7 AS n
+    FROM documents WHERE doc_id % 10 <> 0
+),
+pairs AS (
+    SELECT doc_id, g, unnest(range(0, n)) AS i FROM docs
+),
+urls AS (
+    SELECT doc_id,
+           'h' || CAST(g % 5 AS VARCHAR) AS host_key,
+           CASE CAST((g + i) % 4 AS INT)
+                WHEN 0 THEN '/private/doc' || CAST(g AS VARCHAR)
+                     || '_' || CAST(i AS VARCHAR)
+                WHEN 1 THEN '/public/page' || CAST(g AS VARCHAR)
+                     || '_' || CAST(i AS VARCHAR) || '.html'
+                WHEN 2 THEN '/tmp/x' || CAST(g AS VARCHAR)
+                     || '_' || CAST(i AS VARCHAR) || '/index.htm'
+                ELSE '/private/stats' END AS path
+    FROM pairs
+),
+frontier AS (
+    SELECT 'http://h' || CAST(g % 5 AS VARCHAR) || '.corpus.local'
+               || path AS url,
+           host_key, path,
+           MIN(doc_id) AS discovered_by,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM urls JOIN docs USING (doc_id)
+    GROUP BY 1, 2, 3
+),
+rules(host, allow_i, plen, rx) AS (VALUES {vals}),
+m AS (
+    SELECT f.url, MAX(2 * r.plen + r.allow_i) AS best,
+           COUNT(*) AS n_matching
+    FROM frontier f
+    JOIN rules r ON f.host_key = r.host AND regexp_matches(f.path, r.rx)
+    GROUP BY f.url
+)
+SELECT f.url, f.host_key, f.path, f.discovered_by, f.n_sources,
+       COALESCE(m.best % 2 = 1, TRUE) AS allowed,
+       CAST(COALESCE(m.n_matching, 0) AS BIGINT) AS n_matching
+FROM frontier f LEFT JOIN m ON f.url = m.url
+"""
+
+
+@register(
+    "web_frontier_build",
+    _frontier_oracle(),
+    doc="Crawl-frontier build — the composition the r9 stages verified "
+    "separately, run as ONE plan the way web_corpus_curation composes "
+    "the post-fetch stages: sitemap discovery (sources/sitemap.py — "
+    "real urlset XML built AND parsed back per publisher, one "
+    "mapInPandas scan), URL canonicalization (the fn_url_canonicalize "
+    "regex pipeline of dedup_url_canonical: lowercase host, strip "
+    "www./default port/query) collapsing syndicated duplicates to one "
+    "frontier row (keep-lowest discoverer + source count — same URL "
+    "never fetched twice at 100 TB), then robots.txt compliance "
+    "(operators/robots.py: the dimension-sized rule table broadcast, "
+    "RFC 9309 winner as one integer hash aggregate, no match = "
+    "allowed). Plan shape: one sitemap scan → hash-agg dedup → "
+    "broadcast rules join + aggregate — every stage scan-shaped, no "
+    "all-pairs, no unbounded shuffle.",
+)
+def web_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        _robots_rule_rows,
+    )
+
+    def discover(batches):
+        from evolution_data_warehouse_spark.sources.sitemap import (
+            build_sitemap,
+            parse_sitemap,
+        )
+
+        for pdf in batches:
+            doc_ids: list[int] = []
+            locs: list[str] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 10 == 0:
+                    continue  # index shards: src_sitemap_urls' scope
+                g = d % 20
+                built = [
+                    {
+                        "loc": (
+                            f"HTTP://WWW.H{d % 5}.Corpus.Local:80"
+                            + _FRONTIER_PATHS[(g + i) % 4].format(g=g, i=i)
+                            + "?utm_source=sitemap"
+                        )
+                    }
+                    for i in range(1 + d % 7)
+                ]
+                for e in parse_sitemap(build_sitemap(built))["entries"]:
+                    doc_ids.append(d)
+                    locs.append(e["loc"])
+            yield pd.DataFrame({"doc_id": doc_ids, "loc": locs})
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    discovered = ids.mapInPandas(discover, "doc_id long, loc string")
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract("loc", r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":80$",
+        "",
+    )
+    path = F.regexp_extract("loc", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    frontier = (
+        discovered.select(
+            "doc_id",
+            F.concat(F.lit("http://"), host, path).alias("url"),
+            F.regexp_extract(host, r"^([^.]+)", 1).alias("host_key"),
+            path.alias("path"),
+        )
+        .groupBy("url", "host_key", "path")
+        .agg(
+            F.min("doc_id").alias("discovered_by"),
+            F.count("*").cast("bigint").alias("n_sources"),
+        )
+    )
+    rules = spark.createDataFrame(
+        _robots_rule_rows(), "host string, allow_i int, plen int, rx string"
+    )
+    m = (
+        frontier.join(
+            F.broadcast(rules), frontier.host_key == rules.host
+        )
+        .filter(F.expr("path RLIKE rx"))
+        .groupBy("url")
+        .agg(
+            F.max(2 * F.col("plen") + F.col("allow_i")).alias("best"),
+            F.count("*").alias("n_matching"),
+        )
+    )
+    return frontier.join(m, "url", "left").select(
+        "url", "host_key", "path", "discovered_by", "n_sources",
+        F.coalesce(F.col("best") % 2 == 1, F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("n_matching"), F.lit(0))
+        .cast("bigint")
+        .alias("n_matching"),
+    )

@@ -176,3 +176,12 @@ def test_ivfpq_refine_joins_only_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_frontier_rules_join_is_broadcast(spark, sf_dir):
+    # The robots rule table is dimension-sized and must broadcast —
+    # a shuffled join keyed on host would move the whole frontier for
+    # a table of a few dozen rules.
+    plan = _plan(spark, sf_dir, "web_frontier_build")
+    assert "BroadcastHashJoin [host_key" in plan
+    assert "SortMergeJoin [host_key" not in plan
