@@ -46,6 +46,14 @@ MIN_WORDS = 50
 MAX_WORDS = 100_000
 MIN_STOP_HITS = 2
 
+#: the paper's repetition thresholds (§A1.1 Table A1), as integer
+#: percents so every verdict is a cross-multiplication: max fraction
+#: of characters covered by the highest-coverage n-gram (n = 2..4)…
+TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
+#: …and max fraction of characters in n-grams occurring more than
+#: once (n = 5..10).
+DUP_NGRAM_MAX_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+
 _BULLET_RE = r"^\s*[•*-]"
 _ELLIPSIS_RE = r"(\.\.\.|…)$"
 

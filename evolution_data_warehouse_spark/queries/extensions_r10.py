@@ -804,3 +804,436 @@ def web_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matching"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules — n-gram character-coverage suite
+# ---------------------------------------------------------------------------
+
+
+def _rep_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.gopher import (
+        DUP_NGRAM_MAX_PCT,
+        TOP_NGRAM_MAX_PCT,
+    )
+
+    ns = sorted(TOP_NGRAM_MAX_PCT) + sorted(DUP_NGRAM_MAX_PCT)
+    top_cols = ", ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN n = {n} THEN top_cov END), 0)"
+        f" AS BIGINT) AS top_cov_{n}"
+        for n in sorted(TOP_NGRAM_MAX_PCT)
+    )
+    dup_cols = ", ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN n = {n} THEN dup_chars END), 0)"
+        f" AS BIGINT) AS dup_chars_{n}"
+        for n in sorted(DUP_NGRAM_MAX_PCT)
+    )
+    top_flags = ", ".join(
+        f"(100 * top_cov_{n} <= {pct} * total_chars) AS r_top_{n}"
+        for n, pct in sorted(TOP_NGRAM_MAX_PCT.items())
+    )
+    dup_flags = ", ".join(
+        f"(100 * dup_chars_{n} <= {pct} * total_chars) AS r_dup_{n}"
+        for n, pct in sorted(DUP_NGRAM_MAX_PCT.items())
+    )
+    all_flags = " AND ".join(
+        [f"(100 * top_cov_{n} <= {p} * total_chars)"
+         for n, p in sorted(TOP_NGRAM_MAX_PCT.items())]
+        + [f"(100 * dup_chars_{n} <= {p} * total_chars)"
+           for n, p in sorted(DUP_NGRAM_MAX_PCT.items())]
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, str_split(lower(COALESCE(text, '')), ' ') AS tk
+    FROM documents
+),
+tot AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(tk, w -> length(w))) AS BIGINT)
+               AS total_chars
+    FROM d
+),
+grams AS (
+    SELECT doc_id, n,
+           unnest(list_transform(
+               range(0, greatest(len(tk) - n + 1, 0)),
+               i -> list_aggregate(tk[i+1:i+n], 'string_agg', ' ')
+           )) AS gram
+    FROM d, (SELECT unnest([{", ".join(str(n) for n in ns)}]) AS n) ns
+),
+counted AS (
+    SELECT doc_id, n, gram, COUNT(*) AS c,
+           length(gram) - (n - 1) AS charlen
+    FROM grams GROUP BY doc_id, n, gram
+),
+per_n AS (
+    SELECT doc_id, n,
+           MAX(c * charlen) AS top_cov,
+           SUM(CASE WHEN c >= 2 THEN c * charlen ELSE 0 END) AS dup_chars
+    FROM counted GROUP BY doc_id, n
+),
+wide AS (
+    SELECT doc_id, {top_cols}, {dup_cols}
+    FROM per_n GROUP BY doc_id
+)
+SELECT t.doc_id, t.total_chars,
+       {", ".join(f"top_cov_{n}" for n in sorted(TOP_NGRAM_MAX_PCT))},
+       {", ".join(f"dup_chars_{n}" for n in sorted(DUP_NGRAM_MAX_PCT))},
+       {top_flags}, {dup_flags},
+       ({all_flags}) AS repetition_pass
+FROM tot t JOIN wide w ON t.doc_id = w.doc_id
+"""
+
+
+@register(
+    "text_repetition_gopher",
+    _rep_oracle(),
+    doc="The complete Gopher repetition-rule suite (Rae et al. 2021 "
+    "Table A1 — the n-gram half that text_repetition's duplicate-word "
+    "signals don't cover): per document, the character coverage of "
+    "the highest-coverage n-gram for n = 2..4 (count x word-chars, "
+    "a pure MAX — no tie-break needed) and the characters inside "
+    "duplicated n-grams for n = 5..10 (occurrences x word-chars of "
+    "every gram seen twice), each tested against the paper's integer-"
+    "percent threshold by cross-multiplication (100*cov <= pct*total "
+    "— no float ever decides). Shape: ONE scan explodes (n, gram) "
+    "pairs for all nine n values, then two hash aggregates (gram "
+    "counts combine map-side) and a conditional-aggregate pivot over "
+    "the pinned n list — linear in corpus tokens at 100 TB, the "
+    "standard repetition-gate cost every curation pipeline pays.",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.gopher import (
+        DUP_NGRAM_MAX_PCT,
+        TOP_NGRAM_MAX_PCT,
+    )
+
+    ns = sorted(TOP_NGRAM_MAX_PCT) + sorted(DUP_NGRAM_MAX_PCT)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(F.lower(text), " ")
+    sz = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    gram_struct = "array<struct<n:int,gram:string>>"
+
+    def gram_array(n: int):
+        # NOTE: the index must bind via this closure, NOT a lambda
+        # default arg — `lambda i, n=n:` is a BINARY lambda, which
+        # Spark's transform() calls as (element, array_index), silently
+        # rebinding n to the position column
+        return F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(0), sz - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, n)).alias(
+                        "gram"
+                    ),
+                ),
+            ),
+        ).otherwise(F.array().cast(gram_struct))
+
+    per_n_arrays = [gram_array(n) for n in ns]
+    exploded = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            total_chars.alias("total_chars"),
+            F.explode(F.flatten(F.array(*per_n_arrays))).alias("g"),
+        )
+        .select(
+            "doc_id", "total_chars", F.col("g.n").alias("n"),
+            F.col("g.gram").alias("gram"),
+        )
+    )
+    counted = exploded.groupBy("doc_id", "total_chars", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    charlen = F.length("gram").cast("long") - (F.col("n") - 1)
+    per_n = counted.groupBy("doc_id", "total_chars", "n").agg(
+        F.max(F.col("c") * charlen).alias("top_cov"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * charlen).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    top_aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("top_cov"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(f"top_cov_{n}")
+        for n in sorted(TOP_NGRAM_MAX_PCT)
+    ]
+    dup_aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias(f"dup_chars_{n}")
+        for n in sorted(DUP_NGRAM_MAX_PCT)
+    ]
+    wide = per_n.groupBy("doc_id", "total_chars").agg(
+        *top_aggs, *dup_aggs
+    )
+    flags = [
+        (100 * F.col(f"top_cov_{n}") <= pct * F.col("total_chars")).alias(
+            f"r_top_{n}"
+        )
+        for n, pct in sorted(TOP_NGRAM_MAX_PCT.items())
+    ] + [
+        (
+            100 * F.col(f"dup_chars_{n}") <= pct * F.col("total_chars")
+        ).alias(f"r_dup_{n}")
+        for n, pct in sorted(DUP_NGRAM_MAX_PCT.items())
+    ]
+    verdict = None
+    for c in flags:
+        verdict = c if verdict is None else verdict & c
+    return wide.select(
+        "doc_id",
+        "total_chars",
+        *[f"top_cov_{n}" for n in sorted(TOP_NGRAM_MAX_PCT)],
+        *[f"dup_chars_{n}" for n in sorted(DUP_NGRAM_MAX_PCT)],
+        *flags,
+        verdict.alias("repetition_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 quality rules — the line-level published filter stack
+# ---------------------------------------------------------------------------
+
+# Fixture page, identical construction on both engines: the document's
+# tokens chunk into 8-word lines, every third line missing its
+# terminal period (C4's punctuation rule has something to drop), plus
+# per-doc injected lines exercising each rule: a lorem-ipsum filler
+# sentence (every 7th doc), a code line with braces (every 5th doc
+# ≡ 3), a boilerplate "enable javascript" line (every 6th doc ≡ 2),
+# and a short (< 5 words) closer on every doc.
+_C4_LOREM = "lorem ipsum dolor sit amet consectetur."
+_C4_BRACE = "function() { return 1; }"
+_C4_JS = "please enable javascript to view this page."
+_C4_SHORT = "ok bye."
+
+
+def _c4_lines_sql() -> str:
+    return """
+    list_concat(
+        list_concat(
+            list_concat(
+                list_transform(
+                    range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT)),
+                    i -> list_aggregate(tk[i*8+1:i*8+8], 'string_agg', ' ')
+                         || CASE WHEN i % 3 = 2 THEN '' ELSE '.' END
+                ),
+                CASE WHEN doc_id % 7 = 0 THEN ['{lorem}']
+                     ELSE [] END),
+            CASE WHEN doc_id % 5 = 3 THEN ['{brace}'] ELSE [] END),
+        list_concat(
+            CASE WHEN doc_id % 6 = 2 THEN ['{js}'] ELSE [] END,
+            ['{short}']))
+    """.format(
+        lorem=_C4_LOREM, brace=_C4_BRACE, js=_C4_JS, short=_C4_SHORT
+    )
+
+
+_C4_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS tk
+    FROM documents
+),
+pages AS (
+    SELECT doc_id, {_c4_lines_sql()} AS lines FROM d
+),
+scored AS (
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(str_split(l, ' ')) >= 5
+               AND NOT contains(lower(l), 'javascript')
+           )) AS BIGINT) AS n_kept_lines,
+           len(list_filter(lines, l ->
+               contains(lower(l), 'lorem ipsum'))) > 0 AS has_lorem,
+           len(list_filter(lines, l -> contains(l, '{{'))) > 0
+               AS has_brace
+    FROM pages
+)
+SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
+       (n_kept_lines >= 3 AND NOT has_lorem AND NOT has_brace)
+           AS c4_keep
+FROM scored
+"""
+
+
+@register(
+    "text_quality_c4",
+    _C4_ORACLE,
+    doc="The C4 cleaning rules (Raffel et al. 2020 §2.2, the published "
+    "filter stack behind the C4 corpus) as ONE scan: line-level — "
+    "keep only lines ending in terminal punctuation, with at least 5 "
+    "words, and free of the 'javascript' boilerplate marker; page-"
+    "level — drop pages with fewer than 3 surviving sentences, any "
+    "'lorem ipsum' filler, or a curly brace (code). The fixture page "
+    "(identical construction both engines) chunks each document into "
+    "8-word lines and injects one violating line per rule on a "
+    "closed-form doc_id schedule, so every rule provably fires. Pure "
+    "array/column expressions over one documents scan — whole-stage "
+    "codegen, zero shuffle, zero Python — complements "
+    "text_quality_gopher as the second published gate of the curation "
+    "stack.",
+)
+def text_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(text, " ")
+    sz = F.size(toks)
+    nl = F.ceil(sz / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            F.when(i % 3 == 2, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+
+    def inject(cond, line):
+        return F.when(cond, F.array(F.lit(line))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    d = F.col("doc_id")
+    lines = F.concat(
+        chunks,
+        inject(d % 7 == 0, _C4_LOREM),
+        inject(d % 5 == 3, _C4_BRACE),
+        inject(d % 6 == 2, _C4_JS),
+        F.array(F.lit(_C4_SHORT)),
+    )
+    keep = lambda ln: (  # noqa: E731
+        ln.rlike('[.!?"]$')
+        & (F.size(F.split(ln, " ")) >= 5)
+        & ~F.contains(F.lower(ln), F.lit("javascript"))
+    )
+    pages = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, keep)).cast("bigint").alias("n_kept_lines"),
+        F.exists(
+            lines, lambda ln: F.contains(F.lower(ln), F.lit("lorem ipsum"))
+        ).alias("has_lorem"),
+        F.exists(
+            lines, lambda ln: F.contains(ln, F.lit("{"))
+        ).alias("has_brace"),
+    )
+    return pages.select(
+        "doc_id", "n_lines", "n_kept_lines", "has_lorem", "has_brace",
+        (
+            (F.col("n_kept_lines") >= 3)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("c4_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup — the C4/RefinedWeb cross-document pass
+# ---------------------------------------------------------------------------
+
+_LINE_TOKENS = 10
+
+_LINE_DEDUP_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, str_split(lower(COALESCE(text, '')), ' ') AS tk
+    FROM documents
+),
+lines AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(tk) / {_LINE_TOKENS}.0) AS BIGINT)),
+               i -> list_aggregate(
+                   tk[i*{_LINE_TOKENS}+1:i*{_LINE_TOKENS}+{_LINE_TOKENS}],
+                   'string_agg', ' ')
+           )) AS line,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(tk) / {_LINE_TOKENS}.0) AS BIGINT)),
+               i -> least(len(tk) - i*{_LINE_TOKENS},
+                          {_LINE_TOKENS})
+           )) AS n_toks
+    FROM d
+),
+freq AS (
+    SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+)
+SELECT l.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_lines,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN l.n_toks ELSE 0 END) AS BIGINT)
+           AS tokens_removed,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN 0 ELSE l.n_toks END) AS BIGINT)
+           AS tokens_kept
+FROM lines l JOIN freq f ON l.line = f.line
+GROUP BY l.doc_id
+"""
+
+
+@register(
+    "dedup_lines_corpus",
+    _LINE_DEDUP_ORACLE,
+    doc="Corpus-level line deduplication — the cross-document pass C4 "
+    "(three-sentence spans) and RefinedWeb/Dolma (exact lines) run "
+    "over the WHOLE corpus, distinct from any per-document rule: "
+    "documents chunk into 10-token lines (the line proxy for this "
+    "single-line corpus), every line's document frequency is counted "
+    "corpus-wide, and lines appearing in more than one document are "
+    "marked removed; per document the report gives line counts and "
+    "the token mass removed vs kept — the number a curation run "
+    "watches (boilerplate shed). Shape: one scan explodes lines, one "
+    "hash aggregate (map-side combine collapses each document's "
+    "repeats before the shuffle) builds the corpus frequency table, "
+    "one hash join keyed on the line brings frequencies back, one "
+    "aggregate rolls up per doc — every stage keyed and linear; at "
+    "100 TB the frequency table hash-partitions by line exactly like "
+    "the dedup_exact hash groupBy.",
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(F.lower(text), " ")
+    sz = F.size(toks)
+    nch = F.ceil(sz / F.lit(float(_LINE_TOKENS))).cast("int")
+    k = _LINE_TOKENS
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * k + 1, k)).alias("line"),
+            F.least(sz - i * k, F.lit(k)).cast("long").alias("n_toks"),
+        ),
+    )
+    lines = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.line").alias("line"),
+                F.col("c.n_toks").alias("n_toks"))
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.col("nd") > 1
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(dup.cast("int")).cast("bigint").alias("n_dup_lines"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("n_toks")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
