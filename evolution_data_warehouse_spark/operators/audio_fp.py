@@ -83,14 +83,25 @@ def audio_fingerprint64(samples: np.ndarray) -> int:
         raise ValueError(
             f"audio_fingerprint64 needs >= {N_BUCKETS} samples, got {len(x)}"
         )
-    cs = np.zeros(len(x) + 1, dtype=np.int64)
-    np.cumsum(x * x, out=cs[1:])
-    bounds = np.array(
-        [i * len(x) // N_BUCKETS for i in range(N_BUCKETS + 1)],
-        dtype=np.int64,
-    )
-    energies = cs[bounds[1:]] - cs[bounds[:-1]]
-    bits = energies[1:] > energies[:-1]
+    bounds = [i * len(x) // N_BUCKETS for i in range(N_BUCKETS + 1)]
+    max_abs = int(np.abs(x).max())
+    if max_abs == 0 or len(x) <= (2**63 - 1) // (max_abs * max_abs):
+        # fast path: the whole energy cumsum provably fits int64
+        # (8/16-bit PCM always lands here)
+        cs = np.zeros(len(x) + 1, dtype=np.int64)
+        np.cumsum(x * x, out=cs[1:])
+        energies = [int(cs[b1] - cs[b0]) for b0, b1 in
+                    zip(bounds[:-1], bounds[1:])]
+    else:
+        # exact big-int fallback for full-scale 24/32-bit PCM: numpy
+        # int64 would WRAP silently here, making the comparisons (and
+        # the documented scale invariance) wrong — Python ints are
+        # arbitrary precision, so the energies stay exact
+        energies = [
+            int(sum(int(v) * int(v) for v in x[b0:b1]))
+            for b0, b1 in zip(bounds[:-1], bounds[1:])
+        ]
+    bits = [energies[i + 1] > energies[i] for i in range(64)]
     val = 0
     for i in range(64):
         if bits[i]:

@@ -1053,7 +1053,7 @@ scored AS (
     SELECT doc_id,
            CAST(len(lines) AS BIGINT) AS n_lines,
            CAST(len(list_filter(lines, l ->
-               regexp_matches(l, '[.!?"]$')
+               list_contains(['.', '!', '?', '"'], l[-1])
                AND len(str_split(l, ' ')) >= 5
                AND NOT contains(lower(l), 'javascript')
            )) AS BIGINT) AS n_kept_lines,
@@ -1114,7 +1114,11 @@ def text_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit(_C4_SHORT)),
     )
     keep = lambda ln: (  # noqa: E731
-        ln.rlike('[.!?"]$')
+        # literal last-char test, NOT a '$'-anchored regex: Java's '$'
+        # matches before a trailing newline where RE2's does not, so
+        # the regex form would diverge between engine and oracle on
+        # any line ending '.\n'
+        F.substring(ln, -1, 1).isin(".", "!", "?", '"')
         & (F.size(F.split(ln, " ")) >= 5)
         & ~F.contains(F.lower(ln), F.lit("javascript"))
     )

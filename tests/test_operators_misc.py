@@ -3182,3 +3182,12 @@ def test_audio_fingerprint_and_spectrum():
         spectrum32(tone[: N_FFT - 1])
     with pytest.raises(ValueError, match="needs >="):
         audio_fingerprint64(np.arange(N_BUCKETS - 1))
+
+    # full-scale 32-bit PCM: the int64 cumsum would WRAP (x*x ~ 4.6e18
+    # per sample) — the exact big-int path must keep the fingerprint
+    # correct and scale-invariant (review finding). The same profile
+    # rendered at 16-bit amplitude must hash identically, because the
+    # energy COMPARISONS are what the fingerprint encodes.
+    wide = (sig * (2**15)).astype(np.int64)  # amps up to ~2^31 range
+    assert audio_fingerprint64(wide) == fp
+    assert audio_fingerprint64(wide * 2) == fp
