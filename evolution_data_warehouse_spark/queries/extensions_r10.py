@@ -1241,3 +1241,120 @@ def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval-set decontamination — embedding-similarity leakage scan
+# ---------------------------------------------------------------------------
+
+_DECON_N_EVAL = 25
+_DECON_PLANT_MOD = 19
+_DECON_COS = 0.9
+
+
+def _decon_semantic_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import DIM
+
+    dot = " + ".join(f"(c.cv[{i}] * e.ev[{i}])" for i in range(1, DIM + 1))
+    ncv = " + ".join(f"(c.cv[{i}] * c.cv[{i}])" for i in range(1, DIM + 1))
+    nev = " + ".join(f"(e.ev[{i}] * e.ev[{i}])" for i in range(1, DIM + 1))
+    return f"""
+WITH e AS (
+    SELECT vec_id AS eval_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+    FROM embeddings WHERE vec_id < {_DECON_N_EVAL}
+),
+c0 AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ov
+    FROM embeddings WHERE vec_id >= {_DECON_N_EVAL}
+),
+cm AS (
+    SELECT c0.vec_id,
+           CASE WHEN c0.vec_id % {_DECON_PLANT_MOD} = 0
+                THEN list_transform(e.ev, (x, i) -> x + c0.ov[i] / 100.0)
+                ELSE c0.ov END AS cv
+    FROM c0 JOIN e ON e.eval_id = c0.vec_id % {_DECON_N_EVAL}
+),
+scored AS (
+    SELECT c.vec_id, e.eval_id,
+           ({dot}) / NULLIF(sqrt({ncv}) * sqrt({nev}), 0.0) AS cosine
+    FROM cm c, e
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rn
+    FROM scored
+)
+SELECT vec_id, eval_id AS nearest_eval, cosine AS max_cos,
+       cosine >= {_DECON_COS} AS contaminated
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "decontaminate_semantic",
+    _decon_semantic_oracle(),
+    doc="Semantic eval-set decontamination — the embedding-similarity "
+    "leakage scan modern pipelines run beside decontaminate_ngram's "
+    "exact n-gram pass (paraphrased benchmark questions share no "
+    "13-gram but sit next to the eval vector in embedding space): "
+    "the first 25 vectors stand as the benchmark set; every corpus "
+    "vector reports its max cosine and nearest eval item, flagged at "
+    ">= 0.9. Contamination is PLANTED closed-form (every 19th corpus "
+    "vector is its eval twin plus 1% of itself — cosine ~0.999 "
+    "against a 0.49 random background, so the verdict margin is "
+    "wide). Scale shape: eval sets are KBs — the eval side BROADCASTS "
+    "and the corpus streams through one narrow pass (the allowlisted "
+    "broadcast nested-loop, same as sim_ann_bruteforce), one "
+    "max-struct aggregate picks the nearest item (ties to the lowest "
+    "eval id, mirrored by the oracle's row_number). All double "
+    "arithmetic is sequential-fold order on both engines.",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators import similarity as sim
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = emb.filter(F.col("vec_id") < _DECON_N_EVAL).select(
+        F.col("vec_id").alias("eval_id"),
+        sim.as_double(F.col("embedding")).alias("_ev"),
+    )
+    evn = ev.withColumn("_ne", sim.vec_norm(F.col("_ev")))
+    c0 = emb.filter(F.col("vec_id") >= _DECON_N_EVAL)
+    mixed = F.when(
+        F.col("vec_id") % _DECON_PLANT_MOD == 0,
+        F.zip_with(
+            F.col("_ev"),
+            sim.as_double(F.col("embedding")),
+            lambda x, o: x + o / F.lit(100.0),
+        ),
+    ).otherwise(sim.as_double(F.col("embedding")))
+    cm = (
+        c0.join(
+            F.broadcast(ev),
+            F.col("vec_id") % _DECON_N_EVAL == F.col("eval_id"),
+        )
+        .select("vec_id", mixed.alias("_vec"))
+        .withColumn("_norm", sim.vec_norm(F.col("_vec")))
+    )
+    scored = cm.crossJoin(F.broadcast(evn)).select(
+        "vec_id",
+        "eval_id",
+        sim.cosine(
+            F.col("_vec"), F.col("_ev"), F.col("_norm"), F.col("_ne")
+        ).alias("cosine"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("eval_id")).alias("negid"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.negid")).cast("bigint").alias("nearest_eval"),
+        F.col("m.c").alias("max_cos"),
+        (F.col("m.c") >= _DECON_COS).alias("contaminated"),
+    )

@@ -47,6 +47,7 @@ _BNL_OK = {
     "agg_heavy_hitters_mg",  # 1-row n_total broadcast into the certificate
     "ts_cusum_drift",  # 1-row total/day-count broadcast into the CUSUM terms
     "agg_kmv_overlap",  # 1-row theta + p_common broadcasts over <=2k sketch rows
+    "decontaminate_semantic",  # 25-row eval-set broadcast, corpus streams once
 }
 
 
