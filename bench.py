@@ -116,6 +116,16 @@ SF1_QUERIES = [
     "dedup_image_phash",
     "tok_bpe_encode",
     "sim_ivfpq_topk",
+    # r10 additions with non-obvious scaling: the 9-way n-gram explode
+    # of the Gopher repetition suite, the corpus-wide line-frequency
+    # join of the C4 cross-document dedup, the audio decode+fingerprint
+    # banded join, and the IVFADC+refine composition (ADC scan + 100-
+    # row broadcast re-rank). The other r10 additions are single-scan
+    # column-expression shapes already represented.
+    "text_repetition_gopher",
+    "dedup_lines_corpus",
+    "dedup_audio_fingerprint",
+    "sim_ivfpq_refine",
 ]
 
 
