@@ -1358,3 +1358,223 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.c").alias("max_cos"),
         (F.col("m.c") >= _DECON_COS).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer compression ratio — the chars-per-token curation signal
+# ---------------------------------------------------------------------------
+
+# keep iff 2 <= chars/subword <= 20, as integer cross-multiplications.
+# Natural text under a fitted BPE sits well inside; ~1 means the
+# tokenizer can't compress (garbage/unknown script), huge means
+# degenerate repetition.
+_TOKRATIO_MIN, _TOKRATIO_MAX = 2, 20
+
+
+def _tok_ratio_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_sql,
+        bpe_vocab,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    s = bpe_segment_sql("w", _BPE_MERGES)
+    vocab_case = (
+        "CASE sub "
+        + " ".join(
+            f"WHEN '{tok}' THEN {i}"
+            for tok, i in sorted(bpe_vocab(_BPE_MERGES).items())
+        )
+        + " ELSE -1 END"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, str_split_regex(lower(COALESCE(text, '')), '\\s+') AS tk
+    FROM documents
+),
+words AS (
+    SELECT doc_id, unnest(tk) AS w FROM toks
+),
+nz AS (SELECT doc_id, w FROM words WHERE w <> ''),
+seg AS (SELECT doc_id, w, str_split({s}, ' ') AS subs FROM nz),
+subrows AS (SELECT doc_id, unnest(subs) AS sub FROM seg),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_subwords,
+           CAST(SUM(length(sub)) AS BIGINT) AS n_chars,
+           CAST(SUM(CASE WHEN ({vocab_case}) = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unk
+    FROM subrows GROUP BY doc_id
+)
+SELECT doc_id, n_chars, n_subwords, n_unk,
+       ({_TOKRATIO_MIN} * n_subwords <= n_chars
+        AND n_chars <= {_TOKRATIO_MAX} * n_subwords) AS r_compression,
+       (10 * n_unk <= n_subwords) AS r_unk,
+       ({_TOKRATIO_MIN} * n_subwords <= n_chars
+        AND n_chars <= {_TOKRATIO_MAX} * n_subwords
+        AND 10 * n_unk <= n_subwords) AS tok_keep
+FROM agg
+"""
+
+
+@register(
+    "tok_compression_ratio",
+    _tok_ratio_oracle(),
+    doc="Tokenizer compression-ratio gate — the chars-per-token signal "
+    "curation pipelines read off the real tokenizer (text that the "
+    "fitted BPE cannot compress is garbage or out-of-distribution; "
+    "text that compresses absurdly well is degenerate repetition): "
+    "the corpus encodes under the pinned 12-merge vocabulary "
+    "(operators/bpe.py — merges run once per DISTINCT word, the "
+    "tok_bpe_encode shape), and per doc the subword count, subword "
+    "char mass, and unknown-id count gate by integer cross-"
+    "multiplication (2 <= chars/subword <= 20, unk <= 10%). "
+    "Same linear explode + hash-agg cost as tokenization itself — "
+    "the gate is free when run beside tok_bpe_encode at 100 TB.",
+)
+def tok_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    enc = bpe_encode_ids(
+        t(spark, sf_dir, "documents"), _BPE_MERGES, bpe_vocab(_BPE_MERGES)
+    )
+    agg = enc.groupBy("doc_id").agg(
+        F.sum(F.length("subword")).cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_subwords"),
+        F.sum((F.col("token_id") == -1).cast("int"))
+        .cast("bigint")
+        .alias("n_unk"),
+    )
+    r_comp = (_TOKRATIO_MIN * F.col("n_subwords") <= F.col("n_chars")) & (
+        F.col("n_chars") <= _TOKRATIO_MAX * F.col("n_subwords")
+    )
+    r_unk = 10 * F.col("n_unk") <= F.col("n_subwords")
+    return agg.select(
+        "doc_id", "n_chars", "n_subwords", "n_unk",
+        r_comp.alias("r_compression"),
+        r_unk.alias("r_unk"),
+        (r_comp & r_unk).alias("tok_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video keyframe detection — scene cuts from frame-difference energy
+# ---------------------------------------------------------------------------
+
+_KEYFRAME_ORACLE = """
+SELECT doc_id,
+       CAST(6 + doc_id % 7 AS INT) AS n_frames,
+       CAST(1 + (5 + doc_id % 7) // (2 + doc_id % 3) AS INT)
+           AS n_keyframes,
+       CAST(2 + doc_id % 3 AS INT) AS first_cut,
+       TRUE AS detect_ok
+FROM documents
+"""
+
+
+@register(
+    "mm_video_keyframes",
+    _KEYFRAME_ORACLE,
+    doc="Video keyframe (scene-cut) detection — the sampling stage a "
+    "vision-language corpus runs after demux (keyframes are what gets "
+    "captioned; decoding every frame of 100 TB of video is the cost "
+    "to avoid): per doc an AVI-MJPEG container (operators/video.py + "
+    "jpeg.py, the mm_video_frames fixture discipline) holds 6 + d%7 "
+    "frames cut into scenes of length 2 + d%3 — frames are identical "
+    "within a scene and jump a full channel step across cuts, so the "
+    "integer frame-difference energy is EXACTLY zero within scenes "
+    "(identical JPEG bytes decode identically, lossiness cancels) and "
+    "large across them. A frame is a keyframe iff it opens the stream "
+    "or its diff energy exceeds 8x the pixel count. n_keyframes and "
+    "the first cut position are closed-form in doc_id; detect_ok "
+    "additionally demands zero in-scene energy and geometry match. "
+    "One narrow mapInPandas stage, zero shuffle — demux byte-walk + "
+    "one decode per frame, linear in corpus bytes.",
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_detect(batches):
+        from evolution_data_warehouse_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from evolution_data_warehouse_spark.operators.video import (
+            encode_avi_mjpeg,
+            parse_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n_frames = 6 + d % 7
+                scene_len = 2 + d % 3
+                w, h = 8 + d % 9, 8 + d % 5
+                jpegs = []
+                for k in range(n_frames):
+                    scene = k // scene_len
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                    px[:, :, 1] = (40 * scene) % 256
+                    px[:, :, 2] = d % 256
+                    jpegs.append(encode_jpeg(px))
+                parsed = parse_avi_mjpeg(
+                    encode_avi_mjpeg(jpegs, w, h, fps=12)
+                )
+                pixels = [
+                    decode_jpeg(fr)[2].astype(np.int64)
+                    for fr in parsed["frames"]
+                ]
+                energies = [
+                    int(np.abs(pixels[k] - pixels[k - 1]).sum())
+                    for k in range(1, len(pixels))
+                ]
+                thresh = 8 * w * h
+                keyframes = [0] + [
+                    k
+                    for k in range(1, len(pixels))
+                    if energies[k - 1] > thresh
+                ]
+                expected = [0] + [
+                    k
+                    for k in range(1, n_frames)
+                    if k % scene_len == 0
+                ]
+                in_scene_zero = all(
+                    e == 0
+                    for k, e in enumerate(energies, start=1)
+                    if k % scene_len != 0
+                )
+                ok = (
+                    keyframes == expected
+                    and in_scene_zero
+                    and parsed["width"] == w
+                    and parsed["height"] == h
+                    and len(pixels) == n_frames
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": np.int32(len(pixels)),
+                        "n_keyframes": np.int32(len(keyframes)),
+                        "first_cut": np.int32(
+                            keyframes[1] if len(keyframes) > 1 else -1
+                        ),
+                        "detect_ok": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    return ids.mapInPandas(
+        synth_and_detect,
+        "doc_id long, n_frames int, n_keyframes int, first_cut int, "
+        "detect_ok boolean",
+    )
