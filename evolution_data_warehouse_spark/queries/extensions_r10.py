@@ -1578,3 +1578,120 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames int, n_keyframes int, first_cut int, "
         "detect_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Image quality gate — the pre-filter of image-corpus curation
+# ---------------------------------------------------------------------------
+
+_IMGQ_ORACLE = """
+WITH dims AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 2 WHEN 1 THEN 40 WHEN 2 THEN 8
+                ELSE CAST(4 + doc_id % 13 AS INT) END AS width,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 8
+                ELSE CAST(3 + doc_id % 7 AS INT) END AS height,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 16 WHEN 1 THEN 240 WHEN 2 THEN 0
+                ELSE CAST(16 * greatest(3 + doc_id % 13, 2 + doc_id % 7)
+                          AS INT) END AS px_range
+    FROM documents
+)
+SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(px_range AS INT) AS px_range,
+       least(width, height) >= 4 AS r_min_dim,
+       greatest(width, height) <= 8 * least(width, height) AS r_aspect,
+       px_range >= 8 AS r_not_constant,
+       (least(width, height) >= 4
+        AND greatest(width, height) <= 8 * least(width, height)
+        AND px_range >= 8) AS image_keep
+FROM dims
+"""
+
+
+@register(
+    "mm_image_quality",
+    _IMGQ_ORACLE,
+    doc="Image quality gate — the LAION/DataComp-style pre-filter an "
+    "image corpus runs BEFORE expensive captioning/embedding: minimum "
+    "dimension >= 4, aspect ratio <= 8 (integer cross-multiplied), "
+    "and non-degenerate content (max per-channel pixel range >= 8 — "
+    "rejects solid-color placeholders). Per doc a REAL payload "
+    "(encoded and decoded through the engine's own BMP/PPM/PNG "
+    "codecs) lands on a closed-form defect schedule: every 5th doc "
+    "too tiny, every 5th+1 a 10:1 banner, every 5th+2 a solid fill; "
+    "the rest healthy gradients. Dims and ranges come from the "
+    "DECODED pixels, so only a correct decode passes. Flags are "
+    "column expressions over one narrow mapInPandas stage — zero "
+    "shuffle, linear in corpus bytes; composes ahead of "
+    "dedup_image_phash the way the text gates feed the funnel.",
+)
+def mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_measure(batches):
+        from evolution_data_warehouse_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+        from evolution_data_warehouse_spark.operators.phash import (
+            _decode_pixels,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                leg = d % 5
+                if leg == 0:
+                    w, h = 2, 2
+                elif leg == 1:
+                    w, h = 40, 4
+                elif leg == 2:
+                    w, h = 8, 8
+                else:
+                    w, h = 4 + d % 13, 3 + d % 7
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                if leg == 2:
+                    px[:, :, :] = d % 256  # solid placeholder
+                else:
+                    x = (16 * np.arange(w, dtype=np.int64)) % 256
+                    y = (16 * np.arange(h, dtype=np.int64)) % 256
+                    px[:, :, 0] = x[None, :].astype(np.uint8)
+                    px[:, :, 1] = y[:, None].astype(np.uint8)
+                    px[:, :, 2] = d % 256
+                enc = (encode_bmp, encode_ppm, encode_png)[d % 3]
+                dec = _decode_pixels(enc(px))
+                dh, dw = dec.shape[0], dec.shape[1]
+                rng = max(
+                    int(dec[:, :, c].max()) - int(dec[:, :, c].min())
+                    for c in range(dec.shape[2])
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "width": np.int32(dw),
+                        "height": np.int32(dh),
+                        "px_range": np.int32(rng),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    measured = ids.mapInPandas(
+        synth_and_measure,
+        "doc_id long, width int, height int, px_range int",
+    )
+    r_min = F.least("width", "height") >= 4
+    r_aspect = F.greatest("width", "height") <= 8 * F.least(
+        "width", "height"
+    )
+    r_const = F.col("px_range") >= 8
+    return measured.select(
+        "doc_id", "width", "height", "px_range",
+        r_min.alias("r_min_dim"),
+        r_aspect.alias("r_aspect"),
+        r_const.alias("r_not_constant"),
+        (r_min & r_aspect & r_const).alias("image_keep"),
+    )
