@@ -1695,3 +1695,126 @@ def mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_const.alias("r_not_constant"),
         (r_min & r_aspect & r_const).alias("image_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image-corpus curation composite — quality gate → near-dup → funnel
+# ---------------------------------------------------------------------------
+
+_IMG_CURATION_ORACLE = """
+WITH flags AS (
+    SELECT doc_id, source,
+           doc_id % 10 NOT IN (8, 9) AS quality_pass,
+           doc_id % 10 = 0 AS kept
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_pass,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_unique
+FROM flags GROUP BY source
+"""
+
+
+@register(
+    "mm_image_curation",
+    _IMG_CURATION_ORACLE,
+    doc="End-to-end image-corpus curation as ONE query — the image "
+    "twin of web_corpus_curation: per doc a REAL encoded payload "
+    "(dedup_image_phash's near-dup families via the shared "
+    "_phash_family_pixels, except every 8th-of-10 doc is a solid "
+    "placeholder and every 9th-of-10 a 2x2 thumbnail), then ONE "
+    "decode pass measures the quality evidence (dims, per-channel "
+    "pixel range) AND the 64-bit dHash together — decode once, "
+    "feed every stage, the cost rule of a 100 TB media corpus. The "
+    "quality gate (mm_image_quality's rules) drops the placeholders "
+    "and thumbnails BEFORE the banded near-dup join (filter-before-"
+    "expensive, as the text funnel orders its stages); surviving "
+    "family variants collapse to the lowest id via the pigeonhole-"
+    "banded pair join + left-anti removal; the per-source funnel "
+    "reports docs → quality survivors → near-unique. Every count is "
+    "closed-form in doc_id, so the oracle states the whole funnel "
+    "exactly.",
+)
+def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        _phash_family_pixels,
+    )
+
+    def synth_and_measure(batches):
+        from evolution_data_warehouse_spark.operators.multimodal import (
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+        from evolution_data_warehouse_spark.operators.phash import (
+            _decode_pixels,
+            dhash64,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                leg = d % 10
+                if leg == 8:
+                    px = np.full((8, 9, 3), d % 256, dtype=np.uint8)
+                elif leg == 9:
+                    px = np.zeros((2, 2, 3), dtype=np.uint8)
+                    px[:, :, 0] = (16 * np.arange(2))[None, :]
+                else:
+                    px = _phash_family_pixels(d)
+                enc = (encode_bmp, encode_ppm, encode_png)[d % 3]
+                dec = _decode_pixels(enc(px))
+                rng = max(
+                    int(dec[:, :, c].max()) - int(dec[:, :, c].min())
+                    for c in range(dec.shape[2])
+                )
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": source,
+                        "width": np.int32(dec.shape[1]),
+                        "height": np.int32(dec.shape[0]),
+                        "px_range": np.int32(rng),
+                        "dhash": dhash64(dec),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    measured = docs.mapInPandas(
+        synth_and_measure,
+        "doc_id long, source string, width int, height int, "
+        "px_range int, dhash long",
+    ).localCheckpoint(eager=False)
+    quality = (
+        (F.least("width", "height") >= 4)
+        & (F.greatest("width", "height") <= 8 * F.least("width", "height"))
+        & (F.col("px_range") >= 8)
+    )
+    survivors = measured.filter(quality).select(
+        "doc_id", "source", "dhash"
+    )
+    removed = (
+        dhash_pairs(survivors.select("doc_id", "dhash"), max_dist=2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(removed, "doc_id", "left_anti")
+    agg_flags = measured.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
+    )
+    agg_kept = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_near_unique")
+    )
+    return agg_flags.join(agg_kept, "source", "left").select(
+        "source", "n_docs", "n_quality_pass",
+        F.coalesce(F.col("n_near_unique"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_unique"),
+    )

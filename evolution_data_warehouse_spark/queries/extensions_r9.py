@@ -52,6 +52,41 @@ from evolution_data_warehouse_spark.queries.common import (
 # verified absent at the tested SFs, cannot flake.
 
 
+def _splitmix64(n: int) -> int:
+    # splitmix64-style finalizer: a LINEAR formula here is not
+    # enough — (base*c + y*a + x*b) mod 96 has at most 96
+    # distinct patterns, so distinct families would collide
+    # within the Hamming threshold (observed: 5498 pairs vs
+    # the expected 2250 at sf0.01)
+    mask = (1 << 64) - 1
+    n = (n * 0x9E3779B97F4A7C15) & mask
+    n ^= n >> 29
+    n = (n * 0xBF58476D1CE4E5B9) & mask
+    n ^= n >> 32
+    return n
+
+
+def _phash_family_pixels(d: int) -> np.ndarray:
+    """The near-dup family pixel construction above for one doc id —
+    shared by dedup_image_phash and the r10 image-curation composite
+    (same bytes → the closed-form pair claims hold in both)."""
+    base = d // 10
+    cells = np.zeros((8, 9), dtype=np.int64)
+    for y in range(8):
+        for x in range(9):
+            cells[y, x] = 32 + _splitmix64(base * 72 + y * 9 + x) % 96
+    # pinned triples controlling bits 0 and 56
+    cells[0, 0:3] = (10, 20, 30)
+    cells[7, 0:3] = (10, 20, 30)
+    if d % 10 == 5:
+        cells[0, 0], cells[0, 1] = 20, 10
+        cells[7, 0], cells[7, 1] = 20, 10
+    cells = cells + (d % 5) * 10  # brightness: dHash-invariant
+    sx, sy = 1 + d % 3, 1 + d % 2
+    gray = np.repeat(np.repeat(cells, sy, axis=0), sx, axis=1)
+    return np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
+
+
 def _phash_payload_batch():
     """mapInPandas fn: doc_id → a REAL encoded image payload from the
     near-dup family construction above."""
@@ -63,41 +98,11 @@ def _phash_payload_batch():
             encode_ppm,
         )
 
-        mask = (1 << 64) - 1
-
-        def mix(n: int) -> int:
-            # splitmix64-style finalizer: a LINEAR formula here is not
-            # enough — (base*c + y*a + x*b) mod 96 has at most 96
-            # distinct patterns, so distinct families would collide
-            # within the Hamming threshold (observed: 5498 pairs vs
-            # the expected 2250 at sf0.01)
-            n = (n * 0x9E3779B97F4A7C15) & mask
-            n ^= n >> 29
-            n = (n * 0xBF58476D1CE4E5B9) & mask
-            n ^= n >> 32
-            return n
-
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                base = d // 10
-                cells = np.zeros((8, 9), dtype=np.int64)
-                for y in range(8):
-                    for x in range(9):
-                        cells[y, x] = 32 + mix(base * 72 + y * 9 + x) % 96
-                # pinned triples controlling bits 0 and 56
-                cells[0, 0:3] = (10, 20, 30)
-                cells[7, 0:3] = (10, 20, 30)
-                if d % 10 == 5:
-                    cells[0, 0], cells[0, 1] = 20, 10
-                    cells[7, 0], cells[7, 1] = 20, 10
-                cells = cells + (d % 5) * 10  # brightness: dHash-invariant
-                sx, sy = 1 + d % 3, 1 + d % 2
-                gray = np.repeat(np.repeat(cells, sy, axis=0), sx, axis=1)
-                px = np.repeat(
-                    gray.astype(np.uint8)[:, :, None], 3, axis=2
-                )
+                px = _phash_family_pixels(d)
                 enc = (encode_bmp, encode_ppm, encode_png)[d % 3]
                 payloads.append(enc(px))
             yield pd.DataFrame(
