@@ -1818,3 +1818,117 @@ def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_near_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio quality gate — duration / silence / clipping pre-filter
+# ---------------------------------------------------------------------------
+
+_AUDIOQ_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 50 WHEN 1 THEN 640 WHEN 2 THEN 640
+                ELSE 64 * (13 + CAST(doc_id % 7 AS INT)) END AS n_frames,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN 2 WHEN 1 THEN 578 WHEN 2 THEN 0
+                ELSE 2 * (13 + CAST(doc_id % 7 AS INT)) END AS n_silent,
+           CASE CAST(doc_id % 5 AS INT)
+                WHEN 2 THEN 640 ELSE 0 END AS n_clipped
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_silent AS BIGINT) AS n_silent,
+       CAST(n_clipped AS BIGINT) AS n_clipped,
+       n_frames >= 400 AS r_duration,
+       2 * n_silent <= n_frames AS r_silence,
+       100 * n_clipped <= n_frames AS r_clipping,
+       (n_frames >= 400 AND 2 * n_silent <= n_frames
+        AND 100 * n_clipped <= n_frames) AS audio_keep
+FROM m
+"""
+
+
+@register(
+    "mm_audio_quality",
+    _AUDIOQ_ORACLE,
+    doc="Audio quality gate — the pre-filter a speech/audio corpus "
+    "runs before transcription or fingerprinting: minimum duration "
+    "(>= 400 frames), silence ratio (near-zero samples <= 50%), and "
+    "clipping ratio (full-scale samples <= 1%), each an integer "
+    "cross-multiplication over counts measured on the DECODED "
+    "samples after a real PCM16 WAV round-trip. The fixture schedule "
+    "is closed-form in doc_id: every 5th doc a 50-frame stub, every "
+    "5th+1 a 90%-silent pad, every 5th+2 a full-scale square wave "
+    "(100% clipped); healthy docs are integer-bin tones whose "
+    "near-zero count is exactly 2 per 64-sample period (the zero "
+    "crossings), so every count the engine measures is stated "
+    "exactly by the oracle. One narrow mapInPandas stage, zero "
+    "shuffle — composes ahead of dedup_audio_fingerprint the way "
+    "mm_image_quality feeds mm_image_curation.",
+)
+def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def synth_and_measure(batches):
+        from evolution_data_warehouse_spark.operators.audio import (
+            decode_wav,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                leg = d % 5
+                if leg == 0:
+                    n = 50
+                    t_ = np.arange(n, dtype=np.float64)
+                    sig = np.floor(
+                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+                    ).astype(np.int64)
+                elif leg == 1:
+                    n = 640
+                    t_ = np.arange(64, dtype=np.float64)
+                    tail = np.floor(
+                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+                    ).astype(np.int64)
+                    sig = np.concatenate(
+                        [np.zeros(576, dtype=np.int64), tail]
+                    )
+                elif leg == 2:
+                    n = 640
+                    sig = np.full(n, 32767, dtype=np.int64)
+                    sig[1::2] = -32767
+                else:
+                    n = 64 * (13 + d % 7)
+                    t_ = np.arange(n, dtype=np.float64)
+                    sig = np.floor(
+                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+                    ).astype(np.int64)
+                out = decode_wav(encode_wav(sig[:, None], 16000, width=2))
+                x = out["samples"][:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "n_frames": len(x),
+                        "n_silent": int((np.abs(x) < 16).sum()),
+                        "n_clipped": int((np.abs(x) >= 32760).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    m = ids.mapInPandas(
+        synth_and_measure,
+        "doc_id long, n_frames long, n_silent long, n_clipped long",
+    )
+    r_dur = F.col("n_frames") >= 400
+    r_sil = 2 * F.col("n_silent") <= F.col("n_frames")
+    r_clip = 100 * F.col("n_clipped") <= F.col("n_frames")
+    return m.select(
+        "doc_id", "n_frames", "n_silent", "n_clipped",
+        r_dur.alias("r_duration"),
+        r_sil.alias("r_silence"),
+        r_clip.alias("r_clipping"),
+        (r_dur & r_sil & r_clip).alias("audio_keep"),
+    )
