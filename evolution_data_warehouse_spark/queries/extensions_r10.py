@@ -1932,3 +1932,160 @@ def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_clip.alias("r_clipping"),
         (r_dur & r_sil & r_clip).alias("audio_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-corpus curation composite — quality gate → near-dup → funnel
+# ---------------------------------------------------------------------------
+
+# Fixture: doc_id % 5 picks mm_audio_quality's defect schedule (50-
+# frame stub / 90%-silent pad / full-scale square), which maps onto
+# the d//10 fingerprint families as: members d%10 in {0,5} short,
+# {1,6} silent, {2,7} clipped — leaving exactly the four healthy
+# members {3,4,8,9}, which carry the SAME energy profile at doc-
+# varying amplitude scale (the dedup_audio_fingerprint construction
+# minus its swapped variant, which falls on defective member 5).
+# Survivors therefore collapse to the family minimum 10*f + 3.
+
+_AUDIO_CURATION_ORACLE = """
+WITH flags AS (
+    SELECT doc_id, source,
+           doc_id % 5 >= 3 AS quality_pass,
+           doc_id % 10 = 3 AS kept
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_pass,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_unique
+FROM flags GROUP BY source
+"""
+
+
+@register(
+    "mm_audio_curation",
+    _AUDIO_CURATION_ORACLE,
+    doc="End-to-end audio-corpus curation as ONE query — the audio "
+    "member of the curation-composite trio beside web_corpus_curation "
+    "and mm_image_curation: per doc a REAL PCM16 WAV (defective legs "
+    "from mm_audio_quality's schedule; healthy legs the amplitude-"
+    "scaled energy-profile families of dedup_audio_fingerprint), "
+    "decoded ONCE to measure the quality evidence (duration, silence, "
+    "clipping counts) AND the 64-bit energy fingerprint together. "
+    "The quality gate drops stubs/silence/clipping BEFORE the banded "
+    "near-dup join (filter-before-expensive); surviving family "
+    "variants collapse to the lowest id; the per-source funnel "
+    "reports docs → quality survivors → near-unique, all closed-form "
+    "in doc_id so the oracle states the whole funnel exactly. One "
+    "narrow Arrow stage + the band-bucketed equi-join — never "
+    "all-pairs, linear in corpus bytes.",
+)
+def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
+
+    def synth_and_measure(batches):
+        from evolution_data_warehouse_spark.operators.audio import (
+            decode_wav,
+            encode_wav,
+        )
+        from evolution_data_warehouse_spark.operators.audio_fp import (
+            N_BUCKETS,
+            audio_fingerprint64,
+        )
+
+        mask = (1 << 64) - 1
+
+        def mix(v: int) -> int:
+            v = (v * 0x9E3779B97F4A7C15) & mask
+            v ^= v >> 29
+            v = (v * 0xBF58476D1CE4E5B9) & mask
+            v ^= v >> 32
+            return v
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                leg = d % 5
+                if leg == 0:
+                    t_ = np.arange(50, dtype=np.float64)
+                    sig = np.floor(
+                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+                    ).astype(np.int64)
+                elif leg == 1:
+                    t_ = np.arange(64, dtype=np.float64)
+                    tail = np.floor(
+                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+                    ).astype(np.int64)
+                    sig = np.concatenate(
+                        [np.zeros(576, dtype=np.int64), tail]
+                    )
+                elif leg == 2:
+                    sig = np.full(640, 32767, dtype=np.int64)
+                    sig[1::2] = -32767
+                else:
+                    base = d // 10
+                    amps = np.array(
+                        [
+                            100 + mix(base * N_BUCKETS + b) % _AFP_AMP_CAP
+                            for b in range(N_BUCKETS)
+                        ],
+                        dtype=np.int64,
+                    )
+                    for b, a in _AFP_PINNED.items():
+                        amps[b] = a
+                    amps = amps * (1 + d % 3)
+                    sig = np.repeat(amps, 64)
+                    sig[1::2] *= -1
+                out = decode_wav(encode_wav(sig[:, None], 16000, width=2))
+                x = out["samples"][:, 0].astype(np.int64)
+                n = len(x)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": source,
+                        "n_frames": n,
+                        "n_silent": int((np.abs(x) < 16).sum()),
+                        "n_clipped": int((np.abs(x) >= 32760).sum()),
+                        "afp": (
+                            audio_fingerprint64(x) if n >= N_BUCKETS else 0
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    measured = docs.mapInPandas(
+        synth_and_measure,
+        "doc_id long, source string, n_frames long, n_silent long, "
+        "n_clipped long, afp long",
+    ).localCheckpoint(eager=False)
+    quality = (
+        (F.col("n_frames") >= 400)
+        & (2 * F.col("n_silent") <= F.col("n_frames"))
+        & (100 * F.col("n_clipped") <= F.col("n_frames"))
+    )
+    survivors = measured.filter(quality).select("doc_id", "source", "afp")
+    removed = (
+        dhash_pairs(
+            survivors.select("doc_id", "afp"), hash_col="afp", max_dist=2
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(removed, "doc_id", "left_anti")
+    agg_flags = measured.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
+    )
+    agg_kept = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_near_unique")
+    )
+    return agg_flags.join(agg_kept, "source", "left").select(
+        "source", "n_docs", "n_quality_pass",
+        F.coalesce(F.col("n_near_unique"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_unique"),
+    )
