@@ -2089,3 +2089,151 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_near_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video-corpus curation composite — gates → keyframe near-dup → funnel
+# ---------------------------------------------------------------------------
+
+# Fixture: family f = d//10 re-uploads the SAME clip (frame 0 built
+# from family-only parameters → byte-identical MJPEG → identical
+# decoded pixels → keyframe dHash distance 0 — robust to the lossy
+# codec because the bytes never differ); member d%10 == 5 is a
+# DIFFERENT clip (disjoint pattern space) that must survive as its
+# own unique item. Defects: member 8 has a single frame (fails the
+# min-frame gate), member 9 is a 2x2 thumbnail clip (fails min-dim).
+# Survivors collapse to the family minimum 10*f plus the distinct
+# member 10*f + 5.
+
+_VIDEO_CURATION_ORACLE = """
+WITH flags AS (
+    SELECT doc_id, source,
+           doc_id % 10 NOT IN (8, 9) AS quality_pass,
+           doc_id % 10 IN (0, 5) AS kept
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_pass,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_unique
+FROM flags GROUP BY source
+"""
+
+
+@register(
+    "mm_video_curation",
+    _VIDEO_CURATION_ORACLE,
+    doc="End-to-end video-corpus curation as ONE query — completing "
+    "the curation-composite quartet (text: web_corpus_curation, "
+    "image: mm_image_curation, audio: mm_audio_curation): per doc a "
+    "REAL AVI-MJPEG clip (operators/video.py + jpeg.py) is demuxed "
+    "ONCE; the same pass measures the quality evidence (frame count, "
+    "resolution from the stream headers) AND decodes ONLY frame 0 "
+    "for its 64-bit keyframe dHash — decode-once-feed-every-stage, "
+    "and never more than the keyframe (the 100 TB video cost rule). "
+    "Gates (>= 2 frames, min dimension >= 4) drop stubs and "
+    "thumbnails BEFORE the banded near-dup join; re-uploaded clips "
+    "collapse to the lowest id while genuinely distinct clips "
+    "survive. Every funnel count is closed-form in doc_id. One "
+    "narrow Arrow stage + the band-bucketed equi-join — linear in "
+    "corpus bytes.",
+)
+def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
+
+    def synth_and_measure(batches):
+        from evolution_data_warehouse_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from evolution_data_warehouse_spark.operators.phash import (
+            dhash64,
+        )
+        from evolution_data_warehouse_spark.operators.video import (
+            encode_avi_mjpeg,
+            parse_avi_mjpeg,
+        )
+
+        mask = (1 << 64) - 1
+
+        def mix(v: int) -> int:
+            v = (v * 0x9E3779B97F4A7C15) & mask
+            v ^= v >> 29
+            v = (v * 0xBF58476D1CE4E5B9) & mask
+            v ^= v >> 32
+            return v
+
+        def family_frame(pat: int, w: int, h: int, shift: int):
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            for y in range(h):
+                for x in range(w):
+                    v = (mix(pat * 10007 + y * w + x) % 200 + shift) % 256
+                    px[y, x, :] = v
+            return px
+
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                fam = d // 10
+                leg = d % 10
+                pat = fam + 1_000_003 if leg == 5 else fam
+                if leg == 9:
+                    w, h, n_frames = 2, 2, 3
+                else:
+                    w = 9 + fam % 8
+                    h = 8 + fam % 5
+                    n_frames = 1 if leg == 8 else 2 + d % 7
+                jpegs = [
+                    encode_jpeg(family_frame(pat, w, h, 16 * k))
+                    for k in range(n_frames)
+                ]
+                parsed = parse_avi_mjpeg(
+                    encode_avi_mjpeg(jpegs, w, h, fps=12)
+                )
+                key_px = decode_jpeg(parsed["frames"][0])[2]
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "source": source,
+                        "n_frames": len(parsed["frames"]),
+                        "width": np.int32(parsed["width"]),
+                        "height": np.int32(parsed["height"]),
+                        "dhash": dhash64(key_px),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    measured = docs.mapInPandas(
+        synth_and_measure,
+        "doc_id long, source string, n_frames long, width int, "
+        "height int, dhash long",
+    ).localCheckpoint(eager=False)
+    quality = (F.col("n_frames") >= 2) & (
+        F.least("width", "height") >= 4
+    )
+    survivors = measured.filter(quality).select(
+        "doc_id", "source", "dhash"
+    )
+    removed = (
+        dhash_pairs(survivors.select("doc_id", "dhash"), max_dist=2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(removed, "doc_id", "left_anti")
+    agg_flags = measured.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
+    )
+    agg_kept = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_near_unique")
+    )
+    return agg_flags.join(agg_kept, "source", "left").select(
+        "source", "n_docs", "n_quality_pass",
+        F.coalesce(F.col("n_near_unique"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_unique"),
+    )
