@@ -2237,3 +2237,148 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_near_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL quality filters — the pre-fetch gate on the crawl frontier
+# ---------------------------------------------------------------------------
+
+_URLQ_BLOCK_DOMAINS = ("spam-mill.example", "link-farm.example")
+_URLQ_BLOCK_WORDS = ("casino", "viagra")
+
+_URLQ_URL_SQL = """
+CASE CAST(doc_id % 6 AS INT)
+     WHEN 0 THEN 'http://spam-mill.example/page/'
+          || CAST(doc_id AS VARCHAR)
+     WHEN 1 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || '.corpus.local/' || repeat('x', 300)
+     WHEN 2 THEN 'http://99887766554433221100.corpus.local/doc/'
+          || CAST(doc_id AS VARCHAR)
+     WHEN 3 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || '.corpus.local' || repeat('/d', 12) || '/'
+          || CAST(doc_id AS VARCHAR)
+     WHEN 4 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || '.corpus.local/best-casino-bonus/'
+          || CAST(doc_id AS VARCHAR)
+     ELSE 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || '.corpus.local/article/' || CAST(doc_id AS VARCHAR)
+          || '?ref=home&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+     END
+"""
+
+
+def _urlq_oracle() -> str:
+    blocked_host = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in _URLQ_BLOCK_DOMAINS
+    )
+    blocked_word = " OR ".join(
+        f"contains(lower(url), '{w}')" for w in _URLQ_BLOCK_WORDS
+    )
+    return f"""
+WITH u AS (SELECT doc_id, {_URLQ_URL_SQL} AS url FROM documents),
+parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path
+    FROM u
+),
+m AS (
+    SELECT doc_id, url, host,
+           CAST(length(url) AS BIGINT) AS url_len,
+           CAST(length(host) - length(regexp_replace(host, '[0-9]', '',
+                'g')) AS BIGINT) AS host_digits,
+           CAST(length(host) AS BIGINT) AS host_len,
+           CAST(length(path) - length(replace(path, '/', '')) AS BIGINT)
+               AS path_depth,
+           CASE WHEN contains(url, '?')
+                THEN CAST(1 + length(url) - length(replace(url, '&', ''))
+                          AS BIGINT)
+                ELSE 0 END AS n_params,
+           ({blocked_host}) AS blocked_domain,
+           ({blocked_word}) AS blocked_word
+    FROM parts
+)
+SELECT doc_id, url_len, host_digits, path_depth, n_params,
+       blocked_domain, blocked_word,
+       url_len <= 256 AS r_length,
+       2 * host_digits <= host_len AS r_host_digits,
+       path_depth <= 10 AS r_path_depth,
+       n_params <= 8 AS r_params,
+       (url_len <= 256 AND 2 * host_digits <= host_len
+        AND path_depth <= 10 AND n_params <= 8
+        AND NOT blocked_domain AND NOT blocked_word) AS url_keep
+FROM m
+"""
+
+
+@register(
+    "web_url_quality",
+    _urlq_oracle(),
+    doc="URL quality filters (the RefinedWeb/FineWeb pre-fetch gate — "
+    "judging a page by its address is free; fetching it is not): URL "
+    "length <= 256, digit fraction of the host <= 50% (integer "
+    "cross-multiplied), path depth <= 10, query params <= 8, plus "
+    "pinned blocklists for domains (exact or subdomain suffix) and "
+    "URL substrings. The fixture schedule is closed-form in doc_id — "
+    "every 6th URL a blocklisted domain, 6th+1 a 300-char tail, "
+    "6th+2 a digit-mill host, 6th+3 a 12-deep path, 6th+4 a spam "
+    "keyword; the rest clean article URLs. Pure column expressions "
+    "over one scan — composes in FRONT of web_frontier_build's "
+    "robots gate, so at 100 TB the cheap string rules prune before "
+    "any rule-table join.",
+)
+def web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = F.expr(_URLQ_URL_SQL.replace("VARCHAR", "STRING"))
+    docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    m = docs.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.length("url").cast("bigint").alias("url_len"),
+        (
+            F.length(host)
+            - F.length(F.regexp_replace(host, "[0-9]", ""))
+        )
+        .cast("bigint")
+        .alias("host_digits"),
+        F.length(host).cast("bigint").alias("host_len"),
+        (F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit(""))))
+        .cast("bigint")
+        .alias("path_depth"),
+        F.when(
+            F.contains("url", F.lit("?")),
+            1
+            + F.length("url")
+            - F.length(F.replace(F.col("url"), F.lit("&"), F.lit(""))),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_params"),
+    )
+    blocked_domain = None
+    for dname in _URLQ_BLOCK_DOMAINS:
+        c = (F.col("host") == dname) | F.col("host").like(f"%.{dname}")
+        blocked_domain = c if blocked_domain is None else blocked_domain | c
+    blocked_word = None
+    for wname in _URLQ_BLOCK_WORDS:
+        c = F.contains(F.lower(F.col("url")), F.lit(wname))
+        blocked_word = c if blocked_word is None else blocked_word | c
+    r_len = F.col("url_len") <= 256
+    r_dig = 2 * F.col("host_digits") <= F.col("host_len")
+    r_depth = F.col("path_depth") <= 10
+    r_par = F.col("n_params") <= 8
+    return m.select(
+        "doc_id", "url_len", "host_digits", "path_depth", "n_params",
+        blocked_domain.alias("blocked_domain"),
+        blocked_word.alias("blocked_word"),
+        r_len.alias("r_length"),
+        r_dig.alias("r_host_digits"),
+        r_depth.alias("r_path_depth"),
+        r_par.alias("r_params"),
+        (
+            r_len & r_dig & r_depth & r_par
+            & ~blocked_domain & ~blocked_word
+        ).alias("url_keep"),
+    )
