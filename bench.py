@@ -126,6 +126,12 @@ SF1_QUERIES = [
     "dedup_lines_corpus",
     "dedup_audio_fingerprint",
     "sim_ivfpq_refine",
+    # r10 curation composites: decode-once pipelines whose heavy legs
+    # (codec decode + banded join) deserve the 10x measurement; the
+    # video member is the per-row CPU heavyweight of the batch
+    "mm_image_curation",
+    "mm_audio_curation",
+    "mm_video_curation",
 ]
 
 
