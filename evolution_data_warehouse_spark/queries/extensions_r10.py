@@ -921,7 +921,11 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NOTE: the index must bind via this closure, NOT a lambda
         # default arg — `lambda i, n=n:` is a BINARY lambda, which
         # Spark's transform() calls as (element, array_index), silently
-        # rebinding n to the position column
+        # rebinding n to the position column.
+        # The gram ships as its STRING — an md5-hashed 8-byte group key
+        # was A/B-measured 75% SLOWER at sf1 (22M md5 computations
+        # dominate what the narrower shuffle saves; string keys
+        # combine map-side just as well).
         return F.when(
             sz >= n,
             F.transform(
@@ -2154,21 +2158,22 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_avi_mjpeg,
         )
 
-        mask = (1 << 64) - 1
-
-        def mix(v: int) -> int:
-            v = (v * 0x9E3779B97F4A7C15) & mask
-            v ^= v >> 29
-            v = (v * 0xBF58476D1CE4E5B9) & mask
-            v ^= v >> 32
-            return v
-
         def family_frame(pat: int, w: int, h: int, shift: int):
-            px = np.zeros((h, w, 3), dtype=np.uint8)
-            for y in range(h):
-                for x in range(w):
-                    v = (mix(pat * 10007 + y * w + x) % 200 + shift) % 256
-                    px[y, x, :] = v
+            # vectorized splitmix64 (numpy uint64 wraps mod 2^64 like
+            # the scalar mask) — the python double loop here was the
+            # sf1 leg's entire cost (~48M scalar mix calls)
+            with np.errstate(over="ignore"):
+                v = np.uint64((pat * 10007) & ((1 << 64) - 1)) + np.arange(
+                    h * w, dtype=np.uint64
+                )
+                v = v * np.uint64(0x9E3779B97F4A7C15)
+                v ^= v >> np.uint64(29)
+                v = v * np.uint64(0xBF58476D1CE4E5B9)
+                v ^= v >> np.uint64(32)
+            gray = ((v % np.uint64(200)).astype(np.int64) + shift) % 256
+            px = np.repeat(
+                gray.reshape(h, w).astype(np.uint8)[:, :, None], 3, axis=2
+            )
             return px
 
         for pdf in batches:
