@@ -311,6 +311,39 @@ _AFP_PINNED = {0: 1000, 1: 2000, 2: 7500, 55: 7500, 56: 1000, 57: 2000,
                58: 7500}
 
 
+def _afp_family_signal(d: int) -> np.ndarray:
+    """One doc's near-dup family signal (the construction above):
+    65 blocks of 64 alternating-sign samples at splitmix64-mixed,
+    pinned-anchor amplitudes, swapped pair for d % 10 == 5, scaled
+    1 + d % 3. ONE definition — shared by dedup_audio_fingerprint and
+    mm_audio_curation so their closed-form pair/funnel oracles can
+    never diverge (review finding)."""
+    from evolution_data_warehouse_spark.operators.audio_fp import (
+        N_BUCKETS,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        _splitmix64,
+    )
+
+    base = d // 10
+    amps = np.array(
+        [
+            100 + _splitmix64(base * N_BUCKETS + b) % _AFP_AMP_CAP
+            for b in range(N_BUCKETS)
+        ],
+        dtype=np.int64,
+    )
+    for b, a in _AFP_PINNED.items():
+        amps[b] = a
+    if d % 10 == 5:
+        amps[0], amps[1] = amps[1], amps[0]
+        amps[56], amps[57] = amps[57], amps[56]
+    amps = amps * (1 + d % 3)  # scale: fingerprint-invariant
+    sig = np.repeat(amps, 64)
+    sig[1::2] *= -1  # alternating sign: no DC
+    return sig
+
+
 def _afp_payload_batch():
     """mapInPandas fn: doc_id → a REAL PCM16 WAV payload from the
     near-dup family construction above."""
@@ -319,40 +352,11 @@ def _afp_payload_batch():
         from evolution_data_warehouse_spark.operators.audio import (
             encode_wav,
         )
-        from evolution_data_warehouse_spark.operators.audio_fp import (
-            N_BUCKETS,
-        )
 
-        mask = (1 << 64) - 1
-
-        def mix(v: int) -> int:
-            v = (v * 0x9E3779B97F4A7C15) & mask
-            v ^= v >> 29
-            v = (v * 0xBF58476D1CE4E5B9) & mask
-            v ^= v >> 32
-            return v
-
-        block = 64
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                base = d // 10
-                amps = np.array(
-                    [
-                        100 + mix(base * N_BUCKETS + b) % _AFP_AMP_CAP
-                        for b in range(N_BUCKETS)
-                    ],
-                    dtype=np.int64,
-                )
-                for b, a in _AFP_PINNED.items():
-                    amps[b] = a
-                if d % 10 == 5:
-                    amps[0], amps[1] = amps[1], amps[0]
-                    amps[56], amps[57] = amps[57], amps[56]
-                amps = amps * (1 + d % 3)  # scale: fingerprint-invariant
-                sig = np.repeat(amps, block)
-                sig[1::2] *= -1  # alternating sign: no DC
+                sig = _afp_family_signal(int(doc_id))
                 payloads.append(encode_wav(sig[:, None], 16000, width=2))
             yield pd.DataFrame(
                 {
@@ -1519,14 +1523,23 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_frames = 6 + d % 7
                 scene_len = 2 + d % 3
                 w, h = 8 + d % 9, 8 + d % 5
+                # frames within a scene are pixel-identical BY
+                # CONSTRUCTION (the zero in-scene energy property
+                # depends on it), so encode each scene once and reuse
+                # the bytes (review finding: 2-4x fewer encodes)
+                scene_jpegs: dict[int, bytes] = {}
                 jpegs = []
                 for k in range(n_frames):
                     scene = k // scene_len
-                    px = np.zeros((h, w, 3), dtype=np.uint8)
-                    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
-                    px[:, :, 1] = (40 * scene) % 256
-                    px[:, :, 2] = d % 256
-                    jpegs.append(encode_jpeg(px))
+                    if scene not in scene_jpegs:
+                        px = np.zeros((h, w, 3), dtype=np.uint8)
+                        px[:, :, 0] = np.arange(w, dtype=np.uint8)[
+                            None, :
+                        ]
+                        px[:, :, 1] = (40 * scene) % 256
+                        px[:, :, 2] = d % 256
+                        scene_jpegs[scene] = encode_jpeg(px)
+                    jpegs.append(scene_jpegs[scene])
                 parsed = parse_avi_mjpeg(
                     encode_avi_mjpeg(jpegs, w, h, fps=12)
                 )
@@ -1594,10 +1607,10 @@ WITH dims AS (
                 ELSE CAST(4 + doc_id % 13 AS INT) END AS width,
            CASE CAST(doc_id % 5 AS INT)
                 WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 8
-                ELSE CAST(3 + doc_id % 7 AS INT) END AS height,
+                ELSE CAST(4 + doc_id % 7 AS INT) END AS height,
            CASE CAST(doc_id % 5 AS INT)
                 WHEN 0 THEN 16 WHEN 1 THEN 240 WHEN 2 THEN 0
-                ELSE CAST(16 * greatest(3 + doc_id % 13, 2 + doc_id % 7)
+                ELSE CAST(16 * greatest(3 + doc_id % 13, 3 + doc_id % 7)
                           AS INT) END AS px_range
     FROM documents
 )
@@ -1653,7 +1666,11 @@ def mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif leg == 2:
                     w, h = 8, 8
                 else:
-                    w, h = 4 + d % 13, 3 + d % 7
+                    # height floor 4 so every healthy leg PASSES all
+                    # gates (review finding: 3 + d%7 let ~14% of
+                    # "healthy" docs fail r_min_dim, muddying the
+                    # fixture's defect schedule)
+                    w, h = 4 + d % 13, 4 + d % 7
                 px = np.zeros((h, w, 3), dtype=np.uint8)
                 if leg == 2:
                     px[:, :, :] = d % 256  # solid placeholder
@@ -1700,6 +1717,73 @@ def mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared curation-funnel tail + audio defect fixtures
+# ---------------------------------------------------------------------------
+
+
+def _curation_funnel(measured: DataFrame, quality, hash_col: str):
+    """The shared tail of the mm_* curation composites: apply the
+    quality gate, collapse near-duplicates via the banded 64-bit hash
+    join (lowest id kept), and roll up the per-source funnel. One
+    definition so a change to the removal/anti-join/report logic can
+    never leave a sibling composite stale (review finding)."""
+    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
+
+    survivors = measured.filter(quality).select(
+        "doc_id", "source", hash_col
+    )
+    removed = (
+        dhash_pairs(
+            survivors.select("doc_id", hash_col),
+            hash_col=hash_col,
+            max_dist=2,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = survivors.join(removed, "doc_id", "left_anti")
+    agg_flags = measured.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
+    )
+    agg_kept = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_near_unique")
+    )
+    return agg_flags.join(agg_kept, "source", "left").select(
+        "source", "n_docs", "n_quality_pass",
+        F.coalesce(F.col("n_near_unique"), F.lit(0))
+        .cast("bigint")
+        .alias("n_near_unique"),
+    )
+
+
+def _audio_defect_signal(d: int):
+    """The defect legs of mm_audio_quality's closed-form schedule
+    (doc_id % 5): 0 → 50-frame stub, 1 → 90%-silent pad, 2 →
+    full-scale square. Returns None for healthy docs. ONE definition —
+    mm_audio_curation's funnel oracle is only valid while these
+    constants match mm_audio_quality's byte-for-byte (review
+    finding)."""
+    leg = d % 5
+    if leg == 0:
+        t_ = np.arange(50, dtype=np.float64)
+        return np.floor(
+            6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+        ).astype(np.int64)
+    if leg == 1:
+        t_ = np.arange(64, dtype=np.float64)
+        tail = np.floor(
+            6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
+        ).astype(np.int64)
+        return np.concatenate([np.zeros(576, dtype=np.int64), tail])
+    if leg == 2:
+        sig = np.full(640, 32767, dtype=np.int64)
+        sig[1::2] = -32767
+        return sig
+    return None
+
+
+# ---------------------------------------------------------------------------
 # Image-corpus curation composite — quality gate → near-dup → funnel
 # ---------------------------------------------------------------------------
 
@@ -1741,7 +1825,6 @@ FROM flags GROUP BY source
     "exactly.",
 )
 def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
     from evolution_data_warehouse_spark.queries.extensions_r9 import (
         _phash_family_pixels,
     )
@@ -1798,28 +1881,7 @@ def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.greatest("width", "height") <= 8 * F.least("width", "height"))
         & (F.col("px_range") >= 8)
     )
-    survivors = measured.filter(quality).select(
-        "doc_id", "source", "dhash"
-    )
-    removed = (
-        dhash_pairs(survivors.select("doc_id", "dhash"), max_dist=2)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept = survivors.join(removed, "doc_id", "left_anti")
-    agg_flags = measured.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
-    )
-    agg_kept = kept.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_near_unique")
-    )
-    return agg_flags.join(agg_kept, "source", "left").select(
-        "source", "n_docs", "n_quality_pass",
-        F.coalesce(F.col("n_near_unique"), F.lit(0))
-        .cast("bigint")
-        .alias("n_near_unique"),
-    )
+    return _curation_funnel(measured, quality, "dhash")
 
 
 # ---------------------------------------------------------------------------
@@ -1881,27 +1943,8 @@ def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                leg = d % 5
-                if leg == 0:
-                    n = 50
-                    t_ = np.arange(n, dtype=np.float64)
-                    sig = np.floor(
-                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
-                    ).astype(np.int64)
-                elif leg == 1:
-                    n = 640
-                    t_ = np.arange(64, dtype=np.float64)
-                    tail = np.floor(
-                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
-                    ).astype(np.int64)
-                    sig = np.concatenate(
-                        [np.zeros(576, dtype=np.int64), tail]
-                    )
-                elif leg == 2:
-                    n = 640
-                    sig = np.full(n, 32767, dtype=np.int64)
-                    sig[1::2] = -32767
-                else:
+                sig = _audio_defect_signal(d)
+                if sig is None:
                     n = 64 * (13 + d % 7)
                     t_ = np.arange(n, dtype=np.float64)
                     sig = np.floor(
@@ -1985,8 +2028,6 @@ FROM flags GROUP BY source
     "all-pairs, linear in corpus bytes.",
 )
 def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
-
     def synth_and_measure(batches):
         from evolution_data_warehouse_spark.operators.audio import (
             decode_wav,
@@ -1997,50 +2038,13 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             audio_fingerprint64,
         )
 
-        mask = (1 << 64) - 1
-
-        def mix(v: int) -> int:
-            v = (v * 0x9E3779B97F4A7C15) & mask
-            v ^= v >> 29
-            v = (v * 0xBF58476D1CE4E5B9) & mask
-            v ^= v >> 32
-            return v
-
         for pdf in batches:
             rows = []
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
                 d = int(doc_id)
-                leg = d % 5
-                if leg == 0:
-                    t_ = np.arange(50, dtype=np.float64)
-                    sig = np.floor(
-                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
-                    ).astype(np.int64)
-                elif leg == 1:
-                    t_ = np.arange(64, dtype=np.float64)
-                    tail = np.floor(
-                        6000.0 * np.sin(2.0 * np.pi * t_ / 64.0) + 0.5
-                    ).astype(np.int64)
-                    sig = np.concatenate(
-                        [np.zeros(576, dtype=np.int64), tail]
-                    )
-                elif leg == 2:
-                    sig = np.full(640, 32767, dtype=np.int64)
-                    sig[1::2] = -32767
-                else:
-                    base = d // 10
-                    amps = np.array(
-                        [
-                            100 + mix(base * N_BUCKETS + b) % _AFP_AMP_CAP
-                            for b in range(N_BUCKETS)
-                        ],
-                        dtype=np.int64,
-                    )
-                    for b, a in _AFP_PINNED.items():
-                        amps[b] = a
-                    amps = amps * (1 + d % 3)
-                    sig = np.repeat(amps, 64)
-                    sig[1::2] *= -1
+                sig = _audio_defect_signal(d)
+                if sig is None:
+                    sig = _afp_family_signal(d)
                 out = decode_wav(encode_wav(sig[:, None], 16000, width=2))
                 x = out["samples"][:, 0].astype(np.int64)
                 n = len(x)
@@ -2069,28 +2073,7 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (2 * F.col("n_silent") <= F.col("n_frames"))
         & (100 * F.col("n_clipped") <= F.col("n_frames"))
     )
-    survivors = measured.filter(quality).select("doc_id", "source", "afp")
-    removed = (
-        dhash_pairs(
-            survivors.select("doc_id", "afp"), hash_col="afp", max_dist=2
-        )
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept = survivors.join(removed, "doc_id", "left_anti")
-    agg_flags = measured.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
-    )
-    agg_kept = kept.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_near_unique")
-    )
-    return agg_flags.join(agg_kept, "source", "left").select(
-        "source", "n_docs", "n_quality_pass",
-        F.coalesce(F.col("n_near_unique"), F.lit(0))
-        .cast("bigint")
-        .alias("n_near_unique"),
-    )
+    return _curation_funnel(measured, quality, "afp")
 
 
 # ---------------------------------------------------------------------------
@@ -2143,8 +2126,6 @@ FROM flags GROUP BY source
     "corpus bytes.",
 )
 def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from evolution_data_warehouse_spark.operators.phash import dhash_pairs
-
     def synth_and_measure(batches):
         from evolution_data_warehouse_spark.operators.jpeg import (
             decode_jpeg,
@@ -2178,6 +2159,19 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
+            # family siblings re-encode the SAME frames (same pattern,
+            # dims, shift) — memoize per batch so each distinct frame
+            # is rendered + JPEG-encoded once, not once per member
+            frame_cache: dict[tuple, bytes] = {}
+
+            def cached_jpeg(pat, w, h, shift):
+                key = (pat, w, h, shift)
+                if key not in frame_cache:
+                    frame_cache[key] = encode_jpeg(
+                        family_frame(pat, w, h, shift)
+                    )
+                return frame_cache[key]
+
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
                 d = int(doc_id)
                 fam = d // 10
@@ -2190,7 +2184,7 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     h = 8 + fam % 5
                     n_frames = 1 if leg == 8 else 2 + d % 7
                 jpegs = [
-                    encode_jpeg(family_frame(pat, w, h, 16 * k))
+                    cached_jpeg(pat, w, h, 16 * k)
                     for k in range(n_frames)
                 ]
                 parsed = parse_avi_mjpeg(
@@ -2218,28 +2212,7 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = (F.col("n_frames") >= 2) & (
         F.least("width", "height") >= 4
     )
-    survivors = measured.filter(quality).select(
-        "doc_id", "source", "dhash"
-    )
-    removed = (
-        dhash_pairs(survivors.select("doc_id", "dhash"), max_dist=2)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
-    kept = survivors.join(removed, "doc_id", "left_anti")
-    agg_flags = measured.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
-    )
-    agg_kept = kept.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_near_unique")
-    )
-    return agg_flags.join(agg_kept, "source", "left").select(
-        "source", "n_docs", "n_quality_pass",
-        F.coalesce(F.col("n_near_unique"), F.lit(0))
-        .cast("bigint")
-        .alias("n_near_unique"),
-    )
+    return _curation_funnel(measured, quality, "dhash")
 
 
 # ---------------------------------------------------------------------------
