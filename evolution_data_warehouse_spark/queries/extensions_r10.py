@@ -2358,3 +2358,170 @@ def web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~blocked_domain & ~blocked_word
         ).alias("url_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded JSONL sink — the training-data handoff format
+# ---------------------------------------------------------------------------
+
+_JSONL_SHARDS = 8
+
+
+def _jsonl_shards_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.datapipe import (
+        _bucket_sql,
+    )
+
+    return f"""
+SELECT {_bucket_sql('doc_id', _JSONL_SHARDS)} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1
+"""
+
+
+@register(
+    "snk_jsonl_shards",
+    _jsonl_shards_oracle(),
+    doc="Sharded JSONL export — the handoff format LLM training "
+    "toolchains actually consume (one JSON object per line, "
+    "hash-sharded files a data loader streams independently): "
+    "documents serialize with to_json, write partitioned by the "
+    "md5-derived shard (split_train_hash's bucket primitive, so "
+    "assignment is reproducible anywhere), and the query re-reads "
+    "the written TEXT files back, re-parses each line with "
+    "from_json, and aggregates per shard — counts, id checksum, and "
+    "language cardinality only prove out if serialization, sharded "
+    "layout, and re-parse are all lossless. Shard directories are "
+    "independent at 100 TB (each file a self-contained JSONL "
+    "stream); the write is one hash-partitioned pass.",
+)
+def snk_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        hash_bucket,
+    )
+    from evolution_data_warehouse_spark.queries.relational import (
+        _scratch,
+    )
+
+    path = _scratch("snk_jsonl_shards", sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    payload = F.to_json(F.struct("doc_id", "lang", "source", "text"))
+    (
+        docs.select(
+            hash_bucket(F.col("doc_id"), _JSONL_SHARDS).alias("shard"),
+            payload.alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    lines = spark.read.text(os.path.join(path))
+    parsed = lines.select(
+        F.from_json("value", schema).alias("r"),
+        F.input_file_name().alias("_f"),
+    ).select(
+        "r.doc_id",
+        "r.lang",
+        F.regexp_extract("_f", r"shard=(\d+)", 1)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return parsed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiler — the ANALYZE-style table report
+# ---------------------------------------------------------------------------
+
+# (column, string-rendering expression) pairs: min/max render through
+# type-stable casts (BIGINT / DATE / VARCHAR / DECIMAL(18,2)) so the
+# two engines print identical strings — raw DOUBLE->string formatting
+# differs between JVM and DuckDB and is deliberately avoided.
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({v} AS BIGINT)"),
+    ("o_custkey", "CAST({v} AS BIGINT)"),
+    ("o_orderstatus", "{v}"),
+    ("o_totalprice", "CAST({v} AS DECIMAL(18,2))"),
+    ("o_orderdate", "CAST({v} AS DATE)"),
+)
+
+
+def _profile_oracle() -> str:
+    legs = []
+    for name, cast in _PROFILE_COLS:
+        v = cast.format(v=name)
+        legs.append(f"""
+SELECT '{name}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       CAST(MIN({v}) AS VARCHAR) AS min_value,
+       CAST(MAX({v}) AS VARCHAR) AS max_value
+FROM orders""")
+    return " UNION ALL ".join(legs)
+
+
+@register(
+    "quality_profile_table",
+    _profile_oracle(),
+    doc="Column profiler — the ANALYZE/data-profiling report every "
+    "warehouse hands its operators (null counts, distinct "
+    "cardinality, min/max per column), complementing "
+    "proc_refresh_stats' optimizer-stats leg with a user-facing "
+    "one: five orders columns profile in ONE scan (per-column "
+    "conditional aggregates, unpivoted to a row per column "
+    "JVM-side), exact distincts, and min/max rendered through "
+    "type-stable casts so both engines print identical strings. At "
+    "100 TB this is the same single-pass multi-aggregate shape as "
+    "quality_expectations (count-distinct partials merge map-side); "
+    "swap exact distinct for approx_count_distinct when estimates "
+    "suffice.",
+)
+def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    aggs = []
+    for name, cast in _PROFILE_COLS:
+        v = cast.replace("VARCHAR", "STRING").format(v=name)
+        aggs += [
+            F.count("*").cast("bigint").alias(f"{name}__n"),
+            (F.count("*") - F.count(name))
+            .cast("bigint")
+            .alias(f"{name}__nn"),
+            F.countDistinct(name).cast("bigint").alias(f"{name}__nd"),
+            F.min(F.expr(v)).cast("string").alias(f"{name}__min"),
+            F.max(F.expr(v)).cast("string").alias(f"{name}__max"),
+        ]
+    one = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.col(f"{name}__n").alias("n_rows"),
+            F.col(f"{name}__nn").alias("n_null"),
+            F.col(f"{name}__nd").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_value"),
+            F.col(f"{name}__max").alias("max_value"),
+        )
+        for name, _ in _PROFILE_COLS
+    ]
+    return one.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
