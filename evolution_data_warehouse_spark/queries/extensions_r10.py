@@ -2525,3 +2525,50 @@ def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.array(*per_col)).alias("p")
     ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate — the continuous-ingest curation twin
+# ---------------------------------------------------------------------------
+
+
+def _stream_gate_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags_sql,
+        gopher_metrics_sql,
+    )
+
+    m = gopher_metrics_sql("COALESCE(text, '')", prefix="g_")
+    gpass = gopher_flags_sql(min_words=20, prefix="g_")["g_gopher_pass"]
+    mcols = ", ".join(f"{sql} AS {name}" for name, sql in m.items())
+    return f"""
+WITH m AS (SELECT source, {mcols} FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {gpass} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gopher_pass
+FROM m GROUP BY source
+"""
+
+
+@register(
+    "stream_quality_gate",
+    _stream_gate_oracle(),
+    doc="Streaming curation gate (batch twin): the Gopher rule suite "
+    "applied per-source over a document FEED — streaming/events.py::"
+    "quality_gate_counts is one logical plan that Structured "
+    "Streaming runs incrementally (readStream + availableNow, "
+    "asserted equal to this batch result in test_streaming), which "
+    "is how a crawl ingests continuously instead of in daily "
+    "batches. Gate + one aggregate: per-source partials are the only "
+    "state, merged map-side — the same cost incrementally as in "
+    "batch (SURVEY §2.9 extension).",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.streaming.events import (
+        quality_gate_counts,
+    )
+
+    return quality_gate_counts(
+        t(spark, sf_dir, "documents").select("source", "text")
+    )

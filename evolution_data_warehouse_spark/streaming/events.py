@@ -429,3 +429,26 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def quality_gate_counts(docs: DataFrame) -> DataFrame:
+    """Per-source Gopher-gate counts over a document relation — ONE
+    logical plan shared by the batch twin (stream_quality_gate) and
+    the readStream variant (test_streaming): Structured Streaming runs
+    the same gate incrementally on a document feed, which is how a
+    crawl ingests continuously instead of in daily batches. Pure
+    column expressions + one aggregate: complete-mode-safe, no state
+    beyond the per-source partials."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_flags,
+        gopher_metrics,
+    )
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    ok = gopher_flags(gopher_metrics(text), min_words=20)["gopher_pass"]
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ok.cast("int")).cast("bigint").alias("n_gopher_pass"),
+    )

@@ -916,3 +916,29 @@ def test_sessionize_closed_bridged_straggler_never_overlaps(spark, tmp_path):
         s >= ts(60) and e <= ts(110) and (s, e) != (ts(60), ts(110))
         for _, s, e, _ in got
     )
+
+
+def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The Gopher curation gate runs INCREMENTALLY on a document feed
+    (readStream + availableNow) and lands on exactly the batch twin's
+    per-source counts — the continuous-ingest crawl shape."""
+    from evolution_data_warehouse_spark.streaming.events import (
+        quality_gate_counts,
+        run_available_now,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("source", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    run_available_now(quality_gate_counts(stream), "stream_gate_out")
+    streamed = {
+        r.source: (r.n_docs, r.n_gopher_pass)
+        for r in spark.table("stream_gate_out").collect()
+    }
+    batch = {
+        r.source: (r.n_docs, r.n_gopher_pass)
+        for r in quality_gate_counts(docs).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    assert any(v[1] > 0 for v in streamed.values())
