@@ -2572,3 +2572,148 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate_counts(
         t(spark, sf_dir, "documents").select("source", "text")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-Poisson bootstrap — deterministic resampling confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+#: Poisson(1) CDF in millionths — integer thresholds so the per-row
+#: resample weight is a pure integer comparison chain, no float RNG.
+_POISSON_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _boot_weight_sql(hexpr: str) -> str:
+    case = " ".join(
+        f"WHEN {hexpr} < {thr} THEN {k}"
+        for k, thr in enumerate(_POISSON_CDF_PPM)
+    )
+    return f"CASE {case} ELSE {len(_POISSON_CDF_PPM)} END"
+
+
+def _bootstrap_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+    from evolution_data_warehouse_spark.queries.common import davg_sql
+
+    h = (
+        content_hash64_sql(
+            "CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+        )
+        + " % 1000000"
+    )
+    return f"""
+WITH rep AS (
+    SELECT e.event_id, e.value, bs.b
+    FROM events e, (SELECT unnest(range(0, {_BOOT_B})) AS b) bs
+),
+w AS (
+    SELECT b, value, {_boot_weight_sql(f'({h})')} AS k FROM rep
+),
+means AS (
+    SELECT b,
+           CAST(SUM(CAST(value AS DECIMAL(28,6)) * k) AS DOUBLE)
+               / CAST(SUM(k) AS DOUBLE) AS mean_b
+    FROM w GROUP BY b
+),
+ranked AS (
+    SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS r
+    FROM means
+),
+ci AS (
+    SELECT MIN(CASE WHEN r = 3 THEN mean_b END) AS ci_lo,
+           MIN(CASE WHEN r = 98 THEN mean_b END) AS ci_hi
+    FROM ranked
+),
+pt AS (
+    SELECT {davg_sql('value', 6)} AS point_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+)
+SELECT pt.point_mean, pt.n_rows, ci.ci_lo, ci.ci_hi,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicates
+FROM pt, ci
+"""
+
+
+@register(
+    "stats_bootstrap_ci",
+    _bootstrap_oracle(),
+    doc="Poisson-bootstrap confidence interval for the event-value "
+    "mean — the resampling member of the inferential-stats family "
+    "(beside the closed-form z/U/KS tests): each (row, replicate) "
+    "pair draws its resample multiplicity from Poisson(1) via "
+    "md5-hash uniforms against INTEGER CDF thresholds (the standard "
+    "streaming bootstrap — no RNG state, reproducible on any "
+    "partitioning/engine), replicate means use the exact decimal-"
+    "weighted sum, and the 95% CI is the nearest-rank 2.5/97.5 order "
+    "statistic of the 100 replicate means (integer ranks, no "
+    "interpolation, ties broken by replicate id). Scale: the explode "
+    "is x100 but each replicate reduces map-side to one partial per "
+    "partition — the bootstrap costs ~B aggregates over one scan, "
+    "never B scans; the rank step sorts B rows.",
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+    from evolution_data_warehouse_spark.queries.common import davg
+
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    rep = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    h = (
+        content_hash64(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1000000
+    )
+    k = None
+    for kk, thr in enumerate(_POISSON_CDF_PPM):
+        k = (
+            F.when(h < thr, kk)
+            if k is None
+            else k.when(h < thr, kk)
+        )
+    k = k.otherwise(len(_POISSON_CDF_PPM))
+    means = (
+        rep.select(
+            "b",
+            (F.col("value").cast("decimal(28,6)") * k).alias("wv"),
+            k.alias("k"),
+        )
+        .groupBy("b")
+        .agg(
+            (
+                F.sum("wv").cast("double")
+                / F.sum("k").cast("double")
+            ).alias("mean_b")
+        )
+    )
+    ranked = means.select(
+        "mean_b",
+        F.row_number().over(W.orderBy("mean_b", "b")).alias("r"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("r") == 3, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("r") == 98, F.col("mean_b"))).alias("ci_hi"),
+    )
+    pt = ev.agg(
+        davg("value", 6).alias("point_mean"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return pt.crossJoin(ci).select(
+        "point_mean", "n_rows", "ci_lo", "ci_hi",
+        F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
+    )

@@ -48,6 +48,7 @@ _BNL_OK = {
     "ts_cusum_drift",  # 1-row total/day-count broadcast into the CUSUM terms
     "agg_kmv_overlap",  # 1-row theta + p_common broadcasts over <=2k sketch rows
     "decontaminate_semantic",  # 25-row eval-set broadcast, corpus streams once
+    "stats_bootstrap_ci",  # 1-row point-estimate x 1-row CI broadcast
 }
 
 
