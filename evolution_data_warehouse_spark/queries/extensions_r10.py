@@ -2717,3 +2717,171 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "point_mean", "n_rows", "ci_lo", "ci_hi",
         F.lit(_BOOT_B).cast("bigint").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted percentile — cumulative-weight order statistic
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+    SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT) AS wt
+    FROM lineitem
+),
+cum AS (
+    SELECT *,
+           SUM(wt) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cumw,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS total_weight
+    FROM w
+),
+q AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag
+        ORDER BY l_extendedprice, l_orderkey, l_linenumber
+    ) AS rn
+    FROM cum WHERE 2 * cumw >= total_weight
+)
+SELECT l_returnflag,
+       l_extendedprice AS weighted_median_price,
+       CAST(total_weight AS BIGINT) AS total_weight
+FROM q WHERE rn = 1
+"""
+
+
+@register(
+    "agg_weighted_percentile",
+    _WMEDIAN_ORACLE,
+    doc="Weighted median (the quantity-weighted 50th-percentile price "
+    "per return flag) by the cumulative-weight order statistic: one "
+    "running integer weight sum in price order, the median is the "
+    "first row where 2*cumw >= total — no interpolation, no float "
+    "arithmetic, fully tie-broken by the line's unique key, so the "
+    "answer is a VALUE FROM THE DATA and hash-exact on any engine. "
+    "The aggregate family's missing classic beside exact/approx "
+    "unweighted percentiles. Scale: one shuffle on the group key; "
+    "the running sum is the standard window pass (at extreme group "
+    "sizes swap in the two-pass bucketed quantile like "
+    "agg_approx_percentile).",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    wo = (
+        W.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = li.select(
+        "*",
+        F.sum("wt").over(wo).alias("cumw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias(
+            "total_weight"
+        ),
+    )
+    q = cum.filter(2 * F.col("cumw") >= F.col("total_weight")).select(
+        "*",
+        F.row_number()
+        .over(W.partitionBy("l_returnflag").orderBy(*order))
+        .alias("rn"),
+    )
+    return q.filter(F.col("rn") == 1).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("weighted_median_price"),
+        F.col("total_weight").cast("bigint").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — quality-phased training schedule
+# ---------------------------------------------------------------------------
+
+
+def _curriculum_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_metrics_sql,
+    )
+
+    m = gopher_metrics_sql("COALESCE(text, '')")
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           {m['n_words']} AS n_words,
+           {m['stop_hits']} AS stop_hits
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, n_words,
+           1000 * stop_hits + n_words AS quality_score
+    FROM s
+),
+phased AS (
+    SELECT doc_id, n_words, quality_score,
+           NTILE(4) OVER (ORDER BY quality_score DESC, doc_id)
+               AS phase
+    FROM scored
+)
+SELECT CAST(phase AS INT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       CAST(MIN(quality_score) AS BIGINT) AS min_score,
+       CAST(MAX(quality_score) AS BIGINT) AS max_score
+FROM phased GROUP BY phase
+"""
+
+
+@register(
+    "pack_curriculum",
+    _curriculum_oracle(),
+    doc="Curriculum schedule — the training-order stage after "
+    "filtering and packing: documents rank by an integer quality "
+    "score (stop-word mass dominating, length as tie-signal — the "
+    "cheap proxy a curriculum pipeline derives from its gate "
+    "metrics) and NTILE into 4 equal phases, highest-quality first, "
+    "ties broken by doc_id so the phase assignment is deterministic "
+    "on any engine/partitioning. The report gives each phase's doc "
+    "and token budget plus its score band — what a trainer consumes "
+    "to schedule epochs. One scan + one rank pass; at 100 TB the "
+    "NTILE becomes the two-pass bucketed rank every sort-based "
+    "layout op here uses (zorder_layout's repartitionByRange shape).",
+)
+def pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.gopher import (
+        gopher_metrics,
+    )
+
+    m = gopher_metrics(F.coalesce(F.col("text"), F.lit("")))
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        (1000 * m["stop_hits"] + m["n_words"]).alias("quality_score"),
+    )
+    phased = scored.select(
+        "*",
+        F.ntile(4)
+        .over(W.orderBy(F.col("quality_score").desc(), "doc_id"))
+        .alias("phase"),
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_tokens"),
+        F.min("quality_score").cast("bigint").alias("min_score"),
+        F.max("quality_score").cast("bigint").alias("max_score"),
+    ).select(
+        F.col("phase").cast("int").alias("phase"),
+        "n_docs", "n_tokens", "min_score", "max_score",
+    )
