@@ -2885,3 +2885,104 @@ def pack_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("phase").cast("int").alias("phase"),
         "n_docs", "n_tokens", "min_score", "max_score",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+anchored AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+    FROM days
+),
+islands AS (
+    SELECT user_id, anchor,
+           CAST(COUNT(*) AS BIGINT) AS streak_days,
+           MIN(d) AS streak_start
+    FROM anchored GROUP BY user_id, anchor
+),
+ranked AS (
+    SELECT user_id, streak_days, streak_start,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_days DESC, streak_start ASC) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_streaks,
+           CAST(SUM(streak_days) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days
+    FROM islands
+)
+SELECT user_id, n_active_days, n_streaks,
+       streak_days AS max_streak_days,
+       streak_start AS max_streak_start
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "win_streak_islands",
+    _STREAK_ORACLE,
+    doc="Gaps-and-islands — the classic consecutive-runs window "
+    "pattern (user activity streaks): distinct active days anchor by "
+    "`date - row_number()` (consecutive days share an anchor), "
+    "islands aggregate to streaks, and each user reports active-day "
+    "total, streak count, and the longest streak (ties to the "
+    "earliest start — fully deterministic, all date/integer "
+    "arithmetic). Completes the window family beside sessions "
+    "(win_session_gap sessionizes by GAP LENGTH; islands segment by "
+    "exact calendar adjacency). Scale: two window passes partitioned "
+    "by user — the same user-cardinality shuffle as every "
+    "session/funnel query here.",
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    anchored = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            F.col("d"),
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("d")
+            ),
+        ).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("bigint").alias("streak_days"),
+        F.min("d").alias("streak_start"),
+    )
+    wu = W.partitionBy("user_id")
+    ranked = islands.select(
+        "user_id",
+        "streak_days",
+        "streak_start",
+        F.row_number()
+        .over(
+            wu.orderBy(
+                F.col("streak_days").desc(), F.col("streak_start").asc()
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(wu).cast("bigint").alias("n_streaks"),
+        F.sum("streak_days").over(wu).cast("bigint").alias(
+            "n_active_days"
+        ),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("streak_days").alias("max_streak_days"),
+        F.col("streak_start").alias("max_streak_start"),
+    )
