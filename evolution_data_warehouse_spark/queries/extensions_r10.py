@@ -2398,8 +2398,6 @@ FROM documents GROUP BY 1
     "stream); the write is one hash-partitioned pass.",
 )
 def snk_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from pyspark.sql import types as T
     from evolution_data_warehouse_spark.operators.datapipe import (
         hash_bucket,
@@ -2430,7 +2428,7 @@ def snk_jsonl_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
-    lines = spark.read.text(os.path.join(path))
+    lines = spark.read.text(path)
     parsed = lines.select(
         F.from_json("value", schema).alias("r"),
         F.input_file_name().alias("_f"),
@@ -2500,7 +2498,7 @@ def quality_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     aggs = []
     for name, cast in _PROFILE_COLS:
-        v = cast.replace("VARCHAR", "STRING").format(v=name)
+        v = cast.format(v=name)
         aggs += [
             F.count("*").cast("bigint").alias(f"{name}__n"),
             (F.count("*") - F.count(name))
@@ -2579,6 +2577,10 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 100
+#: nearest-rank 2.5% / 97.5% order statistics, derived from B so a
+#: replicate-count change can never silently keep stale ranks
+_BOOT_LO_RANK = -(-25 * _BOOT_B // 1000)  # ceil(0.025 * B)
+_BOOT_HI_RANK = -(-975 * _BOOT_B // 1000)  # ceil(0.975 * B)
 #: Poisson(1) CDF in millionths — integer thresholds so the per-row
 #: resample weight is a pure integer comparison chain, no float RNG.
 _POISSON_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406)
@@ -2623,8 +2625,8 @@ ranked AS (
     FROM means
 ),
 ci AS (
-    SELECT MIN(CASE WHEN r = 3 THEN mean_b END) AS ci_lo,
-           MIN(CASE WHEN r = 98 THEN mean_b END) AS ci_hi
+    SELECT MIN(CASE WHEN r = {_BOOT_LO_RANK} THEN mean_b END) AS ci_lo,
+           MIN(CASE WHEN r = {_BOOT_HI_RANK} THEN mean_b END) AS ci_hi
     FROM ranked
 ),
 pt AS (
@@ -2706,8 +2708,12 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy("mean_b", "b")).alias("r"),
     )
     ci = ranked.agg(
-        F.min(F.when(F.col("r") == 3, F.col("mean_b"))).alias("ci_lo"),
-        F.min(F.when(F.col("r") == 98, F.col("mean_b"))).alias("ci_hi"),
+        F.min(
+            F.when(F.col("r") == _BOOT_LO_RANK, F.col("mean_b"))
+        ).alias("ci_lo"),
+        F.min(
+            F.when(F.col("r") == _BOOT_HI_RANK, F.col("mean_b"))
+        ).alias("ci_hi"),
     )
     pt = ev.agg(
         davg("value", 6).alias("point_mean"),
@@ -2847,9 +2853,10 @@ FROM phased GROUP BY phase
     _curriculum_oracle(),
     doc="Curriculum schedule — the training-order stage after "
     "filtering and packing: documents rank by an integer quality "
-    "score (stop-word mass dominating, length as tie-signal — the "
-    "cheap proxy a curriculum pipeline derives from its gate "
-    "metrics) and NTILE into 4 equal phases, highest-quality first, "
+    "score (1000x stop-word hits + word count — stop-word mass "
+    "dominates until length differences reach ~1000 words, the cheap "
+    "proxy a curriculum pipeline derives from its gate metrics) and "
+    "NTILE into 4 equal phases, highest-quality first, "
     "ties broken by doc_id so the phase assignment is deterministic "
     "on any engine/partitioning. The report gives each phase's doc "
     "and token budget plus its score band — what a trainer consumes "
