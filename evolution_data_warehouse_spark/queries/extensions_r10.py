@@ -2993,3 +2993,110 @@ def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("streak_days").alias("max_streak_days"),
         F.col("streak_start").alias("max_streak_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers — median / MAD (no moments, no float aggregation)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH ranked AS (
+    SELECT event_type, value, event_id,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+),
+med AS (
+    SELECT event_type, value AS median_value
+    FROM ranked WHERE rn = (n + 1) // 2
+),
+dev AS (
+    SELECT e.event_type, e.value, e.event_id,
+           ABS(e.value - m.median_value) AS adev,
+           m.median_value
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+dranked AS (
+    SELECT event_type, adev, median_value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+),
+mad AS (
+    SELECT event_type, median_value, adev AS mad_value
+    FROM dranked WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       m.median_value,
+       m.mad_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN d.adev > 3 * m.mad_value THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.median_value, m.mad_value
+"""
+
+
+@register(
+    "stats_mad_outliers",
+    _MAD_ORACLE,
+    doc="Robust outlier detection by median / MAD (median absolute "
+    "deviation) — the moment-free member of the stats family (mean/"
+    "stddev z-scores break under the heavy tails they are meant to "
+    "find; median/MAD have a 50% breakdown point): per event type, "
+    "the nearest-rank median (a VALUE from the data, tie-broken by "
+    "event_id — no interpolation, no float aggregation anywhere), "
+    "the nearest-rank median of absolute deviations, and the count "
+    "beyond the classic 3xMAD fence. Deviations are single IEEE "
+    "subtractions of data values, so every number is bit-identical "
+    "across engines and partitionings. Scale: two rank passes "
+    "partitioned by type + one broadcast-sized (k-row) median join — "
+    "the exact-percentile shape, paid twice.",
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    wt = W.partitionBy("event_type")
+    ranked = ev.select(
+        "*",
+        F.row_number().over(wt.orderBy("value", "event_id")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("value").alias("median_value"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "median_value",
+        F.abs(F.col("value") - F.col("median_value")).alias("adev"),
+    )
+    dranked = dev.select(
+        "*",
+        F.row_number().over(wt.orderBy("adev", "event_id")).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    )
+    mad = dranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("adev").alias("mad_value"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_value", "mad_value")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_value")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type", "median_value", "mad_value", "n_rows",
+            "n_outliers",
+        )
+    )
