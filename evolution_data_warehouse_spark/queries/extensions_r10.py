@@ -3100,3 +3100,108 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation — time-series dependence, fixed-point exact
+# ---------------------------------------------------------------------------
+
+_ACF_SCALE = 1000  # fixed-point quantizer for the product terms
+
+
+def _acf_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.common import dsum_sql
+
+    return f"""
+WITH daily AS (
+    SELECT o_orderdate AS day, {dsum_sql('o_totalprice')} AS x
+    FROM orders GROUP BY o_orderdate
+),
+mu AS (
+    SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily
+),
+paired AS (
+    SELECT d.x, mu.mu, mu.n_days,
+           lead(d.x) OVER (ORDER BY d.day) AS x_next
+    FROM daily d, mu
+),
+terms AS (
+    SELECT n_days,
+           CAST(floor((x - mu) * (x_next - mu) * {_ACF_SCALE})
+                AS BIGINT) AS num_q,
+           CAST(floor((x - mu) * (x - mu) * {_ACF_SCALE})
+                AS BIGINT) AS den_q
+    FROM paired
+)
+SELECT MAX(n_days) AS n_days,
+       CAST(SUM(CASE WHEN num_q IS NOT NULL THEN num_q END) AS BIGINT)
+           AS num_sum,
+       CAST(SUM(den_q) AS BIGINT) AS den_sum,
+       CAST(SUM(CASE WHEN num_q IS NOT NULL THEN num_q END) AS DOUBLE)
+           / CAST(SUM(den_q) AS DOUBLE) AS acf_lag1
+FROM terms
+"""
+
+
+@register(
+    "ts_acf_lag1",
+    _acf_oracle(),
+    doc="Lag-1 autocorrelation of the daily revenue series — the "
+    "time-series dependence statistic beside CUSUM/seasonality: "
+    "daily sums are exact decimal aggregates, the series mean is one "
+    "decimal sum + one division, and each (x_t - mu)(x_t+1 - mu) "
+    "product quantizes to fixed point BEFORE summation (the "
+    "elementwise-means discipline — double product sums are "
+    "summation-order-dependent, floor(term*1000) BIGINT sums are "
+    "not), so the statistic is bit-identical on any partitioning. "
+    "The lead() pairing is one day-ordered window over the "
+    "day-cardinality frame; everything after the daily aggregate is "
+    "model-sized regardless of corpus scale.",
+)
+def ts_acf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries.common import dsum
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    mu = daily.agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mu"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    paired = daily.crossJoin(F.broadcast(mu)).select(
+        "x",
+        "mu",
+        "n_days",
+        F.lead("x").over(W.orderBy("day")).alias("x_next"),
+    )
+    num_q = F.floor(
+        (F.col("x") - F.col("mu"))
+        * (F.col("x_next") - F.col("mu"))
+        * _ACF_SCALE
+    ).cast("bigint")
+    den_q = F.floor(
+        (F.col("x") - F.col("mu"))
+        * (F.col("x") - F.col("mu"))
+        * _ACF_SCALE
+    ).cast("bigint")
+    terms = paired.select(
+        "n_days", num_q.alias("num_q"), den_q.alias("den_q")
+    )
+    return terms.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum("num_q").cast("bigint").alias("num_sum"),
+        F.sum("den_q").cast("bigint").alias("den_sum"),
+        (
+            F.sum("num_q").cast("double") / F.sum("den_q").cast("double")
+        ).alias("acf_lag1"),
+    )

@@ -49,6 +49,7 @@ _BNL_OK = {
     "agg_kmv_overlap",  # 1-row theta + p_common broadcasts over <=2k sketch rows
     "decontaminate_semantic",  # 25-row eval-set broadcast, corpus streams once
     "stats_bootstrap_ci",  # 1-row point-estimate x 1-row CI broadcast
+    "ts_acf_lag1",  # 1-row series-mean broadcast over the daily frame
 }
 
 
