@@ -3106,7 +3106,14 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lag-1 autocorrelation — time-series dependence, fixed-point exact
 # ---------------------------------------------------------------------------
 
-_ACF_SCALE = 1000  # fixed-point quantizer for the product terms
+#: fixed-point quantizer: terms DIVIDE by 1e6 before flooring — the
+#: day count is calendar-bounded (~2400) while deviation products grow
+#: with SF^2, so quantizing DOWN keeps every per-row value and both
+#: sums inside int64 at ANY scale (1000x up-scaling overflowed at
+#: sf0.1 — caught loudly by ANSI mode); the ~1e6 absolute quantization
+#: error is ~1e-8 relative on sf0.1 terms and identical on both
+#: engines, so the ratio stays bit-deterministic.
+_ACF_DOWNSCALE = 1_000_000
 
 
 def _acf_oracle() -> str:
@@ -3130,9 +3137,9 @@ paired AS (
 ),
 terms AS (
     SELECT n_days,
-           CAST(floor((x - mu) * (x_next - mu) * {_ACF_SCALE})
+           CAST(floor((x - mu) * (x_next - mu) / {_ACF_DOWNSCALE})
                 AS BIGINT) AS num_q,
-           CAST(floor((x - mu) * (x - mu) * {_ACF_SCALE})
+           CAST(floor((x - mu) * (x - mu) / {_ACF_DOWNSCALE})
                 AS BIGINT) AS den_q
     FROM paired
 )
@@ -3187,12 +3194,12 @@ def ts_acf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_q = F.floor(
         (F.col("x") - F.col("mu"))
         * (F.col("x_next") - F.col("mu"))
-        * _ACF_SCALE
+        / _ACF_DOWNSCALE
     ).cast("bigint")
     den_q = F.floor(
         (F.col("x") - F.col("mu"))
         * (F.col("x") - F.col("mu"))
-        * _ACF_SCALE
+        / _ACF_DOWNSCALE
     ).cast("bigint")
     terms = paired.select(
         "n_days", num_q.alias("num_q"), den_q.alias("den_q")
