@@ -38,42 +38,42 @@ from evolution_data_warehouse_spark.queries import extensions_r10 as _extensions
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-10 window (per the CLAUDE.md rotation): first the 12 round-9
+# round-11 window (per the CLAUDE.md rotation): first the 28 round-10
 # additions that have never had an official driver verdict (all green
-# in LOCAL_CONTRACT_r09.json at 307/307 and independently re-verified
-# 12/12 by the r9 judge), then the 38 alphabetically-first entries of
-# the 47-entry r4-stale block (the relational core + data-pipe batch)
-# to fill the window at exactly 50.  The 9 remaining r4-stale entries
-# (src_csv .. win_session_gap) lead the r11 fill.  Queries added
-# during round 10 land AFTER the window (verified locally by
-# drive_contract) and lead the round-11 head.  Carried-forward
-# evidence: end-of-r9 the full 307-query registry passed
-# drive_contract (LOCAL_CONTRACT_r09.json) — the determinism rules are
-# partition-count- and scale-independent across the full surface.
-_R10_WINDOW = (
-    # 12 never-driver-verified (the r9 additions, registration order)
-    "dedup_image_phash", "web_corpus_curation", "mm_audio_companding",
-    "sim_pq_assign", "web_charset_detect", "src_sitemap_urls",
-    "web_main_content", "web_robots_filter", "mm_exif_gps_redact",
-    "sim_ivfpq_topk", "proc_zorder_report", "tok_bpe_encode",
-    # 38 alphabetically-first r4-stale entries to fill the 50
-    "agg_count", "agg_filtered_multi", "agg_groupby_sum", "agg_pivot",
-    "agg_ratio_postagg", "agg_scalar_lookup", "agg_skew_salted",
-    "agg_string_concat", "decontaminate_ngram", "dedup_incremental",
-    "dedup_rows", "filter_current_version", "filter_dropna_keys",
-    "filter_equality", "filter_null_pred", "filter_threshold",
-    "filter_view_level", "fn_array_ops", "fn_date_trunc",
-    "join_anti_notexists", "join_broadcast_lookup", "join_change_detect",
-    "join_cross", "join_full_merge_events", "join_inner_equi",
-    "join_left_outer", "join_left_subquery", "join_range_bucketed",
-    "join_self_hierarchy", "join_semi_exists", "join_skew_salted",
-    "pack_sequences", "proj_rename_normalize", "proj_select",
-    "sample_stratified_hash", "snk_json", "snk_parquet",
-    "split_train_hash",
+# in LOCAL_CONTRACT_r10.json at 335/335; 8 of them independently
+# re-verified by the r10 judge), then the 9 remaining r4-stale entries
+# (src_csv .. win_session_gap), then the 13 alphabetically-first
+# entries of the 50-entry r5 block to fill the window at exactly 50.
+# Queries added during round 11 land AFTER the window (verified
+# locally by drive_contract) and lead the round-12 head.
+# Carried-forward evidence: end-of-r10 the full 335-query registry
+# passed drive_contract (LOCAL_CONTRACT_r10.json) — the determinism
+# rules are partition-count- and scale-independent across the full
+# surface.
+_R11_WINDOW = (
+    # 28 never-driver-verified (the r10 additions, registration order)
+    "sim_ivfpq_refine", "text_quality_gopher", "mm_audio_spectral",
+    "dedup_audio_fingerprint", "src_warc_revisit", "dedup_crawl_snapshots",
+    "web_frontier_build", "text_repetition_gopher", "text_quality_c4",
+    "dedup_lines_corpus", "decontaminate_semantic", "tok_compression_ratio",
+    "mm_video_keyframes", "mm_image_quality", "mm_image_curation",
+    "mm_audio_quality", "mm_audio_curation", "mm_video_curation",
+    "web_url_quality", "snk_jsonl_shards", "quality_profile_table",
+    "stream_quality_gate", "stats_bootstrap_ci", "agg_weighted_percentile",
+    "pack_curriculum", "win_streak_islands", "stats_mad_outliers",
+    "ts_acf_lag1",
+    # 9 remaining r4-stale entries (last official verdict: round 4)
+    "src_csv", "src_json_nested", "text_repetition", "tpch_q10",
+    "tpch_q14", "tpch_q19", "tpch_q4", "win_pct_dist", "win_session_gap",
+    # 13 alphabetically-first r5-stale entries to fill the 50
+    "agg_distinct", "agg_rollup", "decontaminate_apply", "dedup_clusters",
+    "dedup_embedding_lsh", "dedup_keep_canonical", "fn_case_when",
+    "fn_cast_numeric", "fn_coalesce", "fn_current_ts", "fn_datediff",
+    "fn_nullif", "fn_regex_extract",
 )
-_ordered: list[str] = list(_R10_WINDOW)
+_ordered: list[str] = list(_R11_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R10_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R11_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
