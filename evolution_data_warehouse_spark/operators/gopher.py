@@ -55,7 +55,14 @@ TOP_NGRAM_MAX_PCT = {2: 20, 3: 18, 4: 16}
 DUP_NGRAM_MAX_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
 
 _BULLET_RE = r"^\s*[•*-]"
-_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+# Ellipsis-terminated lines are tested LITERALLY (endswith), never with
+# a '$'-anchored regex: Java's '$' (Spark rlike) matches before a
+# trailing \r or Unicode line terminator while DuckDB's RE2 '$' matches
+# only at end-of-string, so '...\r' (CRLF text split on \n) would flip
+# the verdict between engine and oracle (r10 ADVICE; same trap
+# text_quality_c4 avoids with its literal last-char test).
+_ELLIPSIS_SUFFIXES = ("...", "…")
 
 
 def _count_occurrences(text: Column, needle: str) -> Column:
@@ -95,7 +102,11 @@ def gopher_metrics(text: Column) -> dict[str, Column]:
             F.filter(lines, lambda ln: ln.rlike(_BULLET_RE))
         ).cast("long"),
         "n_ellipsis_lines": F.size(
-            F.filter(lines, lambda ln: ln.rlike(_ELLIPSIS_RE))
+            F.filter(
+                lines,
+                lambda ln: ln.endswith(_ELLIPSIS_SUFFIXES[0])
+                | ln.endswith(_ELLIPSIS_SUFFIXES[1]),
+            )
         ).cast("long"),
         "stop_hits": F.size(
             F.filter(ltoks, lambda w: F.array_contains(stop_lit, w))
@@ -157,7 +168,7 @@ def gopher_metrics_sql(expr: str, prefix: str = "") -> dict[str, str]:
         ),
         "n_ellipsis_lines": (
             f"CAST(len(list_filter(str_split({expr}, chr(10)), "
-            f"ln -> regexp_matches(ln, '{_ELLIPSIS_RE}'))) AS BIGINT)"
+            "ln -> (ends_with(ln, '...') OR ends_with(ln, '…')))) AS BIGINT)"
         ),
         "stop_hits": (
             f"CAST(len(list_filter(str_split(lower({expr}), ' '), "

@@ -117,6 +117,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def cpu_repartition(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count for per-row-CPU-heavy
+    narrow stages (codec decode, fingerprinting): the parquet scan
+    splits by BYTES (`maxPartitionBytes`), so a narrow id/payload
+    projection often yields far fewer partitions than cores and the
+    expensive mapInPandas stage idles most of the machine (profiled
+    r11: 10 splits on 32 cores = 3.2× wall-clock on mm_video_frames).
+    The shuffle moves only the slim projected columns — negligible next
+    to the codec CPU it parallelizes. This is the standard
+    repartition-before-expensive-UDF pattern on a real cluster; result
+    hashing is row-order-independent so round-robin placement is safe
+    under the determinism rules."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent double sum.
 

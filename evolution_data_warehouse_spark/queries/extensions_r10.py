@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
     register,
     t,
 )
@@ -1870,7 +1871,9 @@ def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = cpu_repartition(
+        t(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     measured = docs.mapInPandas(
         synth_and_measure,
         "doc_id long, source string, width int, height int, "
@@ -2040,6 +2043,7 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
+            afps: list[int | None] = []
             for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
                 d = int(doc_id)
                 sig = _audio_defect_signal(d)
@@ -2055,14 +2059,23 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_frames": n,
                         "n_silent": int((np.abs(x) < 16).sum()),
                         "n_clipped": int((np.abs(x) >= 32760).sum()),
-                        "afp": (
-                            audio_fingerprint64(x) if n >= N_BUCKETS else 0
-                        ),
                     }
                 )
-            yield pd.DataFrame(rows)
+                # NULL, not 0, for un-fingerprintable clips: 0 is a
+                # legitimate fingerprint (all non-increasing block
+                # energies), and NULL keys can never equi-join, so a
+                # sentinel can never merge unrelated docs even if the
+                # duration gate stops excluding them (r10 ADVICE).
+                afps.append(audio_fingerprint64(x) if n >= N_BUCKETS else None)
+            out_pdf = pd.DataFrame(rows)
+            # Explicit nullable Int64: a None in a plain int column
+            # would coerce to float64 and corrupt 64-bit fingerprints.
+            out_pdf["afp"] = pd.array(afps, dtype="Int64")
+            yield out_pdf
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = cpu_repartition(
+        t(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     measured = docs.mapInPandas(
         synth_and_measure,
         "doc_id long, source string, n_frames long, n_silent long, "
@@ -2203,7 +2216,9 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = cpu_repartition(
+        t(spark, sf_dir, "documents").select("doc_id", "source")
+    )
     measured = docs.mapInPandas(
         synth_and_measure,
         "doc_id long, source string, n_frames long, width int, "
@@ -2222,25 +2237,30 @@ def mm_video_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URLQ_BLOCK_DOMAINS = ("spam-mill.example", "link-farm.example")
 _URLQ_BLOCK_WORDS = ("casino", "viagra")
 
-_URLQ_URL_SQL = """
+# The string cast is a {STR} template slot formatted per engine
+# (VARCHAR for DuckDB, STRING for Spark) — never a post-hoc
+# str.replace over shared SQL, which would silently rewrite any future
+# literal containing the type name (r10 ADVICE).
+_URLQ_URL_SQL_T = """
 CASE CAST(doc_id % 6 AS INT)
      WHEN 0 THEN 'http://spam-mill.example/page/'
-          || CAST(doc_id AS VARCHAR)
-     WHEN 1 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || CAST(doc_id AS {STR})
+     WHEN 1 THEN 'http://h' || CAST(doc_id % 5 AS {STR})
           || '.corpus.local/' || repeat('x', 300)
      WHEN 2 THEN 'http://99887766554433221100.corpus.local/doc/'
-          || CAST(doc_id AS VARCHAR)
-     WHEN 3 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || CAST(doc_id AS {STR})
+     WHEN 3 THEN 'http://h' || CAST(doc_id % 5 AS {STR})
           || '.corpus.local' || repeat('/d', 12) || '/'
-          || CAST(doc_id AS VARCHAR)
-     WHEN 4 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+          || CAST(doc_id AS {STR})
+     WHEN 4 THEN 'http://h' || CAST(doc_id % 5 AS {STR})
           || '.corpus.local/best-casino-bonus/'
-          || CAST(doc_id AS VARCHAR)
-     ELSE 'http://h' || CAST(doc_id % 5 AS VARCHAR)
-          || '.corpus.local/article/' || CAST(doc_id AS VARCHAR)
-          || '?ref=home&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+          || CAST(doc_id AS {STR})
+     ELSE 'http://h' || CAST(doc_id % 5 AS {STR})
+          || '.corpus.local/article/' || CAST(doc_id AS {STR})
+          || '?ref=home&utm_campaign=c' || CAST(doc_id % 7 AS {STR})
      END
 """
+_URLQ_URL_SQL = _URLQ_URL_SQL_T.format(STR="VARCHAR")
 
 
 def _urlq_oracle() -> str:
@@ -2304,7 +2324,7 @@ FROM m
     "any rule-table join.",
 )
 def web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    url = F.expr(_URLQ_URL_SQL.replace("VARCHAR", "STRING"))
+    url = F.expr(_URLQ_URL_SQL_T.format(STR="STRING"))
     docs = t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1))
     path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)

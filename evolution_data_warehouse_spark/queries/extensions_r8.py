@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
     fpq,
     fpq_sql,
     register,
@@ -98,7 +99,7 @@ def mm_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    ids = t(spark, sf_dir, "documents").select("doc_id")
+    ids = cpu_repartition(t(spark, sf_dir, "documents").select("doc_id"))
     return ids.mapInPandas(
         synth_and_decode,
         "doc_id long, format string, width int, height int, "
@@ -1178,19 +1179,36 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             parse_avi_mjpeg,
         )
 
+        # Fixture-synthesis cache: frame pixels depend only on
+        # (w, h, k, d % 256) — ≤ 9·5·5·256 = 57,600 distinct JPEGs
+        # versus one encode per (doc, frame). Caching the synthesis
+        # (NOT the mux/demux/decode under test) is the same
+        # per-batch-frame-cache discipline that fixed
+        # mm_video_curation in r10; profiled r11: encode was 68% of
+        # the leg, and a task-lifetime cache converts most of it to
+        # dict hits once the (d%9, d%5, d%256) cycle wraps.
+        frame_cache: dict[tuple[int, int, int, int], bytes] = {}
+
+        def synth_frame(w: int, h: int, k: int, blue: int) -> bytes:
+            key = (w, h, k, blue)
+            got = frame_cache.get(key)
+            if got is None:
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
+                px[:, :, 1] = (k * 16) % 256
+                px[:, :, 2] = blue
+                got = frame_cache[key] = encode_jpeg(px)
+            return got
+
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n_frames = 2 + d % 5
                 w, h = 8 + d % 9, 8 + d % 5
-                jpegs = []
-                for k in range(n_frames):
-                    px = np.zeros((h, w, 3), dtype=np.uint8)
-                    px[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :]
-                    px[:, :, 1] = (k * 16) % 256
-                    px[:, :, 2] = d % 256
-                    jpegs.append(encode_jpeg(px))
+                jpegs = [
+                    synth_frame(w, h, k, d % 256) for k in range(n_frames)
+                ]
                 avi = encode_avi_mjpeg(jpegs, w, h, fps=12)
                 parsed = parse_avi_mjpeg(avi)  # one demux, sampled below
                 sampled = list(enumerate(parsed["frames"]))[::2]
@@ -1218,7 +1236,7 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    ids = t(spark, sf_dir, "documents").select("doc_id")
+    ids = cpu_repartition(t(spark, sf_dir, "documents").select("doc_id"))
     return ids.mapInPandas(
         synth_mux_sample,
         "doc_id long, n_frames int, n_sampled int, width int, "

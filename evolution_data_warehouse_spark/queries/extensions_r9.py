@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
     register,
     t,
 )
@@ -148,7 +149,7 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash_batch,
     )
 
-    ids = t(spark, sf_dir, "documents").select("doc_id")
+    ids = cpu_repartition(t(spark, sf_dir, "documents").select("doc_id"))
     payloads = ids.mapInPandas(
         _phash_payload_batch(), "doc_id long, payload binary"
     )
