@@ -899,11 +899,16 @@ FROM tot t JOIN wide w ON t.doc_id = w.doc_id
     "duplicated n-grams for n = 5..10 (occurrences x word-chars of "
     "every gram seen twice), each tested against the paper's integer-"
     "percent threshold by cross-multiplication (100*cov <= pct*total "
-    "— no float ever decides). Shape: ONE scan explodes (n, gram) "
-    "pairs for all nine n values, then two hash aggregates (gram "
-    "counts combine map-side) and a conditional-aggregate pivot over "
-    "the pinned n list — linear in corpus tokens at 100 TB, the "
-    "standard repetition-gate cost every curation pipeline pays.",
+    "— no float ever decides). Shape: ZERO-shuffle — the grouping key "
+    "(doc, n, gram) never crosses documents, so per n the doc's gram "
+    "array is sorted and run-length-encoded in ONE JVM-side "
+    "F.aggregate pass (accumulator = prev gram, run length, stat); "
+    "gram counts never leave their row. r11 A/B at sf1 vs the "
+    "explode + two-hash-aggregate shape: 75.8 s -> 14.8 s (the "
+    "~22M-row exchange was the cost; an md5-narrowed shuffle key had "
+    "already been A/B-rejected at +75% in r10). Per-doc cost is "
+    "O(grams log grams) and embarrassingly parallel — linear in "
+    "corpus tokens at 100 TB.",
 )
 def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.gopher import (
@@ -911,7 +916,6 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOP_NGRAM_MAX_PCT,
     )
 
-    ns = sorted(TOP_NGRAM_MAX_PCT) + sorted(DUP_NGRAM_MAX_PCT)
     text = F.coalesce(F.col("text"), F.lit(""))
     toks = F.split(F.lower(text), " ")
     sz = F.size(toks)
@@ -920,71 +924,87 @@ def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    gram_struct = "array<struct<n:int,gram:string>>"
 
-    def gram_array(n: int):
-        # NOTE: the index must bind via this closure, NOT a lambda
-        # default arg — `lambda i, n=n:` is a BINARY lambda, which
-        # Spark's transform() calls as (element, array_index), silently
-        # rebinding n to the position column.
-        # The gram ships as its STRING — an md5-hashed 8-byte group key
-        # was A/B-measured 75% SLOWER at sf1 (22M md5 computations
-        # dominate what the narrower shuffle saves; string keys
-        # combine map-side just as well).
-        return F.when(
-            sz >= n,
-            F.transform(
-                F.sequence(F.lit(0), sz - n),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice(toks, i + 1, n)).alias(
-                        "gram"
-                    ),
+    def sorted_grams(n: int):
+        # Index binds via this closure, never a lambda default arg
+        # (`lambda i, n=n:` is a BINARY lambda — Spark would pass the
+        # array position as n). Sort order is irrelevant beyond
+        # adjacency of equal grams.
+        return F.array_sort(
+            F.when(
+                sz >= n,
+                F.transform(
+                    F.sequence(F.lit(0), sz - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
                 ),
-            ),
-        ).otherwise(F.array().cast(gram_struct))
+            ).otherwise(F.array().cast("array<string>"))
+        )
 
-    per_n_arrays = [gram_array(n) for n in ns]
-    exploded = (
-        t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            total_chars.alias("total_chars"),
-            F.explode(F.flatten(F.array(*per_n_arrays))).alias("g"),
+    def zero():
+        return F.lit(0).cast("long")
+
+    def run_stats(n: int, want_top: bool):
+        """One F.aggregate pass over the sorted gram array.
+
+        Accumulator (prev, run, stat): a run flushes into `stat` when
+        the gram changes (finish() flushes the last run). `stat` is
+        MAX(run * charlen) for the top-coverage rules, SUM over runs
+        with run >= 2 for the duplicate-chars rules. The '' sentinel
+        for "no previous gram" is safe: every gram with n >= 2
+        contains at least one space.
+        """
+
+        def charlen(prev):
+            return F.length(prev).cast("long") - F.lit(n - 1)
+
+        def flushed(acc, closing_run):
+            cov = closing_run * charlen(acc["prev"])
+            if want_top:
+                return F.greatest(acc["stat"], cov)
+            return acc["stat"] + F.when(closing_run >= 2, cov).otherwise(
+                zero()
+            )
+
+        def merge(acc, x):
+            same = x == acc["prev"]
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.when(same, acc["stat"])
+                .otherwise(flushed(acc, acc["run"]))
+                .alias("stat"),
+            )
+
+        def finish(acc):
+            return F.when(
+                acc["run"] >= 1, flushed(acc, acc["run"])
+            ).otherwise(acc["stat"])
+
+        init = F.struct(
+            F.lit("").alias("prev"),
+            zero().alias("run"),
+            zero().alias("stat"),
         )
-        .select(
-            "doc_id", "total_chars", F.col("g.n").alias("n"),
-            F.col("g.gram").alias("gram"),
-        )
-    )
-    counted = exploded.groupBy("doc_id", "total_chars", "n", "gram").agg(
-        F.count("*").alias("c")
-    )
-    charlen = F.length("gram").cast("long") - (F.col("n") - 1)
-    per_n = counted.groupBy("doc_id", "total_chars", "n").agg(
-        F.max(F.col("c") * charlen).alias("top_cov"),
-        F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * charlen).otherwise(0)
-        ).alias("dup_chars"),
-    )
-    top_aggs = [
-        F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("top_cov"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias(f"top_cov_{n}")
+        return F.aggregate(sorted_grams(n), init, merge, finish)
+
+    stats = [
+        run_stats(n, True).alias(f"top_cov_{n}")
         for n in sorted(TOP_NGRAM_MAX_PCT)
-    ]
-    dup_aggs = [
-        F.coalesce(
-            F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias(f"dup_chars_{n}")
+    ] + [
+        run_stats(n, False).alias(f"dup_chars_{n}")
         for n in sorted(DUP_NGRAM_MAX_PCT)
     ]
-    wide = per_n.groupBy("doc_id", "total_chars").agg(
-        *top_aggs, *dup_aggs
+    # Docs with zero grams at every n (fewer than 2 tokens) are absent
+    # from the oracle's inner join — keep that. The per-doc sort+RLE is
+    # CPU-bound, so the slim projection repartitions to core width.
+    wide = (
+        cpu_repartition(
+            t(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+        .where(sz >= 2)
+        .select("doc_id", total_chars.alias("total_chars"), *stats)
     )
     flags = [
         (100 * F.col(f"top_cov_{n}") <= pct * F.col("total_chars")).alias(
