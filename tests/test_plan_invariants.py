@@ -7,50 +7,74 @@ import pytest
 
 from evolution_data_warehouse_spark.queries import REGISTRY
 
-# Queries where a BroadcastNestedLoopJoin is the intended plan (tiny
-# broadcast side by construction):
-# - text_tfidf: 1-row corpus-size aggregate cross-joined into the plan
-#   (replaces a separate driver-side count job)
-# - view_dashboard_twograin: geo × year spine (|nation| × |years|,
-#   both bounded dimension-sized inputs)
-# - tpch_q22 / tpch_q11 / emb_norm_outliers: 1-row scalar-aggregate
-#   broadcast (above-average-balance threshold / total stock value /
-#   corpus norm stats), same pattern as text_tfidf
+# Queries where a BroadcastNestedLoopJoin is the intended plan. The
+# allowlist is NOT membership-only: each entry declares what its
+# broadcast build side must look like, and
+# test_bnl_allowlist_broadcast_side_is_bounded asserts it on EVERY
+# BNL build subtree in the plan — so a future edit that broadcasts a
+# non-scalar side cannot hide behind an allowlisted name.
+#
+# "scalar" = every build subtree must contain a zero-grouping-key
+# aggregate (HashAggregate(keys=[]) — exactly one row by construction,
+# the scalar-subquery pattern). Any other value is a literal plan
+# fragment that must appear in the build subtree, naming the bounded
+# side (a fixed-size dimension scan, a seeded local relation, or a
+# bounded filtered projection).
 _BNL_OK = {
-    "join_cross",
-    "sim_ann_bruteforce",
-    "udtf_rls_predicate",
-    "text_tfidf",
-    "view_dashboard_twograin",
-    "tpch_q22",
-    "tpch_q11",
-    "emb_norm_outliers",
-    "agg_sketch_union",
-    "agg_approx_sample_mean",
-    "geo_nearest_hub",  # 5-row hub table cross join, broadcast
-    "agg_benford_firstdigit",  # 1-row total-count broadcast, 9-row left side
-    "agg_rfm_segments",  # 1-row anchor-date broadcast over the user grain
-    "agg_market_basket",  # 1-row basket-count broadcast into the pair stats
-    "corpus_mix_temperature",  # 1-row n_min broadcast into language thresholds
-    "text_keywords_topk",  # 1-row corpus-size broadcast into the idf score
-    "agg_pareto_deciles",  # 1-row revenue-total broadcast into the shares
-    "corpus_token_drift",  # 1-row half-totals broadcast into the L1 terms
-    "graph_copurchase_triangles",  # 1-row edge-count broadcast beside the count
-    "agg_cramers_v",  # 1-row N / r / c broadcasts into the chi-square cells
-    "agg_theil_index",  # 1-row total/count broadcast into the term scan
-    "ts_weekday_seasonality",  # 1-row total broadcast over the 7-row profile
-    "event_cooccurrence_pmi",  # 1-row basket-count broadcast into the PMI
-    "surv_kaplan_meier",  # 1-row observation-horizon broadcast over user spans
-    "stats_ks_two_sample",  # 1-row (n1, n2) totals broadcast into the CDF scan
-    "proc_zorder_report",  # 1-row grid min/max broadcast into the curve math
-    "ts_revenue_anomaly_months",  # 1-row moments broadcast into the z-scores
-    "agg_heavy_hitters_mg",  # 1-row n_total broadcast into the certificate
-    "ts_cusum_drift",  # 1-row total/day-count broadcast into the CUSUM terms
-    "agg_kmv_overlap",  # 1-row theta + p_common broadcasts over <=2k sketch rows
-    "decontaminate_semantic",  # 25-row eval-set broadcast, corpus streams once
-    "stats_bootstrap_ci",  # 1-row point-estimate x 1-row CI broadcast
-    "ts_acf_lag1",  # 1-row series-mean broadcast over the daily frame
+    "join_cross": "FileScan parquet [r_name",  # region dim: 5 rows at any SF
+    "sim_ann_bruteforce": "AS query_id",  # bounded query-set projection
+    "udtf_rls_predicate": "scalar",
+    "text_tfidf": "scalar",  # 1-row corpus-size aggregate
+    "view_dashboard_twograin": "FileScan parquet [n_name",  # nation dim: 25
+    "tpch_q22": "scalar",  # above-average-balance threshold
+    "tpch_q11": "scalar",  # total stock value
+    "emb_norm_outliers": "scalar",  # corpus norm stats
+    "agg_sketch_union": "scalar",
+    "agg_approx_sample_mean": "scalar",
+    "geo_nearest_hub": "Scan ExistingRDD[hub",  # 5-row seeded hub table
+    "agg_benford_firstdigit": "scalar",  # total count, 9-row left side
+    "agg_rfm_segments": "scalar",  # anchor date over the user grain
+    "agg_market_basket": "scalar",  # basket count into the pair stats
+    "corpus_mix_temperature": "scalar",  # n_min into language thresholds
+    "text_keywords_topk": "scalar",  # corpus size into the idf score
+    "agg_pareto_deciles": "scalar",  # revenue total into the shares
+    "corpus_token_drift": "scalar",  # half-totals into the L1 terms
+    "graph_copurchase_triangles": "scalar",  # edge count beside the count
+    "agg_cramers_v": "scalar",  # N / r / c into the chi-square cells
+    "agg_theil_index": "scalar",  # total/count into the term scan
+    "ts_weekday_seasonality": "scalar",  # total over the 7-row profile
+    "event_cooccurrence_pmi": "scalar",  # basket count into the PMI
+    "surv_kaplan_meier": "scalar",  # observation horizon over user spans
+    "stats_ks_two_sample": "scalar",  # (n1, n2) totals into the CDF scan
+    "proc_zorder_report": "scalar",  # grid min/max into the curve math
+    "ts_revenue_anomaly_months": "scalar",  # moments into the z-scores
+    "agg_heavy_hitters_mg": "scalar",  # n_total into the certificate
+    "ts_cusum_drift": "scalar",  # total/day-count into the CUSUM terms
+    "agg_kmv_overlap": "scalar",  # theta + p_common over <=2k sketch rows
+    "decontaminate_semantic": "eval_id",  # ~25-row eval set; corpus streams
+    "stats_bootstrap_ci": "scalar",  # point estimate x CI bounds
+    "ts_acf_lag1": "scalar",  # series mean over the daily frame
 }
+
+
+def _bnl_build_subtrees(plan: str) -> list[str]:
+    """Extract the build-side subtree under each BNL's
+    `BroadcastExchange IdentityBroadcastMode` node (child lines are the
+    ones indented deeper in the tree drawing)."""
+    lines = plan.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in ln:
+            continue
+        depth = ln.find("BroadcastExchange")
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            stripped = nxt.lstrip(" :+-")
+            if not stripped or nxt.find(stripped[:1]) <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
 
 
 def _plan(spark, sf_dir, name: str) -> str:
@@ -65,9 +89,30 @@ def test_no_row_python_udf(spark, sf_dir, name):
     assert "BatchEvalPython" not in _plan(spark, sf_dir, name)
 
 
-@pytest.mark.parametrize("name", sorted(set(REGISTRY) - _BNL_OK))
+@pytest.mark.parametrize("name", sorted(set(REGISTRY) - set(_BNL_OK)))
 def test_no_accidental_nested_loop(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in _plan(spark, sf_dir, name)
+
+
+@pytest.mark.parametrize("name", sorted(_BNL_OK))
+def test_bnl_allowlist_broadcast_side_is_bounded(spark, sf_dir, name):
+    """An allowlisted name is a claim, not a pass: every BNL build
+    subtree must match the declared bounded shape — a zero-key
+    (1-row) aggregate for "scalar" entries, or the named bounded
+    input otherwise. Also fails if the BNL disappeared entirely
+    (stale allowlist entry)."""
+    marker = _BNL_OK[name]
+    subs = _bnl_build_subtrees(_plan(spark, sf_dir, name))
+    assert subs, f"{name} is allowlisted but its plan has no BNL build"
+    for sub in subs:
+        if marker == "scalar":
+            ok = "HashAggregate(keys=[]" in sub or "SortAggregate(key=[]" in sub
+        else:
+            ok = marker in sub
+        assert ok, (
+            f"{name}: BNL broadcast side no longer matches the declared "
+            f"bounded shape ({marker!r}):\n{sub}"
+        )
 
 
 def test_flagship_star_join_is_broadcast(spark, sf_dir):
