@@ -1742,15 +1742,25 @@ def mm_image_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _curation_funnel(measured: DataFrame, quality, hash_col: str):
+def _curation_funnel(
+    measured: DataFrame, quality, hash_col: str, aligned=None
+):
     """The shared tail of the mm_* curation composites: apply the
     quality gate, collapse near-duplicates via the banded 64-bit hash
     join (lowest id kept), and roll up the per-source funnel. One
     definition so a change to the removal/anti-join/report logic can
-    never leave a sibling composite stale (review finding)."""
+    never leave a sibling composite stale (review finding).
+
+    `aligned` (optional boolean Column over `measured`) inserts the
+    image-text alignment stage between the quality gate and the
+    near-dup join (the LAION funnel order: cheap gates before the
+    banded pair join); the report then carries an extra
+    n_caption_aligned column counting quality survivors that also
+    pass alignment."""
     from evolution_data_warehouse_spark.operators.phash import dhash_pairs
 
-    survivors = measured.filter(quality).select(
+    gate = quality if aligned is None else (quality & aligned)
+    survivors = measured.filter(gate).select(
         "doc_id", "source", hash_col
     )
     removed = (
@@ -1763,15 +1773,25 @@ def _curation_funnel(measured: DataFrame, quality, hash_col: str):
         .distinct()
     )
     kept = survivors.join(removed, "doc_id", "left_anti")
-    agg_flags = measured.groupBy("source").agg(
+    stage_cols = [
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(quality.cast("int")).cast("bigint").alias("n_quality_pass"),
-    )
+    ]
+    if aligned is not None:
+        stage_cols.append(
+            F.sum(gate.cast("int"))
+            .cast("bigint")
+            .alias("n_caption_aligned")
+        )
+    agg_flags = measured.groupBy("source").agg(*stage_cols)
     agg_kept = kept.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_near_unique")
     )
+    mid = ["n_quality_pass"] + (
+        ["n_caption_aligned"] if aligned is not None else []
+    )
     return agg_flags.join(agg_kept, "source", "left").select(
-        "source", "n_docs", "n_quality_pass",
+        "source", "n_docs", *mid,
         F.coalesce(F.col("n_near_unique"), F.lit(0))
         .cast("bigint")
         .alias("n_near_unique"),
@@ -1808,19 +1828,59 @@ def _audio_defect_signal(d: int):
 # Image-corpus curation composite — quality gate → near-dup → funnel
 # ---------------------------------------------------------------------------
 
+# The alignment stage is computed from the embeddings table with the
+# same integer math as mm_caption_alignment (a genuine recomputation,
+# not a restatement of the schedule); documents without an embedding
+# pair fail the gate (fail-closed — at sf0.1 the embeddings fixture
+# covers only a prefix of the corpus). The near-dup survivor set stays
+# closed-form because the misaligned schedule (id % 10 == 7) never
+# touches the family minimum (leg 0) and legs 8/9 already fail the
+# quality gate — a family still collapses to its leg-0 doc.
 _IMG_CURATION_ORACLE = """
-WITH flags AS (
-    SELECT doc_id, source,
-           doc_id % 10 NOT IN (8, 9) AS quality_pass,
-           doc_id % 10 = 0 AS kept
-    FROM documents
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iq
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id, iq,
+           CASE WHEN vec_id % 10 = 7
+                THEN list_transform(range(0, len(iq)),
+                     i -> iq[((i + 32) % len(iq)) + 1])
+                ELSE list_transform(range(0, len(iq)),
+                     i -> iq[i + 1] + ((i + vec_id) % 5 - 2))
+           END AS cq
+    FROM q
+),
+al AS (
+    SELECT vec_id,
+           (CAST(list_sum(list_transform(range(1, len(iq) + 1),
+                i -> iq[i] * cq[i])) AS BIGINT) > 0
+            AND 25 * CAST(list_sum(list_transform(range(1, len(iq) + 1),
+                i -> iq[i] * cq[i])) AS BIGINT)
+                   * CAST(list_sum(list_transform(range(1, len(iq) + 1),
+                i -> iq[i] * cq[i])) AS BIGINT)
+            >= 16 * CAST(list_sum(list_transform(iq, x -> x * x))
+                         AS BIGINT)
+                  * CAST(list_sum(list_transform(cq, x -> x * x))
+                         AS BIGINT)) AS aligned
+    FROM c
+),
+flags AS (
+    SELECT d.doc_id, d.source,
+           d.doc_id % 10 NOT IN (8, 9) AS quality_pass,
+           COALESCE(a.aligned, FALSE) AS aligned
+    FROM documents d LEFT JOIN al a ON d.doc_id = a.vec_id
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT)
            AS n_quality_pass,
-       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_near_unique
+       CAST(SUM(CASE WHEN quality_pass AND aligned THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_caption_aligned,
+       CAST(SUM(CASE WHEN doc_id % 10 = 0 AND aligned THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_near_unique
 FROM flags GROUP BY source
 """
 
@@ -1841,13 +1901,19 @@ FROM flags GROUP BY source
     "expensive, as the text funnel orders its stages); surviving "
     "family variants collapse to the lowest id via the pigeonhole-"
     "banded pair join + left-anti removal; the per-source funnel "
-    "reports docs → quality survivors → near-unique. Every count is "
-    "closed-form in doc_id, so the oracle states the whole funnel "
-    "exactly.",
+    "reports docs → quality survivors → caption-aligned → "
+    "near-unique. The alignment stage (r11) is mm_caption_alignment's "
+    "integer CLIP-score gate joined in by doc_id (fail-closed for "
+    "docs without an embedding pair) and applied BEFORE the banded "
+    "near-dup join — the LAION funnel order; the oracle recomputes "
+    "the gate from the embeddings table with the same integer math.",
 )
 def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.queries.extensions_r9 import (
         _phash_family_pixels,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        caption_pair_stats,
     )
 
     def synth_and_measure(batches):
@@ -1904,7 +1970,23 @@ def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.greatest("width", "height") <= 8 * F.least("width", "height"))
         & (F.col("px_range") >= 8)
     )
-    return _curation_funnel(measured, quality, "dhash")
+    align = caption_pair_stats(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", "aligned")
+    with_align = measured.join(
+        align, measured["doc_id"] == align["vec_id"], "left"
+    ).select(
+        measured["doc_id"],
+        "source",
+        "width",
+        "height",
+        "px_range",
+        "dhash",
+        F.coalesce("aligned", F.lit(False)).alias("aligned"),
+    )
+    return _curation_funnel(
+        with_align, quality, "dhash", aligned=F.col("aligned")
+    )
 
 
 # ---------------------------------------------------------------------------
