@@ -185,3 +185,316 @@ FROM m
 def mm_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return caption_pair_stats(emb)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the standard IR scorer beside text_tfidf
+# ---------------------------------------------------------------------------
+
+# Pinned query sets (query_id -> terms), drawn from the documents
+# fixture vocabulary. k1 = 1.2 and b = 0.75 are the textbook BM25
+# constants; they enter the math only as the exact integer factors
+# 22/10 (=(k1+1)·10), 3/10 (=k1·(1-b)·10/4? no: k1·(1-b)=0.3) and
+# 9/10 (=k1·b) after multiplying numerator and denominator by 10·T
+# (T = total corpus tokens), so no float constant ever appears.
+_BM25_QUERIES = (
+    (1, ("hash", "join")),
+    (2, ("window", "sort", "merge")),
+    (3, ("spark", "vector", "scan")),
+)
+_BM25_TOP_K = 10
+# Per-term scores quantize to floor(score * 1e6) via exact integer
+# floor-division BEFORE the per-query sum, so the summed score and the
+# ranking are pure int64 arithmetic on both engines.
+_BM25_FP = 1_000_000
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, terms in _BM25_QUERIES
+        for term in terms
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           unnest(str_split(lower(COALESCE(text, '')), ' ')) AS token
+    FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tk GROUP BY 1, 2
+),
+dft AS (
+    SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tk GROUP BY 1
+),
+q(query_id, token) AS (VALUES {vals}),
+terms AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST((CAST((2 * g.n_docs - 2 * dft.df + 1) * 22 * tf.tf
+                      * g.total_tokens AS HUGEINT) * {_BM25_FP})
+                // ((2 * dft.df + 1)
+                    * (10 * g.total_tokens * tf.tf
+                       + 3 * g.total_tokens
+                       + 9 * dl.dl * g.n_docs)) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dft USING (token)
+    JOIN q ON q.token = tf.token
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN g
+),
+scored AS (
+    SELECT query_id, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM terms GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score_q,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_q DESC, doc_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, score_q, rank
+FROM ranked WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_oracle(),
+    doc="BM25 ranked retrieval (Robertson-Spärck Jones probabilistic "
+    "weighting, the standard IR scorer beside text_tfidf): top-10 "
+    "documents per pinned query term set, scored with k1=1.2, "
+    "b=0.75. Determinism: following text_tfidf's log-free precedent "
+    "the idf is the rational (N - df + 0.5)/(df + 0.5) (doubled to "
+    "(2N-2df+1)/(2df+1)); multiplying the tf saturation term through "
+    "by 10·T makes every numerator and denominator an exact int64, "
+    "and each per-term score quantizes to floor(x·1e6) by integer "
+    "floor-division (decimal DIV / HUGEINT //) BEFORE the per-query "
+    "sum — ranking compares pure integers, fully tie-broken by "
+    "doc_id. Scale shape: tf/df/dl are the same hash aggregates as "
+    "text_tfidf (map-side combinable); corpus totals fold in as a "
+    "1-row broadcast (allowlisted scalar BNL); the 8-row query table "
+    "broadcasts; the top-k filter is rank-over-window, pushed to "
+    "per-partition heaps (WindowGroupLimit).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    wide = docs
+    width = spark.sparkContext.defaultParallelism
+    if wide.rdd.getNumPartitions() < width:
+        wide = wide.repartition(width, "doc_id")
+    tk = wide.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dft = tk.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    q = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, terms in _BM25_QUERIES
+            for term in terms
+        ],
+        "query_id int, token string",
+    )
+    # The numerator stays int64 (bounded by N·22·tf·T, ~3e16 at sf1)
+    # until the 1e6 fixed-point scale, which pushes it past int64 —
+    # hence the DECIMAL(38,0) widening before the integral DIV
+    # (HUGEINT // on the DuckDB side).
+    terms = (
+        tf.join(F.broadcast(dft.join(F.broadcast(q), "token")), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(CAST(((2 * n_docs - 2 * df + 1) * 22 * tf "
+                f"* total_tokens) AS DECIMAL(38,0)) * {_BM25_FP} DIV "
+                f"((2 * df + 1) * (10 * total_tokens * tf "
+                f"+ 3 * total_tokens + 9 * dl * n_docs)) AS BIGINT)"
+            ).alias("term_q"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum("term_q").cast("bigint").alias("score_q")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP_K)
+        .select("query_id", "doc_id", "score_q", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch-shuffle training sink — completes snk_jsonl_shards
+# + pack_curriculum with the trainer-side shuffled epoch order
+# ---------------------------------------------------------------------------
+
+# Epoch seed is pinned; a trainer would pass epoch number here. The
+# permutation rank of a doc is the 60-bit md5 key of 'epoch{seed}:id'
+# (content_hash64 — the repo's cross-engine hash primitive), so ANY
+# worker reproduces the full epoch order from ids alone, with no RNG
+# state and no coordination.
+_EPOCH_SEED = 11
+_EPOCH_SHARDS = 8
+# Shard = rank-key range: rk div 2^57 for 8 shards over the 60-bit key
+# space. md5 uniformity balances the shards by construction — no
+# sampled range boundaries (repartitionByRange samples, which is not
+# reproducible), no global sort, no driver state. Reading shard 0..7,
+# each ordered by (rk, doc_id), IS the epoch permutation.
+_EPOCH_RANGE_DIV = 1 << 57
+
+
+def _shuffled_shards_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    rk = content_hash64_sql(
+        f"'epoch{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH r AS (
+    SELECT doc_id, {rk} AS rk FROM documents
+),
+s AS (
+    SELECT doc_id, rk, rk // {_EPOCH_RANGE_DIV} AS shard FROM r
+),
+p AS (
+    SELECT shard, doc_id, rk,
+           ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY rk, doc_id) AS epoch_pos
+    FROM s
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(MIN(rk) AS BIGINT) AS min_rk,
+       CAST(MAX(rk) AS BIGINT) AS max_rk,
+       CAST(SUM(epoch_pos * doc_id) AS BIGINT) AS pos_checksum,
+       CAST(0 AS BIGINT) AS n_misplaced
+FROM p GROUP BY 1
+"""
+
+
+@register(
+    "snk_shuffled_shards",
+    _shuffled_shards_oracle(),
+    doc="Deterministic epoch-shuffle training sink — the trainer-side "
+    "op that completes snk_jsonl_shards + pack_curriculum: each "
+    "document's permutation rank is the 60-bit md5 key of "
+    "'epoch{seed}:doc_id', its shard is the KEY RANGE rk div 2^57 "
+    "(md5 uniformity balances shards by construction — deliberately "
+    "NOT repartitionByRange, whose sampled boundaries are not "
+    "reproducible), and shard files are written pre-sorted by "
+    "(rk, doc_id), so reading shards 0..7 in order IS the shuffled "
+    "epoch and any worker reproduces it from ids alone. The query "
+    "re-reads the written JSONL, recomputes rank and shard from the "
+    "payload, asserts the directory layout matches (n_misplaced must "
+    "be 0), and emits per-shard count/id-checksum/key-range plus a "
+    "POSITIONAL checksum sum(epoch_pos*doc_id) that only matches the "
+    "oracle if the permutation is exactly right. Scale: one hash "
+    "shuffle + per-shard sort; shard count would be O(cluster "
+    "cores) at 100 TB (pinned 8 here), shards stream independently "
+    "into loaders.",
+)
+def snk_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+    from evolution_data_warehouse_spark.queries.relational import (
+        _scratch,
+    )
+
+    def rank_key(doc_id_col):
+        return content_hash64(
+            F.concat(
+                F.lit(f"epoch{_EPOCH_SEED}:"), doc_id_col.cast("string")
+            )
+        )
+
+    path = _scratch("snk_shuffled_shards", sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        rank_key(F.col("doc_id")).alias("rk"),
+    ).withColumn("shard", F.expr(f"rk DIV {_EPOCH_RANGE_DIV}"))
+    (
+        keyed.repartition(_EPOCH_SHARDS, "shard")
+        .sortWithinPartitions("shard", "rk", "doc_id")
+        .select(
+            "shard",
+            F.to_json(F.struct("doc_id", "lang", "rk")).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("rk", T.LongType()),
+        ]
+    )
+    parsed = (
+        spark.read.text(path)
+        .select(
+            F.from_json("value", schema).alias("r"),
+            F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1)
+            .cast("bigint")
+            .alias("file_shard"),
+        )
+        .select("r.doc_id", "r.rk", "file_shard")
+    )
+    # Everything below recomputes from the payload: rank from the id,
+    # shard from the rank — the file layout and the stored rank both
+    # have to agree with the recomputation for the checks to pass.
+    checked = parsed.select(
+        "doc_id",
+        "file_shard",
+        rank_key(F.col("doc_id")).alias("rk"),
+    ).withColumn("shard", F.expr(f"rk DIV {_EPOCH_RANGE_DIV}"))
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("rk", "doc_id")
+    )
+    placed = checked.withColumn("epoch_pos", pos)
+    return placed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.min("rk").cast("bigint").alias("min_rk"),
+        F.max("rk").cast("bigint").alias("max_rk"),
+        F.sum(F.col("epoch_pos") * F.col("doc_id"))
+        .cast("bigint")
+        .alias("pos_checksum"),
+        F.sum((F.col("file_shard") != F.col("shard")).cast("int"))
+        .cast("bigint")
+        .alias("n_misplaced"),
+    )

@@ -54,6 +54,7 @@ _BNL_OK = {
     "decontaminate_semantic": "eval_id",  # ~25-row eval set; corpus streams
     "stats_bootstrap_ci": "scalar",  # point estimate x CI bounds
     "ts_acf_lag1": "scalar",  # series mean over the daily frame
+    "text_bm25_topk": "scalar",  # (N, total_tokens) into the tf terms
 }
 
 
