@@ -194,9 +194,9 @@ def mm_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pinned query sets (query_id -> terms), drawn from the documents
 # fixture vocabulary. k1 = 1.2 and b = 0.75 are the textbook BM25
 # constants; they enter the math only as the exact integer factors
-# 22/10 (=(k1+1)·10), 3/10 (=k1·(1-b)·10/4? no: k1·(1-b)=0.3) and
-# 9/10 (=k1·b) after multiplying numerator and denominator by 10·T
-# (T = total corpus tokens), so no float constant ever appears.
+# 22 (= 10·(k1+1)), 3 (= 10·k1·(1-b)) and 9 (= 10·k1·b) after
+# multiplying numerator and denominator through by 10·T (T = total
+# corpus tokens), so no float constant ever appears.
 _BM25_QUERIES = (
     (1, ("hash", "join")),
     (2, ("window", "sort", "merge")),
@@ -209,7 +209,10 @@ _BM25_TOP_K = 10
 _BM25_FP = 1_000_000
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_cte() -> str:
+    """The shared WITH chain ending in scored(query_id, doc_id,
+    score_q) — one source of truth so text_bm25_topk's and
+    sim_rrf_fusion's oracles cannot silently diverge."""
     vals = ", ".join(
         f"({qid}, '{term}')"
         for qid, terms in _BM25_QUERIES
@@ -253,7 +256,11 @@ terms AS (
 scored AS (
     SELECT query_id, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
     FROM terms GROUP BY 1, 2
-),
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""{_bm25_scored_cte()},
 ranked AS (
     SELECT query_id, doc_id, score_q,
            CAST(ROW_NUMBER() OVER (
@@ -266,28 +273,10 @@ FROM ranked WHERE rank <= {_BM25_TOP_K}
 """
 
 
-@register(
-    "text_bm25_topk",
-    _bm25_oracle(),
-    doc="BM25 ranked retrieval (Robertson-Spärck Jones probabilistic "
-    "weighting, the standard IR scorer beside text_tfidf): top-10 "
-    "documents per pinned query term set, scored with k1=1.2, "
-    "b=0.75. Determinism: following text_tfidf's log-free precedent "
-    "the idf is the rational (N - df + 0.5)/(df + 0.5) (doubled to "
-    "(2N-2df+1)/(2df+1)); multiplying the tf saturation term through "
-    "by 10·T makes every numerator and denominator an exact int64, "
-    "and each per-term score quantizes to floor(x·1e6) by integer "
-    "floor-division (decimal DIV / HUGEINT //) BEFORE the per-query "
-    "sum — ranking compares pure integers, fully tie-broken by "
-    "doc_id. Scale shape: tf/df/dl are the same hash aggregates as "
-    "text_tfidf (map-side combinable); corpus totals fold in as a "
-    "1-row broadcast (allowlisted scalar BNL); the 8-row query table "
-    "broadcasts; the top-k filter is rank-over-window, pushed to "
-    "per-partition heaps (WindowGroupLimit).",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer BM25 scores (query_id, doc_id, score_q) for the
+    pinned query sets — the engine twin of _bm25_scored_cte(), shared
+    by text_bm25_topk and sim_rrf_fusion."""
     docs = t(spark, sf_dir, "documents")
     wide = docs
     width = spark.sparkContext.defaultParallelism
@@ -335,9 +324,34 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_q"),
         )
     )
-    scored = terms.groupBy("query_id", "doc_id").agg(
+    return terms.groupBy("query_id", "doc_id").agg(
         F.sum("term_q").cast("bigint").alias("score_q")
     )
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_oracle(),
+    doc="BM25 ranked retrieval (Robertson-Spärck Jones probabilistic "
+    "weighting, the standard IR scorer beside text_tfidf): top-10 "
+    "documents per pinned query term set, scored with k1=1.2, "
+    "b=0.75. Determinism: following text_tfidf's log-free precedent "
+    "the idf is the rational (N - df + 0.5)/(df + 0.5) (doubled to "
+    "(2N-2df+1)/(2df+1)); multiplying the tf saturation term through "
+    "by 10·T makes every numerator and denominator an exact int64, "
+    "and each per-term score quantizes to floor(x·1e6) by integer "
+    "floor-division (decimal DIV / HUGEINT //) BEFORE the per-query "
+    "sum — ranking compares pure integers, fully tie-broken by "
+    "doc_id. Scale shape: tf/df/dl are the same hash aggregates as "
+    "text_tfidf (map-side combinable); corpus totals fold in as a "
+    "1-row broadcast (allowlisted scalar BNL); the 8-row query table "
+    "broadcasts; the top-k filter is rank-over-window, pushed to "
+    "per-partition heaps (WindowGroupLimit).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    scored = bm25_scores(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(
         F.desc("score_q"), F.asc("doc_id")
     )
@@ -497,4 +511,357 @@ def snk_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("file_shard") != F.col("shard")).cast("int"))
         .cast("bigint")
         .alias("n_misplaced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of BM25 and vector ranks
+# ---------------------------------------------------------------------------
+
+# RRF constant (Cormack et al. 2009 use k=60), list depth fused from
+# each retriever, and the fused cut. The reciprocal 1/(k+rank)
+# quantizes to the exact integer 1e9 div (k+rank), so fusion scores
+# and the fused ranking are pure int64 on both engines.
+_RRF_K = 60
+_RRF_LIST = 50
+_RRF_TOP = 10
+_RRF_FP = 1_000_000_000
+# The lexical leg is _BM25_QUERIES entry 1 ('hash join'); the vector
+# leg is inner-product retrieval against the pinned _PQ_QUERY vector
+# (extensions_r9), quantized to the SAME integer literals on both
+# engines — Python computes floor(q*1000) once and injects ints, so
+# no cross-engine float math exists anywhere in the leg.
+_RRF_QUERY_ID = 1
+
+
+def _rrf_qvec_ints() -> list[int]:
+    import math
+
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        _PQ_QUERY,
+    )
+
+    return [int(math.floor(q * 1000)) for q in _PQ_QUERY]
+
+
+def _rrf_oracle() -> str:
+    qlits = ", ".join(str(v) for v in _rrf_qvec_ints())
+    return f"""{_bm25_scored_cte()},
+lexr AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id)
+                AS INT) AS r_lex
+    FROM scored WHERE query_id = {_RRF_QUERY_ID}
+    QUALIFY r_lex <= {_RRF_LIST}
+),
+vq AS (
+    SELECT vec_id AS doc_id,
+           list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS dq
+    FROM embeddings
+),
+vdot AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, len(dq) + 1),
+               i -> dq[i] * ([{qlits}])[i])) AS BIGINT) AS dot_q
+    FROM vq
+),
+vecr AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY dot_q DESC, doc_id)
+                AS INT) AS r_vec
+    FROM vdot
+    QUALIFY r_vec <= {_RRF_LIST}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+           CAST(COALESCE({_RRF_FP} // ({_RRF_K} + l.r_lex), 0)
+                + COALESCE({_RRF_FP} // ({_RRF_K} + v.r_vec), 0)
+                AS BIGINT) AS rrf_q
+    FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, r_lex, r_vec, rrf_q,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_q DESC, doc_id) AS INT)
+           AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {_RRF_TOP}
+"""
+
+
+@register(
+    "sim_rrf_fusion",
+    _rrf_oracle(),
+    doc="Hybrid retrieval — reciprocal-rank fusion (Cormack et al. "
+    "2009, the standard RAG-stack combiner) of a lexical and a "
+    "vector ranking: the BM25 top-50 for the pinned 'hash join' "
+    "query fuses with the inner-product top-50 against the pinned "
+    "query vector, score = sum over lists of 1e9 div (60 + rank) — "
+    "exact integers, so fusion and the fused top-10 are fully "
+    "deterministic (doc_id tie-break). Scale shape: each leg's "
+    "top-50 is orderBy+limit (TakeOrdered per-partition heaps, "
+    "never a global single-partition window over the corpus); rank "
+    "assignment and the fusion join then run over <=100 rows. The "
+    "vector leg's query is injected as integer literals computed "
+    "once in Python (floor(q*1000)) — no join against a query table "
+    "and no cross-engine float math.",
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    qlits = F.array(*[F.lit(v).cast("long") for v in _rrf_qvec_ints()])
+    lex50 = (
+        bm25_scores(spark, sf_dir)
+        .filter(F.col("query_id") == _RRF_QUERY_ID)
+        .orderBy(F.desc("score_q"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+    )
+    lexr = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_q"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    dq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+    )
+    vdot = (
+        t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"), dq.alias("dq"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.zip_with(F.col("dq"), qlits, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_q"),
+        )
+    )
+    vec50 = vdot.orderBy(F.desc("dot_q"), F.asc("doc_id")).limit(
+        _RRF_LIST
+    )
+    vecr = vec50.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("dot_q"), F.asc("doc_id")))
+        .alias("r_vec"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_FP} DIV ({_RRF_K} + r_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_FP} DIV ({_RRF_K} + r_vec)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_q"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                W.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select("doc_id", "r_lex", "r_vec", "rrf_q", "fused_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index segment build — the IR infrastructure behind BM25
+# ---------------------------------------------------------------------------
+
+# Posting lists cap at the lowest-doc_id 64 entries per token: at
+# 100 TB a hot term's full posting list is GBs and must never pass
+# through one aggregation buffer — the cap runs as a rank-over-window
+# BEFORE collect_list, so per-partition heaps bound it
+# (WindowGroupLimit), while df/cf still aggregate over the FULL
+# relation. Real index builders write segment files per shard; the
+# capped segment sample plus exact df/cf is the oracle-checkable core.
+_INV_POSTINGS_CAP = 64
+
+
+def _inverted_index_oracle() -> str:
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           unnest(str_split(lower(COALESCE(text, '')), ' ')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tk GROUP BY 1, 2
+),
+stats AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf
+    FROM tf GROUP BY 1
+),
+capped AS (
+    SELECT token, doc_id, tf,
+           ROW_NUMBER() OVER (
+               PARTITION BY token ORDER BY doc_id) AS rn
+    FROM tf
+    QUALIFY rn <= {_INV_POSTINGS_CAP}
+),
+segs AS (
+    SELECT token,
+           string_agg(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(tf AS VARCHAR), ','
+                      ORDER BY doc_id) AS postings
+    FROM capped GROUP BY 1
+)
+SELECT s.token, s.df, s.cf,
+       CAST(least(s.df, {_INV_POSTINGS_CAP}) AS BIGINT)
+           AS n_postings,
+       g.postings
+FROM stats s JOIN segs g ON s.token = g.token
+"""
+
+
+@register(
+    "text_inverted_index",
+    _inverted_index_oracle(),
+    doc="Inverted-index segment build — the IR structure BM25 serves "
+    "from: per token, exact document frequency and collection "
+    "frequency over the whole corpus plus a posting-list segment "
+    "('doc:tf' pairs sorted by doc_id) CAPPED at the lowest-id 64 "
+    "entries. The cap is rank-over-window BEFORE the list "
+    "aggregation (per-partition heaps via WindowGroupLimit), so a "
+    "hot term's full posting list never passes through one "
+    "aggregation buffer at 100 TB; df/cf still aggregate the full "
+    "relation (map-side combinable). Postings serialize to a string "
+    "on both engines (array_sort of (doc_id, tf) structs on the "
+    "Spark side makes the collect_list order irrelevant).",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    wide = docs
+    width = spark.sparkContext.defaultParallelism
+    if wide.rdd.getNumPartitions() < width:
+        wide = wide.repartition(width, "doc_id")
+    tk = wide.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    tf = tk.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("token").orderBy(F.asc("doc_id"))
+    )
+    capped = tf.withColumn("rn", rn).filter(
+        F.col("rn") <= _INV_POSTINGS_CAP
+    )
+    segs = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("doc_id", "tf"))
+                ),
+                lambda p: F.concat_ws(
+                    ":",
+                    p["doc_id"].cast("string"),
+                    p["tf"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return stats.join(segs, "token").select(
+        "token",
+        "df",
+        "cf",
+        F.least(F.col("df"), F.lit(_INV_POSTINGS_CAP))
+        .cast("bigint")
+        .alias("n_postings"),
+        "postings",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer OOV-rate gate — vocabulary-coverage curation signal
+# ---------------------------------------------------------------------------
+
+# Pinned closed vocabulary (a frozen tokenizer's word list); the gate
+# keeps documents whose out-of-vocabulary token share is <= 25%
+# (integer cross-multiplication). The fixture vocabulary has 31
+# distinct tokens, so leaving 7 out makes both outcomes populated.
+_OOV_VOCAB = (
+    "a", "agg", "batch", "column", "customer", "data", "fast",
+    "filter", "hash", "join", "key", "line", "merge", "order",
+    "part", "row", "scan", "slow", "small", "sort", "spark",
+    "table", "the", "value",
+)
+_OOV_MAX_PCT = 25
+
+
+def _oov_oracle() -> str:
+    vocab = ", ".join(f"'{w}'" for w in _OOV_VOCAB)
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           str_split(lower(COALESCE(text, '')), ' ') AS tk
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(tk, w ->
+               NOT list_contains([{vocab}], w))) AS BIGINT) AS n_oov
+    FROM d
+)
+SELECT doc_id, n_tokens, n_oov,
+       (100 * n_oov <= {_OOV_MAX_PCT} * n_tokens) AS oov_keep
+FROM m
+"""
+
+
+@register(
+    "tok_oov_rate",
+    _oov_oracle(),
+    doc="Tokenizer vocabulary-coverage gate — the OOV-rate curation "
+    "signal run before committing a corpus to a frozen tokenizer "
+    "(high OOV share means wrong language, wrong domain, or "
+    "garbage): per document, token count and out-of-vocabulary "
+    "count against a pinned closed vocabulary (broadcast as an "
+    "array literal — at 100 TB a real word list is KBs and ships "
+    "with the plan), gated at 25% by integer cross-multiplication. "
+    "One shuffle-free projection; complements tok_compression_ratio "
+    "(which needs the BPE merges) with the cheap pre-check.",
+)
+def tok_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = F.array(*[F.lit(w) for w in _OOV_VOCAB])
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    m = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda w: ~F.array_contains(vocab, w))
+        )
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (100 * F.col("n_oov") <= _OOV_MAX_PCT * F.col("n_tokens")).alias(
+            "oov_keep"
+        ),
     )

@@ -55,6 +55,7 @@ _BNL_OK = {
     "stats_bootstrap_ci": "scalar",  # point estimate x CI bounds
     "ts_acf_lag1": "scalar",  # series mean over the daily frame
     "text_bm25_topk": "scalar",  # (N, total_tokens) into the tf terms
+    "sim_rrf_fusion": "scalar",  # same BM25 totals broadcast (lex leg)
 }
 
 
