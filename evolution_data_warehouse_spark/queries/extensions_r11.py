@@ -865,3 +865,245 @@ def tok_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier — the fasttext-style linear gate
+# ---------------------------------------------------------------------------
+
+# Pinned linear-model weights over the closed vocabulary (a frozen
+# fasttext/logistic quality classifier's weight vector, as the GPT-3 /
+# CCNet pipelines ship it): filler words negative, content terms
+# positive, out-of-vocabulary 0. Keep iff the mean token weight is
+# >= 0.5, tested as 2*score >= n_tokens — integers only.
+_QCLS_WEIGHTS = (
+    ("a", -8), ("the", -8),
+    ("row", -1), ("line", -1), ("value", -1), ("key", -1),
+    ("part", -1), ("small", -1), ("slow", -1), ("fast", -1),
+    ("join", 3), ("hash", 3), ("scan", 3), ("merge", 3), ("sort", 3),
+    ("filter", 3), ("agg", 3), ("batch", 3), ("spark", 3),
+    ("table", 3), ("window", 3), ("vector", 3), ("column", 3),
+    ("order", 3), ("data", 3), ("customer", 3),
+)
+
+
+def _qcls_case_sql(var: str) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _QCLS_WEIGHTS
+    )
+    return f"CASE {var} {whens} ELSE 0 END"
+
+
+_QCLS_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id,
+           str_split(lower(COALESCE(text, '')), ' ') AS tk
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(tk, w -> {_qcls_case_sql('w')}))
+                AS BIGINT) AS score_q
+    FROM d
+)
+SELECT doc_id, n_tokens, score_q,
+       (2 * score_q >= n_tokens) AS classifier_keep
+FROM m
+"""
+
+
+@register(
+    "text_quality_classifier",
+    _QCLS_ORACLE,
+    doc="Model-based quality gate — the linear-classifier filter of "
+    "the GPT-3/CCNet pipelines (a frozen fasttext/logistic model "
+    "scores each document; high-scoring docs are kept or "
+    "importance-sampled): score = sum over tokens of the pinned "
+    "integer weight vector (bag-of-words dot product, the exact "
+    "inference a linear text classifier runs), gated at mean weight "
+    ">= 0.5 via the integer cross-multiplication 2*score >= "
+    "n_tokens. The weight table ships with the plan (a real model's "
+    "vocab weights are MBs — still broadcast-sized); scoring is one "
+    "shuffle-free projection over the corpus, the cheapest possible "
+    "100 TB pass. Complements the rule-based gates (gopher/C4) with "
+    "the learned-model stage every production funnel ends with.",
+)
+def text_quality_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = [x for kv in _QCLS_WEIGHTS for x in kv]
+    wmap = F.create_map(*[F.lit(x) for x in pairs])
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.coalesce(wmap[w], F.lit(0)).cast("long"),
+    )
+    m = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        score.alias("score_q"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "score_q",
+        (2 * F.col("score_q") >= F.col("n_tokens")).alias(
+            "classifier_keep"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights — hashed-feature domain reweighting
+# ---------------------------------------------------------------------------
+
+# Hashed feature space (DSIR, Xie et al. 2023: hash n-grams into
+# buckets, weight documents by how target-like their feature counts
+# are). Target domain = lang 'en'. The per-bucket likelihood ratio
+# p_target(b)/p_raw(b) = (c_t(b)·T_r)/(c_r(b)·T_t) quantizes to
+# floor(ratio·1e6) by exact integer floor-division (DECIMAL DIV /
+# HUGEINT //; c_t·1e6·T_r can pass int64); a document's importance
+# score is the count-weighted sum of its buckets' ratios —
+# 'oversample' when the mean ratio is >= 1 (score >= 1e6·n_tokens).
+# The paper uses log-ratios; the rational form keeps every value an
+# exact integer on both engines (the text_tfidf log-free discipline).
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+_DSIR_FP = 1_000_000
+
+
+def _dsir_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    b = content_hash64_sql("token")
+    return f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           unnest(str_split(lower(COALESCE(text, '')), ' ')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM d GROUP BY 1, 2, 3
+),
+bk AS (
+    SELECT doc_id, lang, ({b} % {_DSIR_BUCKETS}) AS bucket, tf
+    FROM tf
+),
+bc AS (
+    SELECT bucket,
+           CAST(SUM(tf) AS BIGINT) AS c_r,
+           CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                         THEN tf ELSE 0 END) AS BIGINT) AS c_t
+    FROM bk GROUP BY 1
+),
+g AS (
+    SELECT CAST(SUM(c_r) AS BIGINT) AS t_r,
+           CAST(SUM(c_t) AS BIGINT) AS t_t
+    FROM bc
+),
+q AS (
+    SELECT bucket,
+           CAST((CAST(c_t AS HUGEINT) * {_DSIR_FP} * t_r)
+                // (c_r * t_t) AS BIGINT) AS ratio_q
+    FROM bc, g
+),
+s AS (
+    SELECT bk.doc_id,
+           CAST(SUM(bk.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(bk.tf * q.ratio_q) AS BIGINT) AS dsir_q
+    FROM bk JOIN q USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_tokens, dsir_q,
+       (dsir_q >= {_DSIR_FP} * n_tokens) AS oversample
+FROM s
+"""
+
+
+@register(
+    "corpus_dsir_weights",
+    _dsir_oracle(),
+    doc="DSIR-style importance weights (Xie et al. 2023, Data "
+    "Selection with Importance Resampling): hash tokens into 64 "
+    "feature buckets, estimate the target-domain (lang='en') vs raw "
+    "likelihood ratio per bucket, and weight every document by its "
+    "count-weighted mean ratio — the reweighting step that tilts a "
+    "web-scale mixture toward a target domain. Determinism: ratios "
+    "quantize to floor(ratio*1e6) by exact integer floor-division; "
+    "document scores and the oversample flag are pure int64. Scale "
+    "shape: md5 runs once per DISTINCT (doc, token) pair (after the "
+    "tf hash-aggregate, the r10 md5-cost lesson), the bucket stats "
+    "are a 64-row broadcast, and the per-doc score is one more hash "
+    "aggregate — two map-side-combinable shuffles over corpus "
+    "tokens, linear at 100 TB.",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    wide = docs
+    width = spark.sparkContext.defaultParallelism
+    if wide.rdd.getNumPartitions() < width:
+        wide = wide.repartition(width, "doc_id")
+    tk = wide.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    tf = tk.groupBy("doc_id", "lang", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    bk = tf.select(
+        "doc_id",
+        "lang",
+        (content_hash64(F.col("token")) % _DSIR_BUCKETS).alias("bucket"),
+        "tf",
+    )
+    bc = bk.groupBy("bucket").agg(
+        F.sum("tf").cast("bigint").alias("c_r"),
+        F.sum(
+            F.when(
+                F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    g = bc.agg(
+        F.sum("c_r").cast("bigint").alias("t_r"),
+        F.sum("c_t").cast("bigint").alias("t_t"),
+    )
+    q = bc.crossJoin(F.broadcast(g)).select(
+        "bucket",
+        F.expr(
+            f"CAST(CAST(c_t AS DECIMAL(38,0)) * {_DSIR_FP} * t_r "
+            f"DIV (c_r * t_t) AS BIGINT)"
+        ).alias("ratio_q"),
+    )
+    s = (
+        bk.join(F.broadcast(q), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ratio_q"))
+            .cast("bigint")
+            .alias("dsir_q"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_q",
+        (F.col("dsir_q") >= _DSIR_FP * F.col("n_tokens")).alias(
+            "oversample"
+        ),
+    )

@@ -56,6 +56,7 @@ _BNL_OK = {
     "ts_acf_lag1": "scalar",  # series mean over the daily frame
     "text_bm25_topk": "scalar",  # (N, total_tokens) into the tf terms
     "sim_rrf_fusion": "scalar",  # same BM25 totals broadcast (lex leg)
+    "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
 }
 
 
