@@ -132,6 +132,18 @@ SF1_QUERIES = [
     "mm_image_curation",
     "mm_audio_curation",
     "mm_video_curation",
+    # r11 additions with non-obvious scaling: the BM25 token explode +
+    # three-way tf/df/dl join, the posting-list build (window cap +
+    # list aggregation per token), the DSIR double shuffle (tf
+    # aggregate + per-doc score), and the epoch-shuffle sink's
+    # write + re-read + per-shard permutation check. The other r11
+    # additions (caption alignment, OOV gate, classifier) are
+    # single-scan column-expression shapes; sim_rrf_fusion rides the
+    # BM25 leg plus two 50-row windows.
+    "text_bm25_topk",
+    "text_inverted_index",
+    "corpus_dsir_weights",
+    "snk_shuffled_shards",
 ]
 
 
