@@ -117,19 +117,26 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def cpu_repartition(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to core count for per-row-CPU-heavy
-    narrow stages (codec decode, fingerprinting): the parquet scan
+def cpu_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition to core count for per-row-CPU-heavy narrow stages
+    (codec decode, fingerprinting, token explode): the parquet scan
     splits by BYTES (`maxPartitionBytes`), so a narrow id/payload
     projection often yields far fewer partitions than cores and the
-    expensive mapInPandas stage idles most of the machine (profiled
-    r11: 10 splits on 32 cores = 3.2× wall-clock on mm_video_frames).
-    The shuffle moves only the slim projected columns — negligible next
-    to the codec CPU it parallelizes. This is the standard
-    repartition-before-expensive-UDF pattern on a real cluster; result
-    hashing is row-order-independent so round-robin placement is safe
-    under the determinism rules."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    expensive stage idles most of the machine (profiled r11: 10
+    splits on 32 cores = 3.2× wall-clock on mm_video_frames). The
+    shuffle moves only the slim projected columns — negligible next
+    to the CPU it parallelizes — and is SKIPPED when the input is
+    already at least core-wide (an exchange on an already-wide scan
+    is pure waste). Placement is round-robin, or hash on ``cols``
+    when given (for callers whose downstream shuffle key benefits);
+    result hashing is row-order-independent so either placement is
+    safe under the determinism rules."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= width:
+        return df
+    if cols:
+        return df.repartition(width, *cols)
+    return df.repartition(width)
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:

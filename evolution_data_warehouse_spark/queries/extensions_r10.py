@@ -1829,49 +1829,26 @@ def _audio_defect_signal(d: int):
 # ---------------------------------------------------------------------------
 
 # The alignment stage is computed from the embeddings table with the
-# same integer math as mm_caption_alignment (a genuine recomputation,
-# not a restatement of the schedule); documents without an embedding
-# pair fail the gate (fail-closed — at sf0.1 the embeddings fixture
-# covers only a prefix of the corpus). The near-dup survivor set stays
-# closed-form because the misaligned schedule (id % 10 == 7) never
+# same integer math as mm_caption_alignment — the shared CTE chain in
+# operators/caption.py, so the two oracles can never silently diverge
+# (review finding). Documents without an embedding pair fail the gate
+# (fail-closed — at sf0.1 the embeddings fixture covers only a prefix
+# of the corpus). The near-dup survivor set stays closed-form because
+# the misaligned schedule (CAP_MISALIGNED_* = id % 10 == 7) never
 # touches the family minimum (leg 0) and legs 8/9 already fail the
 # quality gate — a family still collapses to its leg-0 doc.
-_IMG_CURATION_ORACLE = """
-WITH q AS (
-    SELECT vec_id,
-           list_transform(embedding, x ->
-               CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS iq
-    FROM embeddings
-),
-c AS (
-    SELECT vec_id, iq,
-           CASE WHEN vec_id % 10 = 7
-                THEN list_transform(range(0, len(iq)),
-                     i -> iq[((i + 32) % len(iq)) + 1])
-                ELSE list_transform(range(0, len(iq)),
-                     i -> iq[i + 1] + ((i + vec_id) % 5 - 2))
-           END AS cq
-    FROM q
-),
-al AS (
-    SELECT vec_id,
-           (CAST(list_sum(list_transform(range(1, len(iq) + 1),
-                i -> iq[i] * cq[i])) AS BIGINT) > 0
-            AND 25 * CAST(list_sum(list_transform(range(1, len(iq) + 1),
-                i -> iq[i] * cq[i])) AS BIGINT)
-                   * CAST(list_sum(list_transform(range(1, len(iq) + 1),
-                i -> iq[i] * cq[i])) AS BIGINT)
-            >= 16 * CAST(list_sum(list_transform(iq, x -> x * x))
-                         AS BIGINT)
-                  * CAST(list_sum(list_transform(cq, x -> x * x))
-                         AS BIGINT)) AS aligned
-    FROM c
-),
+def _img_curation_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.caption import (
+        caption_cte_chain,
+    )
+
+    return f"""
+WITH {caption_cte_chain()},
 flags AS (
     SELECT d.doc_id, d.source,
            d.doc_id % 10 NOT IN (8, 9) AS quality_pass,
            COALESCE(a.aligned, FALSE) AS aligned
-    FROM documents d LEFT JOIN al a ON d.doc_id = a.vec_id
+    FROM documents d LEFT JOIN cap_al a ON d.doc_id = a.vec_id
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1883,6 +1860,9 @@ SELECT source,
            AS BIGINT) AS n_near_unique
 FROM flags GROUP BY source
 """
+
+
+_IMG_CURATION_ORACLE = _img_curation_oracle()
 
 
 @register(
@@ -1912,7 +1892,7 @@ def mm_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.queries.extensions_r9 import (
         _phash_family_pixels,
     )
-    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+    from evolution_data_warehouse_spark.operators.caption import (
         caption_pair_stats,
     )
 

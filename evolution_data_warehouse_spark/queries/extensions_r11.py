@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
     register,
     t,
 )
@@ -30,136 +31,15 @@ from evolution_data_warehouse_spark.queries.common import (
 # image-corpus curation
 # ---------------------------------------------------------------------------
 
-# Fixed-point scale for the quantized embedding components. The
-# embeddings fixture is unit-normalized (components in [-1, 1]), so
-# quantized components are <= 1000 in magnitude, squared norms <=
-# 64e6, dot products <= 64e6 by Cauchy–Schwarz, and the
-# cross-multiplied threshold terms (25·dot², 16·|i|²·|c|²) stay under
-# ~1e17 — inside int64 on both engines at ANY corpus size (the bound
-# is per-vector, not per-corpus).
-_CAP_SCALE = 1000
-# cos >= 0.8 as integers: dot > 0 AND 25·dot² >= 16·|i|²·|c|²
-# (0.8² = 16/25 — no float ever decides).
-_CAP_COS_NUM, _CAP_COS_DEN = 16, 25
-# Misaligned-caption schedule: vec_id % 10 == 7 — deliberately the
-# same residue as an always-quality-passing, never-family-minimum
-# image leg in mm_image_curation's fixture, so the composed funnel's
-# near-dup survivor set stays closed-form (leg 0 is the family
-# minimum there and legs 8/9 already fail the quality gate).
-_CAP_MISALIGNED_MOD, _CAP_MISALIGNED_RESIDUE = 10, 7
-
-
-def caption_pair_stats(emb: DataFrame) -> DataFrame:
-    """Per-vector paired image/caption alignment stats, all-integer.
-
-    The image embedding is the fixture vector quantized to
-    floor(x·1000); the caption embedding derives from it in the SAME
-    row (pair co-located by id — zero shuffle): aligned docs get a
-    tiny deterministic per-component jitter ((i + vec_id) % 5 - 2, a
-    paraphrase-noise stand-in, cosine ~0.99998), docs on the
-    misaligned schedule get the image vector rotated by 32 positions
-    (an unrelated caption: expected cosine ~0 for unit gaussians).
-    Every derived component is an integer, so both engines compute
-    bit-identical dots/norms and the cross-multiplied cosine test
-    never touches a float.
-
-    Returns (vec_id, dot_q, norm_img_q, norm_cap_q, caption_rotated,
-    aligned).
-    """
-    vid = F.col("vec_id")
-    iq = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * _CAP_SCALE).cast("long"),
-    )
-    base = emb.select(vid.alias("vec_id"), iq.alias("iq"))
-    sz = F.size("iq")
-    rotated = F.transform(
-        F.sequence(F.lit(0), sz - 1),
-        lambda i: F.element_at(
-            F.col("iq"), ((i + 32) % sz + 1).cast("int")
-        ),
-    )
-    # Binary lambda ON PURPOSE: F.transform passes (element, index) —
-    # the jitter needs the component index. (The r10 trap was a
-    # default-arg lambda accidentally becoming binary; this one is
-    # deliberate.)
-    jittered = F.transform(
-        F.col("iq"),
-        lambda x, i: x + ((i.cast("long") + F.col("vec_id")) % 5 - 2),
-    )
-    misaligned = (
-        F.col("vec_id") % _CAP_MISALIGNED_MOD == _CAP_MISALIGNED_RESIDUE
-    )
-    paired = base.select(
-        "vec_id",
-        "iq",
-        F.when(misaligned, rotated).otherwise(jittered).alias("cq"),
-        misaligned.alias("caption_rotated"),
-    )
-
-    def dot64(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    stats = paired.select(
-        "vec_id",
-        "caption_rotated",
-        dot64(F.col("iq"), F.col("cq")).alias("dot_q"),
-        dot64(F.col("iq"), F.col("iq")).alias("norm_img_q"),
-        dot64(F.col("cq"), F.col("cq")).alias("norm_cap_q"),
-    )
-    aligned = (F.col("dot_q") > 0) & (
-        _CAP_COS_DEN * F.col("dot_q") * F.col("dot_q")
-        >= _CAP_COS_NUM * F.col("norm_img_q") * F.col("norm_cap_q")
-    )
-    return stats.select(
-        "vec_id",
-        "dot_q",
-        "norm_img_q",
-        "norm_cap_q",
-        "caption_rotated",
-        aligned.alias("aligned"),
-    )
-
+from evolution_data_warehouse_spark.operators.caption import (  # noqa: E402
+    caption_cte_chain,
+    caption_pair_stats,
+)
 
 _CAPTION_ORACLE = f"""
-WITH q AS (
-    SELECT vec_id,
-           list_transform(embedding, x ->
-               CAST(floor(CAST(x AS DOUBLE) * {_CAP_SCALE}) AS BIGINT))
-               AS iq
-    FROM embeddings
-),
-c AS (
-    SELECT vec_id, iq,
-           CASE WHEN vec_id % {_CAP_MISALIGNED_MOD}
-                     = {_CAP_MISALIGNED_RESIDUE}
-                THEN list_transform(range(0, len(iq)),
-                     i -> iq[((i + 32) % len(iq)) + 1])
-                ELSE list_transform(range(0, len(iq)),
-                     i -> iq[i + 1] + ((i + vec_id) % 5 - 2))
-           END AS cq,
-           vec_id % {_CAP_MISALIGNED_MOD} = {_CAP_MISALIGNED_RESIDUE}
-               AS caption_rotated
-    FROM q
-),
-m AS (
-    SELECT vec_id, caption_rotated,
-           CAST(list_sum(list_transform(range(1, len(iq) + 1),
-               i -> iq[i] * cq[i])) AS BIGINT) AS dot_q,
-           CAST(list_sum(list_transform(iq, x -> x * x)) AS BIGINT)
-               AS norm_img_q,
-           CAST(list_sum(list_transform(cq, x -> x * x)) AS BIGINT)
-               AS norm_cap_q
-    FROM c
-)
-SELECT vec_id, dot_q, norm_img_q, norm_cap_q, caption_rotated,
-       (dot_q > 0 AND {_CAP_COS_DEN} * dot_q * dot_q
-            >= {_CAP_COS_NUM} * norm_img_q * norm_cap_q) AS aligned
-FROM m
+WITH {caption_cte_chain()}
+SELECT vec_id, dot_q, norm_img_q, norm_cap_q, caption_rotated, aligned
+FROM cap_al
 """
 
 
@@ -179,8 +59,9 @@ FROM m
     "(misaligned schedule), and the threshold is the integer "
     "cross-multiplication 25*dot^2 >= 16*|i|^2*|c|^2 with dot > 0 "
     "(cos >= 0.8) — bit-identical on both engines, no float ever "
-    "decides. Composes into mm_image_curation's funnel as the "
-    "alignment stage.",
+    "decides. Math, constants, and the oracle CTE chain live in "
+    "operators/caption.py, shared with mm_image_curation\'s funnel "
+    "so the two can never silently diverge.",
 )
 def mm_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -241,9 +122,9 @@ dft AS (
 q(query_id, token) AS (VALUES {vals}),
 terms AS (
     SELECT q.query_id, tf.doc_id,
-           CAST((CAST((2 * g.n_docs - 2 * dft.df + 1) * 22 * tf.tf
-                      * g.total_tokens AS HUGEINT) * {_BM25_FP})
-                // ((2 * dft.df + 1)
+           CAST((CAST(2 * g.n_docs - 2 * dft.df + 1 AS HUGEINT)
+                      * 22 * tf.tf * g.total_tokens * {_BM25_FP})
+                // (CAST(2 * dft.df + 1 AS HUGEINT)
                     * (10 * g.total_tokens * tf.tf
                        + 3 * g.total_tokens
                        + 9 * dl.dl * g.n_docs)) AS BIGINT) AS term_q
@@ -277,26 +158,26 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer BM25 scores (query_id, doc_id, score_q) for the
     pinned query sets — the engine twin of _bm25_scored_cte(), shared
     by text_bm25_topk and sim_rrf_fusion."""
-    docs = t(spark, sf_dir, "documents")
-    wide = docs
-    width = spark.sparkContext.defaultParallelism
-    if wide.rdd.getNumPartitions() < width:
-        wide = wide.repartition(width, "doc_id")
+    wide = cpu_repartition(t(spark, sf_dir, "documents"), "doc_id")
     tk = wide.select(
         "doc_id",
         F.explode(
             F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
         ).alias("token"),
     )
-    dl = tk.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl and df derive from the tf aggregate, never from the exploded
+    # relation: tf has one row per (doc, token), so COUNT(*) per token
+    # IS the document frequency and SUM(tf) per doc IS the length —
+    # shuffling the compact tf rows instead of the corpus-token
+    # explode three times (review finding; text_inverted_index uses
+    # the same derivation).
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     g = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_tokens"),
     )
-    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dft = tk.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    dft = tf.groupBy("token").agg(F.count("*").alias("df"))
     q = spark.createDataFrame(
         [
             (qid, term)
@@ -305,10 +186,15 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id int, token string",
     )
-    # The numerator stays int64 (bounded by N·22·tf·T, ~3e16 at sf1)
-    # until the 1e6 fixed-point scale, which pushes it past int64 —
-    # hence the DECIMAL(38,0) widening before the integral DIV
-    # (HUGEINT // on the DuckDB side).
+    # Widen BEFORE multiplying: the numerator product grows ~scale²
+    # (N·22·tf·T·1e6 ≈ 3e34 at the 100 TB shape) and the denominator's
+    # (2df+1) factor pushes it past int64 too, so the FIRST factor of
+    # each chain casts to DECIMAL(38,0) (HUGEINT on the DuckDB side)
+    # and the whole product stays exact — a silent int64 wrap on the
+    # Spark side while DuckDB errors loudly would be a cross-engine
+    # divergence. The inner saturation term (10·T·tf + 3·T + 9·dl·N)
+    # is linear in corpus tokens (tf and dl are per-doc-bounded) and
+    # stays int64 with ~70x margin at 100 TB.
     terms = (
         tf.join(F.broadcast(dft.join(F.broadcast(q), "token")), "token")
         .join(dl, "doc_id")
@@ -317,9 +203,10 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "doc_id",
             F.expr(
-                f"CAST(CAST(((2 * n_docs - 2 * df + 1) * 22 * tf "
-                f"* total_tokens) AS DECIMAL(38,0)) * {_BM25_FP} DIV "
-                f"((2 * df + 1) * (10 * total_tokens * tf "
+                f"CAST(CAST(2 * n_docs - 2 * df + 1 AS DECIMAL(38,0)) "
+                f"* 22 * tf * total_tokens * {_BM25_FP} DIV "
+                f"(CAST(2 * df + 1 AS DECIMAL(38,0)) "
+                f"* (10 * total_tokens * tf "
                 f"+ 3 * total_tokens + 9 * dl * n_docs)) AS BIGINT)"
             ).alias("term_q"),
         )
@@ -409,7 +296,8 @@ SELECT CAST(shard AS BIGINT) AS shard,
        CAST(MIN(rk) AS BIGINT) AS min_rk,
        CAST(MAX(rk) AS BIGINT) AS max_rk,
        CAST(SUM(epoch_pos * doc_id) AS BIGINT) AS pos_checksum,
-       CAST(0 AS BIGINT) AS n_misplaced
+       CAST(0 AS BIGINT) AS n_misplaced,
+       CAST(0 AS BIGINT) AS n_bad_rk
 FROM p GROUP BY 1
 """
 
@@ -428,7 +316,8 @@ FROM p GROUP BY 1
     "epoch and any worker reproduces it from ids alone. The query "
     "re-reads the written JSONL, recomputes rank and shard from the "
     "payload, asserts the directory layout matches (n_misplaced must "
-    "be 0), and emits per-shard count/id-checksum/key-range plus a "
+    "be 0) and the stored ranks agree (n_bad_rk must be 0), and "
+    "emits per-shard count/id-checksum/key-range plus a "
     "POSITIONAL checksum sum(epoch_pos*doc_id) that only matches the "
     "oracle if the permutation is exactly right. Scale: one hash "
     "shuffle + per-shard sort; shard count would be O(cluster "
@@ -489,17 +378,24 @@ def snk_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.doc_id", "r.rk", "file_shard")
     )
     # Everything below recomputes from the payload: rank from the id,
-    # shard from the rank — the file layout and the stored rank both
-    # have to agree with the recomputation for the checks to pass.
+    # shard from the rank. The file layout (coalesced to -1 so a path
+    # that fails the shard= extraction COUNTS as misplaced instead of
+    # null-ing out of the sum) and the rank STORED in the JSONL both
+    # have to agree with the recomputation (review finding: the
+    # stored rk was previously parsed but never compared).
     checked = parsed.select(
         "doc_id",
-        "file_shard",
+        F.coalesce("file_shard", F.lit(-1)).alias("file_shard"),
+        F.col("rk").alias("stored_rk"),
         rank_key(F.col("doc_id")).alias("rk"),
     ).withColumn("shard", F.expr(f"rk DIV {_EPOCH_RANGE_DIV}"))
     pos = F.row_number().over(
         W.partitionBy("shard").orderBy("rk", "doc_id")
     )
     placed = checked.withColumn("epoch_pos", pos)
+    bad_rk = F.coalesce(
+        (F.col("stored_rk") != F.col("rk")).cast("int"), F.lit(1)
+    )
     return placed.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
@@ -511,6 +407,7 @@ def snk_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("file_shard") != F.col("shard")).cast("int"))
         .cast("bigint")
         .alias("n_misplaced"),
+        F.sum(bad_rk).cast("bigint").alias("n_bad_rk"),
     )
 
 
@@ -744,11 +641,7 @@ FROM stats s JOIN segs g ON s.token = g.token
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = t(spark, sf_dir, "documents")
-    wide = docs
-    width = spark.sparkContext.defaultParallelism
-    if wide.rdd.getNumPartitions() < width:
-        wide = wide.repartition(width, "doc_id")
+    wide = cpu_repartition(t(spark, sf_dir, "documents"), "doc_id")
     tk = wide.select(
         "doc_id",
         F.explode(
@@ -1010,7 +903,7 @@ g AS (
 q AS (
     SELECT bucket,
            CAST((CAST(c_t AS HUGEINT) * {_DSIR_FP} * t_r)
-                // (c_r * t_t) AS BIGINT) AS ratio_q
+                // (CAST(c_r AS HUGEINT) * t_t) AS BIGINT) AS ratio_q
     FROM bc, g
 ),
 s AS (
@@ -1047,11 +940,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_hash64,
     )
 
-    docs = t(spark, sf_dir, "documents")
-    wide = docs
-    width = spark.sparkContext.defaultParallelism
-    if wide.rdd.getNumPartitions() < width:
-        wide = wide.repartition(width, "doc_id")
+    wide = cpu_repartition(t(spark, sf_dir, "documents"), "doc_id")
     tk = wide.select(
         "doc_id",
         "lang",
@@ -1082,11 +971,16 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_r").cast("bigint").alias("t_r"),
         F.sum("c_t").cast("bigint").alias("t_t"),
     )
+    # Both sides of the division widen before multiplying: c_t·1e6·T_r
+    # and c_r·T_t are products of corpus-token-scale totals (~scale²),
+    # so an unwidened int64 product would wrap silently on the Spark
+    # side while DuckDB errors loudly — the same divergence class the
+    # BM25 terms guard against.
     q = bc.crossJoin(F.broadcast(g)).select(
         "bucket",
         F.expr(
             f"CAST(CAST(c_t AS DECIMAL(38,0)) * {_DSIR_FP} * t_r "
-            f"DIV (c_r * t_t) AS BIGINT)"
+            f"DIV (CAST(c_r AS DECIMAL(38,0)) * t_t) AS BIGINT)"
         ).alias("ratio_q"),
     )
     s = (

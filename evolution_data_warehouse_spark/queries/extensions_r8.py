@@ -1180,7 +1180,8 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         # Fixture-synthesis cache: frame pixels depend only on
-        # (w, h, k, d % 256) — ≤ 9·5·5·256 = 57,600 distinct JPEGs
+        # (w, h, k, d % 256) — ≤ 9·5·6·256 = 69,120 distinct JPEGs
+        # (k ranges over 0..5 since n_frames = 2 + d % 5 ≤ 6)
         # versus one encode per (doc, frame). Caching the synthesis
         # (NOT the mux/demux/decode under test) is the same
         # per-batch-frame-cache discipline that fixed

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from evolution_data_warehouse_spark.operators import similarity as sim
 from evolution_data_warehouse_spark.operators import textops
 from evolution_data_warehouse_spark.operators.multimodal import decode_documents
-from evolution_data_warehouse_spark.queries.common import fpq, fpq_sql, register, t
+from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
+    fpq,
+    fpq_sql,
+    register,
+    t,
+)
 
 DIM = 64  # embedding dimensionality of the testdata
 
@@ -216,10 +222,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     an already-wide scan (the 100 TB case, where the scan brings
     thousands of splits on its own).
     """
-    docs = t(spark, sf_dir, "documents")
-    width = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < width:
-        docs = docs.repartition(width, "doc_id")
+    docs = cpu_repartition(t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     shingles = F.when(
@@ -1284,10 +1287,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     # Same single-split guard as _doc_shingles: the tokenize+explode is
     # the heavy stage; never let one input split serialize it.
-    wide = docs
-    width = spark.sparkContext.defaultParallelism
-    if wide.rdd.getNumPartitions() < width:
-        wide = wide.repartition(width, "doc_id")
+    wide = cpu_repartition(docs, "doc_id")
     tk = wide.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
