@@ -1001,3 +1001,172 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oversample"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph — the iterative-algorithm pattern
+# ---------------------------------------------------------------------------
+
+# Fixed-point PageRank: total mass FP, damping 0.85 as the integer
+# pair (85, 100), every division an integer floor (Spark DIV /
+# DuckDB //), so all three unrolled iterations are bit-identical on
+# both engines — the log-free/float-free discipline applied to an
+# ITERATIVE algorithm (floor per edge leaks a little mass, which is
+# fine: both engines leak identically, and ranking only compares
+# exact integers).
+_PR_FP = 10**12
+_PR_ITERS = 3
+_PR_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _EDGES_SQL,
+    )
+
+    iters = []
+    prev = "pr0"
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+pr{i} AS (
+    SELECT s.v AS node,
+           MAX(p.base) + (85 * SUM(p.pr // d.od)) // 100 AS pr,
+           MAX(p.base) AS base
+    FROM {prev} p
+    JOIN sym s ON s.u = p.node
+    JOIN outdeg d ON d.u = s.u
+    GROUP BY s.v
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH {_EDGES_SQL},
+sym AS (
+    SELECT pa AS u, pb AS v FROM edges
+    UNION ALL
+    SELECT pb AS u, pa AS v FROM edges
+),
+outdeg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS od FROM sym GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes FROM sym),
+pr0 AS (
+    SELECT u AS node,
+           {_PR_FP} // n_nodes AS pr,
+           (15 * ({_PR_FP} // n_nodes)) // 100 AS base
+    FROM (SELECT DISTINCT u FROM sym), n
+),{",".join(iters)}
+SELECT node, CAST(pr AS BIGINT) AS pagerank_q,
+       CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS INT) AS rank
+FROM {prev}
+QUALIFY rank <= {_PR_TOP}
+"""
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="PageRank over the co-purchase graph (same support-pruned "
+    "edge set as graph_copurchase_triangles, symmetrized) — the "
+    "canonical ITERATIVE algorithm on Spark: three unrolled "
+    "power-iteration steps, each one join of the rank vector against "
+    "the degree-annotated edge list plus a hash aggregate. "
+    "Determinism: mass is the integer 1e12, damping is the pair "
+    "(85, 100), and every division floors (Spark DIV / DuckDB //), "
+    "so both engines compute bit-identical ranks (the float-free "
+    "discipline applied to iteration; the per-edge floor leaks mass "
+    "identically on both sides). Scale shape: the edge list is "
+    "localCheckpoint-pinned once and re-joined per iteration (the "
+    "iterative-algorithm rule everywhere in this repo); rank state "
+    "is one row per node; top-20 via window rank. At 100 TB the "
+    "per-iteration cost is one shuffle of the edge list on u.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    sym = (
+        e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    )
+    outdeg = sym.groupBy("u").agg(F.count("*").cast("bigint").alias("od"))
+    # The edge list is re-joined every iteration — pin it once, with
+    # its out-degrees attached, so the support-pruning subtree never
+    # recomputes (the graph_copurchase_triangles discipline).
+    symdeg = sym.join(outdeg, "u").localCheckpoint(eager=True)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node",
+        F.expr(f"{_PR_FP} DIV n_nodes").alias("pr"),
+        F.expr(f"(15 * ({_PR_FP} DIV n_nodes)) DIV 100").alias("base"),
+    )
+    for _ in range(_PR_ITERS):
+        # Alias both sides: pr's lineage includes symdeg after the
+        # first iteration, so unqualified column refs turn ambiguous.
+        contribs = pr.alias("p").join(
+            symdeg.alias("s"), F.col("p.node") == F.col("s.u")
+        ).select(
+            F.col("s.v").alias("v"),
+            F.expr("p.pr DIV s.od").alias("c"),
+            F.col("p.base").alias("base"),
+        )
+        pr = contribs.groupBy("v").agg(
+            (F.max("base") + F.expr("(85 * SUM(c)) DIV 100")).alias("pr"),
+            F.max("base").alias("base"),
+        ).withColumnRenamed("v", "node")
+    # Top-20 via orderBy+limit FIRST (TakeOrdered per-partition heaps)
+    # so the rank window only ever sees 20 rows — never a global
+    # single-partition window over the node set.
+    top = (
+        pr.select("node", F.col("pr").cast("bigint").alias("pagerank_q"))
+        .orderBy(F.desc("pagerank_q"), F.asc("node"))
+        .limit(_PR_TOP)
+    )
+    w = W.orderBy(F.desc("pagerank_q"), F.asc("node"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Streaming exactly-once dedup — batch twin of stream_dedup_events
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_dedup_ingest",
+    _STREAM_DEDUP_ORACLE,
+    doc="Exactly-once ingest dedup (batch twin): the event feed is "
+    "delivered TWICE (the at-least-once redelivery every real "
+    "message bus exhibits — modeled as the table unioned with "
+    "itself), deduplicated on event_id, and aggregated per type — "
+    "counts, user cardinality, and an id checksum only match the "
+    "single-delivery oracle if dedup removed exactly the redelivered "
+    "copies. The genuine Structured Streaming form is streaming/"
+    "events.py::stream_dedup_events (dropDuplicatesWithinWatermark, "
+    "asserted to produce exactly this row set across a duplicated "
+    "file feed in test_streaming). Scale shape: dropDuplicates on "
+    "the key is one hash shuffle with map-side partial dedup; the "
+    "watermark bounds streaming state to the late-data horizon "
+    "(SURVEY §2.9 extension).",
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    redelivered = ev.unionAll(ev)
+    deduped = redelivered.dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+    )

@@ -57,6 +57,7 @@ _BNL_OK = {
     "text_bm25_topk": "scalar",  # (N, total_tokens) into the tf terms
     "sim_rrf_fusion": "scalar",  # same BM25 totals broadcast (lex leg)
     "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
+    "graph_pagerank": "scalar",  # node count into the initial ranks
 }
 
 

@@ -108,6 +108,29 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     n_unique = t(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got.count() == n_unique  # the duplicated file adds no rows
     assert got.select("event_id").distinct().count() == n_unique
+    # The streaming output, rolled up per type, must equal the
+    # oracle-checked batch twin (stream_dedup_ingest) row for row —
+    # the claim its docstring makes.
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        stream_dedup_ingest,
+    )
+
+    rolled = sorted(
+        map(
+            tuple,
+            got.groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect(),
+        )
+    )
+    twin = sorted(map(tuple, stream_dedup_ingest(spark, sf_dir).collect()))
+    assert rolled == twin
 
 
 def test_stream_session_windows(spark, sf_dir, tmp_path):
