@@ -1170,3 +1170,106 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("event_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal sequence packing — MMC4/LLaVA-style interleaved windows
+# ---------------------------------------------------------------------------
+
+# Images on a closed-form schedule (doc_id % 3: 1 -> one image,
+# 2 -> two images, else text-only), each costing the ViT patch budget
+# a vision-language trainer reserves per image (24x24 = 576 tokens,
+# the LLaVA-1.5 number). Context windows are 4096 tokens — a real VLM
+# capacity, and large enough that every doc fits.
+_MM_PACK_IMAGE_TOKENS = 576
+_MM_PACK_CAPACITY = 4096
+
+
+def _mm_pack_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        PACK_SHARDS,
+    )
+    from evolution_data_warehouse_spark.queries.datapipe import (
+        _bucket_sql,
+    )
+
+    return f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(str_split(lower(COALESCE(text, '')), ' '))
+                AS BIGINT) AS n_text_tokens,
+           CAST(CASE CAST(doc_id % 3 AS INT)
+                WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END
+                AS BIGINT) AS n_images,
+           {_bucket_sql('doc_id', PACK_SHARDS)} AS shard
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, n_text_tokens, n_images, shard,
+           n_text_tokens + {_MM_PACK_IMAGE_TOKENS} * n_images
+               AS n_mm_tokens
+    FROM m
+),
+runs AS (
+    SELECT doc_id, n_text_tokens, n_images, n_mm_tokens, shard,
+           COALESCE(SUM(n_mm_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM toks
+)
+SELECT doc_id, n_text_tokens, n_images,
+       CAST(n_mm_tokens AS BIGINT) AS n_mm_tokens, shard,
+       CAST((shard << 40) + (cum_before // {_MM_PACK_CAPACITY})
+            AS BIGINT) AS bin_id,
+       CAST(cum_before % {_MM_PACK_CAPACITY} AS BIGINT) AS bin_pos
+FROM runs
+"""
+
+
+@register(
+    "pack_multimodal",
+    _mm_pack_oracle(),
+    doc="Multimodal sequence packing — the MMC4/LLaVA interleaved-"
+    "window builder: a document's window cost is its text tokens "
+    "plus 576 per image (the ViT patch budget a VLM trainer "
+    "reserves), and documents pack into 4096-token context windows "
+    "with the same sharded contiguous-fill machinery as "
+    "pack_sequences (operators/datapipe.py::pack_contiguous — hash "
+    "shard, per-shard running sum, (shard << 40) | local_bin ids; "
+    "no global sort, shards scale with the cluster). Image counts "
+    "are a closed-form doc_id schedule, so the oracle states the "
+    "whole layout exactly. The cost column is the only multimodal "
+    "delta — packing at 100 TB is identical to the text path.",
+)
+def pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        pack_contiguous,
+    )
+
+    n_images = (
+        F.when(F.col("doc_id") % 3 == 1, 1)
+        .when(F.col("doc_id") % 3 == 2, 2)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    n_text = F.size(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    ).cast("bigint")
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_text.alias("n_text_tokens"),
+        n_images.alias("n_images"),
+    ).withColumn(
+        "n_mm_tokens",
+        (
+            F.col("n_text_tokens")
+            + _MM_PACK_IMAGE_TOKENS * F.col("n_images")
+        ).cast("bigint"),
+    )
+    return pack_contiguous(
+        docs, token_col="n_mm_tokens", capacity=_MM_PACK_CAPACITY
+    ).select(
+        "doc_id", "n_text_tokens", "n_images", "n_mm_tokens",
+        "shard", "bin_id", "bin_pos",
+    )

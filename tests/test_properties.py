@@ -1109,3 +1109,141 @@ def test_dhash_pairs_recall_and_guard(spark):
     )
     assert dhash_pairs(hot, max_bucket=10).count() == 0
     assert dhash_pairs(hot, max_bucket=None).count() == 40 * 39 // 2
+
+
+# ---------------------------------------------------------------------------
+# r11 retrieval / graph / sink properties — independent re-derivations
+# beyond the DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python_model(spark, sf_dir):
+    """Re-derive the BM25 top-k with a from-scratch pure-Python scorer
+    (same integer quantization) — an implementation independent of
+    both Spark and DuckDB."""
+    from collections import Counter
+
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        _BM25_FP,
+        _BM25_QUERIES,
+        _BM25_TOP_K,
+        text_bm25_topk,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").lower().split(" ")
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    dl = {d: len(tk) for d, tk in docs.items()}
+    total = sum(dl.values())
+    n = len(docs)
+    df = Counter()
+    tfs = {d: Counter(tk) for d, tk in docs.items()}
+    for tf in tfs.values():
+        df.update(tf.keys())
+    expected = []
+    for qid, terms in _BM25_QUERIES:
+        scored = []
+        for d, tf in tfs.items():
+            s = 0
+            for w in terms:
+                if tf[w] == 0:
+                    continue
+                num = (2 * n - 2 * df[w] + 1) * 22 * tf[w] * total
+                den = (2 * df[w] + 1) * (
+                    10 * total * tf[w] + 3 * total + 9 * dl[d] * n
+                )
+                s += num * _BM25_FP // den
+            if s > 0 or any(tf[w] for w in terms):
+                scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, s) in enumerate(scored[:_BM25_TOP_K], start=1):
+            expected.append((qid, d, s, rank))
+    got = sorted(
+        map(tuple, text_bm25_topk(spark, sf_dir).collect()),
+        key=lambda x: (x[0], x[3]),
+    )
+    assert got == sorted(expected, key=lambda x: (x[0], x[3]))
+
+
+def test_pagerank_mass_and_shape(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        _PR_FP,
+        _PR_TOP,
+        graph_pagerank,
+    )
+
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PR_TOP
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    prs = [r["pagerank_q"] for r in rows]
+    # ranks sorted descending with deterministic tie-break, all
+    # positive, and no single node can exceed the total mass (floor
+    # divisions only ever LEAK mass, never create it)
+    assert prs == sorted(prs, reverse=True)
+    assert all(0 < p <= _PR_FP for p in prs)
+
+
+def test_shuffled_shards_ranges_disjoint_and_clean(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        snk_shuffled_shards,
+    )
+
+    rows = sorted(
+        snk_shuffled_shards(spark, sf_dir).collect(),
+        key=lambda r: r["shard"],
+    )
+    assert rows, "no shards written"
+    for r in rows:
+        assert r["n_misplaced"] == 0
+        assert r["n_bad_rk"] == 0
+        assert r["min_rk"] <= r["max_rk"]
+    # key ranges must be disjoint and ordered: reading shards 0..S in
+    # order IS the epoch permutation
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_rk"] < b["min_rk"]
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        _INV_POSTINGS_CAP,
+        text_inverted_index,
+    )
+
+    for r in text_inverted_index(spark, sf_dir).collect():
+        posts = r["postings"].split(",") if r["postings"] else []
+        ids = [int(p.split(":")[0]) for p in posts]
+        tfs = [int(p.split(":")[1]) for p in posts]
+        assert ids == sorted(ids)
+        assert len(posts) == r["n_postings"] == min(
+            r["df"], _INV_POSTINGS_CAP
+        )
+        assert all(v >= 1 for v in tfs)
+        assert r["cf"] >= r["df"]  # every posting has tf >= 1
+
+
+def test_rrf_fusion_scores_recompute(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        _RRF_FP,
+        _RRF_K,
+        _RRF_LIST,
+        _RRF_TOP,
+        sim_rrf_fusion,
+    )
+
+    rows = sim_rrf_fusion(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _RRF_TOP
+    for r in rows:
+        expect = 0
+        if r["r_lex"] is not None:
+            assert 1 <= r["r_lex"] <= _RRF_LIST
+            expect += _RRF_FP // (_RRF_K + r["r_lex"])
+        if r["r_vec"] is not None:
+            assert 1 <= r["r_vec"] <= _RRF_LIST
+            expect += _RRF_FP // (_RRF_K + r["r_vec"])
+        assert r["r_lex"] is not None or r["r_vec"] is not None
+        assert r["rrf_q"] == expect
