@@ -144,6 +144,9 @@ SF1_QUERIES = [
     "text_inverted_index",
     "corpus_dsir_weights",
     "snk_shuffled_shards",
+    # late-r11: the iterative-join shape (3 power-iteration steps over
+    # the checkpointed edge list) deserves its 10x leg
+    "graph_pagerank",
 ]
 
 
