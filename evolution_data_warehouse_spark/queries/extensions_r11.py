@@ -1273,3 +1273,150 @@ def pack_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_text_tokens", "n_images", "n_mm_tokens",
         "shard", "bin_id", "bin_pos",
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — the companion privacy check to quality_k_anonymity
+# ---------------------------------------------------------------------------
+
+_L_DIVERSITY_L = 3
+
+_L_DIV_ORACLE = f"""
+WITH q AS (
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           c_mktsegment
+    FROM customer
+),
+g AS (
+    SELECT c_nationkey, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+    FROM q GROUP BY c_nationkey, bal_bucket
+)
+SELECT c_nationkey, bal_bucket, k, l_distinct
+FROM g WHERE l_distinct < {_L_DIVERSITY_L}
+"""
+
+
+@register(
+    "quality_l_diversity",
+    _L_DIV_ORACLE,
+    doc="l-diversity audit (Machanavajjhala et al. 2007) — the "
+    "companion check quality_k_anonymity needs: a class can be "
+    "k-anonymous yet still leak if every member shares the SAME "
+    "sensitive value, so each quasi-identifier class (nation, "
+    "balance bucket) must contain >= l = 3 distinct sensitive values "
+    "(market segment). One hash aggregate at quasi-identifier "
+    "cardinality with a distinct-count; the filter keeps only the "
+    "leaking classes, so output stays small at any input scale.",
+)
+def quality_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0)
+        .cast("long")
+        .alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    g = q.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l_distinct"),
+    )
+    return g.filter(F.col("l_distinct") < _L_DIVERSITY_L)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-quantile sketch — the distributed percentile
+# estimator beside the exact fpq percentiles
+# ---------------------------------------------------------------------------
+
+# Fixed integer bins of width 1000 over l_extendedprice (domain
+# ~[900, 105k] -> ~105 bins at any SF). The histogram IS the mergeable
+# sketch: per-partition partials combine map-side, and bin cardinality
+# is bounded by the value DOMAIN, not the data size — the property
+# that makes it a sketch. Estimated quantile = the lower bound of the
+# smallest bin whose cumulative count reaches ceil(p*n), stated in
+# integer thousandths of the bin width.
+_HIST_BIN_WIDTH = 1000
+_HIST_QUANTILES = ((25, "q25"), (50, "q50"), (75, "q75"), (99, "q99"))
+
+
+def _hist_quantiles_oracle() -> str:
+    qcols = ", ".join(
+        f"CAST(MIN(CASE WHEN 100 * cum >= {p} * n THEN bin_lo END) "
+        f"AS BIGINT) AS {name}"
+        for p, name in _HIST_QUANTILES
+    )
+    return f"""
+WITH b AS (
+    SELECT CAST(floor(l_extendedprice / {_HIST_BIN_WIDTH}) AS BIGINT)
+               AS bin,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY 1
+),
+cums AS (
+    SELECT bin, c,
+           bin * {_HIST_BIN_WIDTH} AS bin_lo,
+           SUM(c) OVER (ORDER BY bin) AS cum,
+           SUM(c) OVER () AS n
+    FROM b
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       {qcols}
+FROM cums
+"""
+
+
+@register(
+    "agg_histogram_quantiles",
+    _hist_quantiles_oracle(),
+    doc="Mergeable histogram-quantile sketch — the distributed "
+    "percentile estimator (t-digest's fixed-bin cousin) beside the "
+    "exact fpq percentiles: values bucket into fixed integer bins "
+    "(width 1000 over l_extendedprice, ~105 bins at ANY scale "
+    "because bin count is bounded by the value DOMAIN, not the row "
+    "count), per-partition partials combine map-side, and each "
+    "quantile reads off as the lower bound of the first bin whose "
+    "cumulative count reaches ceil(p*n) — the integer "
+    "cross-multiplication 100*cum >= p*n, no float ever decides. "
+    "The cumulative window runs over the ~105-row bin table, never "
+    "the data. This is the sketch a 1000-executor job publishes "
+    "when exact order statistics would need a full sort.",
+)
+def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            F.floor(F.col("l_extendedprice") / _HIST_BIN_WIDTH)
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cums = b.select(
+        "bin",
+        "c",
+        (F.col("bin") * _HIST_BIN_WIDTH).alias("bin_lo"),
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qcols = [
+        F.min(
+            F.when(100 * F.col("cum") >= p * F.col("n"), F.col("bin_lo"))
+        )
+        .cast("bigint")
+        .alias(name)
+        for p, name in _HIST_QUANTILES
+    ]
+    return cums.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        *qcols,
+    )
