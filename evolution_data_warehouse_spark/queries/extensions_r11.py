@@ -1095,7 +1095,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its out-degrees attached, so the support-pruning subtree never
     # recomputes (the graph_copurchase_triangles discipline).
     symdeg = sym.join(outdeg, "u").localCheckpoint(eager=True)
-    nodes = sym.select(F.col("u").alias("node")).distinct()
+    # Nodes derive from the PINNED symdeg, not the raw sym lineage —
+    # otherwise the support-pruned edge aggregate (the dominant
+    # subtree) recomputes for this branch (review finding). Every
+    # node appears as u in the symmetric edge list, so the set is
+    # identical.
+    nodes = symdeg.select(F.col("u").alias("node")).distinct()
     nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node",
