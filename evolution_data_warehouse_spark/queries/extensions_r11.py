@@ -1425,3 +1425,74 @@ def agg_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bins"),
         *qcols,
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution source read — mergeSchema over heterogeneous snapshots
+# ---------------------------------------------------------------------------
+
+_MERGESCHEMA_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_source,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_source,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+"""
+
+
+@register(
+    "src_parquet_mergeschema",
+    _MERGESCHEMA_ORACLE,
+    doc="Schema-evolution read — the lake-format reality at 100 TB: "
+    "old partitions were written before a column existed. Two "
+    "snapshots of the corpus are written side by side (v1: even "
+    "doc_ids WITHOUT the source column — the pre-evolution schema; "
+    "v2: odd doc_ids with it), then read back as ONE relation via "
+    "spark.read.option('mergeSchema', true) — the widened schema "
+    "back-fills NULL for v1's missing column. The aggregate (row "
+    "count, non-null vs null source split exactly on the snapshot "
+    "boundary, language cardinality, id checksum) only matches the "
+    "oracle's closed-form expectation if the union, the back-fill, "
+    "and the column alignment are all correct. Note mergeSchema "
+    "reads every footer — production pins the merged schema in the "
+    "catalog instead; this query proves the mechanics the catalog "
+    "automates.",
+)
+def src_parquet_mergeschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.relational import (
+        _scratch,
+    )
+
+    path = _scratch("src_parquet_mergeschema", sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .parquet(f"{path}/v1")
+    )
+    (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "source")
+        .write.mode("overwrite")
+        .parquet(f"{path}/v2")
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("source").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_with_source"),
+        F.sum(F.col("source").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_null_source"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
