@@ -485,3 +485,466 @@ def split_kfold_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# win_rsi — Relative Strength Index over the daily order-value series
+# ---------------------------------------------------------------------------
+
+_RSI_PERIOD = 14
+
+_RSI_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {dsum_sql('o_totalprice', 2)} AS v
+    FROM orders GROUP BY 1, 2
+),
+d AS (
+    SELECT o_orderpriority, day, v,
+           v - lag(v) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+           ) AS delta,
+           CAST(row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+           ) AS BIGINT) AS rn
+    FROM daily
+),
+gl AS (
+    SELECT o_orderpriority, day, rn,
+           CAST(SUM(CAST(greatest(delta, 0.0) AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN {_RSI_PERIOD - 1} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS g,
+           CAST(SUM(CAST(greatest(-delta, 0.0) AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN {_RSI_PERIOD - 1} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS l
+    FROM d
+)
+SELECT o_orderpriority, day,
+       CASE WHEN g + l = 0.0 THEN 50.0
+            ELSE {fpq_sql('100.0 * g / (g + l)', 6)} END AS rsi
+FROM gl WHERE rn >= {_RSI_PERIOD + 1}
+"""
+
+
+@register(
+    "win_rsi",
+    _RSI_ORACLE,
+    doc="Relative Strength Index (RSI-14) over the daily order-value "
+    "series per priority class — the momentum indicator beside "
+    "win_drawdown_max and win_zscore_rolling in the financial-window "
+    "family. Daily values are decimal-exact sums; deltas split into "
+    "gain/loss legs; the 14-row rolling sums go through per-row "
+    "DECIMAL casts (window frames are sequential scans, but the "
+    "decimal cast keeps the two engines' accumulation identical); "
+    "RSI = 100*g/(g+l) with the flat-market g+l=0 case pinned to 50. "
+    "Rows before the warm-up window are dropped. Scale: the series is "
+    "one row per (priority, day) — the window pass runs over an "
+    "already-aggregated frame orders of magnitude smaller than the "
+    "fact table.",
+)
+def win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("v"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    frame = w.rowsBetween(-(_RSI_PERIOD - 1), 0)
+    d = daily.select(
+        "o_orderpriority",
+        "day",
+        (F.col("v") - F.lag("v").over(w)).alias("delta"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+    g = (
+        F.sum(
+            F.greatest(F.col("delta"), F.lit(0.0)).cast("decimal(28,6)")
+        )
+        .over(frame)
+        .cast("double")
+    )
+    loss = (
+        F.sum(
+            F.greatest(-F.col("delta"), F.lit(0.0)).cast("decimal(28,6)")
+        )
+        .over(frame)
+        .cast("double")
+    )
+    gl = d.select(
+        "o_orderpriority", "day", "rn", g.alias("g"), loss.alias("l")
+    )
+    rsi = F.when(F.col("g") + F.col("l") == 0.0, F.lit(50.0)).otherwise(
+        fpq(F.lit(100.0) * F.col("g") / (F.col("g") + F.col("l")), 6)
+    )
+    return gl.filter(F.col("rn") >= _RSI_PERIOD + 1).select(
+        "o_orderpriority", "day", rsi.alias("rsi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_ohlc_bars — open/high/low/close candle aggregation
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       (min(struct_pack(ts := ts, eid := event_id, v := value))).v AS open,
+       max(value) AS high,
+       min(value) AS low,
+       (max(struct_pack(ts := ts, eid := event_id, v := value))).v AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       {dsum_sql('value', 6)} AS vol
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+@register(
+    "ts_ohlc_bars",
+    _OHLC_ORACLE,
+    doc="OHLC candle bars: per (event_type, day), the first/max/min/"
+    "last event value plus count and decimal-exact volume — the "
+    "market-data resampling primitive beside ts_resample_daily. "
+    "Open/close use MIN/MAX over a (ts, event_id, value) struct — "
+    "lexicographic struct ordering IS the tie-broken argmin/argmax "
+    "(event_id is unique, so the value field never decides), one "
+    "hash aggregate with full map-side combine, NO window pass and "
+    "NO per-group sort: at 100 TB this is a single linear shuffle "
+    "on the bar key, the plan a first/last window formulation would "
+    "not give.",
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    s = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("v"),
+    )
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.min(s).getField("v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(s).getField("v").alias("close"),
+        F.count("*").cast("bigint").alias("n_trades"),
+        dsum("value", 6).alias("vol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbors — neighbor-set similarity (link prediction)
+# ---------------------------------------------------------------------------
+
+# Hub guard: nodes whose degree exceeds this cap are removed from the
+# graph before the wedge join (their edges too) — the same default-on
+# hot-key discipline as DEFAULT_MAX_SHINGLE_DF. The wedge fan-out is
+# sum(deg(n)^2) over wedge centers, so one hub node would dominate the
+# whole pair generation; the co-purchase support prune bounds degrees
+# on THIS fixture, but the cap makes the worst case linear by
+# construction at any scale.
+_MAX_NBR_DEG = 1000
+_JACCARD_FP = 1_000_000
+_JACCARD_TOP = 20
+
+
+def _jaccard_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _EDGES_SQL,
+    )
+
+    return f"""
+WITH {_EDGES_SQL},
+adj0 AS (
+    SELECT pa AS node, pb AS nbr FROM edges
+    UNION ALL
+    SELECT pb AS node, pa AS nbr FROM edges
+),
+deg0 AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj0 GROUP BY node
+),
+keep AS (SELECT node FROM deg0 WHERE d <= {_MAX_NBR_DEG}),
+adj AS (
+    SELECT a.node, a.nbr FROM adj0 a
+    JOIN keep k1 ON k1.node = a.node
+    JOIN keep k2 ON k2.node = a.nbr
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+),
+wedge AS (
+    SELECT a.nbr AS u, b.nbr AS w, CAST(COUNT(*) AS BIGINT) AS common
+    FROM adj a JOIN adj b ON b.node = a.node AND a.nbr < b.nbr
+    GROUP BY a.nbr, b.nbr
+    HAVING COUNT(*) >= 2
+)
+SELECT u, w, common, du.d AS deg_u, dw.d AS deg_w,
+       (common * {_JACCARD_FP}) // (du.d + dw.d - common) AS jaccard_fp
+FROM wedge
+JOIN deg du ON du.node = u
+JOIN deg dw ON dw.node = w
+ORDER BY jaccard_fp DESC, u, w
+LIMIT {_JACCARD_TOP}
+"""
+
+
+@register(
+    "graph_jaccard_neighbors",
+    _jaccard_oracle(),
+    doc="Neighbor-set Jaccard similarity over the co-purchase graph — "
+    "the classic link-prediction / node-similarity score (parts whose "
+    "co-purchase neighborhoods overlap are substitutes or kit-mates). "
+    "Candidate pairs come from a wedge join through shared neighbors "
+    "(only pairs with >= 2 common neighbors survive — never all "
+    f"pairs), hub nodes above the default-on degree cap "
+    f"({_MAX_NBR_DEG}) are dropped with their edges before the wedge "
+    "join (the same hot-key guard discipline as the shingle df-cap), "
+    "and jaccard = common / (du + dw - common) is an exact int64 "
+    "floor division at 1e6 fixed point — no float ever ranks. Top-20 "
+    "fully tie-broken by (score, u, w). Scale: wedge fan-out is "
+    "sum(deg^2) over the CAPPED degrees; the pruned edge list is "
+    "localCheckpoint-pinned so the support aggregate runs once, and "
+    "the degree table broadcasts.",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import _edges
+
+    e = (
+        _edges(spark, sf_dir)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    adj0 = e.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    deg0 = adj0.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    keep = deg0.filter(F.col("d") <= _MAX_NBR_DEG).select("node")
+    adj = (
+        adj0.join(F.broadcast(keep), "node")
+        .join(
+            F.broadcast(keep.withColumnRenamed("node", "nbr")),
+            "nbr",
+        )
+        .select("node", "nbr")
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("b.node") == F.col("a.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    du = F.broadcast(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    )
+    dw = F.broadcast(
+        deg.select(F.col("node").alias("w"), F.col("d").alias("deg_w"))
+    )
+    scored = (
+        wedge.join(du, "u")
+        .join(dw, "w")
+        .withColumn(
+            "jaccard_fp",
+            F.expr(
+                f"(common * {_JACCARD_FP}) DIV (deg_u + deg_w - common)"
+            ),
+        )
+    )
+    return (
+        scored.select("u", "w", "common", "deg_u", "deg_w", "jaccard_fp")
+        .orderBy(F.col("jaccard_fp").desc(), "u", "w")
+        .limit(_JACCARD_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# snk_webdataset_shards — WebDataset-style tar shard training sink
+# ---------------------------------------------------------------------------
+
+_WDS_SHARDS = 8
+# Per-sample body hashes are summed mod this prime so the checksum can
+# never overflow int64 at any corpus size (60-bit raw hashes would at
+# ~8k rows/shard).
+_WDS_MOD = 1_000_000_007
+
+
+def _wds_oracle() -> str:
+    rk = content_hash64_sql("'wds:' || CAST(doc_id AS VARCHAR)")
+    body_h = content_hash64_sql("body")
+    return f"""
+WITH k AS (
+    SELECT doc_id, COALESCE(text, '') AS body,
+           {rk} AS rk
+    FROM documents
+),
+p AS (
+    SELECT doc_id, body, rk, rk % {_WDS_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY rk % {_WDS_SHARDS} ORDER BY rk, doc_id
+           ) AS BIGINT) AS pos
+    FROM k
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(strlen(body)) AS BIGINT) AS bytes_text,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS pos_checksum,
+       CAST(SUM({body_h} % {_WDS_MOD}) AS BIGINT) AS body_checksum,
+       CAST(0 AS BIGINT) AS n_bad_rk
+FROM p GROUP BY shard
+"""
+
+
+@register(
+    "snk_webdataset_shards",
+    _wds_oracle(),
+    doc="WebDataset-style tar shard training sink — the multimodal "
+    "loader format (Beaumont et al.'s img2dataset / LAION tooling "
+    "convention: one tar per shard, one sample = same-basename member "
+    "files, loaders stream tars sequentially with zero coordination). "
+    "Each document's shard is its salted md5 hash mod 8; within a "
+    "shard, samples are laid out in (rank, doc_id) order and written "
+    "as {doc_id}.txt (the body) + {doc_id}.json (metadata incl. the "
+    "rank key) with pinned mtime/uid so the tar bytes are fully "
+    "deterministic. The writer is one applyInPandas per shard group "
+    "(atomic tmp+rename, so task retries are idempotent); the reader "
+    "re-opens every tar in a second Arrow stage, walks members IN TAR "
+    "ORDER, recomputes the rank from the payload, and checks the "
+    "stored rank (n_bad_rk must be 0). The emitted per-shard count / "
+    "id / byte / POSITIONAL checksums only match the oracle if shard "
+    "assignment, sample order, and bodies are all exactly right. "
+    "Scale: shard count would be O(cluster cores) at 100 TB (pinned "
+    "8 here); each shard writes and verifies independently — no "
+    "global sort, no driver data path.",
+)
+def snk_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import json
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+    from hashlib import md5
+
+    import pandas as pd
+
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    base = _scratch("snk_webdataset_shards", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("body")
+    )
+    keyed = docs.select(
+        "doc_id",
+        "body",
+        content_hash64(
+            F.concat(F.lit("wds:"), F.col("doc_id").cast("string"))
+        ).alias("rk"),
+    ).withColumn("shard", F.col("rk") % _WDS_SHARDS)
+
+    def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["rk", "doc_id"])
+        path = os.path.join(base, f"shard-{shard:05d}.tar")
+        fd, tmp = tempfile.mkstemp(dir=base, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            with tarfile.open(fileobj=fh, mode="w") as tar:
+                for doc_id, body, rk in zip(
+                    pdf["doc_id"], pdf["body"], pdf["rk"]
+                ):
+                    key = f"{int(doc_id):012d}"
+                    txt = str(body).encode("utf-8")
+                    meta = json.dumps(
+                        {"doc_id": int(doc_id), "rk": int(rk)},
+                        sort_keys=True,
+                    ).encode("utf-8")
+                    for suffix, payload in ((".txt", txt), (".json", meta)):
+                        info = tarfile.TarInfo(name=key + suffix)
+                        info.size = len(payload)
+                        info.mtime = 0  # pinned: byte-deterministic tars
+                        tar.addfile(info, io.BytesIO(payload))
+        os.replace(tmp, path)  # atomic publish — retries are idempotent
+        return pd.DataFrame(
+            {"shard": [shard], "path": [path], "n": [len(pdf)]}
+        )
+
+    manifest = (
+        keyed.repartition(_WDS_SHARDS, "shard")
+        .groupBy("shard")
+        .applyInPandas(_write_shard, "shard bigint, path string, n bigint")
+    )
+
+    def _read_shards(batches):
+        for pdf in batches:
+            out = {
+                "shard": [],
+                "pos": [],
+                "doc_id": [],
+                "octet_len": [],
+                "body_h": [],
+                "bad_rk": [],
+            }
+            for shard, path in zip(pdf["shard"], pdf["path"]):
+                with tarfile.open(path, "r") as tar:
+                    pos = 0
+                    pending: dict[str, bytes] = {}
+                    for member in tar:
+                        key, suffix = os.path.splitext(member.name)
+                        payload = tar.extractfile(member).read()
+                        pending[suffix] = payload
+                        if len(pending) < 2:
+                            continue
+                        # one full sample (.txt + .json) collected
+                        pos += 1
+                        body = pending[".txt"]
+                        meta = json.loads(pending[".json"])
+                        pending = {}
+                        doc_id = int(key)
+                        expect_rk = int(
+                            md5(f"wds:{doc_id}".encode()).hexdigest()[:15],
+                            16,
+                        )
+                        bad = (
+                            int(meta["doc_id"]) != doc_id
+                            or int(meta["rk"]) != expect_rk
+                        )
+                        out["shard"].append(int(shard))
+                        out["pos"].append(pos)
+                        out["doc_id"].append(doc_id)
+                        out["octet_len"].append(len(body))
+                        out["body_h"].append(
+                            int(md5(body).hexdigest()[:15], 16) % _WDS_MOD
+                        )
+                        out["bad_rk"].append(1 if bad else 0)
+            yield pd.DataFrame(out)
+
+    samples = manifest.repartition(_WDS_SHARDS).mapInPandas(
+        _read_shards,
+        "shard bigint, pos bigint, doc_id bigint, octet_len bigint, "
+        "body_h bigint, bad_rk bigint",
+    )
+    return samples.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_samples"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("octet_len").cast("bigint").alias("bytes_text"),
+        F.sum(F.col("pos") * F.col("doc_id"))
+        .cast("bigint")
+        .alias("pos_checksum"),
+        F.sum("body_h").cast("bigint").alias("body_checksum"),
+        F.sum("bad_rk").cast("bigint").alias("n_bad_rk"),
+    )
