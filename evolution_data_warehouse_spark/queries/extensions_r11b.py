@@ -948,3 +948,363 @@ def snk_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("body_h").cast("bigint").alias("body_checksum"),
         F.sum("bad_rk").cast("bigint").alias("n_bad_rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_xml_roundtrip — native XML datasource (Spark 4 built-in)
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT n.n_regionkey, r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_nationkey
+FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY n.n_regionkey, r.r_name
+"""
+
+
+@register(
+    "src_xml_roundtrip",
+    _XML_ORACLE,
+    doc="XML source/sink round-trip via Spark 4's NATIVE xml datasource "
+    "(spark-xml was merged into core in 4.0 — no external package): "
+    "the nation-region join is written as <rows><row>...</row></rows> "
+    "documents, read back with an EXPLICIT schema (never inference — "
+    "schema drift must fail loudly, and an inference pass is a second "
+    "full scan at 100 TB), and aggregated per region. The aggregate "
+    "only matches the oracle if the XML writer/parser preserved every "
+    "row and type. Dimension-sized here by design: XML is a feed "
+    "format for reference data, not a fact-table format.",
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    path = _scratch("src_xml_roundtrip", sf_dir)
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_regionkey", "r_name"
+    )
+    (
+        joined.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema(schema)
+        .load(path)
+    )
+    return back.groupBy("n_regionkey", "r_name").agg(
+        F.count("*").cast("bigint").alias("n_nations"),
+        F.sum("n_nationkey").cast("bigint").alias("sum_nationkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dim_date_spine — generated calendar dimension over the fact date range
+# ---------------------------------------------------------------------------
+
+# Monday anchor for an engine-independent day-of-week: 1970-01-05 was a
+# Monday, so dow = ((date - anchor) mod 7) with 0=Monday — pure integer
+# date arithmetic, immune to the engines' differing dayofweek()
+# conventions (Spark: 1=Sunday; DuckDB: 0=Sunday).
+_DOW_ANCHOR = "1970-01-05"
+
+_DATE_SPINE_ORACLE = f"""
+WITH bounds AS (
+    SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+           CAST(MAX(o_orderdate) AS DATE) AS d1
+    FROM orders
+),
+spine AS (
+    SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+)
+SELECT day,
+       CAST(year(day) AS INT) AS yr,
+       CAST(month(day) AS INT) AS mo,
+       CAST((month(day) + 2) // 3 AS INT) AS qtr,
+       CAST(((day - DATE '{_DOW_ANCHOR}') % 7 + 7) % 7 AS INT) AS dow,
+       CAST(CASE WHEN ((day - DATE '{_DOW_ANCHOR}') % 7 + 7) % 7 >= 5
+            THEN 1 ELSE 0 END AS INT) AS is_weekend,
+       CAST(CASE WHEN day = last_day(day) THEN 1 ELSE 0 END AS INT)
+           AS is_month_end
+FROM spine
+"""
+
+
+@register(
+    "dim_date_spine",
+    _DATE_SPINE_ORACLE,
+    doc="Generated calendar dimension (date spine) covering the fact "
+    "table's [min, max] order-date range — the gap-free scaffold "
+    "every time-series join in the warehouse hangs off (win_fill_"
+    "forward / ts_gap_detection consume exactly this shape). Spark "
+    "side is sequence() + explode over the 1-row bounds aggregate — "
+    "a generator, not a scan, so the spine costs O(days) regardless "
+    "of fact size. Day-of-week comes from integer arithmetic against "
+    "a pinned Monday anchor (1970-01-05) because the engines' native "
+    "dayofweek() conventions differ (Spark 1=Sunday, DuckDB "
+    "0=Sunday); quarter is an integer division on month. No float "
+    "anywhere.",
+)
+def dim_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bounds = t(spark, sf_dir, "orders").agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    dow = ((F.datediff(F.col("day"), F.lit(_DOW_ANCHOR).cast("date")) % 7) + 7) % 7
+    return spine.select(
+        "day",
+        F.year("day").cast("int").alias("yr"),
+        F.month("day").cast("int").alias("mo"),
+        ((F.month("day") + 2) / 3).cast("int").alias("qtr"),
+        dow.cast("int").alias("dow"),
+        F.when(dow >= 5, 1).otherwise(0).cast("int").alias("is_weekend"),
+        F.when(F.col("day") == F.last_day("day"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_month_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_bollinger — rolling mean +/- 2 sigma bands over the daily series
+# ---------------------------------------------------------------------------
+
+_BOLL_WINDOW = 20
+
+_BOLL_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {dsum_sql('o_totalprice', 2)} AS v
+    FROM orders GROUP BY 1, 2
+),
+w AS (
+    SELECT o_orderpriority, day, v,
+           CAST(row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+           ) AS BIGINT) AS rn,
+           CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN {_BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(v * v AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN {_BOLL_WINDOW - 1} PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS s2
+    FROM daily
+),
+m AS (
+    SELECT o_orderpriority, day, v,
+           s1 / {_BOLL_WINDOW}.0 AS mu,
+           sqrt(greatest(s2 / {_BOLL_WINDOW}.0
+                - (s1 / {_BOLL_WINDOW}.0) * (s1 / {_BOLL_WINDOW}.0), 0.0))
+               AS sigma
+    FROM w WHERE rn >= {_BOLL_WINDOW}
+)
+SELECT o_orderpriority, day,
+       {fpq_sql('mu', 4)} AS mid,
+       {fpq_sql('mu - 2.0 * sigma', 4)} AS lower_band,
+       {fpq_sql('mu + 2.0 * sigma', 4)} AS upper_band,
+       CAST(CASE WHEN v > mu + 2.0 * sigma THEN 1
+                 WHEN v < mu - 2.0 * sigma THEN -1
+                 ELSE 0 END AS INT) AS band_break
+FROM m
+"""
+
+
+@register(
+    "win_bollinger",
+    _BOLL_ORACLE,
+    doc="Bollinger bands (20-day rolling mean +/- 2 sigma) over the "
+    "daily order-value series per priority — the volatility envelope "
+    "beside win_rsi's momentum. Rolling first/second moments go "
+    "through per-row DECIMAL casts inside the frame so both engines "
+    "accumulate identically; sigma = sqrt(max(E[x^2]-E[x]^2, 0)) with "
+    "an identical expression shape (the greatest() guards the "
+    "constant-series case where cancellation can dip epsilon-negative "
+    "on either engine); band placement of the raw value is emitted as "
+    "an integer break flag. Warm-up rows are dropped. Same scale "
+    "shape as win_rsi: the window pass runs over the tiny "
+    "pre-aggregated daily frame.",
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("v"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    frame = w.rowsBetween(-(_BOLL_WINDOW - 1), 0)
+    base = daily.select(
+        "o_orderpriority",
+        "day",
+        "v",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum(F.col("v").cast("decimal(28,6)"))
+        .over(frame)
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)"))
+        .over(frame)
+        .cast("double")
+        .alias("s2"),
+    ).filter(F.col("rn") >= _BOLL_WINDOW)
+    k = float(_BOLL_WINDOW)
+    mu = F.col("s1") / F.lit(k)
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2") / F.lit(k) - mu * mu,
+            F.lit(0.0),
+        )
+    )
+    m = base.select(
+        "o_orderpriority", "day", "v", mu.alias("mu"), sigma.alias("sigma")
+    )
+    return m.select(
+        "o_orderpriority",
+        "day",
+        fpq(F.col("mu"), 4).alias("mid"),
+        fpq(F.col("mu") - F.lit(2.0) * F.col("sigma"), 4).alias("lower_band"),
+        fpq(F.col("mu") + F.lit(2.0) * F.col("sigma"), 4).alias("upper_band"),
+        F.when(F.col("v") > F.col("mu") + F.lit(2.0) * F.col("sigma"), 1)
+        .when(F.col("v") < F.col("mu") - F.lit(2.0) * F.col("sigma"), -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("band_break"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_cohens_d — effect size between two customer segments
+# ---------------------------------------------------------------------------
+
+_COHEN_A = "BUILDING"
+_COHEN_B = "MACHINERY"
+
+_COHEN_ORACLE = f"""
+WITH s AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('c_acctbal', 6)} AS s1,
+           {dsum_sql('c_acctbal * c_acctbal', 6)} AS s2
+    FROM customer
+    WHERE c_mktsegment IN ('{_COHEN_A}', '{_COHEN_B}')
+    GROUP BY c_mktsegment
+),
+ab AS (
+    SELECT
+        (SELECT n FROM s WHERE c_mktsegment = '{_COHEN_A}') AS na,
+        (SELECT s1 FROM s WHERE c_mktsegment = '{_COHEN_A}') AS sa1,
+        (SELECT s2 FROM s WHERE c_mktsegment = '{_COHEN_A}') AS sa2,
+        (SELECT n FROM s WHERE c_mktsegment = '{_COHEN_B}') AS nb,
+        (SELECT s1 FROM s WHERE c_mktsegment = '{_COHEN_B}') AS sb1,
+        (SELECT s2 FROM s WHERE c_mktsegment = '{_COHEN_B}') AS sb2
+),
+d AS (
+    SELECT na, nb,
+           sa1 / CAST(na AS DOUBLE) AS ma,
+           sb1 / CAST(nb AS DOUBLE) AS mb,
+           (sa2 - (sa1 / CAST(na AS DOUBLE)) * sa1)
+               / (CAST(na AS DOUBLE) - 1.0) AS va,
+           (sb2 - (sb1 / CAST(nb AS DOUBLE)) * sb1)
+               / (CAST(nb AS DOUBLE) - 1.0) AS vb
+    FROM ab
+)
+SELECT na, nb,
+       {fpq_sql('ma', 6)} AS mean_a,
+       {fpq_sql('mb', 6)} AS mean_b,
+       {fpq_sql(
+           "(ma - mb) / sqrt(((CAST(na AS DOUBLE) - 1.0) * va"
+           " + (CAST(nb AS DOUBLE) - 1.0) * vb)"
+           " / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0))", 8
+       )} AS cohens_d
+FROM d
+"""
+
+
+@register(
+    "stats_cohens_d",
+    _COHEN_ORACLE,
+    doc="Cohen's d effect size between two customer segments' account "
+    "balances — the practical-significance companion to "
+    "stats_ab_test's hypothesis test (a significant difference with "
+    "d ~ 0 is noise you can't act on). Per-segment moments are "
+    "decimal-exact sums reshaped into sample variances with an "
+    "identical double expression on both engines; d = (mean_a - "
+    "mean_b) / pooled_sigma, quantized at 1e-8. Spark plan: one "
+    "2-group aggregate pivoted into a single row — no join, no "
+    "window; the heavy lifting is the same one-pass scan any mean "
+    "takes.",
+)
+def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = F.col("c_acctbal")
+    s = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(_COHEN_A, _COHEN_B))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum(bal, 6).alias("s1"),
+            dsum(bal * bal, 6).alias("s2"),
+        )
+    )
+    seg = F.col("c_mktsegment")
+    ab = s.agg(
+        F.max(F.when(seg == _COHEN_A, F.col("n"))).alias("na"),
+        F.max(F.when(seg == _COHEN_A, F.col("s1"))).alias("sa1"),
+        F.max(F.when(seg == _COHEN_A, F.col("s2"))).alias("sa2"),
+        F.max(F.when(seg == _COHEN_B, F.col("n"))).alias("nb"),
+        F.max(F.when(seg == _COHEN_B, F.col("s1"))).alias("sb1"),
+        F.max(F.when(seg == _COHEN_B, F.col("s2"))).alias("sb2"),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    ma = F.col("sa1") / na_d
+    mb = F.col("sb1") / nb_d
+    va = (F.col("sa2") - (F.col("sa1") / na_d) * F.col("sa1")) / (
+        na_d - F.lit(1.0)
+    )
+    vb = (F.col("sb2") - (F.col("sb1") / nb_d) * F.col("sb1")) / (
+        nb_d - F.lit(1.0)
+    )
+    d = ab.select(
+        "na", "nb",
+        ma.alias("ma"), mb.alias("mb"), va.alias("va"), vb.alias("vb"),
+    )
+    na_d2 = F.col("na").cast("double")
+    nb_d2 = F.col("nb").cast("double")
+    pooled = F.sqrt(
+        ((na_d2 - F.lit(1.0)) * F.col("va")
+         + (nb_d2 - F.lit(1.0)) * F.col("vb"))
+        / (na_d2 + nb_d2 - F.lit(2.0))
+    )
+    return d.select(
+        "na", "nb",
+        fpq(F.col("ma"), 6).alias("mean_a"),
+        fpq(F.col("mb"), 6).alias("mean_b"),
+        fpq((F.col("ma") - F.col("mb")) / pooled, 8).alias("cohens_d"),
+    )
