@@ -1308,3 +1308,121 @@ def stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpq(F.col("mb"), 6).alias("mean_b"),
         fpq((F.col("ma") - F.col("mb")) / pooled, 8).alias("cohens_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — first-occurrence novelty profile per source
+# ---------------------------------------------------------------------------
+
+_NOVELTY_FP = 1_000_000
+
+_NOVELTY_ORACLE = f"""
+WITH bg AS (
+    SELECT DISTINCT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk), 1)),
+               i -> tk[i] || ' ' || tk[i+1]
+           ))) AS bigram
+    FROM (
+        SELECT doc_id, source,
+               str_split(lower(COALESCE(text, '')), ' ') AS tk
+        FROM documents
+    )
+),
+first_seen AS (
+    SELECT bigram, MIN(doc_id) AS first_doc FROM bg GROUP BY bigram
+),
+per_doc AS (
+    SELECT b.doc_id, b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM bg b JOIN first_seen f ON f.bigram = b.bigram
+    GROUP BY b.doc_id, b.source
+),
+src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    GROUP BY source
+)
+SELECT s.source, s.n_docs,
+       CAST(COALESCE(SUM(p.n_bigrams), 0) AS BIGINT) AS total_bigrams,
+       CAST(COALESCE(SUM(p.n_novel), 0) AS BIGINT) AS total_novel,
+       CAST(CASE WHEN COALESCE(SUM(p.n_bigrams), 0) = 0 THEN 0
+            ELSE (SUM(p.n_novel) * {_NOVELTY_FP}) // SUM(p.n_bigrams)
+            END AS BIGINT) AS novelty_fp
+FROM src s LEFT JOIN per_doc p ON p.source = s.source
+GROUP BY s.source, s.n_docs
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    _NOVELTY_ORACLE,
+    doc="First-occurrence n-gram novelty profile per source — the "
+    "corpus-freshness signal behind dedup-aware mixing decisions (a "
+    "source whose bigrams were all seen in earlier documents adds "
+    "little; the inverse of text_repetition's within-doc view and "
+    "dedup_lines_corpus's exact-line view). Each document's DISTINCT "
+    "bigram set is attributed to its first-appearing document "
+    "(min doc_id per bigram — ingestion order as tie-break), then "
+    "per-source totals and a 1e6 fixed-point novelty share computed "
+    "with integer floor division. Plan: one explode into a (doc, "
+    "bigram) relation, one hash aggregate for first-seen, one "
+    "join-back keyed on the same bigram hash (both sides share the "
+    "shuffle key), one small per-source rollup — every stage linear "
+    "and map-side combinable; sources with zero bigrams survive via "
+    "the left join from the per-source frame.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id", "source", F.explode(bigrams).alias("bigram")
+    ).distinct()
+    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        bg.join(first_seen, "bigram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    rolled = (
+        src.join(per_doc, "source", "left")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.coalesce(F.sum("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("total_bigrams"),
+            F.coalesce(F.sum("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("total_novel"),
+        )
+    )
+    novelty = F.when(F.col("total_bigrams") == 0, F.lit(0)).otherwise(
+        F.expr(f"(total_novel * {_NOVELTY_FP}) DIV total_bigrams")
+    )
+    return rolled.select(
+        "source", "n_docs", "total_bigrams", "total_novel",
+        novelty.cast("bigint").alias("novelty_fp"),
+    )

@@ -1247,3 +1247,153 @@ def test_rrf_fusion_scores_recompute(spark, sf_dir):
             expect += _RRF_FP // (_RRF_K + r["r_vec"])
         assert r["r_lex"] is not None or r["r_vec"] is not None
         assert r["rrf_q"] == expect
+
+
+# ---------------------------------------------------------------------------
+# r11b batch invariants
+# ---------------------------------------------------------------------------
+
+
+def test_rsi_and_bollinger_bounds(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        win_bollinger,
+        win_rsi,
+    )
+
+    rsi_rows = win_rsi(spark, sf_dir).collect()
+    assert rsi_rows, "RSI produced no rows"
+    assert all(0.0 <= r["rsi"] <= 100.0 for r in rsi_rows)
+
+    boll_rows = win_bollinger(spark, sf_dir).collect()
+    assert boll_rows, "Bollinger produced no rows"
+    for r in boll_rows:
+        # sigma >= 0 by construction, so the bands bracket the mid
+        assert r["lower_band"] <= r["mid"] <= r["upper_band"]
+        assert r["band_break"] in (-1, 0, 1)
+
+
+def test_spearman_in_unit_interval(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        stats_spearman_corr,
+    )
+
+    rows = stats_spearman_corr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["rho"] <= 1.0
+        assert r["n"] > 0
+
+
+def test_kfold_partitions_every_document(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _K_FOLDS,
+        split_kfold_hash,
+    )
+
+    rows = split_kfold_hash(spark, sf_dir).collect()
+    folds = {r["fold"] for r in rows}
+    assert folds <= set(range(_K_FOLDS))
+    docs = t(spark, sf_dir, "documents")
+    total = docs.count()
+    sum_ids = docs.agg(F.sum("doc_id")).collect()[0][0]
+    # every document lands in exactly one fold: counts AND id-sums
+    # partition the corpus
+    assert sum(r["n_docs"] for r in rows) == total
+    assert sum(r["sum_doc_id"] for r in rows) == sum_ids
+
+
+def test_date_spine_contiguous_and_calendar_sane(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        dim_date_spine,
+    )
+
+    rows = sorted(
+        dim_date_spine(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    # contiguous: one row per day, no gaps
+    assert (rows[-1]["day"] - rows[0]["day"]).days + 1 == len(rows)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6
+        assert 1 <= r["mo"] <= 12
+        assert r["qtr"] == (r["mo"] + 2) // 3
+        assert r["is_weekend"] == (1 if r["dow"] >= 5 else 0)
+        # python is the third engine for the dow convention:
+        # weekday() is 0=Monday, exactly our anchor arithmetic
+        assert r["dow"] == r["day"].weekday()
+
+
+def test_jaccard_neighbors_scores_valid(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _JACCARD_FP,
+        _JACCARD_TOP,
+        _MAX_NBR_DEG,
+        graph_jaccard_neighbors,
+    )
+
+    rows = graph_jaccard_neighbors(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _JACCARD_TOP
+    scores = [r["jaccard_fp"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["u"] < r["w"]
+        assert 2 <= r["common"] <= min(r["deg_u"], r["deg_w"])
+        assert r["deg_u"] <= _MAX_NBR_DEG and r["deg_w"] <= _MAX_NBR_DEG
+        assert 0 < r["jaccard_fp"] <= _JACCARD_FP
+
+
+def test_webdataset_tars_are_deterministic_and_well_formed(spark, sf_dir):
+    import hashlib
+    import os
+    import tarfile
+
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _WDS_SHARDS,
+        snk_webdataset_shards,
+    )
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    base = _scratch("snk_webdataset_shards", sf_dir)
+
+    def run_and_digest():
+        rows = snk_webdataset_shards(spark, sf_dir).collect()
+        digests = {}
+        for name in sorted(os.listdir(base)):
+            if not name.endswith(".tar"):
+                continue
+            with open(os.path.join(base, name), "rb") as fh:
+                digests[name] = hashlib.md5(fh.read()).hexdigest()
+        return rows, digests
+
+    rows1, d1 = run_and_digest()
+    rows2, d2 = run_and_digest()
+    # byte-identical tars across runs — any worker can rebuild the
+    # exact shard from ids alone
+    assert d1 == d2 and len(d1) == _WDS_SHARDS
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    assert all(r["n_bad_rk"] == 0 for r in rows1)
+    # WebDataset convention: members come in same-basename sample
+    # pairs, .txt + .json, in that order
+    for name in d1:
+        with tarfile.open(os.path.join(base, name)) as tar:
+            members = tar.getnames()
+        assert len(members) % 2 == 0
+        for i in range(0, len(members), 2):
+            stem_a, ext_a = os.path.splitext(members[i])
+            stem_b, ext_b = os.path.splitext(members[i + 1])
+            assert stem_a == stem_b and (ext_a, ext_b) == (".txt", ".json")
+
+
+def test_fk_orphans_covers_every_relation(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _FK_RELATIONS,
+        quality_fk_orphans,
+    )
+
+    rows = quality_fk_orphans(spark, sf_dir).collect()
+    assert len(rows) == len(_FK_RELATIONS)
+    labels = {r["relation"] for r in rows}
+    assert labels == {rel[0] for rel in _FK_RELATIONS}
+    for r in rows:
+        assert 0 <= r["n_orphans"] <= r["n_child"]
