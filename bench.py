@@ -147,6 +147,19 @@ SF1_QUERIES = [
     # late-r11: the iterative-join shape (3 power-iteration steps over
     # the checkpointed edge list) deserves its 10x leg
     "graph_pagerank",
+    # r11b additions with non-obvious scaling: the wedge join through
+    # shared neighbors (sum(deg^2) fan-out under the degree cap), the
+    # WebDataset tar sink (Arrow write + re-read + positional check),
+    # the first-seen bigram join-back, and the double per-group global
+    # sort of exact Spearman. The other r11b additions (scalar fn
+    # suites, k-fold split, date spine, RSI/Bollinger windows over the
+    # daily frame, OHLC single aggregate, FK audit over dims, XML
+    # dim-sized round-trip, Cohen's d two-group aggregate) are
+    # single-scan / tiny-frame shapes already represented above.
+    "graph_jaccard_neighbors",
+    "snk_webdataset_shards",
+    "text_ngram_novelty",
+    "stats_spearman_corr",
 ]
 
 

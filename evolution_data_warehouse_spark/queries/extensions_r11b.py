@@ -1367,11 +1367,14 @@ GROUP BY s.source, s.n_docs
     "(min doc_id per bigram — ingestion order as tie-break), then "
     "per-source totals and a 1e6 fixed-point novelty share computed "
     "with integer floor division. Plan: one explode into a (doc, "
-    "bigram) relation, one hash aggregate for first-seen, one "
-    "join-back keyed on the same bigram hash (both sides share the "
-    "shuffle key), one small per-source rollup — every stage linear "
-    "and map-side combinable; sources with zero bigrams survive via "
-    "the left join from the per-source frame.",
+    "bigram) relation — already distinct by construction "
+    "(array_distinct per doc + unique doc_id), no re-dedup shuffle — "
+    "then first-seen attribution as a WINDOW MIN over the bigram "
+    "key instead of an aggregate + join-back (one exchange, not two; "
+    "the cap_shingle_df guard argument; A/B at sf1: 11.5 s vs "
+    "13.3 s), one per-doc hash aggregate, one small per-source "
+    "rollup. Sources with zero bigrams survive via the left join "
+    "from the per-source frame.",
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
@@ -1390,11 +1393,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     bg = docs.select(
         "doc_id", "source", F.explode(bigrams).alias("bigram")
-    ).distinct()
-    first_seen = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    )
+    w = Window.partitionBy("bigram")
+    flagged = bg.withColumn("first_doc", F.min("doc_id").over(w))
     per_doc = (
-        bg.join(first_seen, "bigram")
-        .groupBy("doc_id", "source")
+        flagged.groupBy("doc_id", "source")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
             F.sum(
