@@ -1429,3 +1429,333 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "total_bigrams", "total_novel",
         novelty.cast("bigint").alias("novelty_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_window_funnel — time-window-constrained funnel depth
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW = "1 HOUR"
+
+_WF_ORACLE = f"""
+WITH v AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+c AS (
+    SELECT v.user_id, v.event_id, v.ts,
+           MIN(e.ts) AS click_ts
+    FROM v LEFT JOIN events e
+      ON e.user_id = v.user_id AND e.event_type = 'click'
+     AND e.ts > v.ts AND e.ts <= v.ts + INTERVAL {_WF_WINDOW}
+    GROUP BY v.user_id, v.event_id, v.ts
+),
+p AS (
+    SELECT c.user_id, c.event_id, c.click_ts,
+           MIN(e.ts) AS buy_ts
+    FROM c LEFT JOIN events e
+      ON e.user_id = c.user_id AND e.event_type = 'purchase'
+     AND c.click_ts IS NOT NULL
+     AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL {_WF_WINDOW}
+    GROUP BY c.user_id, c.event_id, c.click_ts
+),
+depth AS (
+    SELECT user_id,
+           MAX(CASE WHEN buy_ts IS NOT NULL THEN 3
+                    WHEN click_ts IS NOT NULL THEN 2
+                    ELSE 1 END) AS depth
+    FROM p GROUP BY user_id
+)
+SELECT CAST(depth AS INT) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth GROUP BY depth
+"""
+
+
+@register(
+    "event_window_funnel",
+    _WF_ORACLE,
+    doc="Time-window-constrained funnel depth (the ClickHouse "
+    "windowFunnel analog): view -> click within 1h -> purchase within "
+    "1h of the click, reported as a per-user max-depth histogram. "
+    "Unlike funnel_conversion's unbounded 'first event after' chain, "
+    "every hop here must land inside the sliding window, which is "
+    "what product funnels actually measure (a purchase a week later "
+    "is not this funnel). Each hop is an equi-join on user_id with a "
+    "range predicate + a MIN aggregate — fan-out is bounded by "
+    "events-per-user-per-hour, and everything shuffles on the same "
+    "user_id key so the two hops and the depth rollup share one "
+    "partitioning. MIN over timestamps is exact (µs integers) — no "
+    "float anywhere.",
+)
+def event_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("ts"))
+            & (F.col("c_ts") <= F.expr(f"ts + INTERVAL {_WF_WINDOW}")),
+            "left",
+        )
+        .groupBy("user_id", "event_id", "ts")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    p = (
+        c.join(
+            buys,
+            (F.col("p_user") == F.col("user_id"))
+            & F.col("click_ts").isNotNull()
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (
+                F.col("p_ts")
+                <= F.expr(f"click_ts + INTERVAL {_WF_WINDOW}")
+            ),
+            "left",
+        )
+        .groupBy("user_id", "event_id", "click_ts")
+        .agg(F.min("p_ts").alias("buy_ts"))
+    )
+    depth = p.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("buy_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+        ).alias("depth")
+    )
+    return depth.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_epoch_schedule — data-budget planner with repeat factors
+# ---------------------------------------------------------------------------
+
+# Pinned training-token budget and the max number of passes (epochs)
+# any single source may be repeated for — the data-constrained-scaling
+# knob (repeating a small source more than ~4 epochs stops helping).
+_EPOCH_BUDGET = 200_000
+_EPOCH_MAX_REPEAT = 4
+_EPOCH_FP = 1_000_000
+
+_EPOCH_SCHED_ORACLE = f"""
+WITH toks AS (
+    SELECT source,
+           CAST(SUM(len(str_split(COALESCE(text, ''), ' '))) AS BIGINT)
+               AS tokens_available
+    FROM documents GROUP BY source
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM toks),
+plan AS (
+    SELECT t.source, t.tokens_available,
+           CAST({_EPOCH_BUDGET} // n.n_sources AS BIGINT) AS alloc_target
+    FROM toks t CROSS JOIN n
+)
+SELECT source, tokens_available, alloc_target,
+       CAST(least(alloc_target,
+                  {_EPOCH_MAX_REPEAT} * tokens_available) AS BIGINT)
+           AS tokens_granted,
+       CAST(greatest(alloc_target
+                     - {_EPOCH_MAX_REPEAT} * tokens_available, 0)
+            AS BIGINT) AS shortfall,
+       CAST(CASE WHEN tokens_available = 0 THEN 0
+            ELSE (least(alloc_target,
+                        {_EPOCH_MAX_REPEAT} * tokens_available)
+                  * {_EPOCH_FP}) // tokens_available END AS BIGINT)
+           AS repeat_fp
+FROM plan
+"""
+
+
+@register(
+    "corpus_epoch_schedule",
+    _EPOCH_SCHED_ORACLE,
+    doc="Training-data budget planner: given a pinned token budget "
+    "split uniformly across sources, how many passes (epochs) over "
+    "each source does its allocation imply, capped at the data-"
+    "constrained-scaling limit of 4 repeats (Muennighoff et al. 2023: "
+    "returns from re-reading data decay past ~4 epochs) — the "
+    "planning table a run reads BEFORE corpus_mix_sample does the "
+    "actual md5-bucket sampling. Emits per source: available tokens, "
+    "uniform target, granted tokens (capped), the unfillable "
+    "shortfall, and the repeat factor at 1e6 fixed point — all "
+    "integer arithmetic (floor divisions both engines). Plan: one "
+    "token-count aggregate + a 1-row source-count broadcast; the "
+    "whole planner is O(sources).",
+)
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.size(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+                )
+            )
+            .cast("bigint")
+            .alias("tokens_available")
+        )
+    )
+    n = toks.agg(F.count("*").cast("bigint").alias("n_sources"))
+    plan = toks.crossJoin(F.broadcast(n)).select(
+        "source",
+        "tokens_available",
+        F.expr(f"{_EPOCH_BUDGET} DIV n_sources")
+        .cast("bigint")
+        .alias("alloc_target"),
+    )
+    granted = F.least(
+        F.col("alloc_target"),
+        F.lit(_EPOCH_MAX_REPEAT) * F.col("tokens_available"),
+    )
+    shortfall = F.greatest(
+        F.col("alloc_target")
+        - F.lit(_EPOCH_MAX_REPEAT) * F.col("tokens_available"),
+        F.lit(0),
+    )
+    repeat = F.when(F.col("tokens_available") == 0, F.lit(0)).otherwise(
+        F.expr(
+            f"(least(alloc_target, {_EPOCH_MAX_REPEAT} * tokens_available)"
+            f" * {_EPOCH_FP}) DIV tokens_available"
+        )
+    )
+    return plan.select(
+        "source",
+        "tokens_available",
+        "alloc_target",
+        granted.cast("bigint").alias("tokens_granted"),
+        shortfall.cast("bigint").alias("shortfall"),
+        repeat.cast("bigint").alias("repeat_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# limit_keyset_page — seek-method pagination
+# ---------------------------------------------------------------------------
+
+_PAGE_SIZE = 15
+_PAGE_CURSOR_DATE = "1999-06-01"
+_PAGE_CURSOR_KEY = 0
+
+_KEYSET_ORACLE = f"""
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice
+FROM orders
+WHERE CAST(o_orderdate AS DATE) > DATE '{_PAGE_CURSOR_DATE}'
+   OR (CAST(o_orderdate AS DATE) = DATE '{_PAGE_CURSOR_DATE}'
+       AND o_orderkey > {_PAGE_CURSOR_KEY})
+ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+LIMIT {_PAGE_SIZE}
+"""
+
+
+@register(
+    "limit_keyset_page",
+    _KEYSET_ORACLE,
+    doc="Keyset (seek-method) pagination: the page AFTER a cursor in a "
+    "stable (o_orderdate, o_orderkey) ordering — the API-serving "
+    "pattern that replaces OFFSET (which must scan and discard every "
+    "skipped row; page 10,000 of an OFFSET plan reads 10,000 pages). "
+    "The cursor predicate is sargable, so the scan prunes to rows "
+    "past the cursor (parquet min/max footer skipping at scale), and "
+    "the LIMIT is a TakeOrdered — per-partition top-15 then a 15-row "
+    "merge, never a global sort. Ordering is total (unique key in "
+    "the cursor), so pages are gap-free and overlap-free at any "
+    "concurrency.",
+)
+def limit_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.to_date("o_orderdate")
+    cursor_d = F.lit(_PAGE_CURSOR_DATE).cast("date")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (d > cursor_d)
+            | ((d == cursor_d) & (F.col("o_orderkey") > _PAGE_CURSOR_KEY))
+        )
+        .select(
+            "o_orderkey", d.alias("o_orderdate"), "o_totalprice"
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_pk_uniqueness — primary-key uniqueness audit
+# ---------------------------------------------------------------------------
+
+_PK_DECLS = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def _pk_oracle() -> str:
+    legs = []
+    for table, keys in _PK_DECLS:
+        key_expr = ", ".join(keys)
+        # NULL-key rows are excluded from the distinct count on BOTH
+        # engines (Spark's COUNT(DISTINCT a, b) skips any-NULL rows;
+        # the WHERE mirrors that) — a NULL key is a different defect
+        # class, reported by filter_dropna_keys/quality_expectations.
+        not_null = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+        legs.append(f"""
+SELECT '{table}' AS tbl, '{",".join(keys)}' AS pk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM (
+           SELECT DISTINCT {key_expr} FROM {table} WHERE {not_null}
+       )) AS BIGINT) AS n_distinct
+FROM {table}""")
+    return "\nUNION ALL\n".join(legs)
+
+
+@register(
+    "quality_pk_uniqueness",
+    _pk_oracle(),
+    doc="Primary-key uniqueness audit across every table in the "
+    "warehouse: declared key vs row count vs exact distinct count — "
+    "the constraint-validation twin of quality_fk_orphans (files "
+    "enforce nothing; the audit is how a lakehouse notices). "
+    "Deliberately includes lineitem's composite (l_orderkey, "
+    "l_linenumber), which this fixture genuinely violates — the "
+    "audit REPORTS it (n_distinct < n_rows) rather than assuming "
+    "cleanliness, exactly the finding that forced "
+    "stats_spearman_corr onto a unique key during development. "
+    "Each leg is one scan + one exact-distinct aggregate (map-side "
+    "partial on the key); legs are independent and union into a "
+    "10-row report.",
+)
+def quality_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out: DataFrame | None = None
+    for table, keys in _PK_DECLS:
+        df = t(spark, sf_dir, table)
+        leg = df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(*[F.col(k) for k in keys])
+            .cast("bigint")
+            .alias("n_distinct"),
+        ).select(
+            F.lit(table).alias("tbl"),
+            F.lit(",".join(keys)).alias("pk"),
+            "n_rows",
+            "n_distinct",
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out

@@ -58,6 +58,7 @@ _BNL_OK = {
     "sim_rrf_fusion": "scalar",  # same BM25 totals broadcast (lex leg)
     "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
     "graph_pagerank": "scalar",  # node count into the initial ranks
+    "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
 }
 
 
