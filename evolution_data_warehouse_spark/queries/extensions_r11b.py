@@ -1759,3 +1759,156 @@ def quality_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_sweep — near-dup threshold calibration curve
+# ---------------------------------------------------------------------------
+
+_SWEEP_THRESHOLDS = (100_000, 300_000, 500_000, 700_000, 900_000)
+_SWEEP_FP = 1_000_000
+
+
+def _sweep_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import _SHINGLES_SQL
+
+    thr_list = ", ".join(str(x) for x in _SWEEP_THRESHOLDS)
+    return f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+shu AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                  AS shingle_h
+       FROM sh0),
+sh AS (SELECT doc_id, shingle_h FROM shu
+       QUALIFY COUNT(*) OVER (PARTITION BY shingle_h)
+               <= {DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b,
+           (n_common * {_SWEEP_FP})
+               // (sa.n_sh + sb.n_sh - n_common) AS jac_fp
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+thr_list AS (SELECT unnest([{thr_list}]) AS thr),
+swept AS (
+    SELECT t.thr, p.doc_a, p.doc_b
+    FROM pairs p JOIN thr_list t ON p.jac_fp >= t.thr
+),
+pair_counts AS (
+    SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM swept GROUP BY thr
+),
+doc_counts AS (
+    SELECT thr, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_flagged
+    FROM (
+        SELECT thr, unnest([doc_a, doc_b]) AS doc FROM swept
+    ) GROUP BY thr
+)
+SELECT t.thr,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(d.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged
+FROM thr_list t
+LEFT JOIN pair_counts p ON p.thr = t.thr
+LEFT JOIN doc_counts d ON d.thr = t.thr
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    _sweep_oracle(),
+    doc="Near-dup threshold calibration curve: the exact n-gram "
+    "Jaccard pair relation (dedup_ngram_jaccard's df-capped shingle "
+    "self-join, jaccard as int64 floor division at 1e6 fixed point — "
+    "no float ranks) swept across five pinned thresholds, reporting "
+    "pairs and distinct flagged documents per threshold. This is the "
+    "table a pipeline owner reads to PICK the dedup threshold before "
+    "committing a 100 TB pass (too loose deletes real data, too "
+    "strict leaves boilerplate). Every threshold appears in the "
+    "output even at zero pairs (left join from the pinned literal "
+    "list — a silent-vanish would read as 'no dupes'). Plan: the "
+    "expensive pair relation is computed ONCE and checkpoint-pinned, "
+    "then the sweep is an explode over 5 literals + two small "
+    "aggregates; the hot-shingle df cap keeps the self-join linear "
+    "exactly as in the parent query.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cap_shingle_df,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
+    sh = (
+        cap_shingle_df(
+            _doc_shingles(spark, sf_dir).select(
+                "doc_id",
+                content_hash64(F.col("shingle")).alias("shingle_h"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    pairs = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"(n_common * {_SWEEP_FP})"
+                " DIV (sa.n_sh + sb.n_sh - n_common)"
+            ).alias("jac_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    thr_arr = F.array(*[F.lit(x) for x in _SWEEP_THRESHOLDS])
+    swept = pairs.select(
+        F.explode(thr_arr).alias("thr"), "doc_a", "doc_b", "jac_fp"
+    ).filter(F.col("jac_fp") >= F.col("thr"))
+    pair_counts = swept.groupBy("thr").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    doc_counts = (
+        swept.select(
+            "thr", F.explode(F.array("doc_a", "doc_b")).alias("doc")
+        )
+        .groupBy("thr")
+        .agg(F.countDistinct("doc").cast("bigint").alias("n_docs_flagged"))
+    )
+    thr_df = spark.range(1).select(F.explode(thr_arr).alias("thr"))
+    return (
+        thr_df.join(F.broadcast(pair_counts), "thr", "left")
+        .join(F.broadcast(doc_counts), "thr", "left")
+        .select(
+            "thr",
+            F.coalesce("n_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_flagged"),
+        )
+    )
