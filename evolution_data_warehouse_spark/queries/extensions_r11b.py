@@ -1912,3 +1912,130 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_windows — native session_window operator, oracle-checked
+# ---------------------------------------------------------------------------
+
+_SESSW_GAP = "30 minutes"
+
+_SESSW_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) > INTERVAL 30 MINUTE
+                OR lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+           THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+islands AS (
+    -- the cumulative sum MUST use the same full (ts, event_id)
+    -- tie-break as the lag: with ORDER BY ts alone, two events at an
+    -- identical timestamp straddling a session start would be
+    -- assigned engine-dependently (only the first of a tie group can
+    -- carry is_start = 1; every tied row must sort after it)
+    SELECT user_id, ts,
+           SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS sess
+    FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands
+GROUP BY user_id, sess
+"""
+
+
+@register(
+    "stream_session_windows",
+    _SESSW_ORACLE,
+    doc="Native session_window() gap-based sessionization (30-min gap) "
+    "— Spark's built-in session operator run in batch mode, the same "
+    "callable streaming/events.py::session_window_counts feeds to "
+    "Structured Streaming (tests/test_streaming.py asserts the "
+    "streaming form equals this batch twin across checkpoint "
+    "restarts). The oracle is the classic lag + cumulative-sum "
+    "gap-islands formulation, so this entry proves the BUILT-IN "
+    "operator agrees with the hand-rolled window algebra "
+    "(win_session_gap) — window end = last event + gap, per Spark's "
+    "session_window contract. One shuffle on user_id; session state "
+    "merges map-side. Timestamps are exact µs integers end to end.",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.streaming.events import (
+        session_window_counts,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    out = session_window_counts(ev, gap=_SESSW_GAP)
+    return out.select(
+        "session_start",
+        "session_end",
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_median — rolling exact median (robust smoother)
+# ---------------------------------------------------------------------------
+
+_MED_HALF = 7  # centered 15-row frame
+
+_ROLLMED_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {dsum_sql('o_totalprice', 2)} AS v
+    FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, day,
+       {fpq_sql('quantile_cont(v, 0.5) OVER ('
+                'PARTITION BY o_orderpriority ORDER BY day '
+                f'ROWS BETWEEN {_MED_HALF} PRECEDING '
+                f'AND {_MED_HALF} FOLLOWING)', 4)} AS med
+FROM daily
+"""
+
+
+@register(
+    "win_rolling_median",
+    _ROLLMED_ORACLE,
+    doc="Rolling exact median over a centered 15-row frame of the "
+    "daily order-value series — the robust smoother that, unlike "
+    "win_moving_avg, one outlier day cannot drag (the median filter "
+    "of signal processing). Spark evaluates percentile() as a window "
+    "aggregate over the same ROWS frame DuckDB's quantile_cont uses; "
+    "both interpolate the even-count midpoint with the same formula "
+    "and the inputs are decimal-exact daily sums, so the 1e-4 "
+    "fixed-point quantization only absorbs final-ulp noise. Edge "
+    "rows keep their truncated frames (identical on both engines) "
+    "rather than being dropped — a smoother that loses its first "
+    "week is not a smoother. Runs over the tiny pre-aggregated "
+    "daily frame, not the fact table.",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("v"))
+    )
+    frame = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-_MED_HALF, _MED_HALF)
+    )
+    med = F.expr("percentile(v, 0.5)").over(frame)
+    return daily.select(
+        "o_orderpriority", "day", fpq(med, 4).alias("med")
+    )
