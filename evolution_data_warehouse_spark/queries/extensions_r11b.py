@@ -1966,8 +1966,13 @@ GROUP BY user_id, sess
     "gap-islands formulation, so this entry proves the BUILT-IN "
     "operator agrees with the hand-rolled window algebra "
     "(win_session_gap) — window end = last event + gap, per Spark's "
-    "session_window contract. One shuffle on user_id; session state "
-    "merges map-side. Timestamps are exact µs integers end to end.",
+    "session_window contract. Boundary semantics probed empirically: "
+    "an event at EXACTLY prev + gap MERGES into the session (verified "
+    "on 10:00/10:30/10:59:59 with a 30-min gap -> one 3-event "
+    "session), so the oracle's strict 'gap > 30 min starts a new "
+    "session' is the exact mirror — do not 'fix' it to >=. One "
+    "shuffle on user_id; session state merges map-side. Timestamps "
+    "are exact µs integers end to end.",
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.streaming.events import (

@@ -1397,3 +1397,148 @@ def test_fk_orphans_covers_every_relation(spark, sf_dir):
     assert labels == {rel[0] for rel in _FK_RELATIONS}
     for r in rows:
         assert 0 <= r["n_orphans"] <= r["n_child"]
+
+
+def test_window_funnel_depths_partition_viewers(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        event_window_funnel,
+    )
+
+    rows = event_window_funnel(spark, sf_dir).collect()
+    assert rows and all(r["depth"] in (1, 2, 3) for r in rows)
+    viewers = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # every user with >=1 view lands in exactly one depth bucket
+    assert sum(r["n_users"] for r in rows) == viewers
+
+
+def test_epoch_schedule_budget_invariants(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _EPOCH_BUDGET,
+        _EPOCH_FP,
+        _EPOCH_MAX_REPEAT,
+        corpus_epoch_schedule,
+    )
+
+    rows = corpus_epoch_schedule(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_granted"] <= r["alloc_target"]
+        assert r["tokens_granted"] <= _EPOCH_MAX_REPEAT * r["tokens_available"]
+        assert r["shortfall"] == max(
+            0, r["alloc_target"] - _EPOCH_MAX_REPEAT * r["tokens_available"]
+        )
+        assert 0 <= r["repeat_fp"] <= _EPOCH_MAX_REPEAT * _EPOCH_FP
+    # uniform split never over-commits the budget
+    assert sum(r["tokens_granted"] for r in rows) <= _EPOCH_BUDGET
+
+
+def test_keyset_page_strictly_after_cursor_and_ordered(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _PAGE_CURSOR_DATE,
+        _PAGE_CURSOR_KEY,
+        _PAGE_SIZE,
+        limit_keyset_page,
+    )
+    import datetime
+
+    rows = limit_keyset_page(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PAGE_SIZE
+    cursor = (
+        datetime.date.fromisoformat(_PAGE_CURSOR_DATE),
+        _PAGE_CURSOR_KEY,
+    )
+    keys = [(r["o_orderdate"], r["o_orderkey"]) for r in rows]
+    assert all(k > cursor for k in keys)
+    # total order, no duplicates: pages can never overlap or skip
+    assert keys == sorted(keys) and len(set(keys)) == len(keys)
+
+
+def test_pk_uniqueness_reports_known_fixture_violation(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        quality_pk_uniqueness,
+    )
+
+    rows = {r["tbl"]: r for r in quality_pk_uniqueness(spark, sf_dir).collect()}
+    for r in rows.values():
+        assert 0 <= r["n_distinct"] <= r["n_rows"]
+    # the audit must REPORT the fixture's genuine composite-key
+    # violation, not assume cleanliness
+    assert rows["lineitem"]["n_distinct"] < rows["lineitem"]["n_rows"]
+    assert rows["orders"]["n_distinct"] == rows["orders"]["n_rows"]
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _SWEEP_THRESHOLDS,
+        dedup_threshold_sweep,
+    )
+
+    rows = sorted(
+        dedup_threshold_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["thr"],
+    )
+    assert [r["thr"] for r in rows] == sorted(_SWEEP_THRESHOLDS)
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs_flagged"] for r in rows]
+    # tightening the threshold can only shrink the flagged set
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert all(d <= 2 * p for p, d in zip(pairs, docs))
+
+
+def test_session_windows_match_gap_model(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.common import t
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        stream_session_windows,
+    )
+
+    rows = stream_session_windows(spark, sf_dir).collect()
+    total = t(spark, sf_dir, "events").count()
+    # sessions partition the event stream
+    assert sum(r["n_events"] for r in rows) == total
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r["session_start"])
+        for s in sess:
+            assert s["session_end"] > s["session_start"]
+        # gap semantics: the next session starts strictly after the
+        # previous window closes (end = last event + gap)
+        for a, b in zip(sess, sess[1:]):
+            assert b["session_start"] > a["session_end"]
+
+
+def test_rolling_median_bounded_by_frame_extremes(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.common import dsum, t
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        win_rolling_median,
+    )
+
+    med = {
+        (r["o_orderpriority"], r["day"]): r["med"]
+        for r in win_rolling_median(spark, sf_dir).collect()
+    }
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.to_date("o_orderdate").alias("day"))
+        .agg(dsum("o_totalprice", 2).alias("v"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["o_orderpriority"], []).append((r["day"], r["v"]))
+    for prio, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        for i, (day, _) in enumerate(pts):
+            lo, hi = max(0, i - 7), min(len(vals), i + 8)
+            window = vals[lo:hi]
+            assert min(window) - 1e-4 <= med[(prio, day)] <= max(window) + 1e-4
