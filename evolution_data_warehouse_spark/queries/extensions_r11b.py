@@ -2044,3 +2044,215 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "o_orderpriority", "day", fpq(med, 4).alias("med")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_distance — bounded-hop BFS from a deterministic source
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _EDGES_SQL,
+    )
+
+    return f"""
+WITH RECURSIVE {_EDGES_SQL},
+adj AS (
+    SELECT pa AS node, pb AS nbr FROM edges
+    UNION ALL
+    SELECT pb AS node, pa AS nbr FROM edges
+),
+reach(node, dist) AS (
+    SELECT (SELECT MIN(pa) FROM edges), 0
+    UNION
+    SELECT a.nbr, r.dist + 1
+    FROM reach r JOIN adj a ON a.node = r.node
+    WHERE r.dist < {_BFS_MAX_HOPS}
+),
+best AS (
+    SELECT node, CAST(MIN(dist) AS INT) AS dist FROM reach GROUP BY node
+)
+SELECT dist,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS sum_node_id
+FROM best GROUP BY dist
+"""
+
+
+@register(
+    "graph_bfs_distance",
+    _bfs_oracle(),
+    doc="Bounded-hop BFS: shortest hop distance from a deterministic "
+    "source (the minimum node id — pinned BY RULE, not by data "
+    "sample, so it is reproducible at any scale) over the "
+    "co-purchase graph, reported as a per-distance histogram with an "
+    "id-sum checksum — the reachability/radius probe beside "
+    "pagerank's centrality and the triangle count's clustering. "
+    "Spark side is frontier BFS: 4 rounds of frontier-join-adjacency "
+    "with an anti-join against the visited set, each round over the "
+    "localCheckpoint-pinned edge list (the iterative-algorithm "
+    "pattern shared with graph_pagerank — no lineage growth, no "
+    "recomputed edge build). The oracle is a recursive CTE with "
+    "UNION (set) semantics so path explosion dedups to (node, dist) "
+    "pairs per level. At 100 TB each round is one shuffle join on "
+    "the frontier — O(diameter) rounds, never materialized paths.",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import _edges
+
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    adj = e.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    ).localCheckpoint(eager=True)
+    src = e.agg(F.min("pa").alias("node")).select(
+        "node", F.lit(0).alias("dist")
+    )
+    visited = src.localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(adj, "node")
+            .select(F.col("nbr").alias("node"), F.lit(hop).alias("dist"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum("node").cast("bigint").alias("sum_node_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_cuped_adjust — CUPED variance reduction for experiment metrics
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT_DATE = "1999-01-01"
+
+_CUPED_ORACLE = f"""
+WITH per_cust AS (
+    SELECT o_custkey AS cust,
+           {dsum_sql(
+               "CASE WHEN CAST(o_orderdate AS DATE)"
+               f" < DATE '{_CUPED_SPLIT_DATE}'"
+               " THEN o_totalprice ELSE 0 END", 2
+           )} AS x,
+           {dsum_sql(
+               "CASE WHEN CAST(o_orderdate AS DATE)"
+               f" >= DATE '{_CUPED_SPLIT_DATE}'"
+               " THEN o_totalprice ELSE 0 END", 2
+           )} AS y
+    FROM orders GROUP BY o_custkey
+),
+armd AS (
+    SELECT cust, x, y, CAST(cust % 2 AS INT) AS arm FROM per_cust
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('x', 6)} AS sx, {dsum_sql('y', 6)} AS sy,
+           {dsum_sql('x * x', 6)} AS sxx, {dsum_sql('x * y', 6)} AS sxy,
+           CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           {dsum_sql('CASE WHEN arm = 0 THEN y ELSE 0 END', 6)} AS sy0,
+           {dsum_sql('CASE WHEN arm = 0 THEN x ELSE 0 END', 6)} AS sx0,
+           CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           {dsum_sql('CASE WHEN arm = 1 THEN y ELSE 0 END', 6)} AS sy1,
+           {dsum_sql('CASE WHEN arm = 1 THEN x ELSE 0 END', 6)} AS sx1
+    FROM armd
+),
+d AS (
+    SELECT n, n0, n1,
+           (sxy - sx * sy / CAST(n AS DOUBLE))
+               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS theta,
+           sx / CAST(n AS DOUBLE) AS mx,
+           sy0 / CAST(n0 AS DOUBLE) AS my0,
+           sx0 / CAST(n0 AS DOUBLE) AS mx0,
+           sy1 / CAST(n1 AS DOUBLE) AS my1,
+           sx1 / CAST(n1 AS DOUBLE) AS mx1
+    FROM s
+)
+SELECT n0, n1,
+       {fpq_sql('theta', 8)} AS theta,
+       {fpq_sql('my1 - my0', 4)} AS lift_raw,
+       {fpq_sql(
+           '(my1 - theta * (mx1 - mx)) - (my0 - theta * (mx0 - mx))', 4
+       )} AS lift_cuped
+FROM d
+"""
+
+
+@register(
+    "stats_cuped_adjust",
+    _CUPED_ORACLE,
+    doc="CUPED-adjusted experiment lift (Deng et al. 2013, WSDM: "
+    "Improving the Sensitivity of Online Controlled Experiments): "
+    "pre-period spend is the covariate, theta = cov(x,y)/var(x) "
+    "pooled over all units, and each arm's metric mean is adjusted "
+    "by -theta*(mean_x_arm - mean_x) — the variance-reduction "
+    "preprocessing every experimentation platform applies before "
+    "stats_ab_test-style inference. Arms are custkey parity (the "
+    "same deterministic assignment convention as stats_ab_test). "
+    "Everything reduces in ONE aggregate row: per-unit pre/post "
+    "sums via one group-by on customer, then conditional "
+    "decimal-exact moment sums — no scalar broadcast, no second "
+    "pass; theta and both lifts are identical double expression "
+    "shapes quantized fixed-point. Two linear shuffles total "
+    "(customer rollup, then the 1-row reduce).",
+)
+def stats_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.to_date("o_orderdate")
+    split = F.lit(_CUPED_SPLIT_DATE).cast("date")
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            dsum(
+                F.when(d < split, F.col("o_totalprice")).otherwise(0.0), 2
+            ).alias("x"),
+            dsum(
+                F.when(d >= split, F.col("o_totalprice")).otherwise(0.0), 2
+            ).alias("y"),
+        )
+    )
+    armd = per_cust.withColumn("arm", (F.col("cust") % 2).cast("int"))
+    x, y, arm = F.col("x"), F.col("y"), F.col("arm")
+    s = armd.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(x, 6).alias("sx"),
+        dsum(y, 6).alias("sy"),
+        dsum(x * x, 6).alias("sxx"),
+        dsum(x * y, 6).alias("sxy"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        dsum(F.when(arm == 0, y).otherwise(0.0), 6).alias("sy0"),
+        dsum(F.when(arm == 0, x).otherwise(0.0), 6).alias("sx0"),
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        dsum(F.when(arm == 1, y).otherwise(0.0), 6).alias("sy1"),
+        dsum(F.when(arm == 1, x).otherwise(0.0), 6).alias("sx1"),
+    )
+    n_d = F.col("n").cast("double")
+    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / n_d) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n_d
+    )
+    dd = s.select(
+        "n", "n0", "n1",
+        theta.alias("theta"),
+        (F.col("sx") / n_d).alias("mx"),
+        (F.col("sy0") / F.col("n0").cast("double")).alias("my0"),
+        (F.col("sx0") / F.col("n0").cast("double")).alias("mx0"),
+        (F.col("sy1") / F.col("n1").cast("double")).alias("my1"),
+        (F.col("sx1") / F.col("n1").cast("double")).alias("mx1"),
+    )
+    lift_raw = F.col("my1") - F.col("my0")
+    lift_cuped = (
+        F.col("my1") - F.col("theta") * (F.col("mx1") - F.col("mx"))
+    ) - (F.col("my0") - F.col("theta") * (F.col("mx0") - F.col("mx")))
+    return dd.select(
+        "n0", "n1",
+        fpq(F.col("theta"), 8).alias("theta"),
+        fpq(lift_raw, 4).alias("lift_raw"),
+        fpq(lift_cuped, 4).alias("lift_cuped"),
+    )
