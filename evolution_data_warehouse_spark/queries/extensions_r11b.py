@@ -2166,8 +2166,9 @@ s AS (
 ),
 d AS (
     SELECT n, n0, n1,
-           (sxy - sx * sy / CAST(n AS DOUBLE))
-               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS theta,
+           CASE WHEN sxx - sx * sx / CAST(n AS DOUBLE) <= 0.0 THEN 0.0
+                ELSE (sxy - sx * sy / CAST(n AS DOUBLE))
+                     / (sxx - sx * sx / CAST(n AS DOUBLE)) END AS theta,
            sx / CAST(n AS DOUBLE) AS mx,
            sy0 / CAST(n0 AS DOUBLE) AS my0,
            sx0 / CAST(n0 AS DOUBLE) AS mx0,
@@ -2234,8 +2235,13 @@ def stats_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.when(arm == 1, x).otherwise(0.0), 6).alias("sx1"),
     )
     n_d = F.col("n").cast("double")
-    theta = (F.col("sxy") - F.col("sx") * F.col("sy") / n_d) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / n_d
+    # degenerate-covariate guard: zero pre-period variance would make
+    # theta NaN/inf with engine-dependent fixed-point behavior — CUPED
+    # with a constant covariate is a no-op, so theta = 0 is the right
+    # answer, not an error
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n_d
+    theta = F.when(var_x <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("sxy") - F.col("sx") * F.col("sy") / n_d) / var_x
     )
     dd = s.select(
         "n", "n0", "n1",
