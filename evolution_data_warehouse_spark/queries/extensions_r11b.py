@@ -2262,3 +2262,75 @@ def stats_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpq(lift_raw, 4).alias("lift_raw"),
         fpq(lift_cuped, 4).alias("lift_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# src_python_datasource — custom Python DataSource (Spark 4 API)
+# ---------------------------------------------------------------------------
+
+_SYNTH_N = 100_000
+_SYNTH_PARTS = 8
+
+
+def _pyds_oracle() -> str:
+    from evolution_data_warehouse_spark.sources.pydatasource import (
+        SYNTH_MOD,
+        SYNTH_MULT,
+    )
+
+    return f"""
+WITH rows AS (
+    SELECT g AS row_id,
+           CAST(g % {_SYNTH_PARTS} AS INT) AS part_id,
+           (g * {SYNTH_MULT}) % {SYNTH_MOD} AS val
+    FROM generate_series(0, {_SYNTH_N - 1}) t(g)
+)
+SELECT part_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(MIN(row_id) AS BIGINT) AS min_row,
+       CAST(MAX(row_id) AS BIGINT) AS max_row,
+       CAST(SUM((row_id * val) % {SYNTH_MOD}) AS BIGINT) AS mix_checksum
+FROM rows GROUP BY part_id
+"""
+
+
+@register(
+    "src_python_datasource",
+    _pyds_oracle(),
+    doc="Custom Python DataSource via Spark 4's official "
+    "pyspark.sql.datasource extension API (sources/pydatasource.py) — "
+    "the sanctioned way to teach Spark a source only Python can read "
+    "(bespoke feeds, internal formats), superseding driver-side "
+    "collect-then-parallelize loaders. The source PLANS one "
+    "InputPartition per round-robin slice and each task generates "
+    "only its own rows, so the scan parallelizes like a file source "
+    "(no driver data path); the per-partition min/max/count/checksum "
+    "aggregate only matches the oracle's generate_series replay if "
+    "every partition produced exactly its slice — a partition-"
+    "planning bug (dup/missing/shifted slice) breaks min_row/"
+    "max_row/mix_checksum. Row values are int64 Knuth-hash "
+    "arithmetic kept below 2^63 (both engines exact).",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.sources.pydatasource import (
+        SYNTH_MOD,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("synthrange")
+        .option("n", _SYNTH_N)
+        .option("parts", _SYNTH_PARTS)
+        .load()
+    )
+    return df.groupBy("part_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.min("row_id").cast("bigint").alias("min_row"),
+        F.max("row_id").cast("bigint").alias("max_row"),
+        F.sum((F.col("row_id") * F.col("val")) % SYNTH_MOD)
+        .cast("bigint")
+        .alias("mix_checksum"),
+    )

@@ -1,0 +1,82 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) —
+the official extension point for sources Spark has no built-in reader
+for (internal feeds, bespoke formats, synthetic generators).
+
+This module implements a deterministic synthetic-rows source used by
+the ``src_python_datasource`` registry query: N rows split
+round-robin across P planned InputPartitions, each partition
+generating ONLY its own slice — the source parallelizes like any
+file-based scan (one task per partition, no driver data path), which
+is the property the registry query's oracle checksums verify.
+
+The row formula is pure int64 arithmetic chosen to be replayable in
+ANSI SQL (the DuckDB oracle recomputes it over generate_series):
+``val = (row_id * 2654435761) % 1000000007`` — a Knuth
+multiplicative hash kept below 2^63 so no engine can overflow.
+
+Reference parity note: the reference warehouse
+(haelbrek/Evolution-DATA-WAREHOUSE) ingests bespoke feeds with
+hand-rolled Python loaders (ingestion/*); this is the Spark-native
+re-expression of "a source only Python can read".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+SYNTH_MULT = 2654435761  # Knuth's 2^32 golden-ratio multiplier
+SYNTH_MOD = 1_000_000_007
+
+_SCHEMA = "row_id bigint, part_id int, val bigint"
+
+
+def synth_val(row_id: int) -> int:
+    """The row formula — importable so tests and oracles share it."""
+    return (row_id * SYNTH_MULT) % SYNTH_MOD
+
+
+class SynthRangeReader(DataSourceReader):
+    """Plans one InputPartition per round-robin slice; each task
+    generates only its own rows (row_id % parts == part_id)."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 100_000))
+        self.parts = int(options.get("parts", 8))
+        if self.n < 0 or self.parts <= 0:
+            raise ValueError(
+                f"synthrange needs n >= 0 and parts > 0, got "
+                f"n={self.n} parts={self.parts}"
+            )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        p = partition.value
+        for row_id in range(p, self.n, self.parts):
+            yield (row_id, p, synth_val(row_id))
+
+
+class SynthRangeDataSource(DataSource):
+    """`spark.read.format("synthrange").option("n", ...).load()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthrange"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SynthRangeReader:
+        return SynthRangeReader(self.options)
+
+
+def register_synth_source(spark) -> None:
+    """Idempotent registration (latest registration wins in Spark)."""
+    spark.dataSource.register(SynthRangeDataSource)

@@ -1542,3 +1542,26 @@ def test_rolling_median_bounded_by_frame_extremes(spark, sf_dir):
             lo, hi = max(0, i - 7), min(len(vals), i + 8)
             window = vals[lo:hi]
             assert min(window) - 1e-4 <= med[(prio, day)] <= max(window) + 1e-4
+
+
+def test_synth_datasource_reader_slices_partition_the_range():
+    import pytest as _pytest
+
+    from evolution_data_warehouse_spark.sources.pydatasource import (
+        SynthRangeReader,
+        synth_val,
+    )
+
+    r = SynthRangeReader({"n": "101", "parts": "4"})
+    parts = r.partitions()
+    assert len(parts) == 4
+    seen = {}
+    for p in parts:
+        for row_id, part_id, val in r.read(p):
+            assert row_id not in seen  # disjoint slices
+            seen[row_id] = part_id
+            assert part_id == p.value == row_id % 4
+            assert val == synth_val(row_id)
+    assert sorted(seen) == list(range(101))  # complete coverage
+    with _pytest.raises(ValueError):
+        SynthRangeReader({"n": "10", "parts": "0"})
