@@ -2334,3 +2334,59 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mix_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# udtf_sentence_stats — genuine Python UDTF (Spark 4 functions.udtf API)
+# ---------------------------------------------------------------------------
+
+_SENT_UDTF_ORACLE = """
+WITH s AS (
+    SELECT doc_id, str_split(COALESCE(text, ''), '. ') AS sents
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS sent_idx,
+       CAST(len(str_split(sents[i], ' ')) AS INT) AS n_tokens,
+       CAST(strlen(sents[i]) AS INT) AS n_chars
+FROM s, unnest(generate_series(1, len(sents))) t(i)
+"""
+
+
+@register(
+    "udtf_sentence_stats",
+    _SENT_UDTF_ORACLE,
+    doc="Genuine Python UDTF via Spark 4's functions.udtf API (the "
+    "table-function extension point, complementing udtf_rls_"
+    "predicate's DataFrame-composed form): each document LATERAL-"
+    "expands into per-sentence rows with token and byte counts. "
+    "Declared with useArrow=True so the plan node is "
+    "ArrowEvalPythonUDTF (Arrow-batched — the row-at-a-time "
+    "BatchEvalPython serde path stays banned, and "
+    "tests/test_plan_invariants.py would catch a silent fallback "
+    "because 'BatchEvalPythonUDTF' contains the banned substring). "
+    "Byte counts use len(utf-8 bytes) to mirror DuckDB's strlen "
+    "exactly — char counts would silently diverge on multibyte "
+    "text. Splitting is a pure per-row expansion: zero shuffle, "
+    "linear at any scale.",
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="sent_idx int, n_tokens int, n_chars int",
+        useArrow=True,
+    )
+    class SentStats:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, len(s.split(" ")), len(s.encode("utf-8"))
+
+    spark.udtf.register("sent_stats", SentStats)
+    t(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_sentence_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.n_tokens, s.n_chars "
+        "FROM udtf_sentence_docs, LATERAL sent_stats(text) s"
+    )
