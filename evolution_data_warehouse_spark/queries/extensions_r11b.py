@@ -2390,3 +2390,71 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.sent_idx, s.n_tokens, s.n_chars "
         "FROM udtf_sentence_docs, LATERAL sent_stats(text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# snk_python_datasource — custom Python DataSource WRITER (2-phase commit)
+# ---------------------------------------------------------------------------
+
+_PYSNK_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents GROUP BY lang
+"""
+
+
+@register(
+    "snk_python_datasource",
+    _PYSNK_ORACLE,
+    doc="Custom Python DataSource WRITER via Spark 4's "
+    "pyspark.sql.datasource API (sources/pydatasource.py JsonlSink) — "
+    "the sink-side twin of src_python_datasource, demonstrating the "
+    "API's TWO-PHASE COMMIT protocol: every task publishes a "
+    "uniquely-named file via tmp + atomic rename and returns a "
+    "commit message; only the driver-side commit() writes the "
+    "manifest that makes work visible. The query re-reads ONLY the "
+    "manifest-listed files (uncommitted or retried-task orphans are "
+    "invisible by construction — the exactly-once story object "
+    "stores need) and aggregates per language; the totals only "
+    "match the oracle if no task output was lost or double-counted. "
+    "Scale: tasks write independently, commit is O(tasks) metadata "
+    "— the same shape as a Hadoop commit protocol.",
+)
+def snk_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+    from evolution_data_warehouse_spark.sources.pydatasource import (
+        read_manifest,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    base = _scratch("snk_python_datasource", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    (
+        docs.repartition(8, "doc_id")
+        .write.format("jsonlsink")
+        .option("path", base)
+        .mode("append")
+        .save()
+    )
+    manifest = read_manifest(base)
+    files = [os.path.join(base, f) for f in manifest["files"]]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(files)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )

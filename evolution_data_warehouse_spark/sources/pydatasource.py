@@ -80,3 +80,99 @@ class SynthRangeDataSource(DataSource):
 def register_synth_source(spark) -> None:
     """Idempotent registration (latest registration wins in Spark)."""
     spark.dataSource.register(SynthRangeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource WRITER — transactional JSONL sink
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import tempfile as _tempfile
+from dataclasses import dataclass as _dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+@_dataclass
+class JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: which file this task published and its
+    row count (picklable — it travels executor -> driver)."""
+
+    filename: str
+    n_rows: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side JSONL writer with the two-phase commit protocol
+    the DataSourceWriter API prescribes: every task writes a uniquely
+    named file (tmp + atomic rename, so a re-attempted task can never
+    publish a torn file), and ONLY the driver-side commit() makes work
+    visible by writing the manifest. A reader that trusts the manifest
+    (as snk_python_datasource's re-read does) can never observe
+    uncommitted or duplicated task output — speculative/retried task
+    attempts leave orphan files that the manifest simply never lists.
+    """
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonlsink requires .option('path', ...)")
+        self.path = path
+
+    def write(self, iterator) -> JsonlCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
+        name = f"part-{pid:05d}-{attempt}.jsonl"
+        fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        n = 0
+        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    _json.dumps(row.asDict(), sort_keys=True) + "\n"
+                )
+                n += 1
+        _os.replace(tmp, _os.path.join(self.path, name))
+        return JsonlCommit(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(_json.dumps(manifest, sort_keys=True))
+        _os.replace(tmp, _os.path.join(self.path, MANIFEST_NAME))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                _os.remove(_os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("jsonlsink").option("path", ...).save()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+def read_manifest(path: str) -> dict:
+    with open(_os.path.join(path, MANIFEST_NAME), encoding="utf-8") as fh:
+        return _json.load(fh)
