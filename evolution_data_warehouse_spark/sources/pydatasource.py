@@ -176,3 +176,58 @@ def register_jsonl_sink(spark) -> None:
 def read_manifest(path: str) -> dict:
     with open(_os.path.join(path, MANIFEST_NAME), encoding="utf-8") as fh:
         return _json.load(fh)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python STREAMING source — offset-tracked, replayable
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class SynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based streaming form of the synth source: the offset is
+    simply the next row position, each micro-batch advances by
+    ``batch_rows`` (never past ``n``), and readBetweenOffsets replays
+    any committed range bit-identically — which is ALL that
+    exactly-once needs from a source: deterministic replay between
+    offsets. The engine's checkpoint owns progress; the source holds
+    no state beyond its pure row formula."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", 1_000))
+        self.batch = int(options.get("batch_rows", 100))
+        if self.n < 0 or self.batch <= 0:
+            raise ValueError(
+                f"synthrange stream needs n >= 0 and batch_rows > 0, "
+                f"got n={self.n} batch_rows={self.batch}"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # a LIST, not a generator: the engine's prefetch cache
+        # copy.copy()s the returned iterator for replay, and
+        # generators are not copyable
+        return [
+            (row_id, row_id % 8, synth_val(row_id))
+            for row_id in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        s = int(start["pos"])
+        e = min(s + self.batch, self.n)
+        return iter(self._rows(s, e)), {"pos": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))
+
+
+def _synth_simple_stream_reader(self, schema):
+    return SynthStreamReader(self.options)
+
+
+# attach the streaming hook to the batch DataSource class (one format
+# name, both read paths — exactly how built-in sources behave)
+SynthRangeDataSource.simpleStreamReader = _synth_simple_stream_reader
