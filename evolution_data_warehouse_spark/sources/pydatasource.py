@@ -231,3 +231,85 @@ def _synth_simple_stream_reader(self, schema):
 # attach the streaming hook to the batch DataSource class (one format
 # name, both read paths — exactly how built-in sources behave)
 SynthRangeDataSource.simpleStreamReader = _synth_simple_stream_reader
+
+
+# ---------------------------------------------------------------------------
+# Custom Python STREAMING writer — per-epoch commit manifests
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter
+
+EPOCH_MANIFEST_PREFIX = "_EPOCH-"
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming form of the JsonlSink commit protocol: each
+    micro-batch's tasks publish uniquely named files (tmp + atomic
+    rename), and commit(messages, batchId) writes ONE per-epoch
+    manifest — so a reader that unions only manifest-listed files
+    sees each epoch exactly once, even though task retries and
+    replayed epochs (restart re-running an uncommitted batch) may
+    leave orphan data files behind. abort() removes the epoch's
+    files so a failed batch leaves no manifest and no debris."""
+
+    def __init__(self, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonlsink stream requires .option('path')")
+        self.path = path
+
+    def write(self, iterator) -> JsonlCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"epoch-part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        n = 0
+        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        _os.replace(tmp, _os.path.join(self.path, name))
+        return JsonlCommit(filename=name, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.filename for m in messages if m),
+            "n_rows": sum(m.n_rows for m in messages if m),
+        }
+        fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+            fh.write(_json.dumps(manifest, sort_keys=True))
+        _os.replace(
+            tmp,
+            _os.path.join(
+                self.path, f"{EPOCH_MANIFEST_PREFIX}{batchId:09d}.json"
+            ),
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(_os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+def _jsonl_stream_writer(self, schema, overwrite: bool):
+    return JsonlStreamWriter(self.options)
+
+
+JsonlSinkDataSource.streamWriter = _jsonl_stream_writer
+
+
+def read_epoch_manifests(path: str) -> list[dict]:
+    """All committed epochs, in batch order."""
+    out = []
+    for name in sorted(_os.listdir(path)):
+        if name.startswith(EPOCH_MANIFEST_PREFIX) and name.endswith(".json"):
+            with open(_os.path.join(path, name), encoding="utf-8") as fh:
+                out.append(_json.load(fh))
+    return out

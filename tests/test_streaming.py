@@ -1028,3 +1028,69 @@ def test_python_datasource_stream_exactly_once_across_restart(
     assert sorted(r.row_id for r in rows) == list(range(500))
     assert all(r.val == synth_val(r.row_id) for r in rows)
     assert all(r.part_id == r.row_id % 8 for r in rows)
+
+
+def test_python_datasource_stream_writer_epoch_commits(spark, tmp_path):
+    """Streaming custom-sink leg: synth stream -> JsonlStreamWriter.
+    Each micro-batch must land as one committed epoch manifest, and
+    unioning ONLY manifest-listed files must reproduce every row
+    exactly once — including across a checkpoint restart that extends
+    the range (replayed-but-uncommitted epochs may leave orphan files;
+    they must stay invisible)."""
+    import json
+    import os
+
+    from evolution_data_warehouse_spark.sources.pydatasource import (
+        read_epoch_manifests,
+        register_jsonl_sink,
+        register_synth_source,
+        synth_val,
+    )
+
+    register_synth_source(spark)
+    register_jsonl_sink(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+
+    def run(n):
+        q = (
+            spark.readStream.format("synthrange")
+            .option("n", n)
+            .option("batch_rows", 137)
+            .load()
+            .writeStream.format("jsonlsink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def committed_rows():
+        rows = []
+        for man in read_epoch_manifests(out):
+            for fname in man["files"]:
+                with open(os.path.join(out, fname), encoding="utf-8") as fh:
+                    rows.extend(json.loads(ln) for ln in fh)
+        return rows
+
+    for _ in range(20):
+        run(300)
+        if len(committed_rows()) == 300:
+            break
+    rows = committed_rows()
+    ids = sorted(r["row_id"] for r in rows)
+    assert ids == list(range(300))
+
+    for _ in range(20):
+        run(500)
+        if len(committed_rows()) == 500:
+            break
+    rows = committed_rows()
+    ids = sorted(r["row_id"] for r in rows)
+    assert ids == list(range(500))  # exactly once, no replays
+    assert all(r["val"] == synth_val(r["row_id"]) for r in rows)
+    mans = read_epoch_manifests(out)
+    assert len(mans) >= 2  # multiple committed epochs
+    assert sum(m["n_rows"] for m in mans) == 500
