@@ -2458,3 +2458,177 @@ def snk_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_variant_extract — Spark 4 VARIANT semi-structured type
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+WITH j AS (
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM j GROUP BY event_type
+"""
+
+
+@register(
+    "fn_variant_extract",
+    _VARIANT_ORACLE,
+    doc="Semi-structured access through Spark 4's VARIANT type: "
+    "props parses ONCE into the binary variant encoding "
+    "(parse_json), then typed path extraction via variant_get — the "
+    "shred-on-read path that replaces per-access JSON string "
+    "re-parsing (at 100 TB, parsing each JSON blob once and reading "
+    "binary-encoded paths after is the difference between one scan "
+    "and one scan per accessed field; VARIANT is also the Parquet "
+    "shredding story going forward). The oracle reads the same "
+    "values through DuckDB's JSON extraction, so the entry proves "
+    "the variant round-trip is value-exact. One hash aggregate per "
+    "event type; integer aggregates only.",
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "props")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_interpolate_linear — gap-filling by linear interpolation
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {dsum_sql('o_totalprice', 2)} AS v
+    FROM orders GROUP BY 1, 2
+),
+bounds AS (
+    SELECT o_orderpriority, MIN(day) AS d0, MAX(day) AS d1
+    FROM daily GROUP BY o_orderpriority
+),
+spine AS (
+    SELECT b.o_orderpriority,
+           unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds b
+),
+joined AS (
+    SELECT s.o_orderpriority, s.day, d.v FROM spine s
+    LEFT JOIN daily d
+      ON d.o_orderpriority = s.o_orderpriority AND d.day = s.day
+),
+bracketed AS (
+    SELECT o_orderpriority, day, v,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS prev_day,
+           last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS next_day,
+           first_value(v IGNORE NULLS) OVER w_next AS next_v
+    FROM joined
+    WINDOW w_prev AS (
+        PARTITION BY o_orderpriority ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ),
+    w_next AS (
+        PARTITION BY o_orderpriority ORDER BY day
+        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+    )
+)
+SELECT o_orderpriority, day,
+       CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS INT) AS filled,
+       {fpq_sql(
+           "CASE WHEN v IS NOT NULL THEN v"
+           " ELSE prev_v + (next_v - prev_v)"
+           " * (CAST(day - prev_day AS DOUBLE)"
+           "    / CAST(next_day - prev_day AS DOUBLE)) END", 4
+       )} AS v_interp
+FROM bracketed
+"""
+
+
+@register(
+    "ts_interpolate_linear",
+    _INTERP_ORACLE,
+    doc="Gap-filling by LINEAR interpolation over the per-priority "
+    "date spine — the upgrade over win_fill_forward's LOCF when the "
+    "series is a level, not an event count (a 3-day gap fills with "
+    "the trend line, not a plateau). Spine rows missing a value take "
+    "prev + (next - prev) * elapsed/gap_span from the bracketing "
+    "observations (last_value/first_value IGNORE NULLS over "
+    "mirror-image frames); day arithmetic is exact integer date "
+    "subtraction, the one division is an identical double shape "
+    "quantized at 1e-4, and edge rows (first/last days are always "
+    "observed per bounds construction) need no extrapolation branch. "
+    "Scale: the spine is O(days x priorities) — built by generator, "
+    "joined once against the pre-aggregated daily frame.",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("v"))
+    )
+    bounds = daily.groupBy("o_orderpriority").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "o_orderpriority",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = spine.join(daily, ["o_orderpriority", "day"], "left")
+    w_prev = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    b = joined.select(
+        "o_orderpriority",
+        "day",
+        "v",
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff(F.col("day"), F.col("prev_day")).cast("double")
+        / F.datediff(F.col("next_day"), F.col("prev_day")).cast("double")
+    )
+    return b.select(
+        "o_orderpriority",
+        "day",
+        F.when(F.col("v").isNotNull(), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("filled"),
+        fpq(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4
+        ).alias("v_interp"),
+    )
