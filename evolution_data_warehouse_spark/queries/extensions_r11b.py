@@ -2632,3 +2632,127 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4
         ).alias("v_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_lateral_topk — correlated LATERAL subquery join
+# ---------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 3
+) c
+"""
+
+
+@register(
+    "join_lateral_topk",
+    _LATERAL_ORACLE,
+    doc="Correlated LATERAL join: top-3 customers by balance FOR EACH "
+    "nation, written as the SQL-standard LATERAL subquery (the "
+    "operator form users port from Postgres/DuckDB) rather than the "
+    "window-function idiom win_topn_recent uses — this entry proves "
+    "the engine accepts the declarative form AND that Catalyst "
+    "decorrelates it into the same shuffle-join + per-group-limit "
+    "plan instead of executing one subquery per outer row (the "
+    "naive O(outer x inner) evaluation). Fully tie-broken by "
+    "(balance DESC, custkey). At scale the decorrelated plan is one "
+    "hash join + WindowGroupLimit — never a re-scan per nation.",
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM lat_nation n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_pseudonymize_join — deterministic pseudonymization, joinability kept
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SALT = "pseudo-v1:"
+
+
+def _pseudo_sql(expr: str) -> str:
+    return f"md5('{_PSEUDO_SALT}' || CAST({expr} AS VARCHAR))"
+
+
+_PSEUDO_ORACLE = f"""
+WITH c AS (
+    SELECT {_pseudo_sql('c_custkey')} AS cust_token, c_nationkey
+    FROM customer
+),
+o AS (
+    SELECT {_pseudo_sql('o_custkey')} AS cust_token, o_totalprice
+    FROM orders
+)
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.cust_token) AS BIGINT) AS n_customers,
+       {dsum_sql('o.o_totalprice', 2)} AS revenue
+FROM o
+JOIN c ON c.cust_token = o.cust_token
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "pii_pseudonymize_join",
+    _PSEUDO_ORACLE,
+    doc="Deterministic pseudonymization that PRESERVES joinability — "
+    "the privacy-layer primitive beside pii_scan_report's detection "
+    "and text_redact's masking: customer keys are replaced on BOTH "
+    "fact and dimension sides by a salted md5 token (the salt is "
+    "versioned so a token vault rotation is a recompute, and raw "
+    "keys never appear downstream), then the revenue-by-nation "
+    "rollup runs ENTIRELY in token space. The aggregate equals the "
+    "raw-key join's answer by construction (the token map is "
+    "injective), which is exactly what the oracle verifies — a "
+    "collision or a salt mismatch between the two sides would break "
+    "counts. Plan: same star join shape as the raw query (hash join "
+    "on the token, broadcast nation); pseudonymization is a "
+    "scan-level projection, zero extra passes.",
+)
+def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def token(col: str):
+        return F.md5(
+            F.concat(F.lit(_PSEUDO_SALT), F.col(col).cast("string"))
+        )
+
+    c = t(spark, sf_dir, "customer").select(
+        token("c_custkey").alias("cust_token"), "c_nationkey"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        token("o_custkey").alias("cust_token"), "o_totalprice"
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, "cust_token")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct("cust_token")
+            .cast("bigint")
+            .alias("n_customers"),
+            dsum("o_totalprice", 2).alias("revenue"),
+        )
+    )
