@@ -2756,3 +2756,157 @@ def pii_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_recall_eval — LSH recall against exact Jaccard ground truth
+# ---------------------------------------------------------------------------
+
+_RECALL_EXACT_FP = 800_000  # ground truth: exact Jaccard >= 0.8
+_RECALL_FP = 1_000_000
+
+
+def _recall_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        DEFAULT_MAX_SHINGLE_DF,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _SHINGLES_SQL,
+        _mh_sql_fragments,
+    )
+
+    f = _mh_sql_fragments()
+    return f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+shu AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+                  AS shingle_h
+       FROM sh0),
+shc AS (SELECT doc_id, shingle_h FROM shu
+        QUALIFY COUNT(*) OVER (PARTITION BY shingle_h)
+                <= {DEFAULT_MAX_SHINGLE_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shc a JOIN shc b
+      ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE (n_common * {_RECALL_FP}) // (sa.n_sh + sb.n_sh - n_common)
+          >= {_RECALL_EXACT_FP}
+),
+sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {f["hm"]} AS hm FROM sh),
+mh AS (SELECT doc_id, {f["mh_cols"]} FROM h GROUP BY doc_id),
+bands_raw AS ({f["bands"]}),
+bands AS (
+    SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM bands_raw
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+hit AS (
+    SELECT e.doc_a, e.doc_b FROM exact e
+    JOIN cand c ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0
+            THEN {_RECALL_FP}
+            ELSE ((SELECT COUNT(*) FROM hit) * {_RECALL_FP})
+                 // (SELECT COUNT(*) FROM exact) END AS BIGINT)
+           AS recall_fp
+"""
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    _recall_oracle(),
+    doc="LSH recall evaluation: what fraction of TRUE near-dup pairs "
+    "(exact n-gram Jaccard >= 0.8 over the df-capped shingle "
+    "relation) does the banded MinHash candidate generation actually "
+    "surface? The index-quality metric a pipeline owner checks "
+    "before trusting dedup_minhash_lsh's parameters (16 hashes, 4x4 "
+    "bands => ~98.6% theoretical recall at j=0.9, ~67% at j=0.7 — "
+    "this entry measures the REAL number on the real corpus, the "
+    "companion to dedup_threshold_sweep's threshold calibration). "
+    "Both legs reuse the exact shared machinery of their parent "
+    "queries (one source of truth for shingles, coefficients, band "
+    "keys, and both hot-key guards); recall is integer fixed-point "
+    "with the vacuous zero-truth case pinned to 1e6. Scale: the two "
+    "pair relations are each guarded-linear; the hit join is "
+    "pair-keyed.",
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cap_shingle_df,
+        minhash_lsh_pairs,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
+    shingled = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    shc = cap_shingle_df(
+        shingled.select(
+            "doc_id", content_hash64(F.col("shingle")).alias("shingle_h")
+        )
+    ).localCheckpoint(eager=True)
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle_h") == F.col("b.shingle_h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .filter(
+            F.expr(
+                f"(n_common * {_RECALL_FP}) DIV (na + nb - n_common)"
+                f" >= {_RECALL_EXACT_FP}"
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+    cand = minhash_lsh_pairs(shingled).select("doc_a", "doc_b").distinct()
+    hit = exact.join(cand, ["doc_a", "doc_b"])
+    n_exact = exact.count()
+    n_cand = cand.count()
+    n_hit = hit.count()
+    recall = (
+        _RECALL_FP if n_exact == 0 else (n_hit * _RECALL_FP) // n_exact
+    )
+    return spark.createDataFrame(
+        [(n_exact, n_cand, n_hit, recall)],
+        "n_exact bigint, n_candidates bigint, n_hit bigint, recall_fp bigint",
+    )
