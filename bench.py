@@ -160,6 +160,17 @@ SF1_QUERIES = [
     "snk_webdataset_shards",
     "text_ngram_novelty",
     "stats_spearman_corr",
+    # late-r11 pair-join shapes: the threshold sweep re-uses the
+    # ngram-jaccard pair relation under a 5-literal explode, and the
+    # recall eval runs BOTH guarded pair pipelines (exact jaccard +
+    # minhash banding) plus their intersection — the most join-heavy
+    # composite in the registry, measured so the guard claims carry a
+    # 10x number. Also the BFS iterative-frontier shape (4 rounds over
+    # the checkpointed adjacency, the pagerank pattern at different
+    # fan-out).
+    "dedup_threshold_sweep",
+    "dedup_minhash_recall_eval",
+    "graph_bfs_distance",
 ]
 
 

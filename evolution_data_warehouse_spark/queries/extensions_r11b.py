@@ -2852,8 +2852,10 @@ SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
 )
 def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
         cap_shingle_df,
-        minhash_lsh_pairs,
+        lsh_bands,
+        minhash_signature,
     )
     from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
 
@@ -2897,8 +2899,38 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select("doc_a", "doc_b")
+        # pinned: n_exact and the hit join both consume this relation —
+        # without the checkpoint each of the three counts below would
+        # recompute the full pair self-join (measured 112 s -> see
+        # SCALE.md before/after)
+        .localCheckpoint(eager=True)
     )
-    cand = minhash_lsh_pairs(shingled).select("doc_a", "doc_b").distinct()
+    # candidate PAIRS only — minhash_lsh_pairs also joins signatures
+    # back for est_jaccard, two joins recall never reads; building the
+    # band self-join directly keeps this leg pairs-only
+    sig = minhash_signature(shingled)
+    bands = lsh_bands(sig)
+    wb = Window.partitionBy("band", "band_key")
+    bands = (
+        bands.withColumn("_bucket_n", F.count("*").over(wb))
+        .filter(F.col("_bucket_n") <= DEFAULT_MAX_BUCKET)
+        .drop("_bucket_n")
+    )
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hit = exact.join(cand, ["doc_a", "doc_b"])
     n_exact = exact.count()
     n_cand = cand.count()
