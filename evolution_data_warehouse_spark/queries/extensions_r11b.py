@@ -2942,3 +2942,68 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, n_cand, n_hit, recall)],
         "n_exact bigint, n_candidates bigint, n_hit bigint, recall_fp bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bucketed_noshuffle — bucketed tables join without an Exchange
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {dsum_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "join_bucketed_noshuffle",
+    _BUCKETED_ORACLE,
+    doc="Bucketed-table co-located join: both fact tables are "
+    "persisted bucketBy(8, orderkey) + sortBy (operators/skew.py "
+    "write_bucketed), so the orders-lineitem equi-join runs WITHOUT "
+    "a shuffle Exchange on either side — the storage-layout move "
+    "that, at 100 TB, converts every repeated join on the warehouse's "
+    "hottest key from a full network shuffle into a local merge. The "
+    "query ASSERTS the property at run time (plan_has_exchange must "
+    "be False on the join subplan — a regression fails loudly rather "
+    "than silently re-shuffling) and then proves value-correctness "
+    "via the revenue rollup against the oracle's plain join. The "
+    "only Exchange left in the whole plan is the final 5-group "
+    "rollup's.",
+)
+def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.skew import (
+        plan_has_exchange,
+        write_bucketed,
+    )
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    base = _scratch("join_bucketed_noshuffle", sf_dir)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(
+        li, "r11b_bucketed_lineitem", "l_orderkey", _BUCKETS, f"{base}/li"
+    )
+    write_bucketed(
+        orders, "r11b_bucketed_orders", "o_orderkey", _BUCKETS, f"{base}/o"
+    )
+    bl = spark.table("r11b_bucketed_lineitem")
+    bo = spark.table("r11b_bucketed_orders")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+    if plan_has_exchange(joined):
+        raise AssertionError(
+            "bucketed join plan regressed: shuffle Exchange present"
+        )
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        dsum(rev, 4).alias("revenue"),
+    )
