@@ -3007,3 +3007,257 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_lines"),
         dsum(rev, 4).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_snaive_error — seasonal-naive backtest error profile
+# ---------------------------------------------------------------------------
+
+_SNAIVE_LAG = 7
+_SNAIVE_FP = 1_000_000
+
+_SNAIVE_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {dsum_sql('o_totalprice', 2)} AS v
+    FROM orders GROUP BY 1, 2
+),
+f AS (
+    SELECT cur.o_orderpriority, cur.day, cur.v, prev.v AS yhat
+    FROM daily cur
+    JOIN daily prev
+      ON prev.o_orderpriority = cur.o_orderpriority
+     AND prev.day = cur.day - {_SNAIVE_LAG}
+),
+e AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           {dsum_sql('abs(v - yhat)', 4)} AS sum_abs_err,
+           {dsum_sql('v', 4)} AS sum_actual
+    FROM f GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_points,
+       {fpq_sql('sum_abs_err', 4)} AS sum_abs_err,
+       CAST(CASE WHEN sum_actual <= 0.0 THEN 0
+            ELSE CAST(floor(sum_abs_err * {_SNAIVE_FP} / sum_actual)
+                 AS BIGINT) END AS BIGINT) AS wape_fp
+FROM e
+"""
+
+
+@register(
+    "ts_forecast_snaive_error",
+    _SNAIVE_ORACLE,
+    doc="Seasonal-naive forecast backtest: yhat(t) = v(t-7) (the "
+    "same-weekday-last-week baseline every demand forecast must "
+    "beat), scored as WAPE = sum|err|/sum(actual) per priority — the "
+    "error yardstick that tells a team whether their model earns its "
+    "complexity. The join is an exact calendar self-join on (key, "
+    "day-7) over the pre-aggregated daily frame (the ts_autocorr "
+    "shape); error sums are decimal-exact; WAPE is floor fixed-point "
+    "with the degenerate zero-actual case pinned to 0. Days with no "
+    "week-ago observation drop out of the backtest on both engines "
+    "identically (inner join).",
+)
+def ts_forecast_snaive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("v"))
+    )
+    cur, prev = daily.alias("cur"), daily.alias("prev")
+    f = cur.join(
+        prev,
+        (F.col("prev.o_orderpriority") == F.col("cur.o_orderpriority"))
+        & (
+            F.col("prev.day")
+            == F.date_sub(F.col("cur.day"), _SNAIVE_LAG)
+        ),
+    ).select(
+        F.col("cur.o_orderpriority").alias("o_orderpriority"),
+        F.col("cur.v").alias("v"),
+        F.col("prev.v").alias("yhat"),
+    )
+    e = f.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        dsum(F.abs(F.col("v") - F.col("yhat")), 4).alias("sum_abs_err"),
+        dsum("v", 4).alias("sum_actual"),
+    )
+    wape = F.when(F.col("sum_actual") <= 0.0, F.lit(0)).otherwise(
+        F.floor(
+            F.col("sum_abs_err") * F.lit(float(_SNAIVE_FP))
+            / F.col("sum_actual")
+        ).cast("bigint")
+    )
+    return e.select(
+        "o_orderpriority",
+        "n_points",
+        fpq(F.col("sum_abs_err"), 4).alias("sum_abs_err"),
+        wape.cast("bigint").alias("wape_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_winsorized_mean — robust mean via p5/p95 clamping
+# ---------------------------------------------------------------------------
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+_WINSOR_ORACLE = f"""
+WITH lim AS (
+    SELECT c_mktsegment,
+           {fpq_sql(f'quantile_cont(c_acctbal, {_WINSOR_LO})', 6)} AS lo,
+           {fpq_sql(f'quantile_cont(c_acctbal, {_WINSOR_HI})', 6)} AS hi
+    FROM customer GROUP BY c_mktsegment
+),
+w AS (
+    SELECT c.c_mktsegment,
+           greatest(l.lo, least(l.hi, c.c_acctbal)) AS clamped,
+           CASE WHEN c.c_acctbal < l.lo OR c.c_acctbal > l.hi
+                THEN 1 ELSE 0 END AS clipped
+    FROM customer c JOIN lim l ON l.c_mktsegment = c.c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(clipped) AS BIGINT) AS n_clipped,
+       {fpq_sql(davg_sql('clamped', 6), 6)} AS winsorized_mean
+FROM w GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "win_winsorized_mean",
+    _WINSOR_ORACLE,
+    doc="Winsorized mean per market segment: balances clamp to the "
+    "segment's quantized [p5, p95] before averaging — the robust "
+    "location estimate that, unlike a trimmed mean, keeps n constant "
+    "(every row still votes, outliers just vote at the fence). The "
+    "percentile fences are interpolated then FIXED-POINT QUANTIZED "
+    "(fpq at 1e-6) BEFORE the clamp on both engines, so a final-ulp "
+    "difference in the interpolation can never flip a borderline "
+    "row's clamp decision — the same pin every fpq-threshold query "
+    "uses; the clamped average is a decimal-exact davg. Plan: one "
+    "per-segment percentile aggregate joined back (broadcast — "
+    "segment cardinality), one scan with map-side-combined moments.",
+)
+def win_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    lim = cust.groupBy("c_mktsegment").agg(
+        fpq(F.expr(f"percentile(c_acctbal, {_WINSOR_LO})"), 6).alias("lo"),
+        fpq(F.expr(f"percentile(c_acctbal, {_WINSOR_HI})"), 6).alias("hi"),
+    )
+    w = cust.join(F.broadcast(lim), "c_mktsegment").select(
+        "c_mktsegment",
+        F.greatest(
+            F.col("lo"), F.least(F.col("hi"), F.col("c_acctbal"))
+        ).alias("clamped"),
+        F.when(
+            (F.col("c_acctbal") < F.col("lo"))
+            | (F.col("c_acctbal") > F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    from evolution_data_warehouse_spark.queries.common import davg
+
+    return w.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("clipped").cast("bigint").alias("n_clipped"),
+        fpq(davg("clamped", 6), 6).alias("winsorized_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_code_detect — code-vs-prose routing gate
+# ---------------------------------------------------------------------------
+
+# Fixed-point thresholds (per mille): a doc routes to 'code' when its
+# symbol density or its braces/semicolon density crosses the fence, or
+# when a keyword hits. All ratios are integer cross-multiplications.
+_CODE_SYM_PM = 60  # >6% of chars in {}();=<>[] => code-like
+_CODE_KW = ("def ", "return ", "import ", "function ", "var ", "class ")
+
+
+def _code_oracle() -> str:
+    kw = " OR ".join(
+        f"contains(lower(body), '{k}')" for k in _CODE_KW
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, source, COALESCE(text, '') AS body FROM documents
+),
+m AS (
+    SELECT doc_id, source,
+           strlen(body) AS n_bytes,
+           strlen(body) - strlen(
+               regexp_replace(body, '[{{}}();=<>\\[\\]]', '', 'g')
+           ) AS n_sym,
+           CASE WHEN {kw} THEN 1 ELSE 0 END AS has_kw
+    FROM d
+),
+flagged AS (
+    SELECT doc_id, source,
+           CASE WHEN n_bytes > 0
+                 AND (n_sym * 1000 >= {_CODE_SYM_PM} * n_bytes
+                      OR has_kw = 1)
+           THEN 1 ELSE 0 END AS is_code
+    FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_code) AS BIGINT) AS n_code,
+       CAST(SUM(CASE WHEN is_code = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_prose
+FROM flagged GROUP BY source
+"""
+
+
+@register(
+    "text_code_detect",
+    _code_oracle(),
+    doc="Code-vs-prose routing gate per source — the pretraining "
+    "router that decides which quality stack a document enters "
+    "(Gopher/C4 rules make no sense on source code; code corpora get "
+    "their own dedup and quality path). Signals: symbol-character "
+    "density via a regexp strip-and-measure (byte counts, integer "
+    "cross-multiplied against a per-mille fence — no float ratio) "
+    "OR a pinned keyword hit; thresholds are literals so the gate is "
+    "identical at any scale. One shuffle-free scan + a per-source "
+    "rollup.",
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    body = F.coalesce(F.col("text"), F.lit(""))
+    n_bytes = F.octet_length(body)
+    n_sym = n_bytes - F.octet_length(
+        F.regexp_replace(body, r"[{}();=<>\[\]]", "")
+    )
+    has_kw = None
+    lower = F.lower(body)
+    for k in _CODE_KW:
+        cond = F.contains(lower, F.lit(k))
+        has_kw = cond if has_kw is None else (has_kw | cond)
+    is_code = F.when(
+        (n_bytes > 0)
+        & (
+            (n_sym * 1000 >= F.lit(_CODE_SYM_PM) * n_bytes)
+            | has_kw
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("source", is_code.alias("is_code"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_code").cast("bigint").alias("n_code"),
+            F.sum(F.lit(1) - F.col("is_code"))
+            .cast("bigint")
+            .alias("n_prose"),
+        )
+    )
