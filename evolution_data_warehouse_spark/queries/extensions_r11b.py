@@ -3261,3 +3261,92 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_prose"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_eval — IVF recall against the exact top-k ground truth
+# ---------------------------------------------------------------------------
+
+_ANN_RECALL_FP = 1_000_000
+
+
+def _ann_recall_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _ANN_ORACLE,
+        _ivf_oracle,
+    )
+
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})),
+iv AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle()})),
+truth AS (
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+    FROM bf GROUP BY query_id
+),
+hit AS (
+    SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM bf b JOIN iv
+      ON iv.query_id = b.query_id AND iv.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+)
+SELECT t.query_id, t.n_truth,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((COALESCE(h.n_hit, 0) * {_ANN_RECALL_FP}) // t.n_truth
+            AS BIGINT) AS recall_fp
+FROM truth t LEFT JOIN hit h ON h.query_id = t.query_id
+"""
+
+
+@register(
+    "sim_ann_recall_eval",
+    _ann_recall_oracle(),
+    doc="ANN recall@10 evaluation: per query, what fraction of the "
+    "EXACT brute-force top-10 cosine neighbors does the IVF "
+    "multi-probe search return? The index-quality metric that "
+    "decides nprobe/list-count before trusting sim_ann_ivf at scale "
+    "— the vector-search twin of dedup_minhash_recall_eval's LSH "
+    "measurement. Both legs ARE the registered queries themselves "
+    "(sim_ann_bruteforce and sim_ann_ivf called as callables, their "
+    "oracles composed as subqueries) — one source of truth, so this "
+    "eval can never drift from what those entries actually compute. "
+    "Recall is integer fixed-point against the per-query truth size "
+    "(not a hardcoded 10 — short truth lists divide by what exists). "
+    "Scale: the truth leg is the O(Q*N) exact scan — an eval you run "
+    "on a query SAMPLE at calibration time, exactly like the LSH "
+    "recall entry.",
+)
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        sim_ann_bruteforce,
+        sim_ann_ivf,
+    )
+
+    bf = sim_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    iv = sim_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    truth = bf.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_truth")
+    )
+    hit = (
+        bf.join(
+            iv,
+            (F.col("iq") == F.col("query_id"))
+            & (F.col("inb") == F.col("neighbor_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        truth.join(hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(
+                f"(coalesce(n_hit, 0) * {_ANN_RECALL_FP}) DIV n_truth"
+            )
+            .cast("bigint")
+            .alias("recall_fp"),
+        )
+    )

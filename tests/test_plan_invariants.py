@@ -59,6 +59,9 @@ _BNL_OK = {
     "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
     "graph_pagerank": "scalar",  # node count into the initial ranks
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
+    # inherits sim_ann_bruteforce's bounded query-set broadcast (its
+    # ground-truth leg IS that query, called as a callable)
+    "sim_ann_recall_eval": "AS query_id",
 }
 
 
