@@ -121,6 +121,24 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
+def cap_lsh_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` — the hot-bucket
+    guard shared by every banded pipeline (batch, incremental, and the
+    recall eval). Window-count + filter, NOT groupBy+join: the window
+    shuffles on the same (band, band_key) the pair join hashes next,
+    so both join sides reuse one exchange (~2.1x measured — see
+    minhash_lsh_pairs). One implementation so the three call sites
+    can never drift."""
+    if max_bucket is None:
+        return bands
+    w = Window.partitionBy("band", "band_key")
+    return (
+        bands.withColumn("_bucket_n", F.count("*").over(w))
+        .filter(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",
@@ -169,14 +187,7 @@ def minhash_lsh_pairs(
         sig = sig.cache()
     elif sig_storage == "checkpoint":
         sig = sig.localCheckpoint(eager=True)
-    bands = lsh_bands(sig, id_col)
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "band_key")
-        bands = (
-            bands.withColumn("_bucket_n", F.count("*").over(w))
-            .filter(F.col("_bucket_n") <= max_bucket)
-            .drop("_bucket_n")
-        )
+    bands = cap_lsh_buckets(lsh_bands(sig, id_col), max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -373,16 +384,12 @@ def minhash_lsh_pairs_incremental(
     """
     sig_c = minhash_signature(corpus_shingled, id_col).localCheckpoint(eager=True)
     sig_b = minhash_signature(batch_shingled, id_col).localCheckpoint(eager=True)
-    bands_c = lsh_bands(sig_c, id_col).select(
-        F.col(id_col).alias("corpus_id"), "band", "band_key"
+    bands_c = cap_lsh_buckets(
+        lsh_bands(sig_c, id_col).select(
+            F.col(id_col).alias("corpus_id"), "band", "band_key"
+        ),
+        max_bucket,
     )
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "band_key")
-        bands_c = (
-            bands_c.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") <= max_bucket)
-            .drop("bucket_n")
-        )
     bands_b = lsh_bands(sig_b, id_col).select(
         F.col(id_col).alias("batch_id"), "band", "band_key"
     )

@@ -1918,14 +1918,15 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_session_windows — native session_window operator, oracle-checked
 # ---------------------------------------------------------------------------
 
-_SESSW_GAP = "30 minutes"
+_SESSW_GAP_MIN = 30
+_SESSW_GAP = f"{_SESSW_GAP_MIN} minutes"
 
-_SESSW_ORACLE = """
+_SESSW_ORACLE = f"""
 WITH marked AS (
     SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
-                ) > INTERVAL 30 MINUTE
+                ) > INTERVAL {_SESSW_GAP_MIN} MINUTE
                 OR lag(ts) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                 ) IS NULL
@@ -1946,7 +1947,7 @@ islands AS (
     FROM marked
 )
 SELECT MIN(ts) AS session_start,
-       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       MAX(ts) + INTERVAL {_SESSW_GAP_MIN} MINUTE AS session_end,
        user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM islands
@@ -2853,6 +2854,7 @@ SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
 def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET,
+        cap_lsh_buckets,
         cap_shingle_df,
         lsh_bands,
         minhash_signature,
@@ -2909,13 +2911,7 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back for est_jaccard, two joins recall never reads; building the
     # band self-join directly keeps this leg pairs-only
     sig = minhash_signature(shingled)
-    bands = lsh_bands(sig)
-    wb = Window.partitionBy("band", "band_key")
-    bands = (
-        bands.withColumn("_bucket_n", F.count("*").over(wb))
-        .filter(F.col("_bucket_n") <= DEFAULT_MAX_BUCKET)
-        .drop("_bucket_n")
-    )
+    bands = cap_lsh_buckets(lsh_bands(sig), DEFAULT_MAX_BUCKET)
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (
         ba.join(
@@ -3321,7 +3317,14 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim_ann_ivf,
     )
 
-    bf = sim_ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # pinned: truth and hit both consume the O(Q*N) exact-scan leg —
+    # without the checkpoint its window-rank stages evaluate twice
+    # (the dedup_minhash_recall_eval lesson, measured there at 3.5x)
+    bf = (
+        sim_ann_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     iv = sim_ann_ivf(spark, sf_dir).select(
         F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
     )

@@ -105,6 +105,25 @@ class JsonlCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _write_jsonl_part(path: str, prefix: str, iterator) -> JsonlCommit:
+    """Shared task-side body for BOTH jsonl writers (batch + stream):
+    one uniquely named file per task attempt, tmp + atomic rename so a
+    retried attempt can never publish a torn file. One implementation
+    so a hardening fix (fsync, tmp cleanup) cannot miss a twin."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    name = f"{prefix}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+    fd, tmp = _tempfile.mkstemp(dir=path, suffix=".tmp")
+    n = 0
+    with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+        for row in iterator:
+            fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+            n += 1
+    _os.replace(tmp, _os.path.join(path, name))
+    return JsonlCommit(filename=name, n_rows=n)
+
+
 class JsonlSinkWriter(DataSourceWriter):
     """Executor-side JSONL writer with the two-phase commit protocol
     the DataSourceWriter API prescribes: every task writes a uniquely
@@ -123,27 +142,15 @@ class JsonlSinkWriter(DataSourceWriter):
         self.path = path
 
     def write(self, iterator) -> JsonlCommit:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        pid = ctx.partitionId()
-        attempt = ctx.taskAttemptId()
-        name = f"part-{pid:05d}-{attempt}.jsonl"
-        fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
-        n = 0
-        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(
-                    _json.dumps(row.asDict(), sort_keys=True) + "\n"
-                )
-                n += 1
-        _os.replace(tmp, _os.path.join(self.path, name))
-        return JsonlCommit(filename=name, n_rows=n)
+        return _write_jsonl_part(self.path, "part", iterator)
 
     def commit(self, messages) -> None:
+        # a failed task's message is None (API contract) — filter, as
+        # the streaming twin does
+        done = [m for m in messages if m]
         manifest = {
-            "files": sorted(m.filename for m in messages),
-            "n_rows": sum(m.n_rows for m in messages),
+            "files": sorted(m.filename for m in done),
+            "n_rows": sum(m.n_rows for m in done),
         }
         fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
         with _os.fdopen(fd, "w", encoding="utf-8") as fh:
@@ -152,6 +159,8 @@ class JsonlSinkWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
+            if m is None:  # the failed task that triggered the abort
+                continue
             try:
                 _os.remove(_os.path.join(self.path, m.filename))
             except OSError:
@@ -259,18 +268,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         self.path = path
 
     def write(self, iterator) -> JsonlCommit:
-        from pyspark import TaskContext
-
-        ctx = TaskContext.get()
-        name = f"epoch-part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
-        fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
-        n = 0
-        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
-                n += 1
-        _os.replace(tmp, _os.path.join(self.path, name))
-        return JsonlCommit(filename=name, n_rows=n)
+        return _write_jsonl_part(self.path, "epoch-part", iterator)
 
     def commit(self, messages, batchId: int) -> None:
         manifest = {
