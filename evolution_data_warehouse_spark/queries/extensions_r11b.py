@@ -3353,3 +3353,238 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_inter_arrival_cv — burstiness profile of the event stream
+# ---------------------------------------------------------------------------
+
+_IACV_ORACLE = f"""
+WITH g AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           )) AS BIGINT) AS gap_us
+    FROM events
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           {dsum_sql('gap_us', 0)} AS s1,
+           {dsum_sql('CAST(gap_us AS DOUBLE) * CAST(gap_us AS DOUBLE)', 0)}
+               AS s2
+    FROM g GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       {fpq_sql('s1 / CAST(n_gaps AS DOUBLE) / 1e6', 6)} AS mean_gap_s,
+       {fpq_sql(
+           "sqrt(greatest(s2 / CAST(n_gaps AS DOUBLE)"
+           " - (s1 / CAST(n_gaps AS DOUBLE))"
+           " * (s1 / CAST(n_gaps AS DOUBLE)), 0.0))"
+           " / (s1 / CAST(n_gaps AS DOUBLE))", 6
+       )} AS cv
+FROM s
+"""
+
+
+@register(
+    "event_inter_arrival_cv",
+    _IACV_ORACLE,
+    doc="Burstiness profile: coefficient of variation of inter-arrival "
+    "times per event type (cv ~ 1 is Poisson-like, cv >> 1 is bursty, "
+    "cv << 1 is metronomic) — the traffic-shape diagnostic that "
+    "decides whether event_error_spike-style anomaly thresholds can "
+    "assume Poisson noise. Gaps are exact integer microseconds from "
+    "the lag over the full (ts, event_id) tie-break; moments are "
+    "decimal-exact sums (gap^2 at µs scale needs the wide decimal — "
+    "(1e10 us)^2 overflows int64); the epsilon-negative variance "
+    "guard mirrors win_bollinger. One window pass + one hash "
+    "aggregate, both keyed on event_type.",
+)
+def event_inter_arrival_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(w))
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        dsum("gap_us", 0).alias("s1"),
+        dsum(
+            F.col("gap_us").cast("double") * F.col("gap_us").cast("double"),
+            0,
+        ).alias("s2"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    mean = F.col("s1") / n_d
+    var = F.greatest(
+        F.col("s2") / n_d - mean * mean, F.lit(0.0)
+    )
+    return s.select(
+        "event_type",
+        "n_gaps",
+        fpq(mean / F.lit(1e6), 6).alias("mean_gap_s"),
+        fpq(F.sqrt(var) / mean, 6).alias("cv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe_target_encoding_loo — leave-one-out mean target encoding
+# ---------------------------------------------------------------------------
+
+_TE_ORACLE = f"""
+WITH base AS (
+    SELECT o_custkey, o_orderpriority AS cat, o_totalprice AS y
+    FROM orders
+),
+g AS (
+    SELECT cat,
+           CAST(COUNT(*) AS BIGINT) AS n_cat,
+           {dsum_sql('y', 2)} AS sum_y
+    FROM base GROUP BY cat
+),
+enc AS (
+    SELECT b.o_custkey, b.cat, b.y, g.n_cat,
+           CASE WHEN g.n_cat <= 1 THEN NULL
+                ELSE (g.sum_y - b.y) / (CAST(g.n_cat AS DOUBLE) - 1.0)
+           END AS te_loo
+    FROM base b JOIN g ON g.cat = b.cat
+)
+SELECT cat, n_cat,
+       CAST(COUNT(te_loo) AS BIGINT) AS n_encoded,
+       {fpq_sql(dsum_sql('te_loo', 6) + ' / CAST(COUNT(te_loo) AS DOUBLE)', 6)}
+           AS mean_encoding,
+       {fpq_sql('MIN(te_loo)', 6)} AS min_encoding,
+       {fpq_sql('MAX(te_loo)', 6)} AS max_encoding
+FROM enc GROUP BY cat, n_cat
+"""
+
+
+@register(
+    "fe_target_encoding_loo",
+    _TE_ORACLE,
+    doc="Leave-one-out mean target encoding — the feature-engineering "
+    "primitive for high-cardinality categoricals (each row's encoding "
+    "is its category's target mean EXCLUDING the row itself, the "
+    "standard leak-free form: encoding with the row included lets "
+    "the feature memorize its own label). te = (sum_y - y)/(n-1) "
+    "from ONE decimal-exact per-category aggregate broadcast back — "
+    "no per-row window, no second scan shape; singleton categories "
+    "encode NULL (no leave-one-out mean exists) and are excluded "
+    "from the roll-up on both engines identically. Emitted as "
+    "per-category encoding profiles (count/mean/min/max) so the "
+    "oracle pins the whole distribution.",
+)
+def fe_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").alias("y"),
+    )
+    g = base.groupBy("cat").agg(
+        F.count("*").cast("bigint").alias("n_cat"),
+        dsum("y", 2).alias("sum_y"),
+    )
+    enc = base.join(F.broadcast(g), "cat").select(
+        "cat",
+        "n_cat",
+        F.when(F.col("n_cat") <= 1, F.lit(None).cast("double")).otherwise(
+            (F.col("sum_y") - F.col("y"))
+            / (F.col("n_cat").cast("double") - F.lit(1.0))
+        ).alias("te_loo"),
+    )
+    return enc.groupBy("cat", "n_cat").agg(
+        F.count("te_loo").cast("bigint").alias("n_encoded"),
+        fpq(
+            dsum("te_loo", 6) / F.count("te_loo").cast("double"), 6
+        ).alias("mean_encoding"),
+        fpq(F.min("te_loo"), 6).alias("min_encoding"),
+        fpq(F.max("te_loo"), 6).alias("max_encoding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_centroid_drift — embedding-space drift between two snapshots
+# ---------------------------------------------------------------------------
+
+_DRIFT_DIM = 64
+
+_EMB_DRIFT_ORACLE = f"""
+WITH cent AS (
+    SELECT label, CAST(vec_id % 2 AS INT) AS half, CAST(i AS INT) AS dim,
+           (CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e12)
+                          AS BIGINT)) AS DOUBLE) / 1e12)
+           / CAST(COUNT(*) AS DOUBLE) AS c
+    FROM embeddings, range(1, {_DRIFT_DIM + 1}) t(i)
+    GROUP BY label, vec_id % 2, i
+),
+diffs AS (
+    SELECT a.label,
+           CAST(floor(pow(a.c - b.c, 2) * 1e12 + 0.5) AS BIGINT) AS d2_fp
+    FROM cent a
+    JOIN cent b ON b.label = a.label AND b.dim = a.dim
+    WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       CAST(floor(sqrt(CAST(SUM(d2_fp) AS DOUBLE) / 1e12) * 1e9 + 0.5) / 1e9
+            AS DOUBLE) AS drift
+FROM diffs GROUP BY label
+"""
+
+
+@register(
+    "emb_centroid_drift",
+    _EMB_DRIFT_ORACLE,
+    doc="Embedding-space drift monitor: per label, the L2 distance "
+    "between the centroid of one data half (vec_id parity simulates "
+    "two ingestion snapshots) and the other — the encoder-regression "
+    "check that catches a silently retrained or misversioned "
+    "embedding model BEFORE downstream ANN/dedup quality decays "
+    "(drift_psi and snapshot_column_drift watch tabular columns; "
+    "this watches the vector space itself). Centroids use the repo's "
+    "elementwise-mean rule (floor(v*1e12) integer sums / count — the "
+    "emb_centroid_separation convention) and the squared diffs are "
+    "fixed-pointed before the final sqrt, so both engines agree "
+    "bit-for-bit. One explode + hash aggregate keyed (label, half, "
+    "dim); only O(labels x dims) rows survive the first aggregate.",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    )
+    cent = e.groupBy(
+        "label", "half", (F.col("pos") + 1).cast("int").alias("dim")
+    ).agg(
+        (
+            (F.sum(F.floor(F.col("v") * 1e12).cast("long")).cast("double") / 1e12)
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb")
+    )
+    diffs = a.join(b, ["label", "dim"]).select(
+        "label",
+        F.floor(
+            F.pow(F.col("ca") - F.col("cb"), F.lit(2)) * 1e12 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("d2_fp"),
+    )
+    drift = F.sqrt(F.sum("d2_fp").cast("double") / 1e12)
+    return diffs.groupBy("label").agg(
+        (F.floor(drift * 1e9 + F.lit(0.5)) / 1e9)
+        .cast("double")
+        .alias("drift")
+    )
