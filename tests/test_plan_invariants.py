@@ -59,9 +59,10 @@ _BNL_OK = {
     "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
     "graph_pagerank": "scalar",  # node count into the initial ranks
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
-    # inherits sim_ann_bruteforce's bounded query-set broadcast (its
-    # ground-truth leg IS that query, called as a callable)
-    "sim_ann_recall_eval": "AS query_id",
+    # (sim_ann_recall_eval's ground-truth leg inherits
+    # sim_ann_bruteforce's bounded query-set BNL, but that leg is
+    # localCheckpoint-materialized inside the callable, so the
+    # RETURNED plan is BNL-free and needs no allowlist entry)
 }
 
 
