@@ -3588,3 +3588,269 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("drift")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_size_hist — duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def _cluster_hist_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _CLUSTERS_ORACLE,
+    )
+
+    return f"""
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM ({_CLUSTERS_ORACLE}) GROUP BY cluster_id
+) GROUP BY sz
+"""
+
+
+@register(
+    "dedup_cluster_size_hist",
+    _cluster_hist_oracle(),
+    doc="Duplicate-cluster size distribution — the corpus-structure "
+    "report read off dedup_clusters' connected components (size-1 "
+    "clusters are unique docs; a long tail of large clusters means "
+    "boilerplate the keep-one-per-cluster pass will collapse, and "
+    "sizes near the hot-bucket cap say the LSH guard is doing real "
+    "work). Composes the REGISTERED dedup_clusters callable (its "
+    "oracle as a subquery) so the histogram can never drift from the "
+    "actual cluster assignment; two tiny integer aggregates on top. "
+    "n_docs per size row makes the histogram a partition of the "
+    "corpus — the oracle catches a lost or double-counted document.",
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.llm_ops import dedup_clusters
+
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_entropy_rate — conditional next-event entropy per from-state
+# ---------------------------------------------------------------------------
+
+_ER_FP = 1_000_000_000_000
+
+
+def _entropy_rate_oracle() -> str:
+    return f"""
+WITH seq AS (
+    SELECT user_id, event_type AS cur,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS nxt
+    FROM events
+),
+trans AS (
+    SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS k
+    FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+tot AS (SELECT cur, CAST(SUM(k) AS BIGINT) AS n FROM trans GROUP BY cur),
+terms AS (
+    SELECT t.cur,
+           CAST(floor(-(CAST(t.k AS DOUBLE) / o.n)
+                      * log2(CAST(t.k AS DOUBLE) / o.n)
+                      * {_ER_FP}) AS BIGINT) AS term_fp
+    FROM trans t JOIN tot o ON o.cur = t.cur
+)
+SELECT s.cur AS from_type, o.n AS n_transitions,
+       CAST(CAST(SUM(s.term_fp) AS DOUBLE) / {_ER_FP} AS DOUBLE)
+           AS entropy_bits
+FROM terms s JOIN tot o ON o.cur = s.cur
+GROUP BY s.cur, o.n
+"""
+
+
+@register(
+    "event_entropy_rate",
+    _entropy_rate_oracle(),
+    doc="Conditional next-event entropy per from-state — how "
+    "predictable is what a user does NEXT given what they just did "
+    "(the entropy-rate view of event_transition_matrix: ~log2(5) "
+    "bits means the process is memoryless noise, near 0 means "
+    "deterministic flows worth productizing). Each -p*log2(p) term "
+    "is fixed-point quantized BEFORE the sum — the agg_entropy rule "
+    "— so the float log's ulps can't make the aggregation "
+    "order-dependent; transitions come from one lead() window over "
+    "the full (ts, event_id) tie-break. Output is per from-state "
+    "with its transition count; O(types^2) intermediate only.",
+)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    tot = trans.groupBy("cur").agg(F.sum("k").cast("bigint").alias("n"))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    terms = trans.join(F.broadcast(tot), "cur").select(
+        "cur",
+        F.floor(-p * F.log2(p) * F.lit(float(_ER_FP)))
+        .cast("bigint")
+        .alias("term_fp"),
+    )
+    return (
+        terms.groupBy("cur")
+        .agg(F.sum("term_fp").alias("sum_fp"))
+        .join(F.broadcast(tot), "cur")
+        .select(
+            F.col("cur").alias("from_type"),
+            F.col("n").alias("n_transitions"),
+            (F.col("sum_fp").cast("double") / F.lit(float(_ER_FP)))
+            .cast("double")
+            .alias("entropy_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_nprobe_sweep — recall@10 as a function of nprobe
+# ---------------------------------------------------------------------------
+
+
+def _nprobe_sweep_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _ANN_ORACLE,
+        _KM_CENTROIDS,
+        _sqnorm_sql,
+    )
+
+    # the IVF candidate CTE, parameterized by probe depth — mirrors
+    # llm_ops._ivf_oracle() with rnk <= {probes}
+    from evolution_data_warehouse_spark.queries.llm_ops import DIM
+
+    dist_exprs = []
+    for c in _KM_CENTROIDS:
+        terms = " + ".join(
+            f"((CAST(embedding[{j+1}] AS DOUBLE) - {c[j]:.17e}) "
+            f"* (CAST(embedding[{j+1}] AS DOUBLE) - {c[j]:.17e}))"
+            for j in range(DIM)
+        )
+        dist_exprs.append(f"({terms})")
+    d_cols = ", ".join(f"{d} AS d{k}" for k, d in enumerate(dist_exprs))
+    long_union = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS centroid_id, d{k} AS dist FROM d"
+        for k in range(len(_KM_CENTROIDS))
+    )
+
+    def leg(probes: int) -> str:
+        return f"""
+    SELECT {probes} AS nprobe, p.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM (SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+          FROM ranked WHERE rnk <= {probes} AND vec_id < 5) p
+    JOIN corpus_b cb
+      ON p.centroid_id = cb.centroid_id AND p.vec_id <> cb.vec_id"""
+
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, sqrt({_sqnorm_sql('embeddings')}) AS norm
+    FROM embeddings
+),
+d AS (SELECT vec_id, {d_cols} FROM embeddings),
+long AS ({long_union}),
+ranked AS (
+    SELECT vec_id, centroid_id, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rnk
+    FROM long
+),
+corpus_b AS (SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+             FROM ranked WHERE rnk = 1),
+cand AS ({leg(1)} UNION ALL {leg(2)}),
+bf AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})),
+truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),
+hit AS (
+    SELECT c.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM bf b JOIN cand c
+      ON c.query_id = b.query_id AND c.neighbor_id = b.neighbor_id
+    GROUP BY c.nprobe
+)
+SELECT h.nprobe, t.n_truth, h.n_hit,
+       CAST((h.n_hit * 1000000) // t.n_truth AS BIGINT) AS recall_fp
+FROM hit h CROSS JOIN truth t
+"""
+
+
+@register(
+    "sim_ann_nprobe_sweep",
+    _nprobe_sweep_oracle(),
+    doc="IVF recall-vs-nprobe calibration curve: total recall@10 over "
+    "the query sample at probe depth 1 and 2 — the knob-tuning table "
+    "(sim_ann_recall_eval scores ONE operating point; this sweeps "
+    "the probe depth the way dedup_threshold_sweep sweeps the "
+    "Jaccard fence, and the marginal recall of the second probe is "
+    "exactly what decides whether its extra list scans are worth "
+    "it). Candidate sets at both depths come from ONE centroid "
+    "ranking (rnk <= nprobe — the deeper probe is a superset by "
+    "construction); ground truth is the registered brute-force "
+    "oracle composed as a subquery. Recall is integer fixed-point "
+    "per depth. Scale: same guarded shapes as the parents, query "
+    "sample bounded by rule.",
+)
+def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        with_norm,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _KM_CENTROIDS,
+        sim_ann_bruteforce,
+    )
+
+    e = with_norm(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "_vec", "_norm"
+    )
+    corpus_b = ivf_assign(e, _KM_CENTROIDS, n_probe=1).localCheckpoint(
+        eager=True
+    )
+    queries = e.filter(F.col("vec_id") < 5)
+    bf = (
+        sim_ann_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    legs = None
+    for probes in (1, 2):
+        qb = ivf_assign(queries, _KM_CENTROIDS, n_probe=probes)
+        cand = (
+            qb.alias("qb")
+            .join(corpus_b.alias("cb"), "centroid_id")
+            .filter(F.col("qb.vec_id") != F.col("cb.vec_id"))
+            .select(
+                F.lit(probes).alias("nprobe"),
+                F.col("qb.vec_id").alias("query_id"),
+                F.col("cb.vec_id").alias("neighbor_id"),
+            )
+        )
+        legs = cand if legs is None else legs.unionAll(cand)
+    hit = (
+        bf.join(legs, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    truth = bf.agg(F.count("*").cast("bigint").alias("n_truth"))
+    return hit.crossJoin(F.broadcast(truth)).select(
+        "nprobe",
+        "n_truth",
+        "n_hit",
+        F.expr("(n_hit * 1000000) DIV n_truth")
+        .cast("bigint")
+        .alias("recall_fp"),
+    )

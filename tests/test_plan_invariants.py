@@ -59,6 +59,7 @@ _BNL_OK = {
     "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
     "graph_pagerank": "scalar",  # node count into the initial ranks
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
+    "sim_ann_nprobe_sweep": "scalar",  # 1-row truth count x 2 sweep rows
     # (sim_ann_recall_eval's ground-truth leg inherits
     # sim_ann_bruteforce's bounded query-set BNL, but that leg is
     # localCheckpoint-materialized inside the callable, so the
