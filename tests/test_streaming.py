@@ -1094,3 +1094,61 @@ def test_python_datasource_stream_writer_epoch_commits(spark, tmp_path):
     mans = read_epoch_manifests(out)
     assert len(mans) >= 2  # multiple committed epochs
     assert sum(m["n_rows"] for m in mans) == 500
+
+
+def test_python_datasource_batch_writer_abort_leaves_no_visible_output(
+    spark, tmp_path
+):
+    """Negative path of the two-phase commit: a task failure mid-write
+    must (a) surface the error, (b) leave NO manifest (nothing is
+    visible to a manifest-gated reader), (c) have abort() remove the
+    already-published part files of the tasks that succeeded — and the
+    None commit message of the failed task must not crash abort()
+    (the bug the r11 code-review caught). A follow-up successful write
+    to the same path must publish a manifest listing only its own
+    files."""
+    import os
+
+    import pandas as pd  # noqa: F401
+    import pytest as _pytest
+
+    from evolution_data_warehouse_spark.sources.pydatasource import (
+        MANIFEST_NAME,
+        read_manifest,
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "abort_sink")
+    os.makedirs(out, exist_ok=True)
+
+    def boom(batches):
+        for pdf in batches:
+            if (pdf["doc_id"] >= 900).any():
+                raise RuntimeError("injected task failure")
+            yield pdf
+
+    df = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .repartition(4)
+        .mapInPandas(boom, "doc_id long")
+    )
+    with _pytest.raises(Exception, match="injected task failure"):
+        df.write.format("jsonlsink").option("path", out).mode(
+            "append"
+        ).save()
+
+    assert not os.path.exists(os.path.join(out, MANIFEST_NAME))
+    published = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert published == []  # abort cleaned the successful tasks' files
+
+    # the path is reusable: a clean write commits only its own files
+    ok = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    ok.repartition(2).write.format("jsonlsink").option("path", out).mode(
+        "append"
+    ).save()
+    man = read_manifest(out)
+    assert man["n_rows"] == 10
+    for f in man["files"]:
+        assert os.path.exists(os.path.join(out, f))
