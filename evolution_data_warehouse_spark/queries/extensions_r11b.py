@@ -3854,3 +3854,161 @@ def sim_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_peak_detection — local maxima with a prominence fence
+# ---------------------------------------------------------------------------
+
+# A day is a reported peak when it exceeds BOTH neighbors and clears
+# the trailing 7-day minimum by the fixed-point prominence fence
+# (peak/base >= 1.25, integer cross-multiplied: 4*peak >= 5*base).
+_PEAK_NUM, _PEAK_DEN = 5, 4
+
+_PEAK_ORACLE = f"""
+WITH daily AS (
+    SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+           {dsum_sql('o_totalprice', 2)} AS v
+    FROM orders GROUP BY 1, 2
+),
+w AS (
+    SELECT o_orderpriority, day, v,
+           lag(v) OVER win AS prev_v,
+           lead(v) OVER win AS next_v,
+           MIN(v) OVER (
+               PARTITION BY o_orderpriority ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+           ) AS base
+    FROM daily
+    WINDOW win AS (PARTITION BY o_orderpriority ORDER BY day)
+)
+SELECT o_orderpriority, day,
+       {fpq_sql('v', 4)} AS v,
+       {fpq_sql('base', 4)} AS base
+FROM w
+WHERE prev_v IS NOT NULL AND next_v IS NOT NULL AND base IS NOT NULL
+  AND v > prev_v AND v > next_v
+  AND {_PEAK_DEN} * v >= {_PEAK_NUM} * base
+"""
+
+
+@register(
+    "ts_peak_detection",
+    _PEAK_ORACLE,
+    doc="Local-maximum peak detection with a prominence fence: a day "
+    "is a peak when it beats both neighbors AND clears the trailing "
+    "7-day minimum by >= 25% (integer cross-multiplication 4v >= "
+    "5*base — a float ratio at the fence would be engine-dependent "
+    "for borderline days) — the spike-mining primitive between "
+    "event_error_spike's z-score and win_drawdown_max's trough view. "
+    "Edge days without both neighbors or a full base window are "
+    "excluded identically on both engines (NULL predicates). One "
+    "window pass over the pre-aggregated daily frame; the lag/lead/"
+    "rolling-min trio shares a single sort.",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(dsum("o_totalprice", 2).alias("v"))
+    )
+    win = Window.partitionBy("o_orderpriority").orderBy("day")
+    base_w = win.rowsBetween(-7, -1)
+    w = daily.select(
+        "o_orderpriority",
+        "day",
+        "v",
+        F.lag("v").over(win).alias("prev_v"),
+        F.lead("v").over(win).alias("next_v"),
+        F.min("v").over(base_w).alias("base"),
+    )
+    return w.filter(
+        F.col("prev_v").isNotNull()
+        & F.col("next_v").isNotNull()
+        & F.col("base").isNotNull()
+        & (F.col("v") > F.col("prev_v"))
+        & (F.col("v") > F.col("next_v"))
+        & (
+            F.lit(_PEAK_DEN) * F.col("v")
+            >= F.lit(_PEAK_NUM) * F.col("base")
+        )
+    ).select(
+        "o_orderpriority",
+        "day",
+        fpq(F.col("v"), 4).alias("v"),
+        fpq(F.col("base"), 4).alias("base"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_math_suite — cross-engine math-function determinism canary
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = f"""
+WITH x AS (
+    SELECT o_orderkey,
+           1.0 + CAST(o_orderkey % 97 AS DOUBLE) / 97.0 AS u
+    FROM orders
+),
+m AS (
+    SELECT o_orderkey % 5 AS grp,
+           {fpq_sql('sqrt(u)', 9)} AS f_sqrt,
+           {fpq_sql('ln(u)', 9)} AS f_ln,
+           {fpq_sql('exp(u)', 9)} AS f_exp,
+           {fpq_sql('log2(u)', 9)} AS f_log2,
+           {fpq_sql('pow(u, 3.0)', 9)} AS f_pow,
+           {fpq_sql('atan(u)', 9)} AS f_atan
+    FROM x
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('f_sqrt', 9)} AS sum_sqrt,
+       {dsum_sql('f_ln', 9)} AS sum_ln,
+       {dsum_sql('f_exp', 9)} AS sum_exp,
+       {dsum_sql('f_log2', 9)} AS sum_log2,
+       {dsum_sql('f_pow', 9)} AS sum_pow,
+       {dsum_sql('f_atan', 9)} AS sum_atan
+FROM m GROUP BY grp
+"""
+
+
+@register(
+    "fn_math_suite",
+    _MATH_ORACLE,
+    doc="Cross-engine math-function determinism canary: sqrt/ln/exp/"
+    "log2/pow/atan over a derived u in [1, 2), each value fixed-point "
+    "quantized at 1e-9 PER ROW and only then decimal-summed per "
+    "group — the per-term-quantize-then-sum rule (agg_entropy's) "
+    "applied to the whole transcendental toolbox. This entry exists "
+    "to fail loudly the day an engine upgrade changes a math "
+    "library's rounding beyond 1e-9, BEFORE some downstream score "
+    "silently drifts: every other query that touches ln/log2/sqrt "
+    "leans on the property this one pins. Shuffle-free scan + one "
+    "5-group aggregate.",
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        F.lit(1.0)
+        + (F.col("o_orderkey") % 97).cast("double") / F.lit(97.0)
+    )
+    m = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5).alias("grp"),
+        fpq(F.sqrt(u), 9).alias("f_sqrt"),
+        fpq(F.log(u), 9).alias("f_ln"),
+        fpq(F.exp(u), 9).alias("f_exp"),
+        fpq(F.log2(u), 9).alias("f_log2"),
+        fpq(F.pow(u, F.lit(3.0)), 9).alias("f_pow"),
+        fpq(F.atan(u), 9).alias("f_atan"),
+    )
+    return m.groupBy(F.col("grp").cast("bigint").alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("f_sqrt", 9).alias("sum_sqrt"),
+        dsum("f_ln", 9).alias("sum_ln"),
+        dsum("f_exp", 9).alias("sum_exp"),
+        dsum("f_log2", 9).alias("sum_log2"),
+        dsum("f_pow", 9).alias("sum_pow"),
+        dsum("f_atan", 9).alias("sum_atan"),
+    )
