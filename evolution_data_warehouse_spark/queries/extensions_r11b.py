@@ -4012,3 +4012,147 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("f_pow", 9).alias("sum_pow"),
         dsum("f_atan", 9).alias("sum_atan"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_percent_of_parent — hierarchy share (nation within region)
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = f"""
+WITH rev AS (
+    SELECT n.n_name AS nation, r.r_name AS region,
+           {dsum_sql('o.o_totalprice', 2)} AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY n.n_name, r.r_name
+),
+tot AS (
+    SELECT region, {dsum_sql('revenue', 2)} AS region_revenue
+    FROM rev GROUP BY region
+)
+SELECT rev.region, rev.nation,
+       {fpq_sql('rev.revenue', 2)} AS revenue,
+       {fpq_sql('tot.region_revenue', 2)} AS region_revenue,
+       {fpq_sql('rev.revenue / tot.region_revenue', 6)} AS share_of_region
+FROM rev JOIN tot ON tot.region = rev.region
+"""
+
+
+@register(
+    "agg_percent_of_parent",
+    _POP_ORACLE,
+    doc="Percent-of-parent in the geography hierarchy: each nation's "
+    "revenue as a share of its REGION's total — the drill-down "
+    "reporting shape (win_share_of_total shares against the grand "
+    "total; rollup/cube emit the parent rows but not the ratio). "
+    "Two decimal-exact aggregates — nation grain, then region grain "
+    "REAGGREGATED FROM the nation frame so parent and child totals "
+    "can never disagree — joined back on the tiny region key "
+    "(broadcast); the share divides two decimal-derived doubles and "
+    "quantizes at 1e-6. Star join broadcasts both dims; one fact "
+    "shuffle total.",
+)
+def agg_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(dsum("o_totalprice", 2).alias("revenue"))
+    )
+    tot = rev.groupBy("region").agg(dsum("revenue", 2).alias("region_revenue"))
+    return rev.join(F.broadcast(tot), "region").select(
+        "region",
+        "nation",
+        fpq(F.col("revenue"), 2).alias("revenue"),
+        fpq(F.col("region_revenue"), 2).alias("region_revenue"),
+        fpq(F.col("revenue") / F.col("region_revenue"), 6).alias(
+            "share_of_region"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — as-of join with a bounded staleness window
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL = "7 DAY"
+
+_ASOF_TOL_ORACLE = f"""
+SELECT purchase_id, user_id, purchase_ts, last_view_id, last_view_ts FROM (
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS last_view_id, v.ts AS last_view_ts,
+           row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+           ) AS rn
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+     AND v.ts > p.ts - INTERVAL {_ASOF_TOL}
+) WHERE rn = 1
+"""
+
+
+@register(
+    "join_asof_tolerance",
+    _ASOF_TOL_ORACLE,
+    doc="Backward as-of join with a staleness tolerance (pandas "
+    "merge_asof's `tolerance`, Flink's interval join): the latest "
+    "prior view per purchase, but only if it happened within the "
+    "last 7 days — older matches yield NULL instead of stale "
+    "attribution. Beyond correctness, the tolerance is the SCALE "
+    "lever join_asof lacks: the range predicate bounds each "
+    "purchase's candidate fan-out to one window of history (the "
+    "batch analog of the streaming interval join's watermark-bounded "
+    "state), where an untolerated as-of must consider a user's "
+    "entire past. Same equi-join + per-purchase window shape as "
+    "join_asof; unmatched purchases survive via the left join.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("last_view_id"),
+        F.col("ts").alias("last_view_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("last_view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("last_view_ts")
+            > F.expr(f"purchase_ts - INTERVAL {_ASOF_TOL}")
+        ),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("last_view_ts").desc_nulls_last(),
+        F.col("last_view_id").desc_nulls_last(),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "last_view_id",
+            "last_view_ts",
+        )
+    )
