@@ -40,42 +40,45 @@ from evolution_data_warehouse_spark.queries import extensions_r11b as _extension
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-11 window (per the CLAUDE.md rotation): first the 28 round-10
-# additions that have never had an official driver verdict (all green
-# in LOCAL_CONTRACT_r10.json at 335/335; 8 of them independently
-# re-verified by the r10 judge), then the 9 remaining r4-stale entries
-# (src_csv .. win_session_gap), then the 13 alphabetically-first
-# entries of the 50-entry r5 block to fill the window at exactly 50.
-# Queries added during round 11 land AFTER the window (verified
-# locally by drive_contract) and lead the round-12 head.
-# Carried-forward evidence: end-of-r10 the full 335-query registry
-# passed drive_contract (LOCAL_CONTRACT_r10.json) — the determinism
+# round-12 window (per the CLAUDE.md rotation): the 61 entries added
+# during round 11 have never had an official driver verdict (all 396
+# green in LOCAL_CONTRACT_r11.json; 8 independently re-verified by the
+# r11 judge).  The first 50 of them, in registration order, fill the
+# r12 window exactly; the remaining 11 are placed immediately after so
+# they lead the round-13 window.  Queries added during round 12 land
+# after those (verified locally by drive_contract).
+# Carried-forward evidence: end-of-r11 the full 396-query registry
+# passed drive_contract (LOCAL_CONTRACT_r11.json) — the determinism
 # rules are partition-count- and scale-independent across the full
 # surface.
-_R11_WINDOW = (
-    # 28 never-driver-verified (the r10 additions, registration order)
-    "sim_ivfpq_refine", "text_quality_gopher", "mm_audio_spectral",
-    "dedup_audio_fingerprint", "src_warc_revisit", "dedup_crawl_snapshots",
-    "web_frontier_build", "text_repetition_gopher", "text_quality_c4",
-    "dedup_lines_corpus", "decontaminate_semantic", "tok_compression_ratio",
-    "mm_video_keyframes", "mm_image_quality", "mm_image_curation",
-    "mm_audio_quality", "mm_audio_curation", "mm_video_curation",
-    "web_url_quality", "snk_jsonl_shards", "quality_profile_table",
-    "stream_quality_gate", "stats_bootstrap_ci", "agg_weighted_percentile",
-    "pack_curriculum", "win_streak_islands", "stats_mad_outliers",
-    "ts_acf_lag1",
-    # 9 remaining r4-stale entries (last official verdict: round 4)
-    "src_csv", "src_json_nested", "text_repetition", "tpch_q10",
-    "tpch_q14", "tpch_q19", "tpch_q4", "win_pct_dist", "win_session_gap",
-    # 13 alphabetically-first r5-stale entries to fill the 50
-    "agg_distinct", "agg_rollup", "decontaminate_apply", "dedup_clusters",
-    "dedup_embedding_lsh", "dedup_keep_canonical", "fn_case_when",
-    "fn_cast_numeric", "fn_coalesce", "fn_current_ts", "fn_datediff",
-    "fn_nullif", "fn_regex_extract",
+_R12_WINDOW = (
+    # 50 never-driver-verified r11 additions (registration order)
+    "mm_caption_alignment", "text_bm25_topk", "snk_shuffled_shards",
+    "sim_rrf_fusion", "text_inverted_index", "tok_oov_rate",
+    "text_quality_classifier", "corpus_dsir_weights", "graph_pagerank",
+    "stream_dedup_ingest", "pack_multimodal", "quality_l_diversity",
+    "agg_histogram_quantiles", "src_parquet_mergeschema", "fn_levenshtein",
+    "fn_bitwise_ops", "stats_spearman_corr", "agg_skew_kurtosis",
+    "quality_fk_orphans", "split_kfold_hash", "win_rsi", "ts_ohlc_bars",
+    "graph_jaccard_neighbors", "snk_webdataset_shards", "src_xml_roundtrip",
+    "dim_date_spine", "win_bollinger", "stats_cohens_d",
+    "text_ngram_novelty", "event_window_funnel", "corpus_epoch_schedule",
+    "limit_keyset_page", "quality_pk_uniqueness", "dedup_threshold_sweep",
+    "stream_session_windows", "win_rolling_median", "graph_bfs_distance",
+    "stats_cuped_adjust", "src_python_datasource", "udtf_sentence_stats",
+    "snk_python_datasource", "fn_variant_extract", "ts_interpolate_linear",
+    "join_lateral_topk", "pii_pseudonymize_join", "dedup_minhash_recall_eval",
+    "join_bucketed_noshuffle", "ts_forecast_snaive_error",
+    "win_winsorized_mean", "text_code_detect",
+    # 11 remaining never-verified r11 additions — lead the r13 window
+    "sim_ann_recall_eval", "event_inter_arrival_cv", "fe_target_encoding_loo",
+    "emb_centroid_drift", "dedup_cluster_size_hist", "event_entropy_rate",
+    "sim_ann_nprobe_sweep", "ts_peak_detection", "fn_math_suite",
+    "agg_percent_of_parent", "join_asof_tolerance",
 )
-_ordered: list[str] = list(_R11_WINDOW)
+_ordered: list[str] = list(_R12_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R11_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R12_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
