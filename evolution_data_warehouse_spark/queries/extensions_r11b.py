@@ -2454,7 +2454,10 @@ def snk_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("lang", T.StringType()),
         ]
     )
-    back = spark.read.schema(schema).json(files)
+    if not files:  # empty input relation → manifest lists zero files
+        back = spark.createDataFrame([], schema)
+    else:
+        back = spark.read.schema(schema).json(files)
     return back.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),

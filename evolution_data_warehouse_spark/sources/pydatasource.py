@@ -116,10 +116,21 @@ def _write_jsonl_part(path: str, prefix: str, iterator) -> JsonlCommit:
     name = f"{prefix}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
     fd, tmp = _tempfile.mkstemp(dir=path, suffix=".tmp")
     n = 0
-    with _os.fdopen(fd, "w", encoding="utf-8") as fh:
-        for row in iterator:
-            fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
-            n += 1
+    try:
+        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+            fh.flush()
+            _os.fsync(fh.fileno())
+    except BaseException:
+        # a failed/retried attempt must leave no tmp debris behind —
+        # abort() only knows manifest-named .jsonl files
+        try:
+            _os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     _os.replace(tmp, _os.path.join(path, name))
     return JsonlCommit(filename=name, n_rows=n)
 
@@ -153,9 +164,27 @@ class JsonlSinkWriter(DataSourceWriter):
             "n_rows": sum(m.n_rows for m in done),
         }
         fd, tmp = _tempfile.mkstemp(dir=self.path, suffix=".tmp")
-        with _os.fdopen(fd, "w", encoding="utf-8") as fh:
-            fh.write(_json.dumps(manifest, sort_keys=True))
+        try:
+            with _os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(_json.dumps(manifest, sort_keys=True))
+                fh.flush()
+                _os.fsync(fh.fileno())
+        except BaseException:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         _os.replace(tmp, _os.path.join(self.path, MANIFEST_NAME))
+        # data files are fsynced before their rename in _write_jsonl_part;
+        # fsync the directory so both the part renames and the manifest
+        # rename are durable — no window where the manifest survives a
+        # crash but the data it lists does not
+        dfd = _os.open(self.path, _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
 
     def abort(self, messages) -> None:
         for m in messages:

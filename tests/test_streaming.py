@@ -1142,6 +1142,8 @@ def test_python_datasource_batch_writer_abort_leaves_no_visible_output(
     assert not os.path.exists(os.path.join(out, MANIFEST_NAME))
     published = [f for f in os.listdir(out) if f.endswith(".jsonl")]
     assert published == []  # abort cleaned the successful tasks' files
+    tmps = [f for f in os.listdir(out) if f.endswith(".tmp")]
+    assert tmps == []  # failed attempts unlink their own mkstemp file
 
     # the path is reusable: a clean write commits only its own files
     ok = spark.range(0, 10).withColumnRenamed("id", "doc_id")
