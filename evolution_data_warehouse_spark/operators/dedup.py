@@ -597,3 +597,107 @@ def window_spans(
         .cast("long")
         .alias("dup_tokens"),
     )
+
+
+def cross_substring_spans(
+    tokens: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tk",
+    max_anchor_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """CROSS-document exact-substring dedup (the pairwise form of Lee
+    et al. 2022's ExactSubstr): which document PAIRS share a verbatim
+    token run of >= ``w`` tokens, where, and how long. ``window_spans``
+    above answers the per-document question ("which of my token ranges
+    are duplicated somewhere"); this answers the provenance question
+    ("which other document do I share them with") that cross-snapshot /
+    cross-dump curation needs.
+
+    Distributed shape — anchor k-grams, never all-pairs:
+
+    1. every w-token sliding window is 60-bit hashed (one map-side
+       explode, same construction as ``window_spans``);
+    2. the anchor-frequency guard drops window hashes occurring more
+       than ``max_anchor_df`` times corpus-wide (boilerplate guard —
+       one super-frequent window would emit O(df²) join rows; same
+       rationale and same window-count+filter plan as
+       ``cap_shingle_df``, so both sides of the next join reuse ONE
+       exchange on the hash) and keeps only hashes occurring >= 2
+       times (a unique window cannot match anything);
+    3. the anchor join pairs window occurrences on the HASH KEY only
+       (bucket-keyed equi-join — plan-locked by
+       tests/test_plan_invariants.py), ordered ``doc_a < doc_b`` so
+       each unordered pair appears once;
+    4. within-pair span extension is pure per-pair window arithmetic:
+       matches on the same alignment diagonal (pos_a - pos_b) with
+       consecutive positions are one maximal shared run — a
+       gaps-and-islands pass on (pair, diag), a run of m consecutive
+       matched windows being a shared substring of m + w - 1 tokens.
+
+    Output: one row per document pair that shares at least one
+    >=w-token run — (doc_a, doc_b, n_shared_spans,
+    longest_span_tokens, shared_tokens). All-integer, so exactly
+    engine-reproducible (oracle-checked by dedup_substring_cross).
+
+    Scale: the join fan-out is bounded by the anchor guard (a hash with
+    df occurrences emits < df² rows, df <= max_anchor_df), and
+    everything after the join is embarrassingly parallel per (doc_a,
+    doc_b, diag) group. The reference has no substring-level operator
+    at all (its dedup is row-level DISTINCT,
+    transformation/nettoyage.py).
+    """
+    n_tokens = F.size(F.col(tokens_col))
+    wins = (
+        tokens.filter(n_tokens >= w)
+        .select(
+            F.col(id_col),
+            F.posexplode(_k_gram_windows(F.col(tokens_col), w)).alias(
+                "_p0", "_win"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            (F.col("_p0") + 1).cast("long").alias("pos"),
+            content_hash64(F.col("_win")).alias("_h"),
+        )
+    )
+    guard = Window.partitionBy("_h")
+    anchored = (
+        wins.withColumn("_df", F.count("*").over(guard))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_anchor_df))
+        .drop("_df")
+    )
+    a = anchored.select(
+        F.col("_id").alias("doc_a"), F.col("pos").alias("pos_a"), "_h"
+    )
+    b = anchored.select(
+        F.col("_id").alias("doc_b"), F.col("pos").alias("pos_b"), "_h"
+    )
+    matches = (
+        a.join(b, "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    run_w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        matches.withColumn(
+            "_island", F.col("pos_a") - F.row_number().over(run_w)
+        )
+        .groupBy("doc_a", "doc_b", "diag", "_island")
+        .agg(
+            (F.max("pos_a") - F.min("pos_a") + F.lit(w))
+            .cast("long")
+            .alias("span_tokens")
+        )
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_shared_spans"),
+        F.max("span_tokens").cast("long").alias("longest_span_tokens"),
+        F.sum("span_tokens").cast("long").alias("shared_tokens"),
+    )

@@ -243,3 +243,18 @@ def test_frontier_rules_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "web_frontier_build")
     assert "BroadcastHashJoin [host_key" in plan
     assert "SortMergeJoin [host_key" not in plan
+
+
+def test_cross_substring_anchor_join_is_hash_keyed(spark, sf_dir):
+    # The ExactSubstr pair join must be an equi-join bucketed on the
+    # 60-bit window hash (_h) — an all-pairs/nested-loop plan over the
+    # window relation would be O(n²) at corpus scale. The anchor guard
+    # (window count over _h + filter) shuffles on the same key, so the
+    # plan must hash-partition on _h and never range/cartesian.
+    plan = _plan(spark, sf_dir, "dedup_substring_cross")
+    assert "hashpartitioning(_h" in plan  # the guard's exchange on the key
+    # equi-join keyed on the anchor hash — broadcast at toy SF,
+    # sort-merge at scale; never a join without the _h key
+    assert "HashJoin [_h" in plan or "SortMergeJoin [_h" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
