@@ -666,28 +666,40 @@ def pq_code_column(
     the expression tree data-sized. Shared by pq_assign and the
     single-scan IVF-PQ search (sim_ivfpq_topk)."""
     dsub = len(quantized_book[0])
-    book_lit = F.array(
-        *[
-            F.array(*[F.lit(int(c)) for c in cent])
-            for cent in quantized_book
-        ]
-    )
     vq = F.transform(
         F.slice(vec, dim_start + 1, dsub),
         lambda x: F.floor(
             x.cast("double") * F.lit(float(PQ_SCALE))
         ).cast("long"),
     )
+    return pq_code_from_fixed(vq, quantized_book)
+
+
+def pq_code_from_fixed(
+    vq_sub: Column, quantized_book: list[list[int]]
+) -> Column:
+    """Nearest-centroid code (INT) for an ALREADY fixed-point subvector
+    (array<long> at PQ_SCALE) against one quantized codebook — the
+    argmin core shared by raw-space PQ (``pq_code_column`` quantizes
+    then delegates here) and rotated-space OPQ (``opq_assign``, whose
+    subvectors come out of the integer rotation already fixed-point).
+    Exact int64 arithmetic; argmin ties break to the lowest centroid
+    id (array_position returns the FIRST match, the same rule as the
+    SQL CASE oracle)."""
+    book_lit = F.array(
+        *[
+            F.array(*[F.lit(int(c)) for c in cent])
+            for cent in quantized_book
+        ]
+    )
     dists = F.transform(
         book_lit,
         lambda cent: F.aggregate(
-            F.zip_with(cent, vq, lambda c, v: (v - c) * (v - c)),
+            F.zip_with(cent, vq_sub, lambda c, v: (v - c) * (v - c)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
     )
-    # array_position returns the FIRST match → ties break to the
-    # lowest centroid id, the same rule as the SQL CASE oracle
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -733,6 +745,123 @@ def pq_probe_lists(
         for lid, cent in enumerate(qc)
     ]
     return [lid for _, lid in sorted(dists)[:n_probe]]
+
+
+# Fixed-point scale of the OPQ rotation matrix entries; the rotated
+# coordinate is computed entirely in int64 — Σ round(R·1e6)·floor(x·1e6)
+# then an exact floor-division back to PQ_SCALE — so rotation is
+# bit-deterministic and oracle-mirrorable (integer sums commute; no
+# float summation-order hazard crosses the engine/oracle boundary).
+OPQ_R_SCALE = 1_000_000
+
+
+def opq_quantize_rotation(rotation: list[list[float]]) -> list[list[int]]:
+    """Rotation floats → the fixed-point integers the rotated
+    assignment actually multiplies by (round(r * OPQ_R_SCALE))."""
+    return [[round(r * OPQ_R_SCALE) for r in row] for row in rotation]
+
+
+def opq_assign(
+    embeddings: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Optimized-product-quantization code assignment (Ge et al. 2013,
+    parametric OPQ): rotate each vector by the learned orthogonal R
+    (PCA basis with eigenvalue allocation — tools/train_opq.py), then
+    snap each rotated subspace to its nearest codebook centroid —
+    exactly ``pq_assign`` at the same m·k code budget, just in the
+    rotated space where subspace variances are balanced. Entirely
+    exact int64 arithmetic end to end — z = floordiv(R_int · vq,
+    OPQ_R_SCALE) with vq = floor(x·PQ_SCALE), R_int = round(R·1e6);
+    magnitudes: 64-term sums ≤ ~1.3e14, distances ≤ ~1.3e14, both
+    inside int64 — so assignment is bit-deterministic and
+    oracle-mirrorable; argmin ties break to the lowest centroid id
+    (numpy argmin returns the FIRST min, the array_position rule).
+
+    Scale: one Arrow-batched ``mapInPandas`` — the rotation is a dense
+    64×64 int64 matmul per batch, which vectorized numpy does ~100×
+    faster than Catalyst's interpreted higher-order functions (the
+    expression form was measured at ~10 ms/row on this table — a
+    transform-over-literal lambda re-walks the 4096-entry rotation per
+    row; pq_assign's per-subspace argmin survives as expressions
+    because its tree is 32× smaller). R and the codebooks ride in the
+    task closure (model-sized); no shuffle, partitioning preserved."""
+    import numpy as np
+
+    qrot = np.array(opq_quantize_rotation(rotation), dtype=np.int64)
+    qbooks = np.array(
+        pq_quantize_codebooks(codebooks), dtype=np.int64
+    )  # m × k × dsub
+    m, _k, dsub = qbooks.shape
+    s = OPQ_R_SCALE
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vq = np.floor(x * PQ_SCALE).astype(np.int64)
+            z = (vq @ qrot.T) // s  # numpy // floors, = the SQL mirror
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j in range(m):
+                sub = z[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - qbooks[j][None]) ** 2).sum(
+                    axis=2
+                )
+                out[f"code{j}"] = d.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"code{j} int" for j in range(m)
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema
+    )
+
+
+def opq_rotate_query(
+    rotation: list[list[float]], query: list[float]
+) -> list[int]:
+    """Driver-side exact-integer rotation of a query vector into the
+    OPQ fixed-point domain (scale PQ_SCALE) — the query-side twin of
+    :func:`opq_rotate_fixed`, except the query quantizes with round()
+    exactly as :func:`pq_adc_lut` does for unrotated PQ. Python ints,
+    so no overflow and bit-identical wherever it runs (the oracle
+    builder shares this function)."""
+    qrot = opq_quantize_rotation(rotation)
+    qi = [round(x * PQ_SCALE) for x in query]
+    out = []
+    for row in qrot:
+        z = sum(r * v for r, v in zip(row, qi))
+        fm = ((z % OPQ_R_SCALE) + OPQ_R_SCALE) % OPQ_R_SCALE
+        out.append((z - fm) // OPQ_R_SCALE)
+    return out
+
+
+def opq_adc_lut(
+    codebooks: list[list[list[float]]], rotated_query: list[int]
+) -> list[list[int]]:
+    """ADC lookup tables in the ROTATED fixed-point domain: per
+    subspace j and centroid c, the exact int64 squared distance from
+    the rotated query (``opq_rotate_query`` output, already at
+    PQ_SCALE) to the quantized centroid. The OPQ twin of
+    :func:`pq_adc_lut` — same m-lookups-per-row compressed-domain
+    scan, same code budget."""
+    qbooks = pq_quantize_codebooks(codebooks)
+    dsub = len(codebooks[0][0])
+    return [
+        [
+            sum(
+                (rotated_query[j * dsub + i] - cent[i]) ** 2
+                for i in range(dsub)
+            )
+            for cent in qbooks[j]
+        ]
+        for j in range(len(codebooks))
+    ]
 
 
 def oversize_clusters(

@@ -104,3 +104,298 @@ def dedup_substring_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
     )
     return cross_substring_spans(docs, w=_XS_W, max_anchor_df=_XS_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
+# sim_opq_assign — OPQ-rotated product quantization (Ge et al. 2013)
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.queries.extensions_r9 import (  # noqa: E402
+    _PQ_BOOKS,
+    _PQ_M,
+    _PQ_QUERY,
+    _pq_adc_sql,
+    _pq_dist_code_sql,
+    _pq_vdefs_sql,
+)
+from evolution_data_warehouse_spark.queries.opq_model import (  # noqa: E402
+    OPQ_BOOKS as _OPQ_BOOKS,
+    OPQ_R as _OPQ_R,
+)
+
+
+def _opq_rotate_sql() -> str:
+    """The two rotation CTE bodies every OPQ oracle shares: z0 = exact
+    int64 matvec of the quantized rotation against the fixed-point
+    embedding list, then an exact floor-division back to PQ_SCALE,
+    re-aliased ``vq`` so the shared PQ code fragments
+    (_pq_dist_code_sql) apply unchanged in the rotated space."""
+    from evolution_data_warehouse_spark.operators.similarity import (
+        OPQ_R_SCALE,
+        opq_quantize_rotation,
+    )
+
+    r_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(int(r)) for r in row) + "]"
+            for row in opq_quantize_rotation(_OPQ_R)
+        )
+        + "]"
+    )
+    s = OPQ_R_SCALE
+    return f"""
+z0 AS (
+    SELECT vec_id,
+           list_transform({r_lit},
+               row -> list_sum(list_transform(row, (rv, i) -> rv * vq[i])))
+               AS z0
+    FROM v
+),
+rv AS (
+    SELECT vec_id,
+           list_transform(z0, z -> CAST(
+               (z - (((z % {s}) + {s}) % {s})) // {s} AS BIGINT)) AS vq
+    FROM z0
+)"""
+
+
+def _opq_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        opq_adc_lut,
+        opq_rotate_query,
+        pq_quantize_codebooks,
+    )
+
+    ddefs, codes = _pq_dist_code_sql(
+        pq_quantize_codebooks(_OPQ_BOOKS), "d"
+    )
+    qz = opq_rotate_query(_OPQ_R, _PQ_QUERY)
+    adc = _pq_adc_sql(opq_adc_lut(_OPQ_BOOKS, qz), "d")
+    packed = " + ".join(
+        f"CAST(dcode{j} AS BIGINT) * {16 ** j}" for j in range(_PQ_M)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+{_opq_rotate_sql()},
+d AS (SELECT vec_id, {", ".join(ddefs)} FROM rv),
+c AS (SELECT vec_id, {", ".join(codes)} FROM d)
+SELECT vec_id,
+       CAST({packed} AS BIGINT) AS code_packed,
+       CAST({adc} AS BIGINT) AS adc_dist
+FROM c
+"""
+
+
+@register(
+    "sim_opq_assign",
+    _opq_oracle(),
+    doc="Optimized product quantization (Ge et al. 2013, parametric "
+    "OPQ; operators/similarity.py::opq_assign): vectors rotate through "
+    "a learned orthogonal R (PCA basis + eigenvalue allocation, "
+    "tools/train_opq.py) before the per-subspace nearest-centroid snap "
+    "— sim_pq_assign at the SAME m=8, k=16 code budget, in the rotated "
+    "space where subspace variances are balanced, which is what cuts "
+    "quantization distortion. Rotation is exact int64 arithmetic "
+    "(Σ round(R·1e6)·floor(x·1e6), exact floor-div back to PQ_SCALE) "
+    "so assignment stays bit-deterministic and oracle-checkable. "
+    "adc_dist is the compressed-domain distance to the pinned query "
+    "under the rotated lookup tables. One narrow codegen projection, "
+    "no shuffle, no Python; measured PQ-vs-OPQ recall delta in "
+    "sim_pq_opq_recall and SCALE.md.",
+)
+def sim_opq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        opq_adc_lut,
+        opq_assign,
+        opq_rotate_query,
+    )
+
+    codes = opq_assign(
+        t(spark, sf_dir, "embeddings"), _OPQ_R, _OPQ_BOOKS
+    )
+    lut = opq_adc_lut(_OPQ_BOOKS, opq_rotate_query(_OPQ_R, _PQ_QUERY))
+    packed = None
+    adc = None
+    for j in range(_PQ_M):
+        pterm = F.col(f"code{j}").cast("bigint") * F.lit(16 ** j)
+        packed = pterm if packed is None else packed + pterm
+        aterm = F.element_at(
+            F.array(*[F.lit(x).cast("bigint") for x in lut[j]]),
+            F.col(f"code{j}") + 1,
+        )
+        adc = aterm if adc is None else adc + aterm
+    return codes.select(
+        "vec_id",
+        packed.cast("bigint").alias("code_packed"),
+        adc.cast("bigint").alias("adc_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_opq_recall — PQ vs OPQ shortlist recall at equal code budget
+# ---------------------------------------------------------------------------
+
+_OPQ_SHORTLIST = 50
+_OPQ_TRUTH_K = 10
+_OPQ_RECALL_FP = 1_000_000
+
+
+def _pq_exact_dist_sql() -> str:
+    """Exact int64 squared distance from the fixed-point embedding
+    list (vq) to the pinned query — the ground-truth leg both ADC
+    shortlists are graded against."""
+    from evolution_data_warehouse_spark.operators.similarity import (
+        PQ_SCALE,
+    )
+
+    q_lit = (
+        "["
+        + ", ".join(str(round(x * PQ_SCALE)) for x in _PQ_QUERY)
+        + "]"
+    )
+    return (
+        f"list_sum(list_transform(vq, (v, i) -> "
+        f"(v - {q_lit}[i]) * (v - {q_lit}[i])))"
+    )
+
+
+def _pq_opq_recall_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        opq_adc_lut,
+        opq_rotate_query,
+        pq_adc_lut,
+        pq_quantize_codebooks,
+    )
+
+    pq_dd, pq_cc = _pq_dist_code_sql(
+        pq_quantize_codebooks(_PQ_BOOKS), "p"
+    )
+    pq_adc = _pq_adc_sql(pq_adc_lut(_PQ_BOOKS, _PQ_QUERY), "p")
+    opq_dd, opq_cc = _pq_dist_code_sql(
+        pq_quantize_codebooks(_OPQ_BOOKS), "o"
+    )
+    qz = opq_rotate_query(_OPQ_R, _PQ_QUERY)
+    opq_adc = _pq_adc_sql(opq_adc_lut(_OPQ_BOOKS, qz), "o")
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+{_opq_rotate_sql()},
+ex AS (SELECT vec_id, {_pq_exact_dist_sql()} AS xdist FROM v),
+pd AS (SELECT vec_id, {", ".join(pq_dd)} FROM v),
+pc AS (SELECT vec_id, CAST({pq_adc} AS BIGINT) AS adc
+       FROM (SELECT vec_id, {", ".join(pq_cc)} FROM pd)),
+od AS (SELECT vec_id, {", ".join(opq_dd)} FROM rv),
+oc AS (SELECT vec_id, CAST({opq_adc} AS BIGINT) AS adc
+       FROM (SELECT vec_id, {", ".join(opq_cc)} FROM od)),
+truth AS (SELECT vec_id FROM ex ORDER BY xdist, vec_id
+          LIMIT {_OPQ_TRUTH_K}),
+pq_sl AS (SELECT vec_id FROM pc ORDER BY adc, vec_id
+          LIMIT {_OPQ_SHORTLIST}),
+opq_sl AS (SELECT vec_id FROM oc ORDER BY adc, vec_id
+           LIMIT {_OPQ_SHORTLIST})
+SELECT 'pq' AS method,
+       CAST({_OPQ_TRUTH_K} AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) * {_OPQ_RECALL_FP} // {_OPQ_TRUTH_K} AS BIGINT)
+           AS recall_fp
+FROM truth t JOIN pq_sl s ON s.vec_id = t.vec_id
+UNION ALL
+SELECT 'opq' AS method,
+       CAST({_OPQ_TRUTH_K} AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) * {_OPQ_RECALL_FP} // {_OPQ_TRUTH_K} AS BIGINT)
+           AS recall_fp
+FROM truth t JOIN opq_sl s ON s.vec_id = t.vec_id
+"""
+
+
+@register(
+    "sim_pq_opq_recall",
+    _pq_opq_recall_oracle(),
+    doc="PQ vs OPQ shortlist quality at EQUAL code budget (m=8, k=16, "
+    "one packed BIGINT per vector): of the exact fixed-point top-10 "
+    "neighbors of the pinned query, how many does each method's "
+    "ADC shortlist@50 contain? The calibration measurement that "
+    "justifies (or rejects) paying for the rotation — the PQ twin of "
+    "sim_ann_recall_eval / dedup_minhash_recall_eval's "
+    "measure-don't-assume discipline. All three legs share ONE scan "
+    "(exact distance, PQ ADC, OPQ ADC are parallel columns of the "
+    "same projection, localCheckpoint-materialized so the top-k "
+    "sorts never re-derive them); every leg is exact int64, so the "
+    "two-row result is bit-reproducible. Scale: top-k legs compile "
+    "to TakeOrderedAndProject (bounded heap, no global sort); the "
+    "eval runs on a query sample at calibration time.",
+)
+def sim_pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        PQ_SCALE,
+        opq_adc_lut,
+        opq_assign,
+        opq_rotate_query,
+        pq_adc_lut,
+        pq_assign,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(PQ_SCALE))
+        ).cast("long"),
+    )
+    q_lit = F.array(
+        *[F.lit(round(x * PQ_SCALE)).cast("long") for x in _PQ_QUERY]
+    )
+    xdist = F.aggregate(
+        F.zip_with(vq, q_lit, lambda v, q: (v - q) * (v - q)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def adc_col(codes_df, lut):
+        adc = None
+        for j in range(_PQ_M):
+            term = F.element_at(
+                F.array(*[F.lit(x).cast("bigint") for x in lut[j]]),
+                F.col(f"code{j}") + 1,
+            )
+            adc = term if adc is None else adc + term
+        return codes_df.select(
+            "vec_id", adc.cast("bigint").alias("adc")
+        )
+
+    pq_adc = adc_col(
+        pq_assign(emb, _PQ_BOOKS), pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
+    )
+    opq_adc = adc_col(
+        opq_assign(emb, _OPQ_R, _OPQ_BOOKS),
+        opq_adc_lut(_OPQ_BOOKS, opq_rotate_query(_OPQ_R, _PQ_QUERY)),
+    )
+    exact = emb.select("vec_id", xdist.alias("xdist"))
+    truth = (
+        exact.orderBy("xdist", "vec_id")
+        .limit(_OPQ_TRUTH_K)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def leg(adc_df, method: str) -> DataFrame:
+        sl = (
+            adc_df.orderBy("adc", "vec_id")
+            .limit(_OPQ_SHORTLIST)
+            .select("vec_id")
+        )
+        return truth.join(sl, "vec_id").agg(
+            F.lit(method).alias("method"),
+            F.lit(_OPQ_TRUTH_K).cast("bigint").alias("n_truth"),
+            F.count("*").cast("bigint").alias("n_hit"),
+            (
+                F.count("*")
+                * F.lit(_OPQ_RECALL_FP)
+                / F.lit(_OPQ_TRUTH_K)
+            )
+            .cast("bigint")
+            .alias("recall_fp"),
+        )
+
+    return leg(pq_adc, "pq").unionAll(leg(opq_adc, "opq"))
