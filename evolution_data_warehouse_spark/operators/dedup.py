@@ -383,22 +383,42 @@ def minhash_lsh_pairs_incremental(
     corpus — here they are recomputed, which changes cost, not shape.
     """
     sig_c = minhash_signature(corpus_shingled, id_col).localCheckpoint(eager=True)
-    sig_b = minhash_signature(batch_shingled, id_col).localCheckpoint(eager=True)
     bands_c = cap_lsh_buckets(
         lsh_bands(sig_c, id_col).select(
             F.col(id_col).alias("corpus_id"), "band", "band_key"
         ),
         max_bucket,
     )
+    return minhash_pairs_against(
+        sig_c, bands_c, batch_shingled, id_col=id_col
+    )
+
+
+def minhash_pairs_against(
+    corpus_sigs: DataFrame,
+    corpus_bands: DataFrame,
+    batch_shingled: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs between a new batch and an EXISTING minhash
+    index — the join core shared by :func:`minhash_lsh_pairs_incremental`
+    (which builds the corpus side in-flight) and the streaming ingest
+    (streaming/dedup_ingest.py, which reads the corpus side from the
+    PERSISTED index a 100 TB deployment maintains next to the corpus).
+
+    ``corpus_sigs``: (id_col, mh0..mh{K-1}); ``corpus_bands``:
+    (corpus_id, band, band_key), already hot-bucket-guarded by the
+    index builder. Returns (corpus_id, batch_id, est_jaccard)."""
+    sig_b = minhash_signature(batch_shingled, id_col).localCheckpoint(eager=True)
     bands_b = lsh_bands(sig_b, id_col).select(
         F.col(id_col).alias("batch_id"), "band", "band_key"
     )
     cand = (
-        bands_c.join(bands_b, ["band", "band_key"])
+        corpus_bands.join(bands_b, ["band", "band_key"])
         .select("corpus_id", "batch_id")
         .distinct()
     )
-    sa = sig_c.select(
+    sa = corpus_sigs.select(
         F.col(id_col).alias("corpus_id"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
     )

@@ -567,3 +567,115 @@ def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "domain", "n_docs", "excess_q", F.col("w").alias("weight_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_minhash_ingest — streaming near-dup ingest vs persisted index
+# ---------------------------------------------------------------------------
+
+
+def _stream_minhash_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _SHINGLES_SQL,
+        _mh_sql_fragments,
+    )
+
+    f = _mh_sql_fragments()
+    hm, mh_cols, bands, eq = f["hm"], f["mh_cols"], f["bands"], f["eq"]
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {hm} AS hm FROM sh),
+mh AS (SELECT doc_id, {mh_cols} FROM h GROUP BY doc_id),
+bands_all AS ({bands}),
+bands_c AS (
+    SELECT doc_id AS corpus_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM bands_all WHERE doc_id % 5 <> 0
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
+),
+bands_b AS (
+    SELECT doc_id AS batch_id, band, band_key FROM bands_all
+    WHERE doc_id % 5 = 0
+),
+cand AS (
+    SELECT DISTINCT corpus_id, batch_id
+    FROM bands_c JOIN bands_b USING (band, band_key)
+),
+pairs AS (
+    SELECT batch_id, ({eq}) AS eq_count
+    FROM cand
+    JOIN mh sa ON corpus_id = sa.doc_id
+    JOIN mh sb ON batch_id = sb.doc_id
+),
+agg AS (
+    SELECT batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus_matches,
+           CAST(MAX(eq_count) AS INT) AS max_eq
+    FROM pairs GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_corpus_matches, 0) AS n_corpus_matches,
+       CAST(COALESCE(a.max_eq, 0) AS INT) AS max_eq
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN agg a ON a.batch_id = d.doc_id
+"""
+
+
+@register(
+    "stream_minhash_ingest",
+    _stream_minhash_oracle(),
+    doc="Streaming near-dup ingest (streaming/dedup_ingest.py): the "
+    "banded-minhash composition of stream_dedup_ingest — the corpus "
+    "(doc_id % 5 != 0) is persisted as a minhash INDEX (signatures + "
+    "hot-bucket-guarded band keys, band-partitioned parquet), and the "
+    "new batch (doc_id % 5 == 0, staged as parquet files) drains "
+    "through an availableNow file stream whose every micro-batch "
+    "shingles only ITSELF and joins band keys against the stored "
+    "index (operators/dedup.py::minhash_pairs_against — the same join "
+    "core as dedup_minhash_incremental, which recomputes the corpus "
+    "side in-flight; here it is read back, the 100 TB contract). The "
+    "query runs the stream TWICE against one checkpoint — the second "
+    "run must process 0 micro-batches (file-source restart "
+    "idempotence, exercised inside the oracle-checked query itself; "
+    "tests/test_streaming.py adds the multi-run append scenario). "
+    "Output: per admitted document, candidate-match count and best "
+    "equal-minhash count (0..16) — all integers, hash-checked against "
+    "the full SQL mirror of index build + band join.",
+)
+def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from evolution_data_warehouse_spark.streaming.dedup_ingest import (
+        minhash_index_write,
+        streaming_minhash_ingest,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    root = tempfile.mkdtemp(prefix="stream_minhash_ingest_")
+    src = f"{root}/src"
+    index = f"{root}/index"
+    out = f"{root}/out"
+    ckpt = f"{root}/ckpt"
+    batch.repartition(2).write.parquet(src)
+    minhash_index_write(corpus, index)
+    n1 = streaming_minhash_ingest(
+        spark, src, index, out, ckpt, "doc_id long, text string"
+    )
+    # restart idempotence is part of the contract: a rerun over the
+    # same checkpoint must process nothing and leave the store as-is
+    n2 = streaming_minhash_ingest(
+        spark, src, index, out, ckpt, "doc_id long, text string"
+    )
+    if n1 < 1 or n2 != 0:
+        raise AssertionError(
+            f"availableNow idempotence violated: first run {n1} "
+            f"input rows, rerun {n2} (expected >=1 then 0)"
+        )
+    return spark.read.parquet(out)

@@ -1154,3 +1154,81 @@ def test_python_datasource_batch_writer_abort_leaves_no_visible_output(
     assert man["n_rows"] == 10
     for f in man["files"]:
         assert os.path.exists(os.path.join(out, f))
+
+
+def test_streaming_minhash_ingest_restart_and_incremental_append(
+    spark, sf_dir, tmp_path
+):
+    """The streaming near-dup ingest contract (streaming/dedup_ingest):
+    (1) a first drain verdicts exactly the staged batch against the
+    persisted index, (2) a rerun over the same checkpoint processes 0
+    rows and leaves the store byte-identical, (3) newly staged files
+    drain incrementally (only the new docs are appended), and (4) the
+    accumulated store equals the one-shot batch twin (batch_verdicts
+    over everything) — streaming adds delivery semantics, never a
+    different answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.streaming.dedup_ingest import (
+        BANDS_SUBDIR,
+        SIGS_SUBDIR,
+        batch_verdicts,
+        minhash_index_write,
+        streaming_minhash_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    wave_a = docs.filter(F.col("doc_id") % 4 == 1)
+    wave_b = docs.filter(F.col("doc_id") % 4 == 3)
+
+    index = str(tmp_path / "index")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    minhash_index_write(corpus, index)
+    schema = "doc_id long, text string"
+
+    wave_a.coalesce(1).write.parquet(src, mode="append")
+    n1 = streaming_minhash_ingest(spark, src, index, out, ckpt, schema)
+    assert n1 == wave_a.count()
+    got_a = {
+        (r.doc_id, r.n_corpus_matches, r.max_eq)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert {r[0] for r in got_a} == {
+        r.doc_id for r in wave_a.collect()
+    }
+
+    # restart: nothing new → 0 rows processed, store unchanged
+    n2 = streaming_minhash_ingest(spark, src, index, out, ckpt, schema)
+    assert n2 == 0
+    assert {
+        (r.doc_id, r.n_corpus_matches, r.max_eq)
+        for r in spark.read.parquet(out).collect()
+    } == got_a
+
+    # incremental: stage wave B, only its docs are appended
+    wave_b.coalesce(1).write.parquet(src, mode="append")
+    n3 = streaming_minhash_ingest(spark, src, index, out, ckpt, schema)
+    assert n3 == wave_b.count()
+    final = {
+        (r.doc_id, r.n_corpus_matches, r.max_eq)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    sigs = spark.read.parquet(os.path.join(index, SIGS_SUBDIR))
+    bands = spark.read.parquet(os.path.join(index, BANDS_SUBDIR))
+    expected = {
+        (r.doc_id, r.n_corpus_matches, r.max_eq)
+        for r in batch_verdicts(
+            wave_a.unionByName(wave_b), sigs, bands
+        ).collect()
+    }
+    assert final == expected
