@@ -536,6 +536,17 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = -1.0
+    # one-line drift verdict vs the committed band (tools/check_bench.py
+    # has the standalone form for past artifacts) — drift triage stops
+    # costing a forensic session (r11 verdict item 7)
+    try:
+        from tools.check_bench import check_bench as _check_bench
+
+        band_check = _check_bench(
+            timings, (sf1 or {}).get("queries"), load1
+        )
+    except Exception as e:  # a broken band must never sink the bench
+        band_check = {"verdict": "check-error", "err": str(e)[:200]}
     print(
         json.dumps(
             {
@@ -549,6 +560,7 @@ def main() -> None:
                 "load_avg_1m": load1,
                 "cpus": os.cpu_count(),
                 "cpus_effective": _resolve_cpus(),
+                "band_check": band_check,
             }
         )
     )
