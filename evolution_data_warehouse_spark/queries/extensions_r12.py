@@ -679,3 +679,601 @@ def stream_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"input rows, rerun {n2} (expected >=1 then 0)"
         )
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_distinct — deterministic HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (p=8)
+_HLL_CAP = 50  # max rho: 60-bit hash - 8 register bits leaves 52 value
+# bits; capping at 50 keeps the integer inverse-power sum <= 2^58
+_HLL_ALPHA = 0.7182725932495458  # 0.7213/(1 + 1.079/256), the m=256
+# bias constant from Flajolet et al. 2007 — identical literal on both
+# sides, so the single float multiply/divide chain is IEEE-identical
+
+
+def _hll_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    h = content_hash64_sql("'hll:' || CAST(o_custkey AS VARCHAR)")
+    est = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
+        f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    return f"""
+WITH h AS (
+    SELECT o_orderpriority AS grp, {h} AS hv, o_custkey
+    FROM orders
+),
+r AS (
+    SELECT grp, hv % {_HLL_M} AS reg,
+           CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_CAP}
+                ELSE LEAST(bit_count(((hv // {_HLL_M})
+                           & -(hv // {_HLL_M})) - 1) + 1, {_HLL_CAP})
+           END AS rho
+    FROM h
+),
+m AS (SELECT grp, reg, MAX(rho) AS mr FROM r GROUP BY grp, reg),
+s AS (
+    SELECT grp,
+           CAST(SUM(CAST(2 AS HUGEINT) ** ({_HLL_CAP} - mr)) AS BIGINT)
+               + ({_HLL_M} - COUNT(*)) * CAST({2 ** _HLL_CAP} AS BIGINT)
+               AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_registers
+    FROM m GROUP BY grp
+),
+x AS (
+    SELECT grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+    FROM h GROUP BY grp
+)
+SELECT s.grp, x.n_exact, s.n_registers,
+       {fpq_sql(est, 4)} AS est_distinct
+FROM s JOIN x ON s.grp = x.grp
+"""
+
+
+@register(
+    "agg_hll_distinct",
+    _hll_oracle(),
+    doc="Deterministic HyperLogLog distinct-count sketch (Flajolet et "
+    "al. 2007) per order priority over customer keys: md5-based 60-bit "
+    "hash -> 256 registers (low 8 bits) x trailing-zero rank of the "
+    "value bits (rho = bit_count((w & -w) - 1) + 1 — a pure integer "
+    "expression, so the registers are bit-identical on any engine, "
+    "unlike approx_count_distinct whose HLL++ register layout is "
+    "engine-private). The inverse-power sum is computed as the exact "
+    "INTEGER sum of 2^(50-M_j) (<= 2^58, no float accumulation "
+    "order), empty registers included at full weight; only the final "
+    "alpha*m^2/S estimate is one float multiply/divide chain, "
+    "fixed-point quantized. n_exact rides along so the sketch error "
+    "is visible in the result itself. Scale: one hash aggregate to "
+    "(group x 256) registers, then a 256-row-per-group rollup — the "
+    "mergeable-sketch shape that replaces COUNT(DISTINCT)'s full "
+    "shuffle at 100 TB. Extends the sketch family "
+    "(agg_countmin_sketch, kmv_overlap; operators/sketches.py).",
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    h = content_hash64(
+        F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))
+    )
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        h.alias("hv"),
+        "o_custkey",
+    )
+    w = (F.col("hv") / _HLL_M).cast("long")  # exact: hv < 2^60 < 2^53*256
+    rho = F.when(w == 0, F.lit(_HLL_CAP)).otherwise(
+        F.least(
+            F.expr(
+                f"bit_count(((hv div {_HLL_M}) & -(hv div {_HLL_M})) - 1)"
+                " + 1"
+            ),
+            F.lit(_HLL_CAP),
+        )
+    )
+    regs = (
+        base.select(
+            "grp", (F.col("hv") % _HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    s = regs.groupBy("grp").agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_HLL_CAP} - mr)"
+                )
+            )
+            + (_HLL_M - F.count("*")) * F.lit(2 ** _HLL_CAP)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count("*").cast("bigint").alias("n_registers"),
+    )
+    x = base.groupBy("grp").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    est = F.expr(
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
+        f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    return s.join(x, "grp").select(
+        "grp", "n_exact", "n_registers", fpq(est, 4).alias("est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_binarize_hamming — sign-binarized embeddings + Hamming shortlist
+# ---------------------------------------------------------------------------
+
+_BIN_TOPK = 50
+
+
+def _bin_query_words() -> tuple[int, int]:
+    """The pinned query vector, sign-binarized into (lo, hi) 32-bit
+    words — driver-side ints shared by engine and oracle builder."""
+    lo = sum(1 << i for i in range(32) if _PQ_QUERY[i] > 0)
+    hi = sum(1 << i for i in range(32) if _PQ_QUERY[32 + i] > 0)
+    return lo, hi
+
+
+def _bin_words_sql() -> str:
+    """SQL for the two packed sign words of the embedding column —
+    32 dims per BIGINT word (two words, not one: bit 63 would wrap a
+    single signed int64)."""
+    return (
+        "list_sum(list_transform(embedding[1:32], (x, i) -> CASE WHEN "
+        "CAST(x AS DOUBLE) > 0.0 THEN CAST(1 AS BIGINT) << (i - 1) "
+        "ELSE 0 END)) AS lo, "
+        "list_sum(list_transform(embedding[33:64], (x, i) -> CASE WHEN "
+        "CAST(x AS DOUBLE) > 0.0 THEN CAST(1 AS BIGINT) << (i - 1) "
+        "ELSE 0 END)) AS hi"
+    )
+
+
+def _bin_oracle() -> str:
+    qlo, qhi = _bin_query_words()
+    return f"""
+WITH w AS (SELECT vec_id, {_bin_words_sql()} FROM embeddings),
+d AS (
+    SELECT vec_id,
+           CAST(bit_count(xor(CAST(lo AS BIGINT), {qlo}))
+              + bit_count(xor(CAST(hi AS BIGINT), {qhi})) AS INT)
+               AS hamming
+    FROM w
+)
+SELECT vec_id, hamming,
+       CAST(ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS INT) AS rank
+FROM d ORDER BY hamming, vec_id LIMIT {_BIN_TOPK}
+"""
+
+
+@register(
+    "emb_binarize_hamming",
+    _bin_oracle(),
+    doc="Binary embedding sketch + Hamming-distance shortlist: each "
+    "64-dim vector sign-binarizes into two packed 32-bit words (64x "
+    "compression — the cheapest useful vector sketch, the first-stage "
+    "filter retrieval stacks run before PQ/exact re-rank), and the "
+    "pinned query's top-50 by Hamming distance (bit_count of XOR — a "
+    "single CPU instruction per word, whole-stage codegen) is "
+    "returned fully tie-broken. Everything is integer, so the sketch "
+    "and the shortlist are bit-identical on any engine. Two words, "
+    "not one: bit 63 would wrap a signed int64 — the packing detail "
+    "that silently corrupts single-word implementations. Scale: one "
+    "narrow projection + TakeOrderedAndProject (bounded heap); the "
+    "packed words are 16 bytes/vector, so a 100 TB float corpus "
+    "screens from a ~1.5 TB bit table.",
+)
+def emb_binarize_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    qlo, qhi = _bin_query_words()
+
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(32)]
+    )
+
+    def word(lo_dim: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("embedding"), lo_dim + 1, 32),
+                powers,
+                lambda x, p: F.when(
+                    x.cast("double") > 0.0, p
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    d = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (
+            F.bit_count(word(0).bitwiseXOR(F.lit(qlo)))
+            + F.bit_count(word(32).bitwiseXOR(F.lit(qhi)))
+        )
+        .cast("int")
+        .alias("hamming"),
+    )
+    top = d.orderBy("hamming", "vec_id").limit(_BIN_TOPK)
+    w = W.orderBy("hamming", "vec_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_chi2_independence — lang x source contingency test
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = f"""
+WITH c AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nr FROM c GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nc FROM c GROUP BY source),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+SELECT c.lang, c.source, c.n,
+       {fpq_sql(
+           'CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE)'
+           ' / CAST(g.nt AS DOUBLE)', 6)} AS expected,
+       {fpq_sql(
+           '(CAST(c.n AS DOUBLE) - CAST(rt.nr AS DOUBLE)'
+           ' * CAST(ct.nc AS DOUBLE) / CAST(g.nt AS DOUBLE))'
+           ' * (CAST(c.n AS DOUBLE) - CAST(rt.nr AS DOUBLE)'
+           ' * CAST(ct.nc AS DOUBLE) / CAST(g.nt AS DOUBLE))'
+           ' / (CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE)'
+           ' / CAST(g.nt AS DOUBLE))', 6)} AS chi2_contrib
+FROM c
+JOIN rt ON rt.lang = c.lang
+JOIN ct ON ct.source = c.source
+CROSS JOIN g
+"""
+
+
+@register(
+    "stats_chi2_independence",
+    _CHI2_ORACLE,
+    doc="Chi-squared independence decomposition over the lang x source "
+    "contingency table: per cell, observed count, expected count under "
+    "independence (row_total x col_total / grand_total), and the "
+    "cell's chi-squared contribution — the corpus-composition "
+    "diagnostic that detects when a source's language mix shifted "
+    "between crawls (total chi2 = SUM(chi2_contrib), dof = "
+    "(R-1)(C-1), both derivable from the rows). All inputs are exact "
+    "integer counts; the expected/contribution values are single "
+    "identical IEEE expression chains on both engines, fixed-point "
+    "quantized. Scale: one hash aggregate to R x C cells, then "
+    "broadcast-sized margin joins — the margins are dimension-sized "
+    "whatever the corpus is. Extends the experiment-statistics family "
+    "(stats_cohens_d, stats_cuped_adjust, stats_ks_two_sample).",
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rt = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nr"))
+    ct = c.groupBy("source").agg(F.sum("n").cast("bigint").alias("nc"))
+    g = c.agg(F.sum("n").cast("bigint").alias("nt"))
+    e = (
+        F.col("nr").cast("double")
+        * F.col("nc").cast("double")
+        / F.col("nt").cast("double")
+    )
+    diff = F.col("n").cast("double") - e
+    return (
+        c.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            "source",
+            "n",
+            fpq(e, 6).alias("expected"),
+            fpq(diff * diff / e, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_markov_stationary — stationary distribution of the type chain
+# ---------------------------------------------------------------------------
+
+_MKV_T = 12  # pinned power iterations
+_MKV_FP = 10**12  # probability fixed-point scale
+
+
+def _markov_oracle() -> str:
+    steps = []
+    prev = "p0"
+    for i in range(1, _MKV_T + 1):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+    SELECT e.dst AS state,
+           CAST(SUM((CAST(p.p AS HUGEINT) * e.n) // e.rn) AS BIGINT)
+               AS p
+    FROM {prev} p JOIN e ON e.src = p.state
+    GROUP BY e.dst
+)"""
+        )
+        prev = f"p{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH tr AS MATERIALIZED (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+),
+e0 AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+),
+e AS MATERIALIZED (
+    SELECT src, dst, n,
+           CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS rn
+    FROM e0
+),
+k0 AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS nk FROM e),
+p0 AS (
+    SELECT src AS state, CAST({_MKV_FP} // nk AS BIGINT) AS p
+    FROM (SELECT DISTINCT src FROM e), k0
+),
+{chain}
+SELECT state AS event_type, p AS stationary_fp
+FROM {prev}
+"""
+
+
+@register(
+    "event_markov_stationary",
+    _markov_oracle(),
+    doc="Stationary distribution of the user-journey Markov chain: "
+    "consecutive event types per user (lead over ts, event_id) form "
+    "the transition counts; 12 pinned power-iteration steps propagate "
+    "a uniform start through P — where user sessions spend their "
+    "long-run time, the navigation-equilibrium diagnostic (PageRank's "
+    "cousin on the behavioral graph; same discipline as "
+    "graph_pagerank/corpus_doremi_weights: pinned iterations, exact "
+    "integer fixed-point, per-edge floor division identical on both "
+    "engines — mass leaks identically, so the result is "
+    "bit-reproducible). Scale: transitions are one window pass over "
+    "user-partitioned events; the iteration joins a K-row rank vector "
+    "(K = event types) against a K^2-row edge list, eagerly "
+    "localCheckpointed per step — constant lineage, dimension-sized "
+    "state no matter the corpus.",
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    e0 = tr.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    e = (
+        e0.withColumn(
+            "rn", F.sum("n").over(W.partitionBy("src")).cast("bigint")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    k0 = e.select("src").distinct().agg(
+        F.count("*").cast("bigint").alias("nk")
+    )
+    p = (
+        e.select("src").distinct()
+        .crossJoin(F.broadcast(k0))
+        .select(
+            F.col("src").alias("state"),
+            F.expr(f"CAST({_MKV_FP} DIV nk AS BIGINT)").alias("p"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_MKV_T):
+        p = (
+            p.join(e, p.state == e.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.sum(
+                    F.expr(
+                        "CAST(CAST(p AS DECIMAL(38,0)) * n DIV rn"
+                        " AS BIGINT)"
+                    )
+                )
+                .cast("bigint")
+                .alias("p")
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        F.col("state").alias("event_type"),
+        F.col("p").alias("stationary_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe_woe_encoding — weight-of-evidence categorical encoding
+# ---------------------------------------------------------------------------
+
+# Laplace-smoothed WOE with rational half-counts kept as INTEGER
+# doubled counts (2n+1 over 2N+K) until the single ln() at the end —
+# the ln/fpq pairing the fn_math_suite canary licenses.
+_WOE_ORACLE = f"""
+WITH c AS (
+    SELECT o_orderpriority AS category,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_pos,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS BIGINT)
+               AS n_neg
+    FROM orders GROUP BY 1
+),
+g AS (
+    SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS t_neg,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM c
+)
+SELECT c.category, c.n_pos, c.n_neg,
+       {fpq_sql(
+           'ln((CAST(2 * c.n_pos + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_pos + g.k AS DOUBLE))'
+           ' / (CAST(2 * c.n_neg + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_neg + g.k AS DOUBLE)))', 6)} AS woe,
+       {fpq_sql(
+           '(CAST(2 * c.n_pos + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_pos + g.k AS DOUBLE)'
+           ' - CAST(2 * c.n_neg + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_neg + g.k AS DOUBLE))'
+           ' * ln((CAST(2 * c.n_pos + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_pos + g.k AS DOUBLE))'
+           ' / (CAST(2 * c.n_neg + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_neg + g.k AS DOUBLE)))', 6)} AS iv_contrib
+FROM c CROSS JOIN g
+"""
+
+
+@register(
+    "fe_woe_encoding",
+    _WOE_ORACLE,
+    doc="Weight-of-evidence categorical encoding (credit-scoring "
+    "classic, the supervised cousin of fe_target_encoding_loo): per "
+    "order priority, WOE = ln(P(cat|pos)/P(cat|neg)) against the "
+    "target o_orderstatus='F', with Laplace half-count smoothing kept "
+    "as exact INTEGER doubled counts (2n+1 / 2N+K) so both engines "
+    "feed bit-identical rationals into the one ln() call (the "
+    "transcendental-determinism contract fn_math_suite pins); "
+    "iv_contrib sums to the information value that ranks features. "
+    "Scale: one hash aggregate to K category rows + a 1-row broadcast "
+    "of the totals — dimension-sized whatever the fact table is.",
+)
+def fe_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(
+                F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+    g = c.agg(
+        F.sum("n_pos").cast("bigint").alias("t_pos"),
+        F.sum("n_neg").cast("bigint").alias("t_neg"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    p_pos = (2 * F.col("n_pos") + 1).cast("double") / (
+        2 * F.col("t_pos") + F.col("k")
+    ).cast("double")
+    p_neg = (2 * F.col("n_neg") + 1).cast("double") / (
+        2 * F.col("t_neg") + F.col("k")
+    ).cast("double")
+    woe = F.log(p_pos / p_neg)
+    return c.crossJoin(F.broadcast(g)).select(
+        "category",
+        "n_pos",
+        "n_neg",
+        fpq(woe, 6).alias("woe"),
+        fpq((p_pos - p_neg) * woe, 6).alias("iv_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_ccnet — per-language head/middle/tail quality buckets
+# ---------------------------------------------------------------------------
+
+_CCNET_EFP = 10**6
+
+
+def _ccnet_oracle() -> str:
+    return f"""
+WITH s AS (
+    SELECT doc_id, lang,
+           CAST(({_CCNET_EFP} * len(COALESCE(text, '')))
+                // GREATEST(len(str_split(lower(COALESCE(text, '')),
+                                          ' ')), 1) AS BIGINT)
+               AS score_q
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, score_q,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY score_q, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS nl
+    FROM s
+)
+SELECT doc_id, lang, score_q,
+       CASE (3 * (rn - 1)) // nl WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+@register(
+    "text_quality_ccnet",
+    _ccnet_oracle(),
+    doc="CCNet-style per-language quality bucketing (Wenzek et al. "
+    "2020: rank documents within each language by LM perplexity, "
+    "split head/middle/tail, keep the head): the BUCKETING MECHANISM "
+    "is the operator — per-language rank (fully tie-broken by "
+    "doc_id) divided into thirds by integer floor arithmetic, so "
+    "bucket boundaries are bit-deterministic; the quality score here "
+    "is the deterministic mean-token-length fixed-point proxy "
+    "(deployments swap in their KenLM perplexity column — the same "
+    "stand-in contract as corpus_doremi_weights' excess loss). "
+    "Scale: one window pass per language partition; no global sort — "
+    "at 100 TB each language ranks independently, exactly how CCNet "
+    "shards its buckets.",
+)
+def text_quality_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    score = F.expr(
+        f"CAST({_CCNET_EFP} * length(coalesce(text, '')) DIV "
+        f"greatest(size(split(lower(coalesce(text, '')), ' ')), 1)"
+        f" AS BIGINT)"
+    )
+    s = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", score.alias("score_q")
+    )
+    w = W.partitionBy("lang").orderBy("score_q", "doc_id")
+    r = s.select(
+        "doc_id",
+        "lang",
+        "score_q",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("lang")).alias("nl"),
+    )
+    bucket = (
+        F.when(F.expr("(3 * (rn - 1)) DIV nl") == 0, "head")
+        .when(F.expr("(3 * (rn - 1)) DIV nl") == 1, "middle")
+        .otherwise("tail")
+    )
+    return r.select("doc_id", "lang", "score_q", bucket.alias("bucket"))

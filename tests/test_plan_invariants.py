@@ -60,6 +60,8 @@ _BNL_OK = {
     "graph_pagerank": "scalar",  # node count into the initial ranks
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
     "sim_ann_nprobe_sweep": "scalar",  # 1-row truth count x 2 sweep rows
+    "fe_woe_encoding": "scalar",  # 1-row class totals into every category
+    "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     # (sim_ann_recall_eval's ground-truth leg inherits
     # sim_ann_bruteforce's bounded query-set BNL, but that leg is
     # localCheckpoint-materialized inside the callable, so the
