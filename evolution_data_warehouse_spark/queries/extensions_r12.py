@@ -699,9 +699,18 @@ def _hll_oracle() -> str:
     )
 
     h = content_hash64_sql("'hll:' || CAST(o_custkey AS VARCHAR)")
-    est = (
+    raw = (
         f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
         f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    # small-range correction (Flajolet et al. fig. 3): below 2.5m the
+    # raw estimator is badly biased; with V empty registers, linear
+    # counting m*ln(m/V) is the standard fix — same CASE on both sides
+    est = (
+        f"CASE WHEN ({raw}) <= {2.5 * _HLL_M} AND n_registers < {_HLL_M}"
+        f" THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE)"
+        f" / CAST({_HLL_M} - n_registers AS DOUBLE))"
+        f" ELSE ({raw}) END"
     )
     return f"""
 WITH h AS (
@@ -801,9 +810,15 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = base.groupBy("grp").agg(
         F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
     )
-    est = F.expr(
+    raw = (
         f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
         f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    est = F.expr(
+        f"CASE WHEN ({raw}) <= {2.5 * _HLL_M} AND n_registers < {_HLL_M}"
+        f" THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE)"
+        f" / CAST({_HLL_M} - n_registers AS DOUBLE))"
+        f" ELSE ({raw}) END"
     )
     return s.join(x, "grp").select(
         "grp", "n_exact", "n_registers", fpq(est, 4).alias("est_distinct")

@@ -1565,3 +1565,142 @@ def test_synth_datasource_reader_slices_partition_the_range():
     assert sorted(seen) == list(range(101))  # complete coverage
     with _pytest.raises(ValueError):
         SynthRangeReader({"n": "10", "parts": "0"})
+
+
+def test_cross_substring_spans_constructed_example(spark):
+    # Two docs sharing one verbatim 8-token run (>= w=5) and nothing
+    # else: exactly one span of exactly 8 tokens, on the right pair.
+    # A third doc shares nothing. A repeated run inside one pair on
+    # two diagonals would show as two spans — covered by doc 4 which
+    # contains the shared run twice.
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cross_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"uno dos tres {shared} cuatro"),
+        (3, "nothing in common with anything else here at all"),
+        (4, f"x1 {shared} x2 x3 x4 {shared} x5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    )
+    out = {
+        (r.doc_a, r.doc_b): (
+            r.n_shared_spans,
+            r.longest_span_tokens,
+            r.shared_tokens,
+        )
+        for r in cross_substring_spans(docs, w=5).collect()
+    }
+    assert (1, 2) in out
+    n, longest, total = out[(1, 2)]
+    assert n == 1 and longest == 8 and total == 8
+    # doc 4 shares the run with 1 and 2, twice each (two diagonals)
+    assert out[(1, 4)][0] == 2 and out[(1, 4)][1] == 8
+    assert out[(2, 4)][0] == 2
+    assert not any(3 in pair for pair in out)
+
+
+def test_opq_assign_matches_pure_python(spark):
+    # The Arrow/numpy int64 pipeline must equal a from-scratch pure
+    # Python-int evaluation of the same fixed-point spec (floor
+    # quantize -> int matvec -> floor-div -> argmin, first-min ties).
+    from evolution_data_warehouse_spark.operators.similarity import (
+        OPQ_R_SCALE,
+        PQ_SCALE,
+        opq_assign,
+        opq_quantize_rotation,
+        pq_quantize_codebooks,
+    )
+    from evolution_data_warehouse_spark.queries.opq_model import (
+        OPQ_BOOKS,
+        OPQ_R,
+    )
+    import math
+
+    vecs = [
+        [math.sin(0.1 * i * (j + 1)) * 0.2 for i in range(64)]
+        for j in range(7)
+    ]
+    df = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: [r[f"code{j}"] for j in range(8)]
+        for r in opq_assign(df, OPQ_R, OPQ_BOOKS).collect()
+    }
+    qrot = opq_quantize_rotation(OPQ_R)
+    qbooks = pq_quantize_codebooks(OPQ_BOOKS)
+    for vid, v in enumerate(vecs):
+        vq = [math.floor(x * PQ_SCALE) for x in v]
+        z = [
+            sum(r * q for r, q in zip(row, vq)) // OPQ_R_SCALE
+            for row in qrot
+        ]
+        codes = []
+        for j, book in enumerate(qbooks):
+            sub = z[j * 8 : (j + 1) * 8]
+            dists = [
+                sum((a - c) ** 2 for a, c in zip(sub, cent))
+                for cent in book
+            ]
+            codes.append(dists.index(min(dists)))
+        assert got[vid] == codes, f"vec {vid}"
+
+
+def test_hll_distinct_error_within_sketch_bound(spark, sf_dir):
+    # HLL with m=256 has ~1.04/sqrt(256) = 6.5% std error; assert
+    # every group lands within a generous 4-sigma envelope — a wrong
+    # register construction blows past this immediately.
+    from evolution_data_warehouse_spark.queries.extensions_r12 import (
+        agg_hll_distinct,
+    )
+
+    for r in agg_hll_distinct(spark, sf_dir).collect():
+        rel = abs(r.est_distinct - r.n_exact) / r.n_exact
+        assert rel < 0.26, f"{r.grp}: est {r.est_distinct} vs {r.n_exact}"
+
+
+def test_markov_stationary_conserves_mass(spark, sf_dir):
+    # Power iteration over a row-stochastic matrix preserves total
+    # mass up to the documented per-edge floor leak: the sum must be
+    # 1e12 minus at most (#edges x #iterations).
+    from evolution_data_warehouse_spark.queries.extensions_r12 import (
+        _MKV_FP,
+        _MKV_T,
+        event_markov_stationary,
+    )
+
+    rows = event_markov_stationary(spark, sf_dir).collect()
+    total = sum(r.stationary_fp for r in rows)
+    assert total <= _MKV_FP
+    # K event types -> at most K^2 edges; generous leak envelope
+    k = len(rows)
+    assert total >= _MKV_FP - (k * k + k) * _MKV_T
+
+
+def test_ccnet_buckets_are_ordered_thirds(spark, sf_dir):
+    # Within each language: bucket sizes differ by at most 1 from the
+    # exact thirds, and max(head) <= min(middle) <= ... under the
+    # (score, doc_id) order — the rank semantics, not a quantile
+    # approximation.
+    from collections import defaultdict
+
+    from evolution_data_warehouse_spark.queries.extensions_r12 import (
+        text_quality_ccnet,
+    )
+
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in text_quality_ccnet(spark, sf_dir).collect():
+        by_lang[r.lang][r.bucket].append((r.score_q, r.doc_id))
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        for b in ("head", "middle", "tail"):
+            size = len(buckets.get(b, []))
+            assert abs(size - n / 3) <= 1, (lang, b, size, n)
+        assert max(buckets["head"]) <= min(buckets["middle"])
+        assert max(buckets["middle"]) <= min(buckets["tail"])
