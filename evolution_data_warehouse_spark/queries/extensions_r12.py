@@ -1292,3 +1292,279 @@ def text_quality_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
     )
     return r.select("doc_id", "lang", "score_q", bucket.alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_merge — mergeable-sketch maintenance over a file stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_hll_merge",
+    _hll_oracle(),
+    doc="Streaming HLL register maintenance: the orders table arrives "
+    "as staged files through an availableNow stream; each micro-batch "
+    "computes ITS OWN 256-register HLL table (the agg_hll_distinct "
+    "construction) and max-merges it into a bounded register store "
+    "(groups x 256 rows — collected driver-side under the BPE-vocab "
+    "bounded-collect rule, then rewritten). Because register max-merge "
+    "is commutative and associative, the drained store is "
+    "bit-identical to the batch sketch over the whole table no matter "
+    "how the files split into micro-batches — asserted by sharing "
+    "agg_hll_distinct's EXACT oracle (n_exact computed batch-side for "
+    "the error column). THE mergeable-sketch property that makes "
+    "distinct-count maintenance O(registers) instead of O(keys) at "
+    "100 TB: no shuffle of raw keys ever recurs, reruns over the "
+    "checkpoint process nothing (asserted in-query, the "
+    "stream_minhash_ingest discipline).",
+)
+def stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_hll_merge_")
+    src = f"{root}/src"
+    store = f"{root}/store"
+    ckpt = f"{root}/ckpt"
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    orders.repartition(3).write.parquet(src)
+
+    def batch_registers(df: DataFrame) -> DataFrame:
+        h = content_hash64(
+            F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))
+        )
+        base = df.select(
+            F.col("o_orderpriority").alias("grp"), h.alias("hv")
+        )
+        rho = F.when(
+            (F.col("hv") / _HLL_M).cast("long") == 0, F.lit(_HLL_CAP)
+        ).otherwise(
+            F.least(
+                F.expr(
+                    f"bit_count(((hv div {_HLL_M}) & -(hv div {_HLL_M}))"
+                    " - 1) + 1"
+                ),
+                F.lit(_HLL_CAP),
+            )
+        )
+        return (
+            base.select(
+                "grp",
+                (F.col("hv") % _HLL_M).alias("reg"),
+                rho.alias("rho"),
+            )
+            .groupBy("grp", "reg")
+            .agg(F.max("rho").alias("mr"))
+        )
+
+    processed: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        processed.append(n)
+        merged = batch_registers(batch_df)
+        if os.path.exists(store):
+            prev = spark.read.parquet(store).withColumnRenamed(
+                "mr", "rho"
+            )
+            merged = (
+                merged.withColumnRenamed("mr", "rho")
+                .unionByName(prev)
+                .groupBy("grp", "reg")
+                .agg(F.max("rho").alias("mr"))
+            )
+        # bounded collect: groups x 256 register rows, never keys
+        rows = [(r.grp, int(r.reg), int(r.mr)) for r in merged.collect()]
+        spark.createDataFrame(
+            rows, "grp string, reg bigint, mr int"
+        ).coalesce(1).write.mode("overwrite").parquet(store)
+
+    def drain() -> int:
+        q = (
+            spark.readStream.schema(
+                "o_orderpriority string, o_custkey long"
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = sum(processed)
+        processed.clear()
+        return n
+
+    n1 = drain()
+    n2 = drain()
+    if n1 < 1 or n2 != 0:
+        raise AssertionError(
+            f"availableNow idempotence violated: {n1} then {n2} rows"
+        )
+
+    regs = spark.read.parquet(store)
+    s = regs.groupBy("grp").agg(
+        (
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_CAP} - mr)")
+            )
+            + (_HLL_M - F.count("*")) * F.lit(2 ** _HLL_CAP)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count("*").cast("bigint").alias("n_registers"),
+    )
+    x = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
+        f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    est = F.expr(
+        f"CASE WHEN ({raw}) <= {2.5 * _HLL_M} AND n_registers < {_HLL_M}"
+        f" THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE)"
+        f" / CAST({_HLL_M} - n_registers AS DOUBLE))"
+        f" ELSE ({raw}) END"
+    )
+    return s.join(x, "grp").select(
+        "grp", "n_exact", "n_registers", fpq(est, 4).alias("est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_eval — truncated-dimension retrieval quality
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (16, 32)
+_MRL_TRUTH_K = 10
+_MRL_SHORTLIST = 50
+_MRL_FP = 1_000_000
+
+
+def _mrl_dist_sql(d: int) -> str:
+    """Exact int64 squared distance over the FIRST d dims only."""
+    from evolution_data_warehouse_spark.operators.similarity import (
+        PQ_SCALE,
+    )
+
+    q_lit = (
+        "["
+        + ", ".join(
+            str(round(x * PQ_SCALE)) for x in _PQ_QUERY[:d]
+        )
+        + "]"
+    )
+    return (
+        f"list_sum(list_transform(vq[1:{d}], (v, i) -> "
+        f"(v - {q_lit}[i]) * (v - {q_lit}[i])))"
+    )
+
+
+def _mrl_oracle() -> str:
+    legs = []
+    for d in _MRL_DIMS:
+        legs.append(
+            f"""SELECT 'dim{d}' AS method,
+       CAST({_MRL_TRUTH_K} AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) * {_MRL_FP} // {_MRL_TRUTH_K} AS BIGINT)
+           AS recall_fp
+FROM truth t JOIN (
+    SELECT vec_id FROM d ORDER BY d{d}, vec_id LIMIT {_MRL_SHORTLIST}
+) s ON s.vec_id = t.vec_id"""
+        )
+    dcols = ", ".join(
+        f"{_mrl_dist_sql(d)} AS d{d}" for d in _MRL_DIMS
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+d AS (SELECT vec_id, {dcols}, {_pq_exact_dist_sql()} AS xdist FROM v),
+truth AS (SELECT vec_id FROM d ORDER BY xdist, vec_id
+          LIMIT {_MRL_TRUTH_K})
+{" UNION ALL ".join(legs)}
+"""
+
+
+@register(
+    "emb_matryoshka_eval",
+    _mrl_oracle(),
+    doc="Matryoshka-truncation retrieval quality (Kusupati et al. "
+    "2022, MRL): of the exact 64-dim top-10 for the pinned query, how "
+    "many does a shortlist@50 computed from only the FIRST 16 (and "
+    "32) dimensions retain? The eval that decides whether an "
+    "embedding column can be stored/scanned at a 4x (2x) dimension "
+    "cut with re-rank on the full vector — the storage-tiering twin "
+    "of sim_pq_opq_recall, same exact-int64-legs-share-one-scan "
+    "shape (truncated and full distances are parallel columns of ONE "
+    "projection; top-k legs are TakeOrderedAndProject bounded "
+    "heaps). On non-MRL-trained embeddings (this synthetic table) "
+    "truncation recall is the floor a deployment would measure "
+    "before paying for MRL fine-tuning.",
+)
+def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        PQ_SCALE,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(PQ_SCALE))
+        ).cast("long"),
+    )
+
+    def dist(d: int) -> F.Column:
+        q_lit = F.array(
+            *[
+                F.lit(round(x * PQ_SCALE)).cast("long")
+                for x in _PQ_QUERY[:d]
+            ]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vq, 1, d), q_lit, lambda v, q: (v - q) * (v - q)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = emb.select(
+        "vec_id",
+        *[dist(d).alias(f"d{d}") for d in _MRL_DIMS],
+        dist(64).alias("xdist"),
+    ).localCheckpoint(eager=True)
+    truth = (
+        scored.orderBy("xdist", "vec_id")
+        .limit(_MRL_TRUTH_K)
+        .select("vec_id")
+    )
+
+    def leg(d: int) -> DataFrame:
+        sl = (
+            scored.orderBy(f"d{d}", "vec_id")
+            .limit(_MRL_SHORTLIST)
+            .select("vec_id")
+        )
+        return truth.join(sl, "vec_id").agg(
+            F.lit(f"dim{d}").alias("method"),
+            F.lit(_MRL_TRUTH_K).cast("bigint").alias("n_truth"),
+            F.count("*").cast("bigint").alias("n_hit"),
+            (F.count("*") * F.lit(_MRL_FP) / F.lit(_MRL_TRUTH_K))
+            .cast("bigint")
+            .alias("recall_fp"),
+        )
+
+    out = leg(_MRL_DIMS[0])
+    for d in _MRL_DIMS[1:]:
+        out = out.unionAll(leg(d))
+    return out
