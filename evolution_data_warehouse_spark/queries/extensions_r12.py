@@ -1568,3 +1568,121 @@ def emb_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in _MRL_DIMS[1:]:
         out = out.unionAll(leg(d))
     return out
+
+
+# ---------------------------------------------------------------------------
+# quality_psi_drift — population stability index between time halves
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_VMAX = 100.0  # events.value is uniform-ish [0,100); pinned bucket
+# width keeps bucket ids exact integers on both engines
+
+
+def _psi_oracle() -> str:
+    return f"""
+WITH span AS (
+    SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events
+),
+b AS (
+    SELECT event_type,
+           CASE WHEN epoch_us(ts) * 2 <= epoch_us(t0) + epoch_us(t1)
+                THEN 0 ELSE 1 END AS half,
+           LEAST(CAST(FLOOR(CAST(value AS DOUBLE)
+                 * {_PSI_BUCKETS} / {_PSI_VMAX}) AS INT),
+                 {_PSI_BUCKETS - 1}) AS bucket
+    FROM events CROSS JOIN span
+),
+c AS (
+    SELECT event_type, bucket,
+           CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS n_ref,
+           CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS n_cur
+    FROM b GROUP BY event_type, bucket
+),
+g AS (
+    SELECT event_type,
+           CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+           CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.bucket, c.n_ref, c.n_cur,
+       {fpq_sql(
+           '(CAST(2 * c.n_cur + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_cur + g.k AS DOUBLE)'
+           ' - CAST(2 * c.n_ref + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_ref + g.k AS DOUBLE))'
+           ' * ln((CAST(2 * c.n_cur + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_cur + g.k AS DOUBLE))'
+           ' / (CAST(2 * c.n_ref + 1 AS DOUBLE)'
+           ' / CAST(2 * g.t_ref + g.k AS DOUBLE)))', 6)} AS psi_contrib
+FROM c JOIN g ON g.event_type = c.event_type
+"""
+
+
+@register(
+    "quality_psi_drift",
+    _psi_oracle(),
+    doc="Population stability index between the first and second time "
+    "halves of the event stream, per event type: value distributions "
+    "bucket into 10 pinned-width bins (integer floor arithmetic — no "
+    "data-dependent quantile edges, so bucketing is bit-exact), and "
+    "each bucket contributes (p_cur - p_ref) * ln(p_cur/p_ref) with "
+    "Laplace half-count smoothing kept as integer doubled counts (the "
+    "fe_woe_encoding rational discipline) — total PSI per type = "
+    "SUM(psi_contrib); > 0.2 is the classic retrain/investigate "
+    "threshold. The ML-ops drift monitor that catches a feature "
+    "distribution shifting between snapshots. Scale: one scan, one "
+    "hash aggregate to (type x 10) cells + dimension-sized margins "
+    "(the stats_chi2_independence shape); the time split rides in as "
+    "a 1-row broadcast.",
+)
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    span = ev.agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    half = F.when(
+        F.unix_micros(F.col("ts")) * 2
+        <= F.unix_micros(F.col("t0")) + F.unix_micros(F.col("t1")),
+        0,
+    ).otherwise(1)
+    bucket = F.least(
+        F.floor(
+            F.col("value").cast("double") * _PSI_BUCKETS / _PSI_VMAX
+        ).cast("int"),
+        F.lit(_PSI_BUCKETS - 1),
+    )
+    c = (
+        ev.crossJoin(F.broadcast(span))
+        .select("event_type", half.alias("half"), bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cur"),
+        )
+    )
+    g = c.groupBy("event_type").agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    p_cur = (2 * F.col("n_cur") + 1).cast("double") / (
+        2 * F.col("t_cur") + F.col("k")
+    ).cast("double")
+    p_ref = (2 * F.col("n_ref") + 1).cast("double") / (
+        2 * F.col("t_ref") + F.col("k")
+    ).cast("double")
+    return c.join(F.broadcast(g), "event_type").select(
+        "event_type",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        fpq((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_contrib"
+        ),
+    )

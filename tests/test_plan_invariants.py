@@ -62,6 +62,7 @@ _BNL_OK = {
     "sim_ann_nprobe_sweep": "scalar",  # 1-row truth count x 2 sweep rows
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
+    "quality_psi_drift": "scalar",  # 1-row time span into the bucketing
     # (sim_ann_recall_eval's ground-truth leg inherits
     # sim_ann_bruteforce's bounded query-set BNL, but that leg is
     # localCheckpoint-materialized inside the callable, so the
