@@ -1686,3 +1686,226 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_k_anonymity — the audit quality_l_diversity's doc references
+# ---------------------------------------------------------------------------
+
+_K_ANON_K = 5
+
+_K_ANON_ORACLE = f"""
+WITH q AS (
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+    FROM customer
+),
+g AS (
+    SELECT c_nationkey, bal_bucket, CAST(COUNT(*) AS BIGINT) AS k
+    FROM q GROUP BY c_nationkey, bal_bucket
+)
+SELECT c_nationkey, bal_bucket, k
+FROM g WHERE k < {_K_ANON_K}
+"""
+
+
+@register(
+    "quality_k_anonymity",
+    _K_ANON_ORACLE,
+    doc="k-anonymity audit (Sweeney 2002): every quasi-identifier "
+    "class (nation, 1000-unit balance bucket — the same QI grid as "
+    "quality_l_diversity, deliberately, so the two audits read the "
+    "same classes) must contain >= k = 5 individuals; classes below "
+    "the floor are re-identification risks and must generalize or "
+    "suppress before release. One hash aggregate at QI cardinality; "
+    "the filter returns only violating classes, so output stays small "
+    "at any input scale. Completes the privacy-audit trio "
+    "(k-anonymity -> l-diversity -> pii_* redaction).",
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("bigint")
+            .alias("bal_bucket"),
+        )
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    return g.filter(F.col("k") < _K_ANON_K)
+
+
+# ---------------------------------------------------------------------------
+# graph_hits — hub/authority scores on the event-transition digraph
+# ---------------------------------------------------------------------------
+
+_HITS_T = 8
+_HITS_FP = 10**12
+
+
+def _hits_oracle() -> str:
+    steps = []
+    prev = "s0"
+    for i in range(1, _HITS_T + 1):
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+    SELECT e.dst AS state,
+           CAST(SUM((CAST(s.h AS HUGEINT) * e.n)) AS HUGEINT) AS a_raw
+    FROM {prev} s JOIN e ON e.src = s.state
+    GROUP BY e.dst
+),
+an{i} AS (SELECT CAST(SUM(a_raw) AS HUGEINT) AS t FROM a{i}),
+s{i}a AS MATERIALIZED (
+    SELECT s.state, s.h,
+           CAST(COALESCE((CAST(a.a_raw AS HUGEINT) * {_HITS_FP})
+                // an.t, 0) AS BIGINT) AS a
+    FROM {prev} s
+    LEFT JOIN a{i} a ON a.state = s.state
+    CROSS JOIN an{i} an
+),
+h{i} AS MATERIALIZED (
+    SELECT e.src AS state,
+           CAST(SUM((CAST(s.a AS HUGEINT) * e.n)) AS HUGEINT) AS h_raw
+    FROM s{i}a s JOIN e ON e.dst = s.state
+    GROUP BY e.src
+),
+hn{i} AS (SELECT CAST(SUM(h_raw) AS HUGEINT) AS t FROM h{i}),
+s{i} AS MATERIALIZED (
+    SELECT s.state, s.a,
+           CAST(COALESCE((CAST(h.h_raw AS HUGEINT) * {_HITS_FP})
+                // hn.t, 0) AS BIGINT) AS h
+    FROM s{i}a s
+    LEFT JOIN h{i} h ON h.state = s.state
+    CROSS JOIN hn{i} hn
+)"""
+        )
+        prev = f"s{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH tr AS MATERIALIZED (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS dst
+    FROM events
+),
+e AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr WHERE dst IS NOT NULL GROUP BY src, dst
+),
+nodes AS (SELECT DISTINCT src AS state FROM e
+          UNION SELECT DISTINCT dst FROM e),
+k0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM nodes),
+s0 AS (
+    SELECT state,
+           CAST({_HITS_FP} // nk AS BIGINT) AS a,
+           CAST({_HITS_FP} // nk AS BIGINT) AS h
+    FROM nodes, k0
+),
+{chain}
+SELECT state AS event_type, a AS authority_fp, h AS hub_fp
+FROM {prev}
+"""
+
+
+@register(
+    "graph_hits",
+    _hits_oracle(),
+    doc="HITS hub/authority scores (Kleinberg 1999) on the weighted "
+    "event-transition digraph (the directed graph "
+    "event_markov_stationary walks): 8 pinned mutual-reinforcement "
+    "rounds — authority a = normalize(E^T h), hub h = normalize(E a), "
+    "both L1-normalized each half-step in exact integer fixed-point "
+    "(HUGEINT widening, floor division identical on both engines). "
+    "The digraph diagnostic the stationary distribution can't give: "
+    "a type can be a strong HUB (leads everywhere) without being an "
+    "AUTHORITY (landed on). Same scale discipline as pagerank/markov: "
+    "K-row dimension-sized state, single-partition iteration frames "
+    "eagerly localCheckpointed, edge list pinned once.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("state"))
+        .unionByName(e.select(F.col("dst").alias("state")))
+        .distinct()
+    )
+    k0 = nodes.agg(F.count("*").cast("bigint").alias("nk"))
+    s = (
+        nodes.crossJoin(F.broadcast(k0))
+        .select(
+            "state",
+            F.expr(f"CAST({_HITS_FP} DIV nk AS BIGINT)").alias("a"),
+            F.expr(f"CAST({_HITS_FP} DIV nk AS BIGINT)").alias("h"),
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+
+    def normalize_step(
+        state_df: DataFrame, edge_key: str, score_col: str,
+        out_col: str, keep_col: str,
+    ) -> DataFrame:
+        # raw = E-weighted sum of the partner score, then L1-normalize
+        other = "dst" if edge_key == "src" else "src"
+        raw = (
+            state_df.join(e, state_df.state == F.col(edge_key))
+            .groupBy(F.col(other).alias("state"))
+            .agg(
+                F.sum(
+                    F.expr(f"CAST({score_col} AS DECIMAL(38,0)) * n")
+                )
+                .cast("decimal(38,0)")
+                .alias("raw")
+            )
+        )
+        tot = raw.agg(
+            F.sum("raw").cast("decimal(38,0)").alias("t")
+        )
+        return (
+            state_df.select("state", keep_col)
+            .join(raw, "state", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "state",
+                F.col(keep_col),
+                F.coalesce(
+                    F.expr(
+                        f"CAST(CAST(raw AS DECIMAL(38,0)) * {_HITS_FP}"
+                        " DIV t AS BIGINT)"
+                    ),
+                    F.lit(0).cast("bigint"),
+                ).alias(out_col),
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(_HITS_T):
+        # a <- normalize(E^T h): sums arrive AT dst from src hubs
+        s = normalize_step(s, "src", "h", "a", "h")
+        # h <- normalize(E a): sums arrive AT src from dst authorities
+        s = normalize_step(s, "dst", "a", "h", "a")
+    return s.select(
+        F.col("state").alias("event_type"),
+        F.col("a").alias("authority_fp"),
+        F.col("h").alias("hub_fp"),
+    )
