@@ -1704,3 +1704,76 @@ def test_ccnet_buckets_are_ordered_thirds(spark, sf_dir):
             assert abs(size - n / 3) <= 1, (lang, b, size, n)
         assert max(buckets["head"]) <= min(buckets["middle"])
         assert max(buckets["middle"]) <= min(buckets["tail"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=5,
+            max_size=18,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_cross_substring_matches_bruteforce_reference(spark, docs):
+    """cross_substring_spans == an O(n^2 m^2) from-scratch reference
+    over a tiny alphabet (dense repeats stress diagonal merging):
+    for every doc pair and alignment offset, maximal runs of
+    position-wise equal w-grams must agree in count, max and total."""
+    from collections import defaultdict
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cross_substring_spans,
+    )
+
+    w = 5
+    rows = [(i, " ".join(tk)) for i, tk in enumerate(docs)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_shared_spans,
+            r.longest_span_tokens,
+            r.shared_tokens,
+        )
+        for r in cross_substring_spans(sdf, w=w).collect()
+    }
+
+    def grams(tk):
+        return [tuple(tk[i : i + w]) for i in range(len(tk) - w + 1)]
+
+    expected = {}
+    for ia in range(len(docs)):
+        for ib in range(ia + 1, len(docs)):
+            ga, gb = grams(docs[ia]), grams(docs[ib])
+            runs = []
+            by_diag = defaultdict(list)
+            for pa, gra in enumerate(ga):
+                for pb, grb in enumerate(gb):
+                    if gra == grb:
+                        by_diag[pa - pb].append(pa)
+            for _diag, ps in by_diag.items():
+                ps.sort()
+                start = prev = ps[0]
+                for p in ps[1:]:
+                    if p == prev + 1:
+                        prev = p
+                    else:
+                        runs.append(prev - start + w)
+                        start = prev = p
+                runs.append(prev - start + w)
+            if runs:
+                expected[(ia, ib)] = (
+                    len(runs),
+                    max(runs),
+                    sum(runs),
+                )
+    assert got == expected
