@@ -77,6 +77,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to REGISTRY."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite hides one of two implementations from
+            # the driver forever (r12 nearly shipped a duplicate
+            # quality_k_anonymity this way) — collide loudly instead
+            raise ValueError(
+                f"duplicate registry name {name!r}: already registered "
+                f"by {REGISTRY[name].fn.__module__}"
+            )
         pinned = pin_events_us(oracle) if oracle is not None else None
         REGISTRY[name] = Query(name=name, fn=fn, oracle=pinned, doc=doc)
         return fn

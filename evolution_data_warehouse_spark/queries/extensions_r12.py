@@ -17,7 +17,7 @@ surface (its dedup is row-level DISTINCT, transformation/nettoyage.py)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.operators.dedup import (
@@ -1686,55 +1686,6 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
-
-
-# ---------------------------------------------------------------------------
-# quality_k_anonymity — the audit quality_l_diversity's doc references
-# ---------------------------------------------------------------------------
-
-_K_ANON_K = 5
-
-_K_ANON_ORACLE = f"""
-WITH q AS (
-    SELECT c_nationkey,
-           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
-    FROM customer
-),
-g AS (
-    SELECT c_nationkey, bal_bucket, CAST(COUNT(*) AS BIGINT) AS k
-    FROM q GROUP BY c_nationkey, bal_bucket
-)
-SELECT c_nationkey, bal_bucket, k
-FROM g WHERE k < {_K_ANON_K}
-"""
-
-
-@register(
-    "quality_k_anonymity",
-    _K_ANON_ORACLE,
-    doc="k-anonymity audit (Sweeney 2002): every quasi-identifier "
-    "class (nation, 1000-unit balance bucket — the same QI grid as "
-    "quality_l_diversity, deliberately, so the two audits read the "
-    "same classes) must contain >= k = 5 individuals; classes below "
-    "the floor are re-identification risks and must generalize or "
-    "suppress before release. One hash aggregate at QI cardinality; "
-    "the filter returns only violating classes, so output stays small "
-    "at any input scale. Completes the privacy-audit trio "
-    "(k-anonymity -> l-diversity -> pii_* redaction).",
-)
-def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = (
-        t(spark, sf_dir, "customer")
-        .select(
-            "c_nationkey",
-            F.floor(F.col("c_acctbal") / 1000.0)
-            .cast("bigint")
-            .alias("bal_bucket"),
-        )
-        .groupBy("c_nationkey", "bal_bucket")
-        .agg(F.count("*").cast("bigint").alias("k"))
-    )
-    return g.filter(F.col("k") < _K_ANON_K)
 
 
 # ---------------------------------------------------------------------------
