@@ -2014,3 +2014,110 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ck_key").isNotNull().alias("is_dup_exact"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — bounded k-core peel on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_T = 5  # pinned peel rounds (bounded-iteration discipline)
+
+
+def _kcore_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _MIN_EDGE_SUPPORT,
+    )
+
+    steps = []
+    prev = "n0"
+    for i in range(1, _KCORE_T + 1):
+        steps.append(
+            f"""n{i} AS MATERIALIZED (
+    SELECT u AS node FROM (
+        SELECT e.u, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym e
+        JOIN {prev} a ON a.node = e.u
+        JOIN {prev} b ON b.node = e.v
+        GROUP BY e.u
+    ) WHERE deg >= {_KCORE_K}
+)"""
+        )
+        prev = f"n{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
+),
+sym AS MATERIALIZED (
+    SELECT pa AS u, pb AS v FROM ed
+    UNION ALL SELECT pb, pa FROM ed
+),
+n0 AS (SELECT DISTINCT u AS node FROM sym),
+{chain}
+SELECT e.u AS part, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM sym e
+JOIN {prev} a ON a.node = e.u
+JOIN {prev} b ON b.node = e.v
+GROUP BY e.u
+"""
+
+
+@register(
+    "graph_kcore",
+    _kcore_oracle(),
+    doc="k-core peel (k=3, 5 pinned rounds) on the support-pruned "
+    "co-purchase graph — each round drops every part whose degree "
+    "WITHIN the surviving subgraph is below k, the standard dense-"
+    "community extraction (Seidman 1983) that pagerank/triangles "
+    "can't give: membership in a mutually-dense core, not just "
+    "centrality. Pinned rounds, not run-to-fixpoint (the repo's "
+    "bounded-iteration rule: graph_pagerank, connected_components' "
+    "max_iterations); on this fixture the peel converges in < 5 "
+    "rounds, and at scale unconverged rounds only over-approximate "
+    "the core — monotonically shrinking, never wrong-way. Integer "
+    "degrees only, so the surviving node set is bit-exact. Scale: "
+    "each round is one join of the pinned symmetric edge list "
+    "against the (shrinking) survivor set + a hash aggregate — the "
+    "pagerank per-iteration shape; survivor frames eagerly "
+    "localCheckpointed (constant lineage).",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+
+    e = _edges(spark, sf_dir).select("pa", "pb")
+    sym = (
+        e.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(
+            e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    for _ in range(_KCORE_T):
+        a = nodes.select(F.col("node").alias("na"))
+        b = nodes.select(F.col("node").alias("nb"))
+        nodes = (
+            sym.join(a, sym.u == F.col("na"))
+            .join(b, sym.v == F.col("nb"))
+            .groupBy("u")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    a = nodes.select(F.col("node").alias("na"))
+    b = nodes.select(F.col("node").alias("nb"))
+    return (
+        sym.join(a, sym.u == F.col("na"))
+        .join(b, sym.v == F.col("nb"))
+        .groupBy(F.col("u").alias("part"))
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
