@@ -171,6 +171,20 @@ SF1_QUERIES = [
     "dedup_threshold_sweep",
     "dedup_minhash_recall_eval",
     "graph_bfs_distance",
+    # r12 additions with non-obvious scaling: the ExactSubstr anchor
+    # pair join (df-guarded window-hash self-join — the round's new
+    # quadratic-looking plan), the OPQ Arrow/numpy rotation matmul,
+    # the two new pinned-iteration ops (mutual-reinforcement HITS,
+    # Group-DRO DoReMi), the 256-register HLL rollup, and the Bloom
+    # broadcast screen. The other r12 additions (chi2/WOE/PSI/CCNet
+    # buckets, binary Hamming top-k, matryoshka eval) are single-scan
+    # aggregate/top-k shapes already represented above.
+    "dedup_substring_cross",
+    "sim_opq_assign",
+    "graph_hits",
+    "corpus_doremi_weights",
+    "agg_hll_distinct",
+    "dedup_bloom_prefilter",
 ]
 
 
