@@ -2264,3 +2264,244 @@ def stream_scd2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date_debut_validite",
         "date_fin_validite",
     )
+
+
+# ---------------------------------------------------------------------------
+# event_attribution_ushape — U-shaped multi-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_FP = 1_000_000  # one conversion distributes exactly ~1e6 credit
+
+
+def _attr_oracle() -> str:
+    return f"""
+WITH j AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS conv_id
+    FROM events
+),
+touches AS (
+    SELECT user_id, conv_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, conv_id
+                              ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id, conv_id) AS n
+    FROM j
+    WHERE conv_id >= 1 AND event_type <> 'purchase'
+),
+credited AS (
+    SELECT event_type,
+           CASE WHEN n = 1 THEN {_ATTR_FP}
+                WHEN n = 2 THEN {_ATTR_FP // 2}
+                WHEN rn = 1 OR rn = n THEN {2 * _ATTR_FP // 5}
+                ELSE {_ATTR_FP // 5} // (n - 2)
+           END AS credit
+    FROM touches
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_fp
+FROM credited GROUP BY event_type
+"""
+
+
+@register(
+    "event_attribution_ushape",
+    _attr_oracle(),
+    doc="U-shaped (position-based) multi-touch attribution: every "
+    "purchase closes a journey of the user's preceding non-purchase "
+    "touches (journey id = count of purchases at-or-after each event, "
+    "so each touch belongs to exactly one conversion); credit splits "
+    "40/20/40 — first and last touch 400k fixed-point each, middles "
+    "share 200k by integer floor division (1-touch journeys take the "
+    "full 1e6, 2-touch journeys 500k each). The marketing-analytics "
+    "standard between last-touch (all credit to the final click) and "
+    "Markov removal effects (event_markov_stationary's territory). "
+    "All-integer credit, full (ts, event_id) tie-breaks — bit-exact "
+    "on both engines; floor remainders leak identically. Scale: two "
+    "window passes over user-partitioned events + one hash aggregate "
+    "— the win_session_gap shape, one user-keyed shuffle.",
+)
+def event_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_after = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    j = ev.withColumn(
+        "conv_id",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_after),
+    )
+    wt = W.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    touches = (
+        j.filter(
+            (F.col("conv_id") >= 1)
+            & (F.col("event_type") != "purchase")
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .withColumn(
+            "n", F.count("*").over(W.partitionBy("user_id", "conv_id"))
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(_ATTR_FP))
+        .when(F.col("n") == 2, F.lit(_ATTR_FP // 2))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("n")),
+            F.lit(2 * _ATTR_FP // 5),
+        )
+        .otherwise(
+            F.expr(f"{_ATTR_FP // 5} DIV (n - 2)")
+        )
+    )
+    return (
+        touches.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.sum("credit").cast("bigint").alias("credit_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_attribution_timedecay — exponential half-life attribution
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_H = 168  # one-week half-life, the industry default
+_DECAY_MAX_SHIFT = 30  # cap: beyond 30 half-lives the weight is 0-ish
+
+
+def _attr_decay_oracle() -> str:
+    return f"""
+WITH j AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS conv_id
+    FROM events
+),
+conv_ts AS (
+    SELECT user_id, conv_id, ts AS cts FROM j
+    WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT t.user_id, t.conv_id, t.event_type,
+           ({_ATTR_FP} >> CAST(LEAST(
+               (epoch_us(c.cts) - epoch_us(t.ts))
+                   // (3600000000 * {_DECAY_HALF_LIFE_H}),
+               {_DECAY_MAX_SHIFT}) AS INT)) AS w
+    FROM j t JOIN conv_ts c
+      ON c.user_id = t.user_id AND c.conv_id = t.conv_id
+    WHERE t.conv_id >= 1 AND t.event_type <> 'purchase'
+),
+norm AS (
+    SELECT user_id, conv_id, CAST(SUM(w) AS BIGINT) AS tw
+    FROM touches GROUP BY user_id, conv_id
+),
+credited AS (
+    SELECT t.event_type,
+           CAST((CAST(t.w AS HUGEINT) * {_ATTR_FP}) // n.tw AS BIGINT)
+               AS credit
+    FROM touches t
+    JOIN norm n ON n.user_id = t.user_id AND n.conv_id = t.conv_id
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_fp
+FROM credited GROUP BY event_type
+"""
+
+
+@register(
+    "event_attribution_timedecay",
+    _attr_decay_oracle(),
+    doc="Time-decay multi-touch attribution (one-week half-life): each "
+    "touch in a conversion journey weighs 2^-floor(age/half_life) — "
+    "the weight is an exact DYADIC integer (fixed-point right-shift, "
+    "shift capped at 30), so unlike exp(-t/tau) there is no "
+    "transcendental in the weighting at all; per-journey credits "
+    "normalize to ~1e6 by exact integer floor division (HUGEINT/"
+    "DECIMAL widening). The recency-weighted complement to "
+    "event_attribution_ushape's positional split — same journey "
+    "construction (purchases-at-or-after journey id), same two-window "
+    "+ aggregate scale shape, one user-keyed shuffle.",
+)
+def event_attribution_timedecay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_after = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    j = ev.withColumn(
+        "conv_id",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w_after),
+    )
+    conv_ts = j.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("cu"),
+        F.col("conv_id").alias("cc"),
+        F.col("ts").alias("cts"),
+    )
+    shift = F.expr(
+        f"CAST(LEAST((unix_micros(cts) - unix_micros(ts))"
+        f" DIV (3600000000 * {_DECAY_HALF_LIFE_H}),"
+        f" {_DECAY_MAX_SHIFT}) AS INT)"
+    )
+    touches = (
+        j.filter(
+            (F.col("conv_id") >= 1)
+            & (F.col("event_type") != "purchase")
+        )
+        .join(
+            conv_ts,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("conv_id") == F.col("cc")),
+        )
+        .select(
+            "user_id",
+            "conv_id",
+            "event_type",
+            shift.alias("_shift"),
+        )
+        .select(
+            "user_id",
+            "conv_id",
+            "event_type",
+            F.expr(
+                f"shiftright(CAST({_ATTR_FP} AS BIGINT), _shift)"
+            ).alias("w"),
+        )
+    )
+    norm = touches.groupBy("user_id", "conv_id").agg(
+        F.sum("w").cast("bigint").alias("tw")
+    )
+    credited = touches.join(norm, ["user_id", "conv_id"]).select(
+        "event_type",
+        F.expr(
+            f"CAST(CAST(w AS DECIMAL(38,0)) * {_ATTR_FP} DIV tw"
+            " AS BIGINT)"
+        ).alias("credit"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum("credit").cast("bigint").alias("credit_fp"),
+    )
