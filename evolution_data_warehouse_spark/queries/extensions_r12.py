@@ -2505,3 +2505,178 @@ def event_attribution_timedecay(
         F.count("*").cast("bigint").alias("n_touches"),
         F.sum("credit").cast("bigint").alias("credit_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_sliding_distinct — 7-day rolling user cardinality via HLL merge
+# ---------------------------------------------------------------------------
+
+_HLLW_WINDOW_D = 7
+
+
+def _hll_sliding_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    h = content_hash64_sql("'hll:' || CAST(user_id AS VARCHAR)")
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
+        f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    est = (
+        f"CASE WHEN ({raw}) <= {2.5 * _HLL_M} AND n_registers < {_HLL_M}"
+        f" THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE)"
+        f" / CAST({_HLL_M} - n_registers AS DOUBLE))"
+        f" ELSE ({raw}) END"
+    )
+    return f"""
+WITH h AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+           {h} AS hv
+    FROM events
+),
+r AS (
+    SELECT day, hv % {_HLL_M} AS reg,
+           CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_CAP}
+                ELSE LEAST(bit_count(((hv // {_HLL_M})
+                           & -(hv // {_HLL_M})) - 1) + 1, {_HLL_CAP})
+           END AS rho
+    FROM h
+),
+daily AS (SELECT day, reg, MAX(rho) AS mr FROM r GROUP BY day, reg),
+-- mergeable-sketch property: the 7-day register is the per-register
+-- MAX over the daily registers — no re-touching of raw keys
+rolled AS (
+    SELECT day, reg,
+           MAX(mr) OVER (PARTITION BY reg ORDER BY day
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                               AND CURRENT ROW) AS mr
+    FROM daily
+),
+s AS (
+    SELECT day,
+           CAST(SUM(CAST(2 AS HUGEINT) ** ({_HLL_CAP} - mr)) AS BIGINT)
+               + ({_HLL_M} - COUNT(*)) * CAST({2 ** _HLL_CAP} AS BIGINT)
+               AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_registers
+    FROM rolled GROUP BY day
+),
+days AS (SELECT DISTINCT day FROM h),
+x AS (
+    SELECT d.day,
+           CAST(COUNT(DISTINCT h.user_id) AS BIGINT) AS n_exact
+    FROM days d JOIN h
+      ON h.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+)
+SELECT s.day, x.n_exact, s.n_registers,
+       {fpq_sql(est, 4)} AS est_distinct
+FROM s JOIN x ON x.day = s.day
+"""
+
+
+@register(
+    "agg_hll_sliding_distinct",
+    _hll_sliding_oracle(),
+    doc="7-day rolling distinct-user cardinality via MERGED HLL "
+    "registers: one pass builds per-(day, register) maxima, then the "
+    "rolling window is a per-register MAX over the trailing 7 days — "
+    "raw user keys are touched exactly once however long the window, "
+    "the property that makes sliding-window COUNT(DISTINCT) feasible "
+    "at 100 TB (the naive form re-shuffles every key into every "
+    "window it spans; here each day contributes a 256-row register "
+    "table and windows merge registers, the agg_hll_distinct/"
+    "stream_hll_merge mergeability applied along TIME). Same exact "
+    "integer register pipeline + linear-counting small-range branch; "
+    "the exact 7-day distinct rides along per day so sketch error is "
+    "visible. Scale: register table = days x 256 rows; window state "
+    "is dimension-sized forever.",
+)
+def agg_hll_sliding_distinct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    )
+    h = ev.select(
+        "day",
+        "user_id",
+        content_hash64(
+            F.concat(F.lit("hll:"), F.col("user_id").cast("string"))
+        ).alias("hv"),
+    )
+    rho = F.when(
+        (F.col("hv") / _HLL_M).cast("long") == 0, F.lit(_HLL_CAP)
+    ).otherwise(
+        F.least(
+            F.expr(
+                f"bit_count(((hv div {_HLL_M}) & -(hv div {_HLL_M}))"
+                " - 1) + 1"
+            ),
+            F.lit(_HLL_CAP),
+        )
+    )
+    daily = (
+        h.select(
+            "day", (F.col("hv") % _HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("mr"))
+    )
+    # rolling per-register max over trailing 7 days: rangeBetween on
+    # day-number (exact integer days), partitioned by register
+    wk = (
+        W.partitionBy("reg")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-(_HLLW_WINDOW_D - 1), 0)
+    )
+    rolled = daily.select(
+        "day", "reg", F.max("mr").over(wk).alias("mr")
+    )
+    s = rolled.groupBy("day").agg(
+        (
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_CAP} - mr)")
+            )
+            + (_HLL_M - F.count("*")) * F.lit(2 ** _HLL_CAP)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.count("*").cast("bigint").alias("n_registers"),
+    )
+    days = h.select("day").distinct()
+    x = (
+        days.alias("d")
+        .join(
+            h.alias("e"),
+            F.col("e.day").between(
+                F.date_sub(F.col("d.day"), _HLLW_WINDOW_D - 1),
+                F.col("d.day"),
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct("e.user_id").cast("bigint").alias("n_exact")
+        )
+    )
+    raw = (
+        f"CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({_HLL_M * _HLL_M} AS "
+        f"DOUBLE) * CAST({2 ** _HLL_CAP} AS DOUBLE) / CAST(s AS DOUBLE)"
+    )
+    est = F.expr(
+        f"CASE WHEN ({raw}) <= {2.5 * _HLL_M} AND n_registers < {_HLL_M}"
+        f" THEN CAST({_HLL_M} AS DOUBLE) * ln(CAST({_HLL_M} AS DOUBLE)"
+        f" / CAST({_HLL_M} - n_registers AS DOUBLE))"
+        f" ELSE ({raw}) END"
+    )
+    return s.join(x, "day").select(
+        "day", "n_exact", "n_registers", fpq(est, 4).alias("est_distinct")
+    )

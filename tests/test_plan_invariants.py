@@ -63,6 +63,9 @@ _BNL_OK = {
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing
+    # the exact-comparison leg range-joins the ~30-row distinct-days
+    # frame against events; the build side must be that day aggregate
+    "agg_hll_sliding_distinct": "HashAggregate(keys=[day",
     # (sim_ann_recall_eval's ground-truth leg inherits
     # sim_ann_bruteforce's bounded query-set BNL, but that leg is
     # localCheckpoint-materialized inside the callable, so the
