@@ -2680,3 +2680,125 @@ def agg_hll_sliding_distinct(
     return s.join(x, "day").select(
         "day", "n_exact", "n_registers", fpq(est, 4).alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_template_ratio — per-source boilerplate-token contamination
+# ---------------------------------------------------------------------------
+
+_TPL_DF_PM = 800  # a token is "template" within its source when it
+# appears in > 80% of the source's documents (per-mille, integer)
+
+
+def _template_oracle() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(str_split(lower(COALESCE(text, '')),
+                                          ' '))) AS token
+    FROM documents
+),
+sdocs AS (
+    SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM d GROUP BY source
+),
+df AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS df
+    FROM d GROUP BY source, token
+),
+tpl AS (
+    SELECT df.source, df.token
+    FROM df JOIN sdocs s ON s.source = df.source
+    WHERE df.df * 1000 > {_TPL_DF_PM} * s.n_docs
+),
+per_doc AS (
+    SELECT d.doc_id, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) FILTER (WHERE t.token IS NOT NULL) AS BIGINT)
+               AS n_template
+    FROM d LEFT JOIN tpl t
+      ON t.source = d.source AND t.token = d.token
+    GROUP BY d.doc_id, d.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_template) AS BIGINT) AS template_hits,
+       CAST(SUM(n_distinct) AS BIGINT) AS distinct_tokens,
+       CAST(MAX((n_template * {10**6}) // GREATEST(n_distinct, 1))
+            AS BIGINT) AS worst_doc_ratio_fp
+FROM per_doc GROUP BY source
+"""
+
+
+@register(
+    "text_template_ratio",
+    _template_oracle(),
+    doc="Per-source boilerplate-token contamination: a token is "
+    "TEMPLATE within its source when it appears in > 80% of that "
+    "source's documents (integer per-mille threshold — headers, nav "
+    "chrome, license lines), and each source reports how much of its "
+    "documents' distinct-token mass is template plus the worst "
+    "single-document template ratio (fixed-point) — the signal that "
+    "decides whether a source needs main-content extraction "
+    "(web_main_content) before tokenization, upstream of the "
+    "cross-document span cutters (dedup_substring_cross, "
+    "dedup_lines_corpus). All integer counts and floor divisions. "
+    "Scale: distinct-token explode -> two hash aggregates keyed by "
+    "(source, token) + a broadcast-sized template set per source — "
+    "linear, no pair joins.",
+)
+def text_template_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+            )
+        ).alias("token"),
+    )
+    sdocs = d.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    df = d.groupBy("source", "token").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    # tpl derives from d, so tpl's "source" is the SAME attribute id
+    # as d's — rename it before the join or drop() resolves the wrong
+    # one (the self-join lineage trap; caught by the oracle diff)
+    tpl = (
+        df.join(F.broadcast(sdocs), "source")
+        .filter(F.col("df") * 1000 > _TPL_DF_PM * F.col("n_docs"))
+        .select(
+            F.col("source").alias("tpl_source"),
+            F.col("token").alias("tpl_token"),
+        )
+    )
+    per_doc = (
+        d.join(
+            tpl,
+            (d.source == tpl.tpl_source) & (d.token == tpl.tpl_token),
+            "left",
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("tpl_token").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_template"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_template").cast("bigint").alias("template_hits"),
+        F.sum("n_distinct").cast("bigint").alias("distinct_tokens"),
+        F.max(
+            F.expr(
+                f"(n_template * {10**6}) DIV greatest(n_distinct, 1)"
+            )
+        )
+        .cast("bigint")
+        .alias("worst_doc_ratio_fp"),
+    )
