@@ -721,3 +721,124 @@ def cross_substring_spans(
         F.max("span_tokens").cast("long").alias("longest_span_tokens"),
         F.sum("span_tokens").cast("long").alias("shared_tokens"),
     )
+
+
+def _coalesce_fixed_width_intervals(
+    matched: DataFrame, pos_col: str, w: int, suffix: str
+) -> DataFrame:
+    """Coalesce DISTINCT fixed-width-``w`` intervals [pos, pos+w-1] per
+    (doc_a, doc_b) into maximal intervals and aggregate coverage.
+
+    Because every interval has the same width and rows are sorted by
+    ``pos``, the running max of previous interval ends is simply
+    lag(pos) + w - 1, so the island break is lag-based (no running-max
+    window needed): a new maximal interval starts when
+    pos > lag(pos) + w (the previous end + 1 < pos — adjacent intervals
+    merge, matching window_spans' convention, which never changes the
+    covered-token count for fixed-width inputs).
+    """
+    order_w = Window.partitionBy("doc_a", "doc_b").orderBy(pos_col)
+    cum_w = (
+        Window.partitionBy("doc_a", "doc_b")
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = (
+        matched.select("doc_a", "doc_b", pos_col)
+        .distinct()
+        .withColumn("_lag", F.lag(pos_col).over(order_w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_lag").isNull()
+                | (F.col(pos_col) > F.col("_lag") + w),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_brk").over(cum_w))
+    )
+    spans = isl.groupBy("doc_a", "doc_b", "_island").agg(
+        (F.max(pos_col) - F.min(pos_col) + F.lit(w))
+        .cast("long")
+        .alias("_cov")
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias(f"n_max_spans_{suffix}"),
+        F.sum("_cov").cast("long").alias(f"covered_tokens_{suffix}"),
+        F.max("_cov").cast("long").alias(f"longest_span_{suffix}"),
+    )
+
+
+def cross_substring_maximal(
+    tokens: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+    tokens_col: str = "tk",
+    max_anchor_df: int = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Maximal-coverage form of :func:`cross_substring_spans` (the
+    interval-coalesced semantics of Lee et al. 2022's ExactSubstr —
+    *how much of each document is verbatim-shared with the other*, not
+    per-alignment run counts).
+
+    ``cross_substring_spans`` reports one span per alignment DIAGONAL,
+    so a token range that matches the partner document under two
+    different alignments (e.g. the partner contains the run twice) is
+    counted twice in ``shared_tokens``. Curation decisions (cut or
+    keep a document) need the de-overlapped number: the union of
+    matched token intervals per document side. This operator coalesces
+    the matched fixed-width windows [pos, pos+w-1] into maximal
+    intervals independently in doc_a's and doc_b's coordinate spaces —
+    one DISTINCT + one lag-based gaps-and-islands window pass per side
+    over the (small) matched subset, after the identical anchor-guarded
+    hash join as the diagonal form.
+
+    Output: one all-integer row per document pair —
+    (doc_a, doc_b, n_max_spans_a, covered_tokens_a, longest_span_a,
+    n_max_spans_b, covered_tokens_b, longest_span_b) — with
+    covered_tokens_* <= the diagonal form's shared_tokens (equality
+    exactly when no two alignments overlap; property-tested).
+
+    Scale: identical join fan-out bound as ``cross_substring_spans``
+    (anchor df guard); the coalesce passes are per-pair sorts over
+    matched anchors only. The reference has no substring-level dedup
+    (row-level DISTINCT only, transformation/nettoyage.py).
+    """
+    n_tokens = F.size(F.col(tokens_col))
+    wins = (
+        tokens.filter(n_tokens >= w)
+        .select(
+            F.col(id_col),
+            F.posexplode(_k_gram_windows(F.col(tokens_col), w)).alias(
+                "_p0", "_win"
+            ),
+        )
+        .select(
+            F.col(id_col).alias("_id"),
+            (F.col("_p0") + 1).cast("long").alias("pos"),
+            content_hash64(F.col("_win")).alias("_h"),
+        )
+    )
+    guard = Window.partitionBy("_h")
+    anchored = (
+        wins.withColumn("_df", F.count("*").over(guard))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_anchor_df))
+        .drop("_df")
+    )
+    a = anchored.select(
+        F.col("_id").alias("doc_a"), F.col("pos").alias("pos_a"), "_h"
+    )
+    b = anchored.select(
+        F.col("_id").alias("doc_b"), F.col("pos").alias("pos_b"), "_h"
+    )
+    matches = (
+        a.join(b, "_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pos_a", "pos_b")
+        # both coalesce passes re-read the join output; materialize it
+        # once so the anchor join does not execute twice
+        .localCheckpoint(eager=True)
+    )
+    cov_a = _coalesce_fixed_width_intervals(matches, "pos_a", w, "a")
+    cov_b = _coalesce_fixed_width_intervals(matches, "pos_b", w, "b")
+    return cov_a.join(cov_b, ["doc_a", "doc_b"])

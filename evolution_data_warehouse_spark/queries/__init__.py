@@ -37,49 +37,46 @@ from evolution_data_warehouse_spark.queries import extensions_r10 as _extensions
 from evolution_data_warehouse_spark.queries import extensions_r11 as _extensions_r11  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions_r11b as _extensions_r11b  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions_r12 as _extensions_r12  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import extensions_r13 as _extensions_r13  # noqa: E402,F401
 
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-12 window (per the CLAUDE.md rotation): the 61 entries added
-# during round 11 have never had an official driver verdict (all 396
-# green in LOCAL_CONTRACT_r11.json; 8 independently re-verified by the
-# r11 judge).  The first 50 of them, in registration order, fill the
-# r12 window exactly; the remaining 11 are placed immediately after so
-# they lead the round-13 window.  Queries added during round 12 land
-# after those (verified locally by drive_contract).
-# Carried-forward evidence: end-of-r11 the full 396-query registry
-# passed drive_contract (LOCAL_CONTRACT_r11.json) — the determinism
-# rules are partition-count- and scale-independent across the full
-# surface.
-_R12_WINDOW = (
-    # 50 never-driver-verified r11 additions (registration order)
-    "mm_caption_alignment", "text_bm25_topk", "snk_shuffled_shards",
-    "sim_rrf_fusion", "text_inverted_index", "tok_oov_rate",
-    "text_quality_classifier", "corpus_dsir_weights", "graph_pagerank",
-    "stream_dedup_ingest", "pack_multimodal", "quality_l_diversity",
-    "agg_histogram_quantiles", "src_parquet_mergeschema", "fn_levenshtein",
-    "fn_bitwise_ops", "stats_spearman_corr", "agg_skew_kurtosis",
-    "quality_fk_orphans", "split_kfold_hash", "win_rsi", "ts_ohlc_bars",
-    "graph_jaccard_neighbors", "snk_webdataset_shards", "src_xml_roundtrip",
-    "dim_date_spine", "win_bollinger", "stats_cohens_d",
-    "text_ngram_novelty", "event_window_funnel", "corpus_epoch_schedule",
-    "limit_keyset_page", "quality_pk_uniqueness", "dedup_threshold_sweep",
-    "stream_session_windows", "win_rolling_median", "graph_bfs_distance",
-    "stats_cuped_adjust", "src_python_datasource", "udtf_sentence_stats",
-    "snk_python_datasource", "fn_variant_extract", "ts_interpolate_linear",
-    "join_lateral_topk", "pii_pseudonymize_join", "dedup_minhash_recall_eval",
-    "join_bucketed_noshuffle", "ts_forecast_snaive_error",
-    "win_winsorized_mean", "text_code_detect",
-    # 11 remaining never-verified r11 additions — lead the r13 window
+# round-13 window (per the CLAUDE.md rotation and the r12 verdict's
+# directive #1): the 33 entries never yet in a driver window (the 11
+# r11 leftovers + 22 r12 mid-round additions, all green in
+# LOCAL_CONTRACT_r12.json and 7 of them judge-re-verified), then the
+# remaining 17 slots from the oldest-verdict block — the r5 set —
+# so after this round no entry's official verdict is older than r6.
+# Queries added during round 13 land after the window (verified
+# locally by drive_contract) and lead the round-14 window.
+_R13_WINDOW = (
+    # 11 never-driver-verified r11 additions (carried from r12 tail)
     "sim_ann_recall_eval", "event_inter_arrival_cv", "fe_target_encoding_loo",
     "emb_centroid_drift", "dedup_cluster_size_hist", "event_entropy_rate",
     "sim_ann_nprobe_sweep", "ts_peak_detection", "fn_math_suite",
     "agg_percent_of_parent", "join_asof_tolerance",
+    # 22 never-driver-verified r12 additions (registration order)
+    "dedup_substring_cross", "sim_opq_assign", "sim_pq_opq_recall",
+    "corpus_doremi_weights", "stream_minhash_ingest", "agg_hll_distinct",
+    "emb_binarize_hamming", "stats_chi2_independence",
+    "event_markov_stationary", "fe_woe_encoding", "text_quality_ccnet",
+    "stream_hll_merge", "emb_matryoshka_eval", "quality_psi_drift",
+    "graph_hits", "dedup_bloom_prefilter", "graph_kcore",
+    "stream_scd2_ingest", "event_attribution_ushape",
+    "event_attribution_timedecay", "agg_hll_sliding_distinct",
+    "text_template_ratio",
+    # 17 oldest-verdict entries (official verdict r5) — refresh them
+    "src_rest_api", "snk_jdbc_roundtrip", "src_blob_list",
+    "win_version_latest", "win_topn_recent", "win_surrogate_key",
+    "sort_multikey", "limit_topn", "sort_view", "set_union_all",
+    "set_concat_append", "fn_zfill", "udf_extra_transform",
+    "proc_log_etl", "proc_refresh_stats", "proc_backup",
+    "proc_orchestration",
 )
-_ordered: list[str] = list(_R12_WINDOW)
+_ordered: list[str] = list(_R13_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R12_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R13_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}

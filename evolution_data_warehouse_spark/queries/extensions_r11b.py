@@ -3729,16 +3729,18 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _nprobe_sweep_oracle() -> str:
+def _ivf_corpus_ctes() -> str:
+    """The IVF corpus-assignment CTE chain (d → long → ranked →
+    corpus_b) every IVF oracle leg shares — mirrors
+    llm_ops._ivf_oracle()'s construction; rank by exact double
+    distance, centroid-id tie-break, rnk = 1 is the inverted-list
+    assignment. One source of truth for sim_ann_nprobe_sweep and
+    extensions_r13's sim_ann_frontier so the two oracles cannot
+    silently diverge."""
     from evolution_data_warehouse_spark.queries.llm_ops import (
-        _ANN_ORACLE,
+        DIM,
         _KM_CENTROIDS,
-        _sqnorm_sql,
     )
-
-    # the IVF candidate CTE, parameterized by probe depth — mirrors
-    # llm_ops._ivf_oracle() with rnk <= {probes}
-    from evolution_data_warehouse_spark.queries.llm_ops import DIM
 
     dist_exprs = []
     for c in _KM_CENTROIDS:
@@ -3752,6 +3754,23 @@ def _nprobe_sweep_oracle() -> str:
     long_union = " UNION ALL ".join(
         f"SELECT vec_id, {k} AS centroid_id, d{k} AS dist FROM d"
         for k in range(len(_KM_CENTROIDS))
+    )
+    return f"""
+d AS (SELECT vec_id, {d_cols} FROM embeddings),
+long AS ({long_union}),
+ranked AS (
+    SELECT vec_id, centroid_id, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rnk
+    FROM long
+),
+corpus_b AS (SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+             FROM ranked WHERE rnk = 1)"""
+
+
+def _nprobe_sweep_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _ANN_ORACLE,
+        _sqnorm_sql,
     )
 
     def leg(probes: int) -> str:
@@ -3767,15 +3786,7 @@ WITH e AS (
     SELECT vec_id, embedding, sqrt({_sqnorm_sql('embeddings')}) AS norm
     FROM embeddings
 ),
-d AS (SELECT vec_id, {d_cols} FROM embeddings),
-long AS ({long_union}),
-ranked AS (
-    SELECT vec_id, centroid_id, row_number() OVER (
-        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rnk
-    FROM long
-),
-corpus_b AS (SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
-             FROM ranked WHERE rnk = 1),
+{_ivf_corpus_ctes()},
 cand AS ({leg(1)} UNION ALL {leg(2)}),
 bf AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})),
 truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),

@@ -1,0 +1,372 @@
+"""Round-13 query batch: maximal-coverage ExactSubstr spans, the
+IVF/PQ/OPQ recall-vs-cost frontier, and the streaming
+watermark-lateness audit.
+
+Same contract as every other registry module: each query is a Spark
+callable plus a DuckDB oracle, aliased identically on both sides, with
+the repo determinism rules (integer arithmetic wherever possible,
+fixed-point quantization before any float comparison, tie-broken
+ordering, no native round()).
+
+Reference parity note: the reference (haelbrek/Evolution-DATA-WAREHOUSE)
+has no substring-level dedup, vector-quantization, or streaming surface
+(its dedup is row-level DISTINCT, transformation/nettoyage.py) — this
+batch extends the LLM-pipeline and streaming layers beyond reference
+parity (the declared SURVEY §7 growth direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.dedup import (
+    content_hash64_sql as _ch64_sql,
+)
+from evolution_data_warehouse_spark.queries.common import register, t
+
+# ---------------------------------------------------------------------------
+# dedup_substring_maximal — interval-coalesced ExactSubstr coverage
+# ---------------------------------------------------------------------------
+
+# same window width / anchor guard as dedup_substring_cross so the two
+# entries describe the same matches at two aggregation semantics
+from evolution_data_warehouse_spark.queries.extensions_r12 import (  # noqa: E402
+    _XS_MAX_DF,
+    _XS_W,
+)
+
+
+def _one_side_coalesce_sql(side: str) -> str:
+    """The DISTINCT → lag-break → island → coverage CTE chain for one
+    document side (SQL mirror of operators/dedup.py::
+    _coalesce_fixed_width_intervals — fixed-width intervals sorted by
+    pos make the previous running end exactly lag(pos) + w - 1)."""
+    w = _XS_W
+    return f"""
+d{side} AS (SELECT DISTINCT doc_a, doc_b, pos_{side} AS pos FROM m),
+i{side} AS (
+    SELECT doc_a, doc_b, pos,
+           CASE WHEN lag(pos) OVER win IS NULL
+                     OR pos > lag(pos) OVER win + {w}
+                THEN 1 ELSE 0 END AS brk
+    FROM d{side}
+    WINDOW win AS (PARTITION BY doc_a, doc_b ORDER BY pos)
+),
+j{side} AS (
+    SELECT doc_a, doc_b, pos,
+           SUM(brk) OVER (PARTITION BY doc_a, doc_b ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS island
+    FROM i{side}
+),
+s{side} AS (
+    SELECT doc_a, doc_b, island, MAX(pos) - MIN(pos) + {w} AS cov
+    FROM j{side} GROUP BY doc_a, doc_b, island
+),
+c{side} AS (
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_max_spans_{side},
+           CAST(SUM(cov) AS BIGINT) AS covered_tokens_{side},
+           CAST(MAX(cov) AS BIGINT) AS longest_span_{side}
+    FROM s{side} GROUP BY doc_a, doc_b
+)"""
+
+
+_XSM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, str_split(lower(text), ' ') AS tk FROM documents),
+wins AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           {_ch64_sql(f"array_to_string(tk[i:i+{_XS_W - 1}], ' ')")} AS h
+    FROM toks, LATERAL unnest(range(1, len(tk) - {_XS_W} + 2)) t(i)
+    WHERE len(tk) >= {_XS_W}
+),
+anch AS (
+    SELECT doc_id, pos, h FROM (
+        SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS df
+        FROM wins
+    ) WHERE df BETWEEN 2 AND {_XS_MAX_DF}
+),
+m AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pos_a, b.pos AS pos_b
+    FROM anch a JOIN anch b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+{_one_side_coalesce_sql("a")},
+{_one_side_coalesce_sql("b")}
+SELECT doc_a, doc_b,
+       n_max_spans_a, covered_tokens_a, longest_span_a,
+       n_max_spans_b, covered_tokens_b, longest_span_b
+FROM ca JOIN cb USING (doc_a, doc_b)
+"""
+
+
+@register(
+    "dedup_substring_maximal",
+    _XSM_ORACLE,
+    doc="Maximal-coverage cross-document ExactSubstr (operators/"
+    "dedup.py::cross_substring_maximal — the interval-coalesced "
+    "semantics of Lee et al. 2022): per document pair, the UNION of "
+    "verbatim-shared >=5-token ranges in each side's own coordinate "
+    "space, de-overlapped across alignment diagonals. "
+    "dedup_substring_cross counts one span per diagonal, so a range "
+    "matching the partner under two alignments is double-counted "
+    "there; curation cut-or-keep decisions need this de-overlapped "
+    "coverage number (covered_tokens_* <= shared_tokens, equality iff "
+    "no two alignments overlap — property-tested). Same anchor-guarded "
+    "hash join as the diagonal form (never all-pairs), then one "
+    "DISTINCT + lag-based gaps-and-islands pass per side over matched "
+    "anchors only. All-integer output. The reference has no "
+    "substring-level operator (row-level DISTINCT only, "
+    "transformation/nettoyage.py).",
+)
+def dedup_substring_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cross_substring_maximal,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    )
+    return cross_substring_maximal(docs, w=_XS_W, max_anchor_df=_XS_MAX_DF)
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_frontier — the IVF x codec recall/cost operating-point table
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.queries.extensions_r9 import (  # noqa: E402
+    _PQ_BOOKS,
+    _PQ_M,
+    _PQ_QUERY,
+    _pq_adc_sql,
+    _pq_dist_code_sql,
+    _pq_vdefs_sql,
+)
+from evolution_data_warehouse_spark.queries.extensions_r12 import (  # noqa: E402
+    _opq_rotate_sql,
+    _pq_exact_dist_sql,
+)
+from evolution_data_warehouse_spark.queries.opq_model import (  # noqa: E402
+    OPQ_BOOKS as _OPQ_BOOKS,
+    OPQ_R as _OPQ_R,
+)
+
+_FRT_SHORTLIST = 50
+_FRT_TRUTH_K = 10
+_FRT_FP = 1_000_000
+_FRT_PROBES = (1, 2)
+
+
+def _frontier_probe_order() -> list[int]:
+    """Centroid ids by exact distance from the pinned query — computed
+    ONCE driver-side from literal model constants (query and centroids
+    are both pinned literals) and inlined into engine and oracle alike,
+    so probe selection is definitionally identical on both sides."""
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _KM_CENTROIDS,
+    )
+
+    dists = []
+    for cid, cent in enumerate(_KM_CENTROIDS):
+        acc = 0.0
+        for x, y in zip(_PQ_QUERY, cent):
+            acc += (x - y) * (x - y)
+        dists.append((acc, cid))
+    dists.sort()
+    return [cid for _, cid in dists]
+
+
+def _frontier_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        opq_adc_lut,
+        opq_rotate_query,
+        pq_adc_lut,
+        pq_quantize_codebooks,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _ivf_corpus_ctes,
+    )
+
+    pq_dd, pq_cc = _pq_dist_code_sql(pq_quantize_codebooks(_PQ_BOOKS), "p")
+    pq_adc = _pq_adc_sql(pq_adc_lut(_PQ_BOOKS, _PQ_QUERY), "p")
+    opq_dd, opq_cc = _pq_dist_code_sql(pq_quantize_codebooks(_OPQ_BOOKS), "o")
+    qz = opq_rotate_query(_OPQ_R, _PQ_QUERY)
+    opq_adc = _pq_adc_sql(opq_adc_lut(_OPQ_BOOKS, qz), "o")
+    probes = _frontier_probe_order()
+
+    cand_ctes = ",\n".join(
+        f"cand{p} AS (SELECT vec_id FROM corpus_b WHERE centroid_id IN "
+        f"({', '.join(str(c) for c in probes[:p])}))"
+        for p in _FRT_PROBES
+    )
+    legs = []
+    for p in _FRT_PROBES:
+        for method, dist_cte in (("exact", "xd"), ("pq", "pc"), ("opq", "oc")):
+            legs.append(f"""
+SELECT {p} AS nprobe, '{method}' AS method,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{p}) AS n_candidates,
+       CAST({_FRT_TRUTH_K} AS BIGINT) AS n_truth,
+       CAST(COUNT(*) AS BIGINT) AS n_hit,
+       CAST(COUNT(*) * {_FRT_FP} // {_FRT_TRUTH_K} AS BIGINT) AS recall_fp
+FROM truth tr JOIN (
+    SELECT dd.vec_id FROM {dist_cte} dd
+    JOIN cand{p} cc ON cc.vec_id = dd.vec_id
+    ORDER BY dd.dist, dd.vec_id LIMIT {_FRT_SHORTLIST}
+) s ON s.vec_id = tr.vec_id""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+{_opq_rotate_sql()},
+{_ivf_corpus_ctes()},
+xd AS (SELECT vec_id, {_pq_exact_dist_sql()} AS dist FROM v),
+pd AS (SELECT vec_id, {", ".join(pq_dd)} FROM v),
+pc AS (SELECT vec_id, CAST({pq_adc} AS BIGINT) AS dist
+       FROM (SELECT vec_id, {", ".join(pq_cc)} FROM pd)),
+od AS (SELECT vec_id, {", ".join(opq_dd)} FROM rv),
+oc AS (SELECT vec_id, CAST({opq_adc} AS BIGINT) AS dist
+       FROM (SELECT vec_id, {", ".join(opq_cc)} FROM od)),
+truth AS (SELECT vec_id FROM xd ORDER BY dist, vec_id
+          LIMIT {_FRT_TRUTH_K}),
+{cand_ctes}
+{union}
+"""
+
+
+@register(
+    "sim_ann_frontier",
+    _frontier_oracle(),
+    doc="The ANN recall/cost FRONTIER: one auditable table sweeping "
+    "(nprobe in {1,2}) x (re-rank codec in {exact float, PQ ADC, OPQ "
+    "ADC at the same m=8,k=16 budget}) to (candidate count, "
+    "shortlist@50 recall of the exact global top-10) for the pinned "
+    "query — the operating-point artifact a 100 TB deployment tunes "
+    "from: the exact-codec rows isolate IVF geometry loss (how much "
+    "recall the probe depth forfeits), the PQ/OPQ rows add "
+    "quantization loss on top, and n_candidates is the cost axis "
+    "(fraction of corpus scanned). Composes the registered pieces "
+    "(sim_ann_nprobe_sweep's corpus assignment CTE, sim_pq_opq_recall's "
+    "distance legs) from their single sources of truth; probe order is "
+    "computed once from literal model constants and inlined on both "
+    "sides. All legs share ONE checkpointed scan engine-side; every "
+    "distance is exact (int64 fixed-point or IEEE double with "
+    "identical literals), recall integer fixed-point. Scale: "
+    "shortlists are TakeOrderedAndProject over candidate-only rows; "
+    "the frontier is a calibration query run on a query sample.",
+)
+def sim_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        PQ_SCALE,
+        ivf_assign,
+        opq_adc_lut,
+        opq_assign,
+        opq_rotate_query,
+        pq_adc_lut,
+        pq_assign,
+        with_norm,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _KM_CENTROIDS,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = _frontier_probe_order()
+
+    # one row per corpus vector: inverted-list id + all three distances
+    corpus_b = ivf_assign(
+        with_norm(emb).select("vec_id", "_vec"), _KM_CENTROIDS, n_probe=1
+    )
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))).cast(
+            "long"
+        ),
+    )
+    q_lit = F.array(
+        *[F.lit(round(x * PQ_SCALE)).cast("long") for x in _PQ_QUERY]
+    )
+    xdist = F.aggregate(
+        F.zip_with(vq, q_lit, lambda v, q: (v - q) * (v - q)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def adc_col(codes_df: DataFrame, lut, name: str) -> DataFrame:
+        adc = None
+        for j in range(_PQ_M):
+            term = F.element_at(
+                F.array(*[F.lit(x).cast("bigint") for x in lut[j]]),
+                F.col(f"code{j}") + 1,
+            )
+            adc = term if adc is None else adc + term
+        return codes_df.select("vec_id", adc.cast("bigint").alias(name))
+
+    dists = (
+        emb.select("vec_id", xdist.alias("d_exact"))
+        .join(
+            adc_col(
+                pq_assign(emb, _PQ_BOOKS),
+                pq_adc_lut(_PQ_BOOKS, _PQ_QUERY),
+                "d_pq",
+            ),
+            "vec_id",
+        )
+        .join(
+            adc_col(
+                opq_assign(emb, _OPQ_R, _OPQ_BOOKS),
+                opq_adc_lut(_OPQ_BOOKS, opq_rotate_query(_OPQ_R, _PQ_QUERY)),
+                "d_opq",
+            ),
+            "vec_id",
+        )
+        .join(corpus_b, "vec_id")
+        # 6 shortlist sorts + 2 candidate counts re-read this relation
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        dists.orderBy("d_exact", "vec_id")
+        .limit(_FRT_TRUTH_K)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    out = None
+    for p in _FRT_PROBES:
+        cand = dists.filter(F.col("centroid_id").isin(probes[:p]))
+        n_cand = cand.agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        for method, dcol in (
+            ("exact", "d_exact"),
+            ("pq", "d_pq"),
+            ("opq", "d_opq"),
+        ):
+            sl = (
+                cand.orderBy(dcol, "vec_id")
+                .limit(_FRT_SHORTLIST)
+                .select("vec_id")
+            )
+            leg = (
+                truth.join(sl, "vec_id")
+                .agg(
+                    F.lit(p).alias("nprobe"),
+                    F.lit(method).alias("method"),
+                    F.lit(_FRT_TRUTH_K).cast("bigint").alias("n_truth"),
+                    F.count("*").cast("bigint").alias("n_hit"),
+                    (F.count("*") * F.lit(_FRT_FP) / F.lit(_FRT_TRUTH_K))
+                    .cast("bigint")
+                    .alias("recall_fp"),
+                )
+                .crossJoin(F.broadcast(n_cand))
+                .select(
+                    "nprobe",
+                    "method",
+                    "n_candidates",
+                    "n_truth",
+                    "n_hit",
+                    "recall_fp",
+                )
+            )
+            out = leg if out is None else out.unionAll(leg)
+    return out

@@ -60,6 +60,7 @@ _BNL_OK = {
     "graph_pagerank": "scalar",  # node count into the initial ranks
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
     "sim_ann_nprobe_sweep": "scalar",  # 1-row truth count x 2 sweep rows
+    "sim_ann_frontier": "scalar",  # 1-row candidate count per leg
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing

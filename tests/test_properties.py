@@ -1777,3 +1777,170 @@ def test_cross_substring_matches_bruteforce_reference(spark, docs):
                     sum(runs),
                 )
     assert got == expected
+
+
+def test_cross_substring_maximal_constructed_example(spark):
+    # doc 4 contains the shared 8-token run TWICE: the diagonal form
+    # reports 2 spans / 16 shared tokens against doc 1, but doc 1's
+    # own covered range is ONE 8-token interval — exactly what the
+    # maximal form must report on the doc-1 side, while doc 4's side
+    # covers both occurrences (16 tokens in 2 maximal spans).
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cross_substring_maximal,
+    )
+
+    shared = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"uno dos tres {shared} cuatro"),
+        (3, "nothing in common with anything else here at all"),
+        (4, f"x1 {shared} x2 x3 x4 {shared} x5"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.asDict()
+        for r in cross_substring_maximal(docs, w=5).collect()
+    }
+    r12 = out[(1, 2)]
+    assert r12["n_max_spans_a"] == 1 and r12["covered_tokens_a"] == 8
+    assert r12["n_max_spans_b"] == 1 and r12["covered_tokens_b"] == 8
+    r14 = out[(1, 4)]
+    assert r14["n_max_spans_a"] == 1 and r14["covered_tokens_a"] == 8
+    assert r14["n_max_spans_b"] == 2 and r14["covered_tokens_b"] == 16
+    assert r14["longest_span_a"] == 8 and r14["longest_span_b"] == 8
+    assert not any(3 in pair for pair in out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=5,
+            max_size=18,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_cross_substring_maximal_matches_bruteforce_reference(spark, docs):
+    """cross_substring_maximal == a from-scratch O(n^2 m^2) reference:
+    per doc pair and per SIDE, the interval-coalesced union of matched
+    w-gram windows (merge when next start <= prev start + w) must agree
+    in span count, total coverage and longest span. The dense 4-letter
+    alphabet stresses overlapping alignments — exactly what the maximal
+    form de-overlaps and the diagonal form double-counts."""
+    from evolution_data_warehouse_spark.operators.dedup import (
+        cross_substring_maximal,
+    )
+
+    w = 5
+    rows = [(i, " ".join(tk)) for i, tk in enumerate(docs)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).select("doc_id", F.split(F.col("text"), " ").alias("tk"))
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.n_max_spans_a,
+            r.covered_tokens_a,
+            r.longest_span_a,
+            r.n_max_spans_b,
+            r.covered_tokens_b,
+            r.longest_span_b,
+        )
+        for r in cross_substring_maximal(sdf, w=w).collect()
+    }
+
+    def grams(tk):
+        return [tuple(tk[i : i + w]) for i in range(len(tk) - w + 1)]
+
+    def coalesce(positions):
+        ps = sorted(set(positions))
+        spans = []
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p <= prev + w:
+                prev = p
+            else:
+                spans.append(prev - start + w)
+                start = prev = p
+        spans.append(prev - start + w)
+        return (len(spans), sum(spans), max(spans))
+
+    expected = {}
+    for ia in range(len(docs)):
+        for ib in range(ia + 1, len(docs)):
+            ga, gb = grams(docs[ia]), grams(docs[ib])
+            pos_a, pos_b = [], []
+            for pa, gra in enumerate(ga):
+                for pb, grb in enumerate(gb):
+                    if gra == grb:
+                        pos_a.append(pa)
+                        pos_b.append(pb)
+            if pos_a:
+                expected[(ia, ib)] = coalesce(pos_a) + coalesce(pos_b)
+    assert got == expected
+
+
+def test_substring_maximal_bounded_by_diagonal_form(spark, sf_dir):
+    # De-overlapped coverage can never exceed the per-diagonal total,
+    # and every pair found by one form is found by the other (identical
+    # anchor join underneath).
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        dedup_substring_maximal,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r12 import (
+        dedup_substring_cross,
+    )
+
+    mx = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup_substring_maximal(spark, sf_dir).collect()
+    }
+    dg = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup_substring_cross(spark, sf_dir).collect()
+    }
+    assert set(mx) == set(dg)
+    for pair, r in mx.items():
+        d = dg[pair]
+        assert r.covered_tokens_a <= d.shared_tokens
+        assert r.covered_tokens_b <= d.shared_tokens
+        assert r.longest_span_a <= d.longest_span_tokens
+        assert r.longest_span_b <= d.longest_span_tokens
+        assert r.n_max_spans_a <= d.n_shared_spans
+        assert r.n_max_spans_b <= d.n_shared_spans
+
+
+def test_ann_frontier_invariants(spark, sf_dir):
+    # Exact re-rank within candidates is the ceiling: any global top-10
+    # member present in the candidate set ranks <= 10 in the exact
+    # shortlist@50, so exact hits == |top10 ∩ cand| and bound the
+    # quantized codecs; both hits and candidate counts are monotone in
+    # probe depth for the exact codec (cand1 ⊆ cand2).
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        sim_ann_frontier,
+    )
+
+    rows = {
+        (r.nprobe, r.method): r
+        for r in sim_ann_frontier(spark, sf_dir).collect()
+    }
+    assert len(rows) == 6
+    for p in (1, 2):
+        assert rows[(p, "exact")].n_hit >= rows[(p, "pq")].n_hit
+        assert rows[(p, "exact")].n_hit >= rows[(p, "opq")].n_hit
+    assert rows[(2, "exact")].n_hit >= rows[(1, "exact")].n_hit
+    assert (
+        rows[(2, "exact")].n_candidates > rows[(1, "exact")].n_candidates
+    )
+    for (p, m), r in rows.items():
+        assert r.n_truth == 10
+        assert 0 <= r.n_hit <= r.n_truth
+        assert r.recall_fp == r.n_hit * 1_000_000 // 10
