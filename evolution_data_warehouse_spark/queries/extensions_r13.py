@@ -370,3 +370,177 @@ def sim_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = leg if out is None else out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream_lateness_audit — measured watermark loss, not just asserted bounds
+# ---------------------------------------------------------------------------
+
+_LAT_DELAY = "2 days"
+_LAT_SENTINEL_TS = "2024-06-01 00:00:00"  # flush batch; own window never seals
+
+
+_LATENESS_ORACLE = """
+WITH b1 AS (SELECT ts, event_type FROM events
+            WHERE event_id % 3 <> 0 AND ts IS NOT NULL),
+wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM b1),
+b2 AS (
+    SELECT e.ts, e.event_type,
+           (date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.w) AS kept
+    FROM events e, wm WHERE e.event_id % 3 = 0 AND e.ts IS NOT NULL
+),
+counts AS (
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (SELECT ts, event_type FROM b1
+          UNION ALL SELECT ts, event_type FROM b2 WHERE kept)
+    GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events FROM counts
+UNION ALL
+SELECT CAST(NULL AS TIMESTAMP), '_audit_applied_late',
+       CAST(COALESCE(SUM(CASE WHEN kept THEN 1 END), 0) AS BIGINT) FROM b2
+UNION ALL
+SELECT CAST(NULL AS TIMESTAMP), '_audit_dropped_late',
+       CAST(COALESCE(SUM(CASE WHEN NOT kept THEN 1 END), 0) AS BIGINT) FROM b2
+"""
+
+
+@register(
+    "stream_lateness_audit",
+    _LATENESS_ORACLE,
+    doc="Watermark-lateness ACCOUNTING for the streaming family: a "
+    "1-day windowed count over the events stream drains through one "
+    "availableNow checkpoint in two event batches (a 2-day watermark; "
+    "batch 2 carries genuinely late rows), and the result carries the "
+    "per-run loss ledger — '_audit_applied_late' / "
+    "'_audit_dropped_late' are MEASURED from the sealed outputs "
+    "(emitted totals minus on-time input; dropped = late-batch input "
+    "minus applied), corroborated in-query by Spark's own "
+    "numRowsDroppedByWatermark state-operator metric (which counts in "
+    "post-partial-aggregation GROUP units, not input rows — measured "
+    "here: 135 group-rows vs 3002 input rows at sf0.01 — so the "
+    "row-level ledger comes from output accounting and the metric "
+    "gates the loss>0-iff-dropped>0 assertion). The oracle reproduces "
+    "Spark's drop rule exactly (empirically pinned: a row is dropped "
+    "iff its WINDOW END <= the watermark at batch start, max(ts of "
+    "prior batches) - delay; a row older than the watermark whose "
+    "window is still open IS aggregated), so watermark loss is "
+    "oracle-checked, not just asserted. A far-future sentinel batch "
+    "flushes every real window through append mode (its own window "
+    "never seals and never emits); a zero-input re-drain between "
+    "batches must process nothing (restart idempotence). Scale: state "
+    "is one row per (open window x type); the watermark bounds it "
+    "regardless of stream length — the loss ledger is what a 100 TB "
+    "ingest watches to size its lateness SLO. Streaming extension "
+    "beyond the reference (SURVEY §2.9; reference has no streaming "
+    "surface).",
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_lateness_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type")
+    )
+    batch1 = ev.filter(F.col("event_id") % 3 != 0).drop("event_id")
+    batch2 = ev.filter(F.col("event_id") % 3 == 0).drop("event_id")
+    n1 = batch1.count()
+    n2 = batch2.count()
+    sentinel = spark.range(1).select(
+        F.lit(_LAT_SENTINEL_TS).cast("timestamp").alias("ts"),
+        F.lit("SENTINEL").alias("event_type"),
+    )
+
+    def drain() -> tuple[int, int]:
+        """One availableNow pass; returns (input rows read, state-
+        operator rows dropped by the watermark — GROUP units after
+        partial aggregation, see the registry doc) summed over the
+        run's micro-batches (including the state-flushing no-data
+        batch)."""
+        agg = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .parquet(src)
+            .withWatermark("ts", _LAT_DELAY)
+            .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                "event_type",
+                F.col("n_events").cast("bigint").alias("n_events"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_in, n_drop = 0, 0
+        for p in q.recentProgress:
+            d = _json.loads(p.json)
+            n_in += int(d.get("numInputRows", 0))
+            for so in d.get("stateOperators", []):
+                n_drop += int(so.get("numRowsDroppedByWatermark", 0))
+        return n_in, n_drop
+
+    # the drains' state stores and tiny shuffles don't need the
+    # session's analytical partition count (200 under the driver's
+    # vanilla config made the 4 drains ~25x slower than the work
+    # warrants); pin a small count for the streaming section only and
+    # restore the caller's setting before building the returned plan
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        in1, drop1 = drain()
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        in2, drop2 = drain()
+        in_idem, _ = drain()  # restart idempotence: nothing to process
+        sentinel.coalesce(1).write.mode("append").parquet(src)
+        drain()  # flush: watermark passes every real window
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    emitted = spark.read.parquet(out).filter(
+        F.col("event_type") != "SENTINEL"
+    )
+    n_emitted = int(
+        emitted.agg(F.coalesce(F.sum("n_events"), F.lit(0))).collect()[0][0]
+    )
+    applied_late = n_emitted - n1  # batch-1 rows are never late
+    dropped_late = n2 - applied_late
+    if (
+        drop1 != 0
+        or in1 != n1
+        or in2 != n2
+        or in_idem != 0
+        or not (0 <= applied_late <= n2)
+        or (dropped_late > 0) != (drop2 > 0)
+    ):
+        raise AssertionError(
+            "lateness accounting violated: "
+            f"drop1={drop1} (want 0), in1={in1}/{n1}, in2={in2}/{n2}, "
+            f"idem={in_idem} (want 0), applied={applied_late}, "
+            f"dropped={dropped_late}, state-drop-groups={drop2}"
+        )
+    audit = spark.createDataFrame(
+        [("_audit_applied_late", applied_late),
+         ("_audit_dropped_late", dropped_late)],
+        "event_type string, n_events long",
+    ).select(
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+    return emitted.select(
+        "window_start", "event_type", "n_events"
+    ).unionAll(audit)

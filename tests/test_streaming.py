@@ -1232,3 +1232,38 @@ def test_streaming_minhash_ingest_restart_and_incremental_append(
         ).collect()
     }
     assert final == expected
+
+
+def test_lateness_audit_ledger_consistency(spark, sf_dir):
+    """The watermark-loss ledger must balance: every late-batch row is
+    either applied or dropped, window counts must sum to on-time input
+    plus applied late rows, and the fixture must actually exercise
+    loss (a zero-dropped run would vacuously pass the drop rule).
+    Restart idempotence (a zero-input re-drain processes nothing) is
+    asserted INSIDE the query between batch 2 and the flush — the
+    query raising is the test failing."""
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        stream_lateness_audit,
+    )
+
+    rows = stream_lateness_audit(spark, sf_dir).collect()
+    audit = {
+        r.event_type: r.n_events
+        for r in rows
+        if r.event_type.startswith("_audit_")
+    }
+    windows = [r for r in rows if not r.event_type.startswith("_audit_")]
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id")
+    )
+    n1 = ev.filter(F.col("event_id") % 3 != 0).count()
+    n2 = ev.filter(F.col("event_id") % 3 == 0).count()
+    assert audit["_audit_applied_late"] + audit["_audit_dropped_late"] == n2
+    assert audit["_audit_dropped_late"] > 0  # loss actually exercised
+    assert audit["_audit_applied_late"] > 0  # admission too
+    assert sum(r.n_events for r in windows) == n1 + audit[
+        "_audit_applied_late"
+    ]
+    assert all(r.window_start is not None for r in windows)
