@@ -544,3 +544,392 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.select(
         "window_start", "event_type", "n_events"
     ).unionAll(audit)
+
+
+# ---------------------------------------------------------------------------
+# snk_partitioned_prune — hive-partitioned sink + partition-pruned re-read
+# ---------------------------------------------------------------------------
+
+_PART_PRUNE_VALUE = "1-URGENT"
+
+_PART_PRUNE_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderpriority = '{_PART_PRUNE_VALUE}'
+"""
+
+
+@register(
+    "snk_partitioned_prune",
+    _PART_PRUNE_ORACLE,
+    doc="Hive-partitioned parquet sink + partition-pruned re-read: the "
+    "table is written partitionBy(o_orderpriority) (one directory per "
+    "value) and re-read with an equality filter on the partition "
+    "column, so the scan lists and reads ONLY the matching directory — "
+    "pruning happens at FILE LISTING time, before any footer or page "
+    "IO (the directory-layout half of the story next to "
+    "snk_clustered_prune's footer-stats half; at 100 TB, partition "
+    "pruning is what turns a full-table scan into a 1/N-of-the-table "
+    "scan for time/tenant/priority-scoped queries). The plan carries "
+    "the filter as PartitionFilters on the scan (locked in "
+    "tests/test_plan_invariants.py). Round-trip values are "
+    "oracle-checked against the unpartitioned source.",
+)
+def snk_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    target = _scratch("snk_partitioned", sf_dir)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        target
+    )
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("o_orderpriority") == _PART_PRUNE_VALUE)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_balance_report — inverted-list balance audit for the IVF index
+# ---------------------------------------------------------------------------
+
+_IVF_BAL_PPM = 1_000_000
+
+
+def _ivf_balance_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _ivf_corpus_ctes,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _KM_CENTROIDS,
+    )
+
+    n_lists = len(_KM_CENTROIDS)
+    return f"""
+WITH {_ivf_corpus_ctes()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM corpus_b)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) * {_IVF_BAL_PPM} // n_total AS BIGINT) AS share_ppm,
+       CAST(COUNT(*) * {n_lists} * {_IVF_BAL_PPM} // n_total AS BIGINT)
+           AS ratio_to_mean_fp
+FROM corpus_b, tot
+GROUP BY centroid_id, n_total
+"""
+
+
+@register(
+    "sim_ivf_balance_report",
+    _ivf_balance_oracle(),
+    doc="IVF inverted-list balance audit: per coarse centroid, the "
+    "list's vector count, corpus share (ppm) and ratio to the uniform "
+    "mean (fixed-point; 1e6 = perfectly balanced) — the index-health "
+    "metric that decides when to RETRAIN the coarse quantizer: a list "
+    "holding 3x its share makes every probe of it 3x the scan cost "
+    "and starves recall on the starved lists (the ANN twin of "
+    "dedup_cluster_size_hist's skew report; sim_ann_frontier measures "
+    "recall, this measures the cost denominator). One hash aggregate "
+    "over the registered corpus assignment (same _ivf_corpus_ctes "
+    "source of truth as the sweep/frontier oracles); corpus total "
+    "folds in as a 1-row broadcast. Scale: output is one row per "
+    "list; the aggregate is map-side combinable on centroid_id.",
+)
+def sim_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        with_norm,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _KM_CENTROIDS,
+    )
+
+    n_lists = len(_KM_CENTROIDS)
+    corpus_b = ivf_assign(
+        with_norm(t(spark, sf_dir, "embeddings")).select("vec_id", "_vec"),
+        _KM_CENTROIDS,
+        n_probe=1,
+    )
+    tot = corpus_b.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        corpus_b.groupBy("centroid_id")
+        .agg(F.count("*").cast("bigint").alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "centroid_id",
+            "n_vecs",
+            F.expr(f"n_vecs * {_IVF_BAL_PPM} DIV n_total")
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.expr(f"n_vecs * {n_lists} * {_IVF_BAL_PPM} DIV n_total")
+            .cast("bigint")
+            .alias("ratio_to_mean_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_query_likelihood — Dirichlet-smoothed query-likelihood retrieval
+# ---------------------------------------------------------------------------
+
+# Same pinned query workload as BM25 so the two classical IR scorers
+# rank the identical requests (and stay fusable the way sim_rrf_fusion
+# fuses BM25 with ANN).
+from evolution_data_warehouse_spark.queries.extensions_r11 import (  # noqa: E402
+    _BM25_QUERIES,
+    _BM25_TOP_K,
+)
+
+_QL_MU = 100  # Dirichlet prior mass (Zhai & Lafferty 2001), pinned
+_QL_FP = 1_000_000
+
+
+def _ql_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, terms in _BM25_QUERIES
+        for term in terms
+    )
+    # identical float expression shape engine-side: ctf/T first, then
+    # the smoothed ratio, then log2, then per-term floor fixed-point
+    score = (
+        f"floor(log2((CAST(COALESCE(tf.tf, 0) AS DOUBLE) + {_QL_MU} * "
+        f"(CAST(ctf.ctf AS DOUBLE) / CAST(g.total_tokens AS DOUBLE))) / "
+        f"(CAST(dl.dl AS DOUBLE) + {_QL_MU})) * {_QL_FP})"
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id,
+           unnest(str_split(lower(COALESCE(text, '')), ' ')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tk GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+g AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+ctf AS (
+    SELECT token, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1
+),
+q(query_id, token) AS (VALUES {vals}),
+qv AS (SELECT q.query_id, q.token, ctf.ctf
+       FROM q JOIN ctf ON ctf.token = q.token),
+terms AS (
+    SELECT qv.query_id, dl.doc_id,
+           CAST({score.replace('ctf.ctf', 'qv.ctf')} AS BIGINT) AS term_fp
+    FROM dl
+    CROSS JOIN qv
+    LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.token = qv.token
+    CROSS JOIN g
+),
+scored AS (
+    SELECT query_id, doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
+    FROM terms GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score_fp,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_fp DESC, doc_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, doc_id, score_fp, rank
+FROM ranked WHERE rank <= {_BM25_TOP_K}
+"""
+
+
+@register(
+    "text_query_likelihood",
+    _ql_oracle(),
+    doc="Dirichlet-smoothed query-likelihood retrieval (Zhai & "
+    "Lafferty 2001) — the language-modeling IR scorer beside "
+    "text_bm25_topk, on the SAME pinned query workload: score(q,d) = "
+    "sum_t log2((tf + mu*(ctf/T)) / (dl + mu)), mu=100. Smoothing "
+    "means EVERY document scores every in-vocabulary query term "
+    "(absent terms fall back to the collection model), so the scoring "
+    "relation is docs x |q| — built by EXPLODING the literal query-term "
+    "array over the per-doc length table (no join), equi-joining the "
+    "isin-pruned <=|q|-row collection-frequency table (broadcast hash "
+    "join, which also drops OOV terms) and LEFT-joining tf — strictly "
+    "linear in corpus size, never docs x vocab. "
+    "Determinism: per-term log2 scores floor-quantize to 1e6 "
+    "fixed-point BEFORE the per-query integer sum (the "
+    "event_entropy_rate precedent for cross-engine libm parity), "
+    "ranking fully tie-broken by doc_id; out-of-vocabulary query "
+    "terms drop identically on both engines (standard QL practice — "
+    "their smoothed score would be the same constant for every doc). "
+    "tf/dl/ctf are the text_tfidf hash-aggregate shapes; corpus "
+    "total rides in as a 1-row broadcast; top-k is "
+    "rank-over-window under WindowGroupLimit.",
+)
+def text_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    wide = t(spark, sf_dir, "documents")
+    tk = wide.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    g = dl.agg(F.sum("dl").cast("bigint").alias("total_tokens"))
+    # collection stats only for the (literal) query terms: an isin
+    # prune keeps the broadcast side <= |q| rows however large the
+    # vocabulary gets, and the inner join drops OOV terms on both
+    # engines identically
+    q_tokens = sorted(
+        {term for _, terms in _BM25_QUERIES for term in terms}
+    )
+    ctf = (
+        tf.filter(F.col("token").isin(q_tokens))
+        .groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("ctf"))
+    )
+    # the docs x |q| scoring relation comes from EXPLODING the literal
+    # query-term array per doc-length row (no cross join — the only
+    # remaining non-equi broadcast is the 1-row corpus total)
+    q_lit = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"), F.lit(term).alias("token")
+            )
+            for qid, terms in _BM25_QUERIES
+            for term in terms
+        ]
+    )
+    ex = dl.select(
+        "doc_id", "dl", F.explode(q_lit).alias("qt")
+    ).select(
+        "doc_id",
+        "dl",
+        F.col("qt.query_id").alias("query_id"),
+        F.col("qt.token").alias("token"),
+    )
+    terms = (
+        ex.join(F.broadcast(ctf), "token")
+        .join(tf, ["doc_id", "token"], "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.log2(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                        + F.lit(_QL_MU)
+                        * (
+                            F.col("ctf").cast("double")
+                            / F.col("total_tokens").cast("double")
+                        )
+                    )
+                    / (F.col("dl").cast("double") + F.lit(_QL_MU))
+                )
+                * F.lit(_QL_FP)
+            )
+            .cast("bigint")
+            .alias("term_fp"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id").agg(
+        F.sum("term_fp").cast("bigint").alias("score_fp")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("rank") <= _BM25_TOP_K)
+        .select("query_id", "doc_id", "score_fp", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_dup_rate_by_source — per-source curation yield from the
+# near-dup clustering
+# ---------------------------------------------------------------------------
+
+
+def _dup_rate_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _CLUSTERS_ORACLE,
+    )
+
+    return f"""
+WITH clusters AS ({_CLUSTERS_ORACLE}),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM clusters GROUP BY 1
+),
+j AS (
+    SELECT d.source,
+           CASE WHEN s.sz > 1 THEN 1 ELSE 0 END AS in_dup,
+           CASE WHEN s.sz > 1 AND c.doc_id <> c.cluster_id THEN 1 ELSE 0
+           END AS removable
+    FROM documents d
+    JOIN clusters c ON c.doc_id = d.doc_id
+    JOIN sizes s ON s.cluster_id = c.cluster_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(in_dup) AS BIGINT) AS n_in_dup_clusters,
+       CAST(SUM(removable) AS BIGINT) AS n_removable,
+       CAST(SUM(removable) * 1000000 // COUNT(*) AS BIGINT)
+           AS dup_rate_ppm
+FROM j GROUP BY source
+"""
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    _dup_rate_oracle(),
+    doc="Per-source near-duplicate yield report: join the MinHash-LSH "
+    "connected-component clustering (dedup_clusters, composed as the "
+    "same oracle subquery / engine callable) back to each document's "
+    "source and report, per source, how many documents sit in "
+    "multi-member clusters and how many a keep-canonical pass would "
+    "REMOVE (cluster members that are not the min-label canonical) — "
+    "the curation dashboard number that decides which crawl/source "
+    "needs upstream dedup before it wastes 100 TB-scale tokens "
+    "(per-source dup rate is the standard corpus-quality metric, cf. "
+    "the C4/Gopher per-source filters). Cluster sizes come from one "
+    "hash aggregate over the assignment; the source join is a slim "
+    "(doc_id, source) projection; the rate is integer ppm.",
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        dedup_clusters,
+    )
+
+    cc = dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        src.join(cc, "doc_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "source",
+            F.when(F.col("sz") > 1, 1).otherwise(0).alias("in_dup"),
+            F.when(
+                (F.col("sz") > 1) & (F.col("doc_id") != F.col("cluster_id")),
+                1,
+            )
+            .otherwise(0)
+            .alias("removable"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("in_dup").cast("bigint").alias("n_in_dup_clusters"),
+        F.sum("removable").cast("bigint").alias("n_removable"),
+        F.expr("sum(removable) * 1000000 DIV count(*)")
+        .cast("bigint")
+        .alias("dup_rate_ppm"),
+    )

@@ -61,6 +61,8 @@ _BNL_OK = {
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
     "sim_ann_nprobe_sweep": "scalar",  # 1-row truth count x 2 sweep rows
     "sim_ann_frontier": "scalar",  # 1-row candidate count per leg
+    "sim_ivf_balance_report": "scalar",  # 1-row corpus total
+    "text_query_likelihood": "scalar",  # 1-row corpus token total
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing
@@ -147,6 +149,20 @@ def test_spatial_grid_join_is_cell_keyed_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin [cx" in plan  # candidate join keyed on cells
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_sink_prunes_at_listing(spark, sf_dir):
+    """The partition-column equality must land in PartitionFilters
+    (directory-listing-time pruning), NOT DataFilters — a filter that
+    degraded to row-level evaluation would read all N partitions."""
+    import re
+
+    plan = _plan(spark, sf_dir, "snk_partitioned_prune")
+    flat = plan.replace("\n", "")
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", flat)
+    assert m, plan
+    assert "= 1-URGENT" in m.group(0)
+    assert "DataFilters: []" in flat
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
