@@ -822,6 +822,52 @@ def opq_assign(
     )
 
 
+def opq_rotated_energy(
+    embeddings: DataFrame,
+    rotation: list[list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector spectral energy capture under the learned orthogonal
+    rotation: (id, energy, captured_k) where energy = Σ vq² over the
+    fixed-point vector and captured_k = Σ z² over the FIRST ``k``
+    rotated components (z = R_int·vq // OPQ_R_SCALE — byte-for-byte
+    the :func:`opq_assign` rotation spec, so the oracle's rotation CTE
+    mirrors it exactly). With R a PCA basis, captured_k/energy is the
+    fraction of the vector a k-dim linear truncation retains — the
+    per-vector audit behind dimensionality-reduction decisions.
+
+    Same execution shape as :func:`opq_assign`: one Arrow-batched
+    numpy int64 matmul per batch, no shuffle, partitioning preserved.
+    Magnitudes: |vq| <= ~1e6 ⇒ per-term squares <= ~1e12, 64-term sums
+    <= ~6.5e13 — inside int64 with margin.
+    """
+    import numpy as np
+
+    qrot = np.array(opq_quantize_rotation(rotation), dtype=np.int64)
+    s = OPQ_R_SCALE
+
+    def energize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vq = np.floor(x * PQ_SCALE).astype(np.int64)
+            z = (vq @ qrot.T) // s
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "energy": (vq * vq).sum(axis=1),
+                    "captured_k": (z[:, :k] * z[:, :k]).sum(axis=1),
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        energize, f"{id_col} long, energy long, captured_k long"
+    )
+
+
 def opq_rotate_query(
     rotation: list[list[float]], query: list[float]
 ) -> list[int]:

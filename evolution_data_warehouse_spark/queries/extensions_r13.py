@@ -933,3 +933,176 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_rate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_adc_batch_topk — batched multi-query compressed-domain ANN scan
+# ---------------------------------------------------------------------------
+
+import numpy as _np  # noqa: E402
+
+# Pinned literal query batch: the registered single-query workload
+# (_PQ_QUERY, rng 99) plus two more drawn the same way — the serving
+# shape is Q queries amortizing ONE code scan.
+_BATCH_QUERIES = (
+    _PQ_QUERY,
+    _np.random.default_rng(101).normal(0, 0.125, 64).tolist(),
+    _np.random.default_rng(102).normal(0, 0.125, 64).tolist(),
+)
+_BATCH_TOP_K = 10
+
+
+def _adc_batch_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_quantize_codebooks,
+    )
+
+    ddefs, codes = _pq_dist_code_sql(pq_quantize_codebooks(_PQ_BOOKS), "d")
+    legs = []
+    for qid, qvec in enumerate(_BATCH_QUERIES):
+        adc = _pq_adc_sql(pq_adc_lut(_PQ_BOOKS, qvec), "d")
+        legs.append(
+            f"SELECT {qid} AS query_id, vec_id, "
+            f"CAST({adc} AS BIGINT) AS adc_dist FROM c"
+        )
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+d AS (SELECT vec_id, {", ".join(ddefs)} FROM v),
+c AS (SELECT vec_id, {", ".join(codes)} FROM d),
+scored AS ({union}),
+ranked AS (
+    SELECT query_id, vec_id, adc_dist,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY adc_dist, vec_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, adc_dist, rank
+FROM ranked WHERE rank <= {_BATCH_TOP_K}
+"""
+
+
+@register(
+    "sim_adc_batch_topk",
+    _adc_batch_oracle(),
+    doc="BATCHED compressed-domain ANN: top-10 by PQ asymmetric "
+    "distance for a 3-query batch over ONE code scan — the actual "
+    "serving shape of a PQ index (sim_ivfpq_topk scores one pinned "
+    "query; production amortizes the scan across a request batch). "
+    "Codes are assigned once per vector (pq_assign, exact int64, no "
+    "shuffle); the batch dimension is an explode over literal query "
+    "ids; each row's distance is m=8 lookups into a Q x m x k literal "
+    "LUT tensor (element_at chains — model-sized, rides the task "
+    "closure), so scan cost is codes-once + Q*m lookups instead of "
+    "Q*d multiplications. Per-query top-k under WindowGroupLimit, "
+    "tie-broken by vec_id; every distance exact int64 so the batch "
+    "result is bit-reproducible. Scale: batching multiplies only the "
+    "lookup stage, never the decode or the scan IO — the reason ANN "
+    "servers queue requests into batches.",
+)
+def sim_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_assign,
+    )
+
+    codes = pq_assign(t(spark, sf_dir, "embeddings"), _PQ_BOOKS)
+    luts = [pq_adc_lut(_PQ_BOOKS, q) for q in _BATCH_QUERIES]
+    ex = codes.select(
+        "vec_id",
+        *[f"code{j}" for j in range(_PQ_M)],
+        F.explode(
+            F.array(*[F.lit(i) for i in range(len(_BATCH_QUERIES))])
+        ).alias("query_id"),
+    )
+    adc = None
+    for j in range(_PQ_M):
+        # lut tensor slice for subspace j: [query][code] -> distance
+        lut_j = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("bigint") for x in luts[q][j]])
+                for q in range(len(_BATCH_QUERIES))
+            ]
+        )
+        term = F.element_at(
+            F.element_at(lut_j, F.col("query_id") + 1),
+            F.col(f"code{j}") + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = ex.select(
+        "query_id", "vec_id", adc.cast("bigint").alias("adc_dist")
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BATCH_TOP_K)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_recon_error — energy captured by the leading rotated components
+# ---------------------------------------------------------------------------
+
+_PCA_K = 16  # leading components of the 64-dim OPQ/PCA basis
+_PCA_PPM = 1_000_000
+
+
+def _pca_recon_oracle() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, {_pq_vdefs_sql()} FROM embeddings),
+{_opq_rotate_sql()},
+e AS (
+    SELECT v.vec_id,
+           CAST(list_sum(list_transform(v.vq, x -> x * x)) AS BIGINT)
+               AS energy,
+           CAST(list_sum(list_transform(rv.vq[1:{_PCA_K}], z -> z * z))
+               AS BIGINT) AS captured_k
+    FROM v JOIN rv ON rv.vec_id = v.vec_id
+)
+SELECT vec_id, energy, captured_k,
+       CAST(captured_k * {_PCA_PPM} // energy AS BIGINT) AS explained_ppm
+FROM e WHERE energy > 0
+"""
+
+
+@register(
+    "emb_pca_recon_error",
+    _pca_recon_oracle(),
+    doc="Per-vector PCA energy capture: rotate each embedding through "
+    "the learned orthogonal basis (the OPQ rotation IS the PCA basis "
+    "with eigenvalue allocation, tools/train_opq.py) and report how "
+    "much of the vector's squared norm the LEADING k=16 of 64 rotated "
+    "components carry — the dimensionality-reduction audit that "
+    "decides whether a 4x-cheaper truncated embedding suffices for "
+    "retrieval (the per-vector twin of emb_matryoshka_eval's pinned "
+    "prefix comparison: matryoshka evaluates trained prefixes, this "
+    "measures the spectral ceiling any linear truncation can reach). "
+    "Exact int64 end to end: vq = floor(x*1e6), z = R_int*vq // 1e6 "
+    "(the opq_assign fixed-point spec), energies are integer sums of "
+    "squares, capture is integer ppm; rotation runs as the same "
+    "Arrow-batched numpy int64 matmul as opq_assign (no shuffle). "
+    "Zero-energy vectors are excluded identically on both engines. "
+    "Orthogonality makes captured <= energy up to the floor-division "
+    "quantization (property-tested).",
+)
+def emb_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        opq_rotated_energy,
+    )
+
+    e = opq_rotated_energy(
+        t(spark, sf_dir, "embeddings"), _OPQ_R, k=_PCA_K
+    )
+    return e.filter(F.col("energy") > 0).select(
+        "vec_id",
+        "energy",
+        "captured_k",
+        F.expr(f"captured_k * {_PCA_PPM} DIV energy")
+        .cast("bigint")
+        .alias("explained_ppm"),
+    )

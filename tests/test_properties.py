@@ -1944,3 +1944,47 @@ def test_ann_frontier_invariants(spark, sf_dir):
         assert r.n_truth == 10
         assert 0 <= r.n_hit <= r.n_truth
         assert r.recall_fp == r.n_hit * 1_000_000 // 10
+
+
+def test_adc_batch_query0_matches_single_query_scan(spark, sf_dir):
+    # Batch leg 0 IS the registered single-query workload: its top-10
+    # by ADC distance must equal ranking sim_pq_assign's adc_dist
+    # column directly (same pinned query, same codebooks).
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        sim_pq_assign,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        sim_adc_batch_topk,
+    )
+
+    got = [
+        (r.vec_id, r.adc_dist)
+        for r in sim_adc_batch_topk(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = [
+        (r.vec_id, r.adc_dist)
+        for r in sim_pq_assign(spark, sf_dir)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_pca_recon_energy_bounds(spark, sf_dir):
+    # Orthonormal rotation: the leading-k capture can never exceed the
+    # vector's own energy (floor-div jitter is absolutely bounded and
+    # tiny vs energy); explained fraction lies in [0, 1e6].
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        emb_pca_recon_error,
+    )
+
+    rows = emb_pca_recon_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.energy > 0
+        assert 0 <= r.captured_k <= r.energy
+        assert 0 <= r.explained_ppm <= 1_000_000
