@@ -1106,3 +1106,489 @@ def emb_pca_recon_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("explained_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_band_sweep — the measured (b x r) S-curve at fixed budget
+# ---------------------------------------------------------------------------
+
+# Every config spends the SAME 16-signature budget; banding choice is
+# the knob: many narrow bands collide aggressively (high recall, low
+# precision), few wide bands collide conservatively.
+_BAND_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+_BAND_FP = 1_000_000
+
+
+def _band_sweep_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        N_MINHASH,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _SHINGLES_SQL,
+        _mh_sql_fragments,
+    )
+
+    f = _mh_sql_fragments()
+    ctes, legs = [], []
+    for nb, rpb in _BAND_CONFIGS:
+        band_selects = []
+        for b in range(nb):
+            cols = [f"mh{b * rpb + r}" for r in range(rpb)]
+            key = (
+                "concat_ws('|', "
+                + ", ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+                + ")"
+            )
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band, {key} AS band_key FROM mh"
+            )
+        ctes.append(f"""
+braw{nb} AS ({" UNION ALL ".join(band_selects)}),
+b{nb} AS (
+    SELECT doc_id, band, band_key FROM (
+        SELECT doc_id, band, band_key,
+               COUNT(*) OVER (PARTITION BY band, band_key) AS bucket_n
+        FROM braw{nb}
+    ) WHERE bucket_n <= {DEFAULT_MAX_BUCKET}
+),
+c{nb} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM b{nb} a JOIN b{nb} b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)""")
+        legs.append(f"""
+SELECT {nb} AS n_bands, {rpb} AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM({f["eq"]}), 0) AS BIGINT) AS sum_eq,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+            ELSE COALESCE(SUM({f["eq"]}), 0) * {_BAND_FP}
+                 // ({N_MINHASH} * COUNT(*)) END AS BIGINT)
+           AS mean_est_jaccard_fp
+FROM c{nb}
+JOIN mh sa ON doc_a = sa.doc_id
+JOIN mh sb ON doc_b = sb.doc_id""")
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {f["hm"]} AS hm FROM sh),
+mh AS (SELECT doc_id, {f["mh_cols"]} FROM h GROUP BY doc_id),
+{",".join(ctes)}
+{" UNION ALL ".join(legs)}
+"""
+
+
+@register(
+    "dedup_minhash_band_sweep",
+    _band_sweep_oracle(),
+    doc="Measured LSH S-curve across banding configurations at a FIXED "
+    "16-signature budget — (16x1, 8x2, 4x4, 2x8 bands x rows): per "
+    "config, the candidate-pair count and the pairs' mean estimated "
+    "Jaccard (equal-minhash fraction, integer ppm). "
+    "dedup_threshold_sweep sweeps the Jaccard fence AFTER banding; "
+    "this sweeps the banding itself — the collision-probability curve "
+    "1-(1-s^r)^b that decides the b x r split before deploying "
+    "minhash at 100 TB (narrow bands buy recall with candidate "
+    "volume; the measured n_pairs column IS that cost). All four "
+    "configs derive from ONE signature table (checkpointed; the same "
+    "16 minima re-bucketed four ways) and every config keeps the "
+    "default hot-bucket guard, so even the aggressive 16x1 banding "
+    "stays linear on boilerplate. Signature math shares "
+    "_mh_sql_fragments with every other minhash oracle.",
+)
+def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        N_MINHASH,
+        minhash_signature,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _doc_shingles,
+    )
+    from pyspark.sql import Window as W
+
+    sigs = minhash_signature(
+        _doc_shingles(spark, sf_dir)
+    ).localCheckpoint(eager=True)
+    eq = None
+    for j in range(N_MINHASH):
+        term = F.when(
+            F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1
+        ).otherwise(0)
+        eq = term if eq is None else eq + term
+
+    out = None
+    for nb, rpb in _BAND_CONFIGS:
+        parts = []
+        for b in range(nb):
+            cols = [f"mh{b * rpb + r}" for r in range(rpb)]
+            parts.append(
+                sigs.select(
+                    "doc_id",
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in cols]
+                    ).alias("band_key"),
+                )
+            )
+        bands = parts[0]
+        for p in parts[1:]:
+            bands = bands.unionByName(p)
+        guard = W.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("_n", F.count("*").over(guard))
+            .filter(F.col("_n") <= DEFAULT_MAX_BUCKET)
+            .drop("_n")
+        )
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"), "band", "band_key"
+        )
+        b_ = bands.select(
+            F.col("doc_id").alias("doc_b"), "band", "band_key"
+        )
+        cand = (
+            a.join(b_, ["band", "band_key"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        leg = (
+            cand.join(
+                sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+            )
+            .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .agg(
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.coalesce(F.sum(eq), F.lit(0))
+                .cast("bigint")
+                .alias("sum_eq"),
+            )
+            .select(
+                "n_bands",
+                "rows_per_band",
+                "n_pairs",
+                "sum_eq",
+                F.when(F.col("n_pairs") == 0, F.lit(0))
+                .otherwise(
+                    F.expr(
+                        f"sum_eq * {_BAND_FP} DIV ({N_MINHASH} * n_pairs)"
+                    )
+                )
+                .cast("bigint")
+                .alias("mean_est_jaccard_fp"),
+            )
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stats_permutation_test — hash-deterministic label-permutation inference
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.queries.common import (  # noqa: E402
+    dsum,
+    dsum_sql,
+)
+
+_PERM_N = 16  # pinned permutation count (Monte Carlo resolution 1/16)
+_PERM_FP = 1_000_000
+_PERM_GROUP = "1-URGENT"
+
+
+def _perm_test_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    rk = content_hash64_sql(
+        "'perm' || CAST(i AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)"
+    )
+    diff = (
+        f"CAST(floor((sa / CAST(na AS DOUBLE)"
+        f" - sb / CAST(nb AS DOUBLE)) * {_PERM_FP}) AS BIGINT)"
+    )
+    return f"""
+WITH base AS (
+    SELECT o_orderkey, o_totalprice AS y,
+           (o_orderpriority = '{_PERM_GROUP}') AS grp
+    FROM orders
+),
+sizes AS (
+    SELECT CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS nb
+    FROM base
+),
+obs AS (
+    SELECT {diff.replace('sa', "s_a").replace('sb', 's_b')} AS obs_fp
+    FROM (
+        SELECT {dsum_sql('CASE WHEN grp THEN y END', 2)} AS s_a,
+               {dsum_sql('CASE WHEN NOT grp THEN y END', 2)} AS s_b
+        FROM base
+    ), sizes
+),
+ranked AS (
+    SELECT i, grp AS true_grp, y,
+           ROW_NUMBER() OVER (
+               PARTITION BY i ORDER BY {rk}, o_orderkey) AS rnk
+    FROM base, range(0, {_PERM_N}) t(i)
+),
+perm AS (
+    SELECT i,
+           {dsum_sql('CASE WHEN rnk <= sizes.na THEN y END', 2)} AS s_a,
+           {dsum_sql('CASE WHEN rnk > sizes.na THEN y END', 2)} AS s_b
+    FROM ranked, sizes GROUP BY i, sizes.na
+),
+pd AS (
+    SELECT i, {diff.replace('sa', 's_a').replace('sb', 's_b')} AS diff_fp
+    FROM perm, sizes
+)
+SELECT sizes.na AS n_a, sizes.nb AS n_b,
+       obs.obs_fp AS obs_diff_fp,
+       CAST({_PERM_N} AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN abs(pd.diff_fp) >= abs(obs.obs_fp)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(SUM(CASE WHEN abs(pd.diff_fp) >= abs(obs.obs_fp)
+                THEN 1 ELSE 0 END) * {_PERM_FP} // {_PERM_N} AS BIGINT)
+           AS p_value_fp
+FROM pd, obs, sizes
+GROUP BY sizes.na, sizes.nb, obs.obs_fp
+"""
+
+
+@register(
+    "stats_permutation_test",
+    _perm_test_oracle(),
+    doc="Exact-arithmetic permutation test (two-sided, difference of "
+    "group means): does the urgent-priority group's mean order value "
+    "differ from the rest beyond chance? The null distribution comes "
+    "from 16 pinned label permutations — each permutation i re-ranks "
+    "rows by the md5 key 'perm i:orderkey' and assigns the first n_a "
+    "ranks to the treatment group, preserving EXACT group sizes (true "
+    "permutation semantics, not Bernoulli relabeling; md5 ranking is "
+    "the repo's zero-state determinism rule, so any engine reproduces "
+    "the identical 16 permutations with no RNG). Group sums are "
+    "decimal-exact; each mean difference floor-quantizes to 1e6 "
+    "fixed-point BEFORE the |diff_i| >= |obs| comparison, so the "
+    "p-value is pure integer arithmetic (resolution 1/16 — a "
+    "calibration-grade Monte Carlo, the bootstrap_ci sibling for "
+    "hypothesis testing). Scale: one explode x 16 + a per-permutation "
+    "rank (16 bounded sorts) + hash aggregates — run on an analysis "
+    "sample, like every resampling eval.",
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderpriority") == _PERM_GROUP).alias("grp"),
+    )
+    sizes = base.agg(
+        F.sum(F.when(F.col("grp"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("grp"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nb"),
+    )
+
+    def diff_fp(sa, sb, na, nb):
+        return F.floor(
+            (sa / na.cast("double") - sb / nb.cast("double"))
+            * F.lit(_PERM_FP)
+        ).cast("bigint")
+
+    obs = (
+        base.agg(
+            dsum(F.when(F.col("grp"), F.col("y")), 2).alias("s_a"),
+            dsum(F.when(~F.col("grp"), F.col("y")), 2).alias("s_b"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "na",
+            "nb",
+            diff_fp(
+                F.col("s_a"), F.col("s_b"), F.col("na"), F.col("nb")
+            ).alias("obs_fp"),
+        )
+    )
+    ranked = (
+        base.select(
+            "o_orderkey",
+            "y",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(_PERM_N)])
+            ).alias("i"),
+        )
+        .withColumn(
+            "rk",
+            content_hash64(
+                F.concat(
+                    F.lit("perm"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("i").orderBy("rk", "o_orderkey")
+            ),
+        )
+    )
+    perm = (
+        ranked.crossJoin(F.broadcast(sizes.select("na")))
+        .groupBy("i")
+        .agg(
+            dsum(
+                F.when(F.col("rnk") <= F.col("na"), F.col("y")), 2
+            ).alias("s_a"),
+            dsum(
+                F.when(F.col("rnk") > F.col("na"), F.col("y")), 2
+            ).alias("s_b"),
+        )
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "i",
+            diff_fp(
+                F.col("s_a"), F.col("s_b"), F.col("na"), F.col("nb")
+            ).alias("diff_fp"),
+        )
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.first("obs_fp").alias("obs_diff_fp"),
+            F.lit(_PERM_N).cast("bigint").alias("n_perms"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("diff_fp")) >= F.abs(F.col("obs_fp")), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "obs_diff_fp",
+            "n_perms",
+            "n_extreme",
+            F.expr(f"n_extreme * {_PERM_FP} DIV {_PERM_N}")
+            .cast("bigint")
+            .alias("p_value_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_token_budget_plan — weights -> an executable sampling plan
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000  # pinned training-run token budget
+_BUDGET_FP = 1_000_000
+
+
+def _budget_plan_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r12 import (
+        _doremi_oracle,
+    )
+
+    return f"""
+WITH w AS ({_doremi_oracle()}),
+tok AS (
+    SELECT source AS domain,
+           CAST(SUM(len(str_split(lower(COALESCE(text, '')), ' ')))
+               AS BIGINT) AS available_tokens
+    FROM documents GROUP BY 1
+),
+s AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS tw FROM w),
+plan AS (
+    SELECT w.domain, w.n_docs, tok.available_tokens, w.weight_fp,
+           CAST({_BUDGET_TOKENS} * w.weight_fp // s.tw AS BIGINT)
+               AS target_tokens
+    FROM w JOIN tok ON tok.domain = w.domain, s
+)
+SELECT domain, n_docs, available_tokens, weight_fp, target_tokens,
+       CAST(target_tokens * {_BUDGET_FP} // available_tokens AS BIGINT)
+           AS epochs_fp
+FROM plan
+"""
+
+
+@register(
+    "corpus_token_budget_plan",
+    _budget_plan_oracle(),
+    doc="Token-budget sampling plan: turn the DoReMi domain weights "
+    "(corpus_doremi_weights, composed from its single source of "
+    "truth) into the executable numbers a data loader needs for a "
+    "pinned 1M-token training run — per domain, the target token "
+    "count (budget x normalized weight, integer floor-division) and "
+    "the implied epoch count over what the domain actually has "
+    "(epochs_fp > 1e6 means the domain REPEATS — the upsampling "
+    "decision Hoffmann/Muennighoff-style repetition analyses price; "
+    "< 1e6 means subsampling). The bridge between the mixing family's "
+    "weight estimators and corpus_mix_sample's executable Bernoulli "
+    "gate. All-integer arithmetic end to end; one aggregate over "
+    "documents plus the (domain-count)-sized weight table.",
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r12 import (
+        corpus_doremi_weights,
+    )
+
+    w = corpus_doremi_weights(spark, sf_dir).select(
+        "domain", "n_docs", "weight_fp"
+    )
+    tok = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.sum(
+                F.size(
+                    F.split(
+                        F.lower(F.coalesce(F.col("text"), F.lit(""))), " "
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("available_tokens")
+        )
+    )
+    tw = w.agg(F.sum("weight_fp").cast("bigint").alias("tw"))
+    return (
+        w.join(tok, "domain")
+        .crossJoin(F.broadcast(tw))
+        .select(
+            "domain",
+            "n_docs",
+            "available_tokens",
+            "weight_fp",
+            F.expr(f"{_BUDGET_TOKENS} * weight_fp DIV tw")
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            "available_tokens",
+            "weight_fp",
+            "target_tokens",
+            F.expr(
+                f"target_tokens * {_BUDGET_FP} DIV available_tokens"
+            )
+            .cast("bigint")
+            .alias("epochs_fp"),
+        )
+    )

@@ -63,6 +63,8 @@ _BNL_OK = {
     "sim_ann_frontier": "scalar",  # 1-row candidate count per leg
     "sim_ivf_balance_report": "scalar",  # 1-row corpus total
     "text_query_likelihood": "scalar",  # 1-row corpus token total
+    "stats_permutation_test": "scalar",  # 1-row group sizes / observed diff
+    "corpus_token_budget_plan": "scalar",  # 1-row weight total
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing

@@ -1988,3 +1988,62 @@ def test_pca_recon_energy_bounds(spark, sf_dir):
         assert r.energy > 0
         assert 0 <= r.captured_k <= r.energy
         assert 0 <= r.explained_ppm <= 1_000_000
+
+
+def test_band_sweep_nested_configs_are_monotone(spark, sf_dir):
+    # Band nesting at a fixed 16-signature budget: a (4x4) collision
+    # implies both nested (8x2) collisions which imply the (16x1)
+    # singles — so candidate volume falls and pair quality (mean
+    # estimated Jaccard) rises as bands widen. (The hot-bucket guard
+    # could in principle drop a loose-config bucket whose refinement
+    # survives, but no fixture bucket approaches the cap.)
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        dedup_minhash_band_sweep,
+    )
+
+    rows = {
+        r.rows_per_band: r
+        for r in dedup_minhash_band_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    assert (
+        rows[1].n_pairs
+        >= rows[2].n_pairs
+        >= rows[4].n_pairs
+        >= rows[8].n_pairs
+    )
+    nonempty = [r for _, r in sorted(rows.items()) if r.n_pairs > 0]
+    for a, b in zip(nonempty, nonempty[1:]):
+        assert a.mean_est_jaccard_fp <= b.mean_est_jaccard_fp
+
+
+def test_permutation_test_ledger(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        stats_permutation_test,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    r = stats_permutation_test(spark, sf_dir).collect()[0]
+    n_orders = t(spark, sf_dir, "orders").count()
+    assert r.n_a + r.n_b == n_orders
+    assert r.n_perms == 16
+    assert 0 <= r.n_extreme <= r.n_perms
+    assert r.p_value_fp == r.n_extreme * 1_000_000 // 16
+
+
+def test_token_budget_plan_conserves_budget(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        _BUDGET_TOKENS,
+        corpus_token_budget_plan,
+    )
+
+    rows = corpus_token_budget_plan(spark, sf_dir).collect()
+    assert rows
+    total_target = sum(r.target_tokens for r in rows)
+    # floor-division under-allocates by < 1 token per domain
+    assert _BUDGET_TOKENS - len(rows) <= total_target <= _BUDGET_TOKENS
+    for r in rows:
+        assert (
+            r.epochs_fp
+            == r.target_tokens * 1_000_000 // r.available_tokens
+        )
