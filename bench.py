@@ -185,6 +185,23 @@ SF1_QUERIES = [
     "corpus_doremi_weights",
     "agg_hll_distinct",
     "dedup_bloom_prefilter",
+    # r13 shapes with non-obvious scaling: the interval-coalesced
+    # ExactSubstr (anchor join + two per-pair island passes over a
+    # checkpointed match list), the banding S-curve sweep (whose
+    # loosest 16x1 config deliberately generates ~1.5M candidates at
+    # sf1 — the measured cost axis of the calibration), the batched
+    # 3-query ADC scan, the IVF x codec frontier (exact + 2 ADC legs
+    # over candidate subsets), and the smoothed-QL docs x |q| scorer.
+    # The remaining r13 additions (partitioned-prune sink, IVF balance
+    # report, dup-rate rollup, permutation test, budget plan) are
+    # write-path / single-aggregate / bounded-resample shapes already
+    # represented above; stream_lateness_audit is a checkpointed
+    # multi-drain streaming op, not a steady-state scan.
+    "dedup_substring_maximal",
+    "dedup_minhash_band_sweep",
+    "sim_adc_batch_topk",
+    "sim_ann_frontier",
+    "text_query_likelihood",
 ]
 
 
