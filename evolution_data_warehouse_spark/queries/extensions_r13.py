@@ -1592,3 +1592,365 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("epochs_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_t_closeness — the third leg of the k/l/t privacy triad
+# ---------------------------------------------------------------------------
+
+_TCL_FP = 1_000_000
+_TCL_T_FP = 350_000  # pinned t = 0.35 (total-variation distance)
+
+
+_TCL_ORACLE = f"""
+WITH q AS (
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           c_mktsegment
+    FROM customer
+),
+gv AS (
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS gcnt FROM q GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+cls AS (
+    SELECT c_nationkey, bal_bucket, CAST(COUNT(*) AS BIGINT) AS k
+    FROM q GROUP BY 1, 2
+),
+cv AS (
+    SELECT c_nationkey, bal_bucket, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM q GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT cls.c_nationkey, cls.bal_bucket, cls.k, gv.c_mktsegment,
+           gv.gcnt, COALESCE(cv.cnt, 0) AS cnt
+    FROM cls CROSS JOIN gv
+    LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+               AND cv.bal_bucket = cls.bal_bucket
+               AND cv.c_mktsegment = gv.c_mktsegment
+)
+SELECT c_nationkey, bal_bucket, k,
+       CAST(SUM(abs(cnt * n.n - gcnt * k)) * {_TCL_FP}
+            // (2 * k * n.n) AS BIGINT) AS tvd_fp,
+       (CAST(SUM(abs(cnt * n.n - gcnt * k)) * {_TCL_FP}
+            // (2 * k * n.n) AS BIGINT) > {_TCL_T_FP}) AS leaking
+FROM grid, n
+GROUP BY c_nationkey, bal_bucket, k, n.n
+"""
+
+
+@register(
+    "quality_t_closeness",
+    _TCL_ORACLE,
+    doc="t-closeness audit (Li et al. 2007) — completes the privacy "
+    "triad with quality_k_anonymity / quality_l_diversity on the SAME "
+    "quasi-identifier classes (nation x balance bucket) and sensitive "
+    "attribute (market segment): a class can be k-anonymous AND "
+    "l-diverse yet still leak when its sensitive-value DISTRIBUTION "
+    "diverges from the corpus (e.g. 90/10 where the population is "
+    "50/50). Per class, the total-variation distance between the "
+    "class and global segment distributions, cross-multiplied to pure "
+    "integers (sum |cnt*n - gcnt*k| * 1e6 // (2*k*n) — no float ever "
+    "compares) with the pinned t = 0.35 verdict column. The class x "
+    "value grid comes from CROSS JOIN against the (sensitive-"
+    "cardinality, ~5-row) global value table so absent values count "
+    "their full global mass — the term a naive inner join silently "
+    "drops. One hash aggregate per grain; output is class-cardinality.",
+)
+def quality_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0)
+        .cast("long")
+        .alias("bal_bucket"),
+        "c_mktsegment",
+    )
+    from pyspark.sql import Window as W
+
+    # n rides WITH the segment table (unpartitioned window over the
+    # ~5-row aggregate) so the grid needs ONE bounded broadcast, not a
+    # second scalar one
+    gv = (
+        q.groupBy("c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("gcnt"))
+        .withColumn(
+            "n", F.sum("gcnt").over(W.partitionBy()).cast("bigint")
+        )
+    )
+    cls = q.groupBy("c_nationkey", "bal_bucket").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    cv = q.groupBy("c_nationkey", "bal_bucket", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(gv))
+        .join(cv, ["c_nationkey", "bal_bucket", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "k",
+            "n",
+            "gcnt",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    tvd = F.expr(
+        f"sum(abs(cnt * n - gcnt * k)) * {_TCL_FP} DIV (2 * k * n)"
+    ).cast("bigint")
+    return (
+        grid.groupBy("c_nationkey", "bal_bucket", "k", "n")
+        .agg(tvd.alias("tvd_fp"))
+        .select(
+            "c_nationkey",
+            "bal_bucket",
+            "k",
+            "tvd_fp",
+            (F.col("tvd_fp") > _TCL_T_FP).alias("leaking"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_modularity — clustering quality of the co-purchase communities
+# ---------------------------------------------------------------------------
+
+_MOD_FP = 1_000_000_000
+
+
+def _modularity_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _MIN_EDGE_SUPPORT,
+    )
+
+    return f"""
+WITH RECURSIVE
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
+),
+sym AS MATERIALIZED (
+    SELECT pa AS u, pb AS v FROM ed UNION ALL SELECT pb, pa FROM ed
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+reach(node, label) AS (
+    SELECT DISTINCT u, u FROM sym
+    UNION
+    SELECT e.u, r.label FROM reach r JOIN sym e ON e.v = r.node
+),
+comm AS MATERIALIZED (
+    SELECT node, MIN(label) AS community FROM reach GROUP BY node
+),
+deg AS (
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+),
+dsum AS (
+    SELECT c.community, CAST(SUM(d.deg) AS BIGINT) AS d_c,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM comm c JOIN deg d ON d.node = c.node
+    GROUP BY c.community
+),
+intra AS (
+    SELECT ca.community, CAST(COUNT(*) AS BIGINT) AS e_c
+    FROM ed
+    JOIN comm ca ON ca.node = ed.pa
+    JOIN comm cb ON cb.node = ed.pb AND cb.community = ca.community
+    GROUP BY ca.community
+)
+SELECT ds.community, ds.n_nodes, ds.d_c,
+       CAST(COALESCE(i.e_c, 0) AS BIGINT) AS e_c,
+       CAST((4 * m.m * COALESCE(i.e_c, 0) - ds.d_c * ds.d_c)
+            * {_MOD_FP} // (4 * m.m * m.m) AS BIGINT) AS contribution_fp
+FROM dsum ds LEFT JOIN intra i ON i.community = ds.community, m
+"""
+
+
+@register(
+    "graph_modularity",
+    _modularity_oracle(),
+    doc="Newman modularity of the co-purchase graph's connected "
+    "components — the clustering-QUALITY metric the graph family was "
+    "missing (pagerank/HITS rank nodes, k-core extracts density, CC "
+    "labels clusters; modularity scores whether the labeling beats "
+    "chance). Per community: node count, degree mass d_c, intra-"
+    "community edges e_c, and the exact-integer contribution "
+    "(4*m*e_c - d_c^2) * 1e9 // (4*m^2) whose sum is Q (cross-"
+    "multiplied so no float ratio ever forms; magnitudes stay inside "
+    "int64 up to ~1e4 edges and the doc notes DECIMAL widening as "
+    "the 100 TB escape). Communities come from the repo's bounded "
+    "min-label CC (operators/dedup.py::connected_components, the "
+    "billion-edge one-join-one-agg-per-iteration discipline); the "
+    "oracle runs the same fixpoint as a recursive CTE. Edges reuse "
+    "the support-pruned construction shared with triangles/k-core.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+
+    ed = (
+        _edges(spark, sf_dir)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    sym = ed.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        ed.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    nodes = sym.select(F.col("u").alias("doc_id")).distinct()
+    comm = connected_components(
+        nodes, ed, src_col="pa", dst_col="pb"
+    ).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("community")
+    )
+    m = ed.agg(F.count("*").cast("bigint").alias("m"))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    dsum_c = (
+        comm.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.sum("deg").cast("bigint").alias("d_c"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+        )
+    )
+    ca = comm.select(
+        F.col("node").alias("pa"), F.col("community").alias("comm_a")
+    )
+    cb = comm.select(
+        F.col("node").alias("pb"), F.col("community").alias("comm_b")
+    )
+    intra = (
+        ed.join(ca, "pa")
+        .join(cb, "pb")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .groupBy(F.col("comm_a").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    return (
+        dsum_c.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "d_c",
+            F.coalesce(F.col("e_c"), F.lit(0))
+            .cast("bigint")
+            .alias("e_c"),
+            F.expr(
+                f"(4 * m * coalesce(e_c, 0) - d_c * d_c) * {_MOD_FP}"
+                f" DIV (4 * m * m)"
+            )
+            .cast("bigint")
+            .alias("contribution_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fe_feature_hashing — the hashing trick, collision-audited
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 32
+
+
+def _feature_hashing_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    h = content_hash64_sql("'fh:' || name || '=' || val")
+    return f"""
+WITH feats AS (
+    SELECT 'seg' AS name, c_mktsegment AS val FROM customer
+    UNION ALL
+    SELECT 'nat' AS name, CAST(c_nationkey AS VARCHAR) AS val FROM customer
+),
+hashed AS (
+    SELECT name, val, {h} AS h FROM feats
+),
+b AS (
+    SELECT h % {_FH_BUCKETS} AS bucket,
+           CASE WHEN (h // {_FH_BUCKETS}) % 2 = 0 THEN 1 ELSE -1 END
+               AS sign,
+           name, val
+    FROM hashed
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT name || '=' || val) AS BIGINT)
+           AS n_distinct_features,
+       CAST(SUM(sign) AS BIGINT) AS signed_mass
+FROM b GROUP BY bucket
+"""
+
+
+@register(
+    "fe_feature_hashing",
+    _feature_hashing_oracle(),
+    doc="Feature hashing (the hashing trick, Weinberger et al. 2009) "
+    "with a collision audit: categorical features (market segment; "
+    "nation key) map to a fixed 32-bucket space via the repo's md5 "
+    "content hash, with the next hash bit supplying the +/-1 sign "
+    "that makes collisions cancel in expectation. Output per bucket: "
+    "row mass, DISTINCT original features mapped (the collision "
+    "count — >1 means two features share a slot, the quantity that "
+    "sizes the bucket space), and the signed mass. Zero vocabulary "
+    "state — the property that lets a 100 TB pipeline featurize "
+    "unbounded-cardinality categoricals in one stateless projection "
+    "(fe_target_encoding_loo/fe_woe_encoding need a model table; "
+    "this needs nothing). All-integer; one explode x 2 features + "
+    "one hash aggregate at bucket cardinality.",
+)
+def fe_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    feats = c.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("seg").alias("name"),
+                    F.col("c_mktsegment").alias("val"),
+                ),
+                F.struct(
+                    F.lit("nat").alias("name"),
+                    F.col("c_nationkey").cast("string").alias("val"),
+                ),
+            )
+        ).alias("f")
+    ).select(F.col("f.name").alias("name"), F.col("f.val").alias("val"))
+    hashed = feats.select(
+        "name",
+        "val",
+        content_hash64(
+            F.concat(F.lit("fh:"), F.col("name"), F.lit("="), F.col("val"))
+        ).alias("h"),
+    )
+    b = hashed.select(
+        "name",
+        "val",
+        (F.col("h") % _FH_BUCKETS).cast("bigint").alias("bucket"),
+        F.when((F.expr(f"h DIV {_FH_BUCKETS}") % 2) == 0, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct(
+            F.concat(F.col("name"), F.lit("="), F.col("val"))
+        )
+        .cast("bigint")
+        .alias("n_distinct_features"),
+        F.sum("sign").cast("bigint").alias("signed_mass"),
+    )

@@ -65,6 +65,10 @@ _BNL_OK = {
     "text_query_likelihood": "scalar",  # 1-row corpus token total
     "stats_permutation_test": "scalar",  # 1-row group sizes / observed diff
     "corpus_token_budget_plan": "scalar",  # 1-row weight total
+    "graph_modularity": "scalar",  # 1-row edge count m
+    # the class x value grid broadcasts the sensitive-cardinality
+    # (~5-row) segment distribution, with the corpus total windowed in
+    "quality_t_closeness": "HashAggregate(keys=[c_mktsegment",
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing

@@ -2047,3 +2047,66 @@ def test_token_budget_plan_conserves_budget(spark, sf_dir):
             r.epochs_fp
             == r.target_tokens * 1_000_000 // r.available_tokens
         )
+
+
+def test_t_closeness_triad_consistency(spark, sf_dir):
+    # Same QI grain as k-anonymity/l-diversity: one row per
+    # (nation, balance-bucket) class; TVD is a [0, 1] quantity in ppm.
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        quality_t_closeness,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    rows = quality_t_closeness(spark, sf_dir).collect()
+    classes = {(r.c_nationkey, r.bal_bucket) for r in rows}
+    expected = {
+        (r.c_nationkey, r.bal_bucket)
+        for r in t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0)
+            .cast("long")
+            .alias("bal_bucket"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert classes == expected
+    for r in rows:
+        assert 0 <= r.tvd_fp <= 1_000_000
+        assert r.leaking == (r.tvd_fp > 350_000)
+
+
+def test_modularity_ledger(spark, sf_dir):
+    # Connected components have NO inter-community edges, so the
+    # intra-edge ledger must account for every edge (sum e_c == m)
+    # and the degree ledger for both endpoints (sum d_c == 2m);
+    # total modularity = 1 - sum(d_c^2)/4m^2 lies in [0, 1).
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        graph_modularity,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+
+    rows = graph_modularity(spark, sf_dir).collect()
+    m = _edges(spark, sf_dir).count()
+    assert sum(r.e_c for r in rows) == m
+    assert sum(r.d_c for r in rows) == 2 * m
+    q_total = sum(r.contribution_fp for r in rows) / 1e9
+    assert 0 <= q_total < 1
+
+
+def test_feature_hashing_mass_conservation(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        fe_feature_hashing,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    rows = fe_feature_hashing(spark, sf_dir).collect()
+    n_cust = t(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == 2 * n_cust
+    for r in rows:
+        assert abs(r.signed_mass) <= r.n_rows
+        assert 1 <= r.n_distinct_features
+        assert 0 <= r.bucket < 32
