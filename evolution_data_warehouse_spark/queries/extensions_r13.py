@@ -1954,3 +1954,456 @@ def fe_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_distinct_features"),
         F.sum("sign").cast("bigint").alias("signed_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_acf_multi_lag — the correlogram (ACF at lags 1, 2, 3, 7)
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 7)
+# same downscale rationale as ts_acf_lag1 (extensions_r10): deviation
+# products grow with SF^2 while day count is calendar-bounded, so
+# quantizing DOWN keeps sums inside int64 at any scale
+_ACFM_DOWNSCALE = 1_000_000
+
+
+def _acf_multi_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.common import dsum_sql
+
+    lag_rows = ", ".join(f"({L})" for L in _ACF_LAGS)
+    return f"""
+WITH daily AS (
+    SELECT o_orderdate AS day, {dsum_sql('o_totalprice')} AS x
+    FROM orders GROUP BY o_orderdate
+),
+mu AS (
+    SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily
+),
+lags(lag) AS (VALUES {lag_rows}),
+paired AS (
+    SELECT l.lag, d.x, mu.mu, mu.n_days,
+           lead(d.x, l.lag) OVER (PARTITION BY l.lag ORDER BY d.day)
+               AS x_lead
+    FROM daily d CROSS JOIN lags l, mu
+),
+terms AS (
+    SELECT lag, n_days,
+           CAST(floor((x - mu) * (x_lead - mu) / {_ACFM_DOWNSCALE})
+                AS BIGINT) AS num_q,
+           CAST(floor((x - mu) * (x - mu) / {_ACFM_DOWNSCALE})
+                AS BIGINT) AS den_q
+    FROM paired
+)
+SELECT CAST(lag AS INT) AS lag,
+       MAX(n_days) AS n_days,
+       CAST(COUNT(num_q) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN num_q IS NOT NULL THEN num_q END) AS BIGINT)
+           AS num_sum,
+       CAST(SUM(den_q) AS BIGINT) AS den_sum,
+       CAST(SUM(CASE WHEN num_q IS NOT NULL THEN num_q END) AS DOUBLE)
+           / CAST(SUM(den_q) AS DOUBLE) AS acf
+FROM terms GROUP BY lag
+"""
+
+
+@register(
+    "ts_acf_multi_lag",
+    _acf_multi_oracle(),
+    doc="The correlogram: autocorrelation of the daily revenue series "
+    "at lags 1, 2, 3 and 7 in ONE pass — ts_acf_lag1 generalized to "
+    "the lag set an analyst actually reads (lag-7 is the weekly-"
+    "seasonality detector; the 1-2-3 decay profile separates AR-like "
+    "persistence from noise). Identical determinism discipline as the "
+    "lag-1 parent: exact decimal daily sums, one broadcast mean, "
+    "deviation products floor-quantized to fixed point BEFORE "
+    "summation, the classical common denominator sum((x-mu)^2) shared "
+    "by every lag. The lag dimension is a 4-row VALUES/literal-array "
+    "cross over the DAY-cardinality frame (calendar-bounded, never "
+    "corpus-sized), so one window pass per lag partition computes all "
+    "four leads.",
+)
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries.common import dsum
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(dsum("o_totalprice").alias("x"))
+    )
+    mu = daily.agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mu"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    lagged = daily.select(
+        "day",
+        "x",
+        F.explode(F.array(*[F.lit(L) for L in _ACF_LAGS])).alias("lag"),
+    )
+    paired = lagged.crossJoin(F.broadcast(mu))
+    # one ordered window per lag partition; lead distance is the lag
+    # value — expressed via a join-free when() ladder over the pinned
+    # lag literals (lead() needs a literal offset)
+    w = W.partitionBy("lag").orderBy("day")
+    x_lead = None
+    for L in _ACF_LAGS:
+        expr = F.lead("x", L).over(w)
+        x_lead = (
+            F.when(F.col("lag") == L, expr)
+            if x_lead is None
+            else x_lead.when(F.col("lag") == L, expr)
+        )
+    paired = paired.select(
+        "lag", "x", "mu", "n_days", x_lead.alias("x_lead")
+    )
+    num_q = F.floor(
+        (F.col("x") - F.col("mu"))
+        * (F.col("x_lead") - F.col("mu"))
+        / _ACFM_DOWNSCALE
+    ).cast("bigint")
+    den_q = F.floor(
+        (F.col("x") - F.col("mu"))
+        * (F.col("x") - F.col("mu"))
+        / _ACFM_DOWNSCALE
+    ).cast("bigint")
+    terms = paired.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_days",
+        num_q.alias("num_q"),
+        den_q.alias("den_q"),
+    )
+    return terms.groupBy("lag").agg(
+        F.max("n_days").alias("n_days"),
+        F.count("num_q").cast("bigint").alias("n_pairs"),
+        F.sum("num_q").cast("bigint").alias("num_sum"),
+        F.sum("den_q").cast("bigint").alias("den_sum"),
+        (
+            F.sum("num_q").cast("double") / F.sum("den_q").cast("double")
+        ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_residual_anomaly — deseasonalized spike detection
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.queries.common import (  # noqa: E402
+    fpq,
+    fpq_sql,
+)
+
+_SRA_Z = 3  # |residual| > 3 sigma flags the day
+
+
+def _seasonal_resid_oracle() -> str:
+    return f"""
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           -- DuckDB dayofweek is 0-6 (Sunday=0); Spark's is 1-7
+           -- (Sunday=1) — align on Spark's convention
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           {dsum_sql('o_totalprice')} AS v
+    FROM orders GROUP BY 1, 2
+),
+season AS (
+    SELECT dow,
+           CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS expected
+    FROM daily GROUP BY dow
+),
+resid AS (
+    SELECT d.day, d.dow, d.v, s.expected, d.v - s.expected AS r
+    FROM daily d JOIN season s ON s.dow = d.dow
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('r', 6)} AS s1,
+           {dsum_sql('r * r / 1000000.0', 6)} AS s2m
+    FROM resid
+),
+z AS (
+    SELECT r.day, r.dow, r.v, r.expected, r.r,
+           sqrt(greatest(
+               s2m * 1000000.0 / CAST(n AS DOUBLE)
+               - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+               1e-9)) AS sigma
+    FROM resid r, mom
+)
+SELECT day, dow,
+       {fpq_sql('v', 4)} AS v,
+       {fpq_sql('expected', 4)} AS expected,
+       {fpq_sql('r / sigma', 4)} AS z
+FROM z WHERE abs(r) > {_SRA_Z} * sigma
+"""
+
+
+@register(
+    "ts_seasonal_residual_anomaly",
+    _seasonal_resid_oracle(),
+    doc="Deseasonalized anomaly detection: remove the weekday seasonal "
+    "index (per-weekday mean of the daily revenue series — the "
+    "ts_weekday_seasonality model) and flag days whose RESIDUAL "
+    "exceeds 3 residual-sigmas — the spike detector that does not "
+    "false-alarm on 'every Saturday is high' the way a raw z-score "
+    "does (event_error_spike) and does not need a trailing window "
+    "(ts_peak_detection). Decimal-exact daily sums and residual "
+    "moments (the r^2 sum pre-divides by 1e6 inside the decimal cast "
+    "— deviation squares grow with SF^2), one identical IEEE "
+    "sigma/ratio expression chain on both engines, epsilon-guarded "
+    "variance, fpq-quantized output. Everything after the daily "
+    "aggregate is calendar-bounded (7-row season model broadcast, "
+    "1-row moments).",
+)
+def ts_seasonal_residual_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.common import dsum
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").alias("day"),
+            F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        )
+        .agg(dsum("o_totalprice").alias("v"))
+    )
+    season = daily.groupBy("dow").agg(
+        (
+            F.sum(F.col("v").cast("decimal(28,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("expected")
+    )
+    resid = daily.join(F.broadcast(season), "dow").select(
+        "day", "dow", "v", "expected",
+        (F.col("v") - F.col("expected")).alias("r"),
+    )
+    mom = resid.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("r", 6).alias("s1"),
+        dsum(F.col("r") * F.col("r") / F.lit(1000000.0), 6).alias("s2m"),
+    )
+    z = resid.crossJoin(F.broadcast(mom)).select(
+        "day", "dow", "v", "expected", "r",
+        F.sqrt(
+            F.greatest(
+                F.col("s2m") * F.lit(1000000.0) / F.col("n").cast("double")
+                - (F.col("s1") / F.col("n").cast("double"))
+                * (F.col("s1") / F.col("n").cast("double")),
+                F.lit(1e-9),
+            )
+        ).alias("sigma"),
+    )
+    return z.filter(
+        F.abs(F.col("r")) > F.lit(_SRA_Z) * F.col("sigma")
+    ).select(
+        "day",
+        "dow",
+        fpq("v", 4).alias("v"),
+        fpq("expected", 4).alias("expected"),
+        fpq(F.col("r") / F.col("sigma"), 4).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_power_analysis — experiment sample-size design
+# ---------------------------------------------------------------------------
+
+# Pinned design constants: two-sided alpha = 0.05 (z = 1.96), power =
+# 0.80 (z = 0.8416), minimum detectable effect = 2% of the segment
+# mean. Exact decimal literals so both engines fold the same doubles.
+_PWR_Z_ALPHA = "1.96"
+_PWR_Z_BETA = "0.8416"
+_PWR_MDE_NUM, _PWR_MDE_DEN = 2, 100  # MDE = 2% of mean
+
+
+def _power_oracle() -> str:
+    za, zb = _PWR_Z_ALPHA, _PWR_Z_BETA
+    return f"""
+WITH base AS (
+    SELECT c_mktsegment AS segment, c_acctbal AS y FROM customer
+),
+mom AS (
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           {dsum_sql('y', 2)} AS s1,
+           {dsum_sql('y * y / 1000.0', 6)} AS s2m
+    FROM base GROUP BY segment
+),
+st AS (
+    SELECT segment, n_obs,
+           s1 / CAST(n_obs AS DOUBLE) AS mean,
+           greatest(s2m * 1000.0 / CAST(n_obs AS DOUBLE)
+                    - (s1 / CAST(n_obs AS DOUBLE))
+                    * (s1 / CAST(n_obs AS DOUBLE)), 0.0) AS variance
+    FROM mom
+)
+SELECT segment, n_obs,
+       {fpq_sql('mean', 4)} AS mean,
+       {fpq_sql('variance', 2)} AS variance,
+       CAST(ceil(2.0 * ({za} + {zb}) * ({za} + {zb}) * variance
+                 / ((mean * {_PWR_MDE_NUM} / {_PWR_MDE_DEN})
+                    * (mean * {_PWR_MDE_NUM} / {_PWR_MDE_DEN})))
+            AS BIGINT) AS required_n_per_arm
+FROM st
+"""
+
+
+@register(
+    "stats_power_analysis",
+    _power_oracle(),
+    doc="Experiment sample-size design — the missing PRE-experiment "
+    "half of the A/B family (stats_ab_test/cuped/mannwhitney analyze "
+    "results; this sizes the experiment first): per customer segment, "
+    "the two-arm n needed to detect a 2% lift in mean balance at "
+    "alpha = 0.05 / power = 0.80 — n = 2(z_a+z_b)^2 sigma^2 / MDE^2, "
+    "the standard normal-approximation formula. Variance from "
+    "decimal-exact moments (the y^2 sum pre-divides by 1e3 inside "
+    "the decimal cast), pinned z constants as exact double literals, "
+    "ONE identical IEEE expression chain ending in an integer ceil "
+    "(ceil at a representable boundary cannot diverge because both "
+    "engines evaluate the same double). One hash aggregate at "
+    "segment cardinality; output is segment-sized at any scale.",
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.common import dsum
+
+    base = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("y"),
+    )
+    mom = base.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        dsum("y", 2).alias("s1"),
+        dsum(F.col("y") * F.col("y") / F.lit(1000.0), 6).alias("s2m"),
+    )
+    n_d = F.col("n_obs").cast("double")
+    mean = F.col("s1") / n_d
+    variance = F.greatest(
+        F.col("s2m") * F.lit(1000.0) / n_d - mean * mean, F.lit(0.0)
+    )
+    za_zb = F.lit(float(_PWR_Z_ALPHA)) + F.lit(float(_PWR_Z_BETA))
+    mde = mean * F.lit(_PWR_MDE_NUM) / F.lit(_PWR_MDE_DEN)
+    return mom.select(
+        "segment",
+        "n_obs",
+        fpq(mean, 4).alias("mean"),
+        fpq(variance, 2).alias("variance"),
+        F.ceil(F.lit(2.0) * za_zb * za_zb * variance / (mde * mde))
+        .cast("bigint")
+        .alias("required_n_per_arm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_graph — the k-nearest-neighbor graph over IVF lists
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def _knn_graph_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r11b import (
+        _ivf_corpus_ctes,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _dot_sql,
+        _sqnorm_sql,
+    )
+
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding, sqrt({_sqnorm_sql('embeddings')}) AS norm
+    FROM embeddings
+),
+{_ivf_corpus_ctes()},
+j AS (
+    SELECT e.vec_id, e.embedding, e.norm, cb.centroid_id
+    FROM e JOIN corpus_b cb ON cb.vec_id = e.vec_id
+),
+scored AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id, a.centroid_id,
+           ({_dot_sql('a', 'b')}) / NULLIF(a.norm * b.norm, 0.0) AS cosine
+    FROM j a JOIN j b
+      ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+),
+knn_ranked AS (
+    SELECT vec_id, neighbor_id, centroid_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+)
+SELECT vec_id, neighbor_id, centroid_id, cosine, rank
+FROM knn_ranked WHERE rank <= {_KNN_K}
+"""
+
+
+@register(
+    "emb_knn_graph",
+    _knn_graph_oracle(),
+    doc="k-nearest-neighbor graph construction (k=5 by cosine) over "
+    "the IVF inverted lists — the upstream primitive of graph-based "
+    "semantic clustering and kNN-classified quality filtering: every "
+    "vector ranks the OTHER members of its own coarse list, so the "
+    "pair relation is sum-of-list-size-squares, never corpus^2 "
+    "(sim_semantic_dedup's within-cluster discipline, here with a "
+    "per-node top-k instead of a threshold; at 100 TB the list count "
+    "grows ~sqrt(N) and sim_ivf_balance_report is the skew monitor "
+    "for exactly this join). Cosines use the repo's sequential-fold "
+    "dot/norm expressions (bit-identical both engines), ranking is "
+    "fully tie-broken, the top-k filter compiles to WindowGroupLimit "
+    "per-partition heaps. Corpus assignment composes the shared "
+    "_ivf_corpus_ctes source of truth.",
+)
+def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.operators import similarity as sim
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _KM_CENTROIDS,
+    )
+
+    e = sim.with_norm(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "_vec", "_norm"
+    )
+    assign = sim.ivf_assign(e, _KM_CENTROIDS, n_probe=1)
+    j = e.join(assign, "vec_id")
+    a = j.select(
+        F.col("vec_id"),
+        F.col("centroid_id"),
+        F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("centroid_id").alias("centroid_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    scored = (
+        a.join(b, F.col("centroid_id") == F.col("centroid_b"))
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "centroid_id",
+            sim.cosine(
+                F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "neighbor_id", "centroid_id", "cosine", "rank")
+    )

@@ -2110,3 +2110,66 @@ def test_feature_hashing_mass_conservation(spark, sf_dir):
         assert abs(r.signed_mass) <= r.n_rows
         assert 1 <= r.n_distinct_features
         assert 0 <= r.bucket < 32
+
+
+def test_acf_multi_lag_consistent_with_lag1(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r10 import (
+        ts_acf_lag1,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        ts_acf_multi_lag,
+    )
+
+    multi = {
+        r.lag: r for r in ts_acf_multi_lag(spark, sf_dir).collect()
+    }
+    assert set(multi) == {1, 2, 3, 7}
+    one = ts_acf_lag1(spark, sf_dir).collect()[0]
+    assert multi[1].num_sum == one.num_sum
+    assert multi[1].den_sum == one.den_sum
+    for r in multi.values():
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs == r.n_days - r.lag
+
+
+def test_knn_graph_shape(spark, sf_dir):
+    from collections import defaultdict
+
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        emb_knn_graph,
+    )
+
+    by_vec = defaultdict(list)
+    for r in emb_knn_graph(spark, sf_dir).collect():
+        by_vec[r.vec_id].append(r)
+    assert by_vec
+    for vid, rows in by_vec.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != vid for r in rows)
+        assert len({r.centroid_id for r in rows}) == 1
+
+
+def test_power_analysis_sane(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        stats_power_analysis,
+    )
+
+    rows = stats_power_analysis(spark, sf_dir).collect()
+    assert len(rows) == 5  # the five market segments
+    for r in rows:
+        assert r.required_n_per_arm > 0
+        assert r.variance >= 0
+
+
+def test_seasonal_residual_flags_exceed_threshold(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        ts_seasonal_residual_anomaly,
+    )
+
+    for r in ts_seasonal_residual_anomaly(spark, sf_dir).collect():
+        assert abs(r.z) > 3.0
+        assert 1 <= r.dow <= 7
