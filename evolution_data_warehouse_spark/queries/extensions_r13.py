@@ -2407,3 +2407,194 @@ def emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _KNN_K)
         .select("vec_id", "neighbor_id", "centroid_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_quality_mix_report — the curation dashboard rollup
+# ---------------------------------------------------------------------------
+
+# Integer-fence quality gate (no float ever compares): a doc passes
+# when it has >= 30 whitespace tokens AND its mean token length lies
+# in [3, 12] chars, cross-multiplied to 3*nt <= nc-(nt-1) <= 12*nt.
+_MIX_MIN_TOKENS = 30
+_MIX_LEN_LO, _MIX_LEN_HI = 3, 12
+
+_MIX_ORACLE = f"""
+WITH q AS (
+    SELECT source, lang,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+    FROM documents
+),
+g AS (
+    SELECT source, lang,
+           (nt >= {_MIX_MIN_TOKENS}
+            AND {_MIX_LEN_LO} * nt <= nc - (nt - 1)
+            AND nc - (nt - 1) <= {_MIX_LEN_HI} * nt) AS quality_pass,
+           nt
+    FROM q
+),
+agg AS (
+    SELECT source, lang, quality_pass,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM g GROUP BY 1, 2, 3
+)
+SELECT source, lang, quality_pass, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // SUM(n_tokens) OVER () AS BIGINT)
+           AS token_share_ppm
+FROM agg
+"""
+
+
+@register(
+    "corpus_quality_mix_report",
+    _MIX_ORACLE,
+    doc="The curation dashboard rollup: joint (source x language x "
+    "quality-gate) composition of the corpus in documents AND tokens, "
+    "with each cell's share of total tokens (integer ppm) — the table "
+    "a pretraining-data owner actually reads before setting mixture "
+    "weights (which sources are mostly low-quality? which languages "
+    "carry the token mass? what does the gate cost per source?). The "
+    "gate is an INTEGER fence (>= 30 tokens, mean token length in "
+    "[3,12] cross-multiplied — no float fence can flip between "
+    "engines); one scan + one hash aggregate at cell cardinality; the "
+    "corpus total folds in as an unpartitioned window over the "
+    "(bounded) aggregate, so the plan has no broadcast at all.",
+)
+def corpus_quality_mix_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    q = t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.length("text").cast("bigint").alias("nc"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("nt"),
+    )
+    avg_num = F.col("nc") - (F.col("nt") - 1)
+    g = q.select(
+        "source",
+        "lang",
+        (
+            (F.col("nt") >= _MIX_MIN_TOKENS)
+            & (F.lit(_MIX_LEN_LO) * F.col("nt") <= avg_num)
+            & (avg_num <= F.lit(_MIX_LEN_HI) * F.col("nt"))
+        ).alias("quality_pass"),
+        "nt",
+    )
+    agg = g.groupBy("source", "lang", "quality_pass").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    return agg.select(
+        "source",
+        "lang",
+        "quality_pass",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000")
+        .cast("bigint")
+        .alias("_scaled"),
+        F.sum("n_tokens").over(W.partitionBy()).alias("_total"),
+    ).select(
+        "source",
+        "lang",
+        "quality_pass",
+        "n_docs",
+        "n_tokens",
+        F.expr("_scaled DIV _total").cast("bigint").alias(
+            "token_share_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tok_fertility_by_lang — tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+_FERT_FP = 1_000_000
+
+
+def _fertility_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_sql,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    s = bpe_segment_sql("w", _BPE_MERGES)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, str_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+wraw AS (
+    SELECT doc_id, lang, unnest(tk) AS w FROM toks
+),
+words AS (SELECT doc_id, lang, w FROM wraw WHERE w <> ''),
+seg AS (
+    SELECT lang, CAST(len(str_split({s}, ' ')) AS BIGINT) AS n_subs
+    FROM words
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_subs) AS BIGINT) AS n_subwords,
+       CAST(SUM(n_subs) * {_FERT_FP} // COUNT(*) AS BIGINT)
+           AS fertility_fp
+FROM seg GROUP BY lang
+"""
+
+
+@register(
+    "tok_fertility_by_lang",
+    _fertility_oracle(),
+    doc="Tokenizer fertility per language — subwords emitted per "
+    "whitespace word under the pinned 12-merge BPE (the standard "
+    "multilingual-tokenizer equity metric: a vocabulary trained on "
+    "one language over-fragments the others, inflating their "
+    "training cost per word; fertility per language is the number "
+    "that exposes it, cf. the XLM-R/BLOOM tokenizer analyses). "
+    "Segmentation reuses operators/bpe.py's single-source merge "
+    "spec on BOTH engines (bpe_apply_merges / bpe_segment_sql — the "
+    "tok_bpe_encode machinery, here aggregated by the corpus' "
+    "labeled lang instead of doc); fertility is integer ppm. Scale: "
+    "the merge loop runs once per DISTINCT word (Zipf-bounded) and "
+    "equi-joins back; the rollup is one hash aggregate at language "
+    "cardinality.",
+)
+def tok_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    enc = bpe_encode_ids(
+        t(spark, sf_dir, "documents"), _BPE_MERGES, bpe_vocab(_BPE_MERGES)
+    )
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_subwords"),
+        F.countDistinct("word_pos").cast("bigint").alias("n_words"),
+    )
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_subwords").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.expr(f"n_subwords * {_FERT_FP} DIV n_words")
+            .cast("bigint")
+            .alias("fertility_fp"),
+        )
+    )

@@ -2173,3 +2173,30 @@ def test_seasonal_residual_flags_exceed_threshold(spark, sf_dir):
     for r in ts_seasonal_residual_anomaly(spark, sf_dir).collect():
         assert abs(r.z) > 3.0
         assert 1 <= r.dow <= 7
+
+
+def test_quality_mix_report_conserves_corpus(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        corpus_quality_mix_report,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    rows = corpus_quality_mix_report(spark, sf_dir).collect()
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    total_ppm = sum(r.token_share_ppm for r in rows)
+    # floor division under-counts by < 1 ppm per cell
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    assert any(r.quality_pass for r in rows)
+
+
+def test_fertility_at_least_one_subword_per_word(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        tok_fertility_by_lang,
+    )
+
+    rows = tok_fertility_by_lang(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_subwords >= r.n_words  # a word is >= 1 subword
+        assert r.fertility_fp >= 1_000_000
