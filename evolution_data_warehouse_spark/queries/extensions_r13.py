@@ -2598,3 +2598,241 @@ def tok_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_lsh_recall_eval — hyperplane-LSH recall vs probe radius
+# ---------------------------------------------------------------------------
+
+_LSHR_FP = 1_000_000
+_LSHR_BITS = 8  # signature width (len(_PLANES))
+
+
+def _lsh_recall_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _ANN_ORACLE,
+        _lsh_bucket_sql,
+    )
+
+    bucket = _lsh_bucket_sql()
+    flips = ", ".join(str(1 << i) for i in range(_LSHR_BITS))
+    return f"""
+WITH b AS (SELECT vec_id, CAST(({bucket}) AS INT) AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 5),
+probes AS (
+    SELECT 0 AS radius, query_id, bucket AS probe FROM q
+    UNION ALL
+    SELECT 1, query_id, bucket FROM q
+    UNION ALL
+    SELECT 1, query_id,
+           CAST(xor(CAST(bucket AS BIGINT), f) AS INT) AS probe
+    FROM q, unnest([{flips}]) t(f)
+),
+cand AS (
+    SELECT DISTINCT p.radius, p.query_id, c.vec_id AS neighbor_id
+    FROM probes p JOIN b c ON c.bucket = p.probe
+    WHERE c.vec_id <> p.query_id
+),
+bf AS (SELECT query_id, neighbor_id FROM ({_ANN_ORACLE})),
+truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),
+ncand AS (
+    SELECT radius, CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM cand GROUP BY radius
+),
+hit AS (
+    SELECT c.radius, CAST(COUNT(*) AS BIGINT) AS n_hit
+    FROM bf JOIN cand c
+      ON c.query_id = bf.query_id AND c.neighbor_id = bf.neighbor_id
+    GROUP BY c.radius
+)
+SELECT n.radius, n.n_candidates, t.n_truth,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) * {_LSHR_FP} // t.n_truth AS BIGINT)
+           AS recall_fp
+FROM ncand n LEFT JOIN hit h ON h.radius = n.radius
+CROSS JOIN truth t
+"""
+
+
+@register(
+    "sim_lsh_recall_eval",
+    _lsh_recall_oracle(),
+    doc="Hyperplane-LSH recall vs Hamming probe radius — the missing "
+    "third leg of the measure-don't-assume trio (sim_ann_recall_eval "
+    "scores IVF, dedup_minhash_recall_eval scores MinHash banding; "
+    "sim_ann_lsh's buckets were the one retrieval structure without a "
+    "measured recall): of the exact brute-force top-10 cosine "
+    "neighbors per query, how many live in the query's own 8-bit "
+    "sign bucket (radius 0) vs the bucket plus its 8 Hamming-1 "
+    "neighbors (radius 1 multi-probe), and at what candidate-volume "
+    "cost. Ground truth composes the registered brute-force oracle; "
+    "bucket math composes llm_ops._lsh_bucket_sql — single sources of "
+    "truth on both axes. Probing is an 8-literal explode (XOR per "
+    "bit), candidates an equi-join on the probed bucket id; recall "
+    "integer fixed-point. Scale: the eval runs on a query sample; "
+    "production probing is the same equi-join at any corpus size.",
+)
+def sim_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.similarity import (
+        as_double,
+        hyperplane_signature,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _PLANES,
+        sim_ann_bruteforce,
+    )
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("_vec")
+    )
+    b = e.select(
+        "vec_id",
+        hyperplane_signature(F.col("_vec"), _PLANES).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    p0 = q.select(
+        F.lit(0).alias("radius"), "query_id", F.col("bucket").alias("probe")
+    )
+    p1 = q.select(
+        F.lit(1).alias("radius"),
+        "query_id",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_LSHR_BITS)
+                ],
+            )
+        ).alias("probe"),
+    )
+    probes = p0.unionByName(p1)
+    cand = (
+        probes.join(b, probes.probe == b.bucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("radius", "query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    bf = (
+        sim_ann_bruteforce(spark, sf_dir)
+        .select(
+            F.col("query_id").alias("bq"),
+            F.col("neighbor_id").alias("bn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    truth = bf.agg(F.count("*").cast("bigint").alias("n_truth"))
+    ncand = cand.groupBy("radius").agg(
+        F.count("*").cast("bigint").alias("n_candidates")
+    )
+    hit = (
+        cand.join(
+            bf,
+            (F.col("bq") == F.col("query_id"))
+            & (F.col("bn") == F.col("neighbor_id")),
+        )
+        .groupBy("radius")
+        .agg(F.count("*").cast("bigint").alias("n_hit"))
+    )
+    return (
+        ncand.join(hit, "radius", "left")
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "radius",
+            "n_candidates",
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.expr(f"coalesce(n_hit, 0) * {_LSHR_FP} DIV n_truth")
+            .cast("bigint")
+            .alias("recall_fp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_dp_count_release — deterministic differential-privacy release
+# ---------------------------------------------------------------------------
+
+_DP_EPS_NUM, _DP_EPS_DEN = 1, 2  # epsilon = 0.5 -> Laplace scale b = 2
+_DP_U_DEN = 1 << 52  # dyadic uniform: (h % 2^52) / 2^52 is exact
+
+
+def _dp_release_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64_sql,
+    )
+
+    h = content_hash64_sql("'dp:' || CAST(c_nationkey AS VARCHAR)")
+    b = f"({_DP_EPS_DEN}.0 / {_DP_EPS_NUM}.0)"
+    u = f"(CAST({h} % {_DP_U_DEN} AS DOUBLE) / {_DP_U_DEN}.0)"
+    v = f"({u} - 0.5)"
+    noise = (
+        f"(-{b} * (CASE WHEN {v} >= 0 THEN 1.0 ELSE -1.0 END)"
+        f" * ln(greatest(1.0 - 2.0 * abs({v}), 1e-12)))"
+    )
+    return f"""
+WITH c AS (
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM customer GROUP BY 1
+)
+SELECT c_nationkey, n_true,
+       {fpq_sql(noise, 6)} AS noise,
+       {fpq_sql(f'CAST(n_true AS DOUBLE) + {noise}', 6)} AS n_noisy
+FROM c
+"""
+
+
+@register(
+    "quality_dp_count_release",
+    _dp_release_oracle(),
+    doc="Differentially-private count release (epsilon = 0.5 Laplace "
+    "mechanism, sensitivity-1 counting query) — the RELEASE side of "
+    "the privacy family (k/l/t audit what a table leaks; this is how "
+    "an engine publishes aggregate counts with a formal guarantee). "
+    "The Laplace draw is DETERMINISTIC with zero RNG state: the "
+    "uniform is the dyadic (md5 % 2^52)/2^52 of the group key (exact "
+    "in double — numerator < 2^52, denominator a power of two) pushed "
+    "through the inverse CDF -b*sign(v)*ln(1-2|v|), the repo's "
+    "hash-not-rng rule applied to noise (NOTE: a production DP "
+    "deployment must key the hash with a SECRET salt and fresh "
+    "release id — a public deterministic draw is auditable, which is "
+    "what an ORACLE needs and a privacy release must avoid; the "
+    "mechanism and calibration are what this entry verifies). ln is "
+    "the fn_math_suite-licensed transcendental, epsilon-guarded at "
+    "the u->0 pole, fpq-quantized. One hash aggregate + pure "
+    "projection.",
+)
+def quality_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+    )
+    h = content_hash64(
+        F.concat(F.lit("dp:"), F.col("c_nationkey").cast("string"))
+    )
+    u = (h % F.lit(_DP_U_DEN)).cast("double") / F.lit(float(_DP_U_DEN))
+    v = u - F.lit(0.5)
+    b = F.lit(float(_DP_EPS_DEN) / float(_DP_EPS_NUM))
+    noise = (
+        -b
+        * F.when(v >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(
+            F.greatest(
+                F.lit(1.0) - F.lit(2.0) * F.abs(v), F.lit(1e-12)
+            )
+        )
+    )
+    return c.select(
+        "c_nationkey",
+        "n_true",
+        fpq(noise, 6).alias("noise"),
+        fpq(F.col("n_true").cast("double") + noise, 6).alias("n_noisy"),
+    )

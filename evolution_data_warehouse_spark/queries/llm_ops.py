@@ -690,7 +690,10 @@ import numpy as _np  # noqa: E402
 _PLANES = _np.random.default_rng(20260813).normal(size=(8, DIM)).tolist()
 
 
-def _ann_lsh_oracle() -> str:
+def _lsh_bucket_sql() -> str:
+    """The 8-bit hyperplane-signature bucket expression over an
+    ``embedding`` column — one source of truth shared by the
+    sim_ann_lsh oracle and extensions_r13's sim_lsh_recall_eval."""
     plane_terms = []
     for i, plane in enumerate(_PLANES):
         dot = " + ".join(
@@ -698,7 +701,11 @@ def _ann_lsh_oracle() -> str:
             for j in range(DIM)
         )
         plane_terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2**i} ELSE 0 END)")
-    bucket = " + ".join(plane_terms)
+    return " + ".join(plane_terms)
+
+
+def _ann_lsh_oracle() -> str:
+    bucket = _lsh_bucket_sql()
     return f"""
 WITH b AS (SELECT vec_id, CAST(({bucket}) AS INT) AS bucket FROM embeddings)
 SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket

@@ -2200,3 +2200,40 @@ def test_fertility_at_least_one_subword_per_word(spark, sf_dir):
     for r in rows:
         assert r.n_subwords >= r.n_words  # a word is >= 1 subword
         assert r.fertility_fp >= 1_000_000
+
+
+def test_lsh_recall_monotone_in_radius(spark, sf_dir):
+    # Radius-1 candidates are a superset of radius-0 (the probe set
+    # includes the home bucket), so both candidate volume and hits
+    # are monotone; recall is a valid fraction.
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        sim_lsh_recall_eval,
+    )
+
+    rows = {r.radius: r for r in sim_lsh_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1].n_candidates >= rows[0].n_candidates
+    assert rows[1].n_hit >= rows[0].n_hit
+    for r in rows.values():
+        assert 0 <= r.n_hit <= r.n_truth
+        assert r.recall_fp == r.n_hit * 1_000_000 // r.n_truth
+
+
+def test_dp_release_noise_calibration(spark, sf_dir):
+    # Laplace(b=2): |noise| is Exp(1/b); every draw is finite, the
+    # noisy count equals true + noise at fpq precision, and the draw
+    # is a pure function of the group key (stable across runs).
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        quality_dp_count_release,
+    )
+
+    rows = quality_dp_count_release(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.n_noisy - (r.n_true + r.noise)) < 1e-4
+        assert abs(r.noise) < 60.0  # ln(1e-12)*2 bound from the guard
+    again = {
+        r.c_nationkey: r.noise
+        for r in quality_dp_count_release(spark, sf_dir).collect()
+    }
+    assert {r.c_nationkey: r.noise for r in rows} == again
