@@ -2836,3 +2836,187 @@ def quality_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         fpq(noise, 6).alias("noise"),
         fpq(F.col("n_true").cast("double") + noise, 6).alias("n_noisy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree-degree correlation of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _MIN_EDGE_SUPPORT,
+    )
+
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
+),
+sym AS MATERIALIZED (
+    SELECT pa AS u, pb AS v FROM ed UNION ALL SELECT pb, pa FROM ed
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+pairs AS (
+    SELECT du.d AS dx, dv.d AS dy
+    FROM sym e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+           CAST(SUM(dx) AS BIGINT) AS sx,
+           CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy
+    FROM pairs
+)
+SELECT m2, sx, sxx, sxy,
+       {fpq_sql(
+           '(CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)'
+           ' / greatest(CAST(m2 AS DOUBLE) * sxx'
+           ' - CAST(sx AS DOUBLE) * sx, 1e-9)', 6
+       )} AS assortativity
+FROM mom
+"""
+
+
+@register(
+    "graph_assortativity",
+    _assortativity_oracle(),
+    doc="Degree assortativity (Newman 2002) of the support-pruned "
+    "co-purchase graph: the Pearson correlation of endpoint degrees "
+    "over the symmetric edge list — positive means hubs link to hubs "
+    "(social-network-like), negative means hub-and-spoke "
+    "(catalog-like), the one-number structural fingerprint that "
+    "decides whether degree-based sampling/salting strategies will "
+    "see correlated hot endpoints. On the symmetric list the two "
+    "endpoint marginals are identical, so r = (M*Sxy - Sx^2) / "
+    "(M*Sxx - Sx^2) with ALL four moments exact int64 (degrees are "
+    "integers; Sxy <= M*dmax^2 stays in range), one epsilon-guarded "
+    "float division at the end, fpq-quantized. Shapes: the shared "
+    "edge construction + two degree joins + one zero-key aggregate.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+
+    ed = _edges(spark, sf_dir).select("pa", "pb")
+    sym = ed.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        ed.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    pairs = sym.join(du, "u").join(dv, "v")
+    mom = pairs.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    num = (
+        F.col("m2").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    den = F.greatest(
+        F.col("m2").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx"),
+        F.lit(1e-9),
+    )
+    return mom.select(
+        "m2", "sx", "sxx", "sxy", fpq(num / den, 6).alias("assortativity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness_dispersion — per-term dispersion over documents
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 20  # report terms appearing in >= 20 docs
+_BURST_FP = 1_000_000
+
+
+_BURST_ORACLE = f"""
+WITH tk AS (
+    SELECT doc_id,
+           unnest(str_split(lower(COALESCE(text, '')), ' ')) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tk GROUP BY 1, 2
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+stats AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS ctf,
+           CAST(SUM(tf * tf) AS BIGINT) AS ctf2
+    FROM tf GROUP BY token
+)
+SELECT token, df, ctf,
+       CAST((ctf2 * n.n_docs - ctf * ctf) * {_BURST_FP}
+            // (ctf * n.n_docs) AS BIGINT) AS dispersion_fp
+FROM stats, nd n
+WHERE df >= {_BURST_MIN_DF}
+"""
+
+
+@register(
+    "text_burstiness_dispersion",
+    _BURST_ORACLE,
+    doc="Term burstiness via the index of dispersion (variance-to-mean "
+    "ratio of per-document term frequency, absent docs counted as 0 "
+    "— Church & Gale's burstiness): ~1e6 (the Poisson line, in ppm) "
+    "means a term scatters uniformly (function words); far above "
+    "means it BURSTS in few documents (topical/content words, "
+    "boilerplate) — the corpus-linguistics signal that separates "
+    "topic vocabulary from glue and flags template contamination "
+    "beside text_template_ratio. Exact integer identity: with N docs "
+    "and per-doc counts summing to ctf / squares to ctf2 (zeros "
+    "contribute nothing), variance/mean = (ctf2*N - ctf^2)/(ctf*N) "
+    "— cross-multiplied, floor-quantized to ppm, no float ever "
+    "forms. Reported for terms with df >= 20 so the output is "
+    "vocabulary-bounded; the stats are ONE hash aggregate over the "
+    "(doc, token) tf relation, the text_tfidf shape.",
+)
+def text_burstiness_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tk = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("token"),
+    )
+    tf = tk.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    nd = tf.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("ctf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("ctf2"),
+    )
+    return (
+        stats.filter(F.col("df") >= _BURST_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "df",
+            "ctf",
+            F.expr(
+                f"(ctf2 * n_docs - ctf * ctf) * {_BURST_FP}"
+                f" DIV (ctf * n_docs)"
+            )
+            .cast("bigint")
+            .alias("dispersion_fp"),
+        )
+    )

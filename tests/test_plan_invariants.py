@@ -67,6 +67,7 @@ _BNL_OK = {
     "corpus_token_budget_plan": "scalar",  # 1-row weight total
     "graph_modularity": "scalar",  # 1-row edge count m
     "sim_lsh_recall_eval": "scalar",  # 1-row truth count x 2 radius rows
+    "text_burstiness_dispersion": "scalar",  # 1-row document count
     "ts_acf_multi_lag": "scalar",  # 1-row series mean
     "ts_seasonal_residual_anomaly": "scalar",  # 1-row residual moments
     # the class x value grid broadcasts the sensitive-cardinality

@@ -2237,3 +2237,43 @@ def test_dp_release_noise_calibration(spark, sf_dir):
         for r in quality_dp_count_release(spark, sf_dir).collect()
     }
     assert {r.c_nationkey: r.noise for r in rows} == again
+
+
+def test_assortativity_in_valid_range(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        graph_assortativity,
+    )
+
+    r = graph_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.m2 % 2 == 0  # symmetric edge list: every edge twice
+    assert r.sxx >= abs(r.sxy)  # Cauchy-Schwarz on identical marginals
+
+
+def test_burstiness_matches_python_reference(spark, sf_dir):
+    # Exact integer identity vs a from-scratch per-term recount.
+    from collections import Counter, defaultdict
+
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        text_burstiness_dispersion,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    got = {
+        r.token: (r.df, r.ctf, r.dispersion_fp)
+        for r in text_burstiness_dispersion(spark, sf_dir).collect()
+    }
+    docs = t(spark, sf_dir, "documents").select("text").collect()
+    per_term = defaultdict(list)
+    for row in docs:
+        for tok, n in Counter((row.text or "").lower().split(" ")).items():
+            per_term[tok].append(n)
+    n_docs = len(docs)
+    for tok, counts in per_term.items():
+        if len(counts) < 20:
+            assert tok not in got
+            continue
+        ctf = sum(counts)
+        ctf2 = sum(c * c for c in counts)
+        disp = (ctf2 * n_docs - ctf * ctf) * 1_000_000 // (ctf * n_docs)
+        assert got[tok] == (len(counts), ctf, disp), tok
