@@ -3020,3 +3020,104 @@ def text_burstiness_dispersion(
             .alias("dispersion_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ivm_agg_retraction — incremental view maintenance with deletes
+# ---------------------------------------------------------------------------
+
+_IVM_DEC = "decimal(28,2)"
+
+
+_IVM_ORACLE = """
+WITH base AS (SELECT event_type, value FROM events WHERE event_id % 4 <> 0),
+deletes AS (SELECT event_type, value FROM events
+            WHERE event_id % 4 <> 0 AND event_id % 8 = 1),
+inserts AS (SELECT event_type, value FROM events WHERE event_id % 4 = 0),
+final AS (
+    -- the ground truth the maintained view must equal: base minus the
+    -- retracted rows plus the inserted rows (deletes is a subset of
+    -- base by construction, so EXCEPT-by-multiplicity = anti-weight)
+    SELECT event_type, value, 1 AS w FROM base
+    UNION ALL SELECT event_type, value, -1 FROM deletes
+    UNION ALL SELECT event_type, value, 1 FROM inserts
+)
+SELECT event_type,
+       CAST(SUM(w) AS BIGINT) AS n_events,
+       CAST(SUM(w * CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+FROM final
+GROUP BY event_type
+HAVING SUM(w) > 0
+"""
+
+
+@register(
+    "ivm_agg_retraction",
+    _IVM_ORACLE,
+    doc="Incremental view maintenance WITH RETRACTIONS: a materialized "
+    "per-type (count, sum) view absorbs a change batch containing "
+    "both inserts and deletes of existing base rows by merging "
+    "SIGNED delta aggregates — the view updates from the delta alone "
+    "(the base is aggregated once and localCheckpoint-materialized; "
+    "nothing rescans it), which is the property that makes a 100 TB "
+    "materialized view affordable to keep fresh (agg_incremental_"
+    "merge covers the append-only half; deletes force the signed-"
+    "weight generalization, the Differential-Dataflow-style "
+    "multiplicity algebra). Correctness is the recompute oracle over "
+    "(base - deletes + inserts); groups whose count reaches zero "
+    "vanish on both sides (HAVING > 0). Determinism: counts are "
+    "signed integers; sums stay DECIMAL(28,2) through the merge "
+    "(exact, associative — the double cast happens once at the end, "
+    "so delta-merge == full recompute bit-for-bit). Scale: one "
+    "full-outer join of two type-cardinality aggregates.",
+)
+def ivm_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    dec = F.col("value").cast(_IVM_DEC)
+
+    # the materialized view state: aggregated ONCE, pinned — the
+    # maintenance step below must not re-read the base relation
+    view0 = (
+        base.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n0"),
+            F.sum(dec).alias("s0"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deletes = base.filter(F.col("event_id") % 8 == 1).select(
+        "event_type", (-F.lit(1)).alias("w"), (-dec).alias("sv")
+    )
+    inserts = ev.filter(F.col("event_id") % 4 == 0).select(
+        "event_type", F.lit(1).alias("w"), dec.alias("sv")
+    )
+    delta = (
+        deletes.unionByName(inserts)
+        .groupBy("event_type")
+        .agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum("sv").alias("ds"),
+        )
+    )
+    zero_dec = F.lit(0).cast(_IVM_DEC)
+    merged = view0.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (
+            F.coalesce(F.col("n0"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("s0"), zero_dec)
+            + F.coalesce(F.col("ds"), zero_dec)
+        ).alias("s_dec"),
+    )
+    return merged.filter(F.col("n_events") > 0).select(
+        "event_type",
+        "n_events",
+        F.col("s_dec").cast("double").alias("sum_value"),
+    )

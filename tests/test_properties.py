@@ -2277,3 +2277,37 @@ def test_burstiness_matches_python_reference(spark, sf_dir):
         ctf2 = sum(c * c for c in counts)
         disp = (ctf2 * n_docs - ctf * ctf) * 1_000_000 // (ctf * n_docs)
         assert got[tok] == (len(counts), ctf, disp), tok
+
+
+def test_ivm_retraction_equals_recompute(spark, sf_dir):
+    # The maintained view must equal a from-scratch recompute over
+    # (base - deletes + inserts) — engine-side, independent of the
+    # DuckDB oracle (which checks the same identity).
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        ivm_agg_retraction,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in ivm_agg_retraction(spark, sf_dir).collect()
+    }
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    final = ev.filter(
+        (F.col("event_id") % 4 == 0)
+        | ((F.col("event_id") % 4 != 0) & (F.col("event_id") % 8 != 1))
+    )
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in final.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
