@@ -3121,3 +3121,271 @@ def ivm_agg_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("s_dec").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_keyphrase_rake — RAKE keyphrase extraction
+# ---------------------------------------------------------------------------
+
+from evolution_data_warehouse_spark.operators import textops as _textops  # noqa: E402
+
+# Boundary set: union of all language stopword lists (the repo's
+# pinned 25-word multilingual set) — RAKE splits candidate phrases at
+# stopwords; phrases of 1..4 tokens are scored.
+_RAKE_STOPS = tuple(
+    sorted({w for ws in _textops.STOPWORDS.values() for w in ws})
+)
+_RAKE_MAX_LEN = 4
+_RAKE_TOP_K = 20
+_RAKE_FP = 1_000_000
+
+
+def _rake_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    return f"""
+WITH tk AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, tok[i] AS token
+    FROM (SELECT doc_id, str_split(lower(COALESCE(text, '')), ' ') AS tok
+          FROM documents),
+         LATERAL unnest(range(1, len(tok) + 1)) t(i)
+),
+marked AS (
+    SELECT doc_id, pos, token,
+           (token IN ({stops}) OR token = '') AS is_stop
+    FROM tk
+),
+content AS (
+    SELECT doc_id, pos, token,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+    FROM marked WHERE NOT is_stop
+),
+phr AS (
+    SELECT doc_id, island,
+           string_agg(token, ' ' ORDER BY pos) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS plen
+    FROM content GROUP BY doc_id, island
+),
+phrases AS (
+    SELECT doc_id, phrase, plen FROM phr
+    WHERE plen BETWEEN 1 AND {_RAKE_MAX_LEN}
+),
+members AS (
+    SELECT phrase, plen, unnest(str_split(phrase, ' ')) AS w
+    FROM phrases
+),
+wstats AS (
+    SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS deg
+    FROM members GROUP BY w
+),
+pscore AS (
+    SELECT m.phrase,
+           CAST(SUM(ws.deg * {_RAKE_FP} // ws.freq) AS BIGINT) AS score_fp
+    FROM (SELECT DISTINCT phrase, w FROM members) m
+    JOIN wstats ws ON ws.w = m.w
+    GROUP BY m.phrase
+),
+pcount AS (
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM phrases GROUP BY phrase
+),
+ranked AS (
+    SELECT p.phrase, c.n_occurrences, p.score_fp,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY p.score_fp DESC, p.phrase) AS INT) AS rank
+    FROM pscore p JOIN pcount c ON c.phrase = p.phrase
+)
+SELECT phrase, n_occurrences, score_fp, rank
+FROM ranked WHERE rank <= {_RAKE_TOP_K}
+"""
+
+
+@register(
+    "text_keyphrase_rake",
+    _rake_oracle(),
+    doc="RAKE keyphrase extraction (Rose et al. 2010): candidate "
+    "phrases are maximal stopword-free token runs (1-4 tokens; "
+    "boundary set = the pinned 25-word multilingual stopword union), "
+    "each scored by the classic sum over member words of "
+    "degree/frequency — degree counting the total length of every "
+    "phrase a word appears in, the co-occurrence signal that ranks "
+    "multi-word terms above their parts (text_keywords_topk ranks "
+    "single tokens; this surfaces PHRASES). Deterministic: phrase "
+    "runs come from the gaps-and-islands window (position - "
+    "row_number), per-word deg/freq are integers, each word's "
+    "deg*1e6//freq floor-quantizes BEFORE the per-phrase sum, and "
+    "the corpus top-20 is fully tie-broken by phrase text. Scale: "
+    "one explode + two hash aggregates (phrase build, word stats) + "
+    "a distinct member join — all token-linear; the final top-k is a "
+    "TakeOrderedAndProject over the distinct-phrase table.",
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tk = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+            ).alias("p0", "token"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "token")
+    )
+    is_stop = F.col("token").isin(list(_RAKE_STOPS)) | (
+        F.col("token") == ""
+    )
+    content = tk.filter(~is_stop).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    phr = content.groupBy("doc_id", "island").agg(
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(F.struct("pos", "token")))
+            .getField("token")
+        ).alias("phrase"),
+        F.count("*").cast("bigint").alias("plen"),
+    )
+    phrases = phr.filter(
+        (F.col("plen") >= 1) & (F.col("plen") <= _RAKE_MAX_LEN)
+    ).select("phrase", "plen")
+    members = phrases.select(
+        "phrase", "plen", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+    )
+    wstats = members.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    pscore = (
+        members.select("phrase", "w")
+        .distinct()
+        .join(wstats, "w")
+        .groupBy("phrase")
+        .agg(
+            F.sum(F.expr(f"deg * {_RAKE_FP} DIV freq"))
+            .cast("bigint")
+            .alias("score_fp")
+        )
+    )
+    pcount = phrases.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    ranked = (
+        pscore.join(pcount, "phrase")
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("score_fp"), F.asc("phrase")))
+            .cast("int"),
+        )
+        .filter(F.col("rank") <= _RAKE_TOP_K)
+    )
+    return ranked.select("phrase", "n_occurrences", "score_fp", "rank")
+
+
+# ---------------------------------------------------------------------------
+# ts_theil_sen_trend — robust trend slope of the daily series
+# ---------------------------------------------------------------------------
+
+_TS_FP = 1_000_000
+
+
+def _theil_sen_oracle() -> str:
+    return f"""
+WITH daily AS (
+    SELECT o_orderdate AS day, {dsum_sql('o_totalprice')} AS x
+    FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+    SELECT CAST(floor((b.x - a.x)
+                / CAST(datediff('day', a.day, b.day) AS DOUBLE)
+                * {_TS_FP}) AS BIGINT) AS slope_fp
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+ranked AS (
+    SELECT slope_fp,
+           ROW_NUMBER() OVER (ORDER BY slope_fp) AS rn
+    FROM pairs
+)
+SELECT n.n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       r.slope_fp AS theil_sen_slope_fp,
+       (SELECT MIN(slope_fp) FROM pairs) AS min_slope_fp,
+       (SELECT MAX(slope_fp) FROM pairs) AS max_slope_fp
+FROM ranked r, n
+WHERE r.rn = (n.n_pairs + 1) // 2
+"""
+
+
+@register(
+    "ts_theil_sen_trend",
+    _theil_sen_oracle(),
+    doc="Theil-Sen robust trend estimator over the daily revenue "
+    "series: the LOWER MEDIAN of all pairwise slopes (x_j - x_i) / "
+    "(day_j - day_i), i < j — the outlier-resistant alternative to "
+    "agg_linreg_slope's least squares (a single anomalous day moves "
+    "OLS, not the slope median; breakdown point 29%). Determinism: "
+    "each pairwise slope floor-quantizes to 1e6 fixed point, the "
+    "median is the exact (n+1)//2-th order statistic (LOWER median — "
+    "never the engine-dependent average of two middles), day "
+    "differences are integer datediffs. Scale: the pair relation is "
+    "CALENDAR-bounded (~2.4k days -> ~2.9M pairs at ANY corpus "
+    "size), so the one global sort it takes is a fixed-size job "
+    "regardless of SF — the same bounded-frame argument as every "
+    "daily-series query.",
+)
+def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries.common import dsum
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(dsum("o_totalprice").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.join(b, F.col("db") > F.col("da"))
+        .select(
+            F.floor(
+                (F.col("xb") - F.col("xa"))
+                / F.datediff("db", "da").cast("double")
+                * F.lit(_TS_FP)
+            )
+            .cast("bigint")
+            .alias("slope_fp")
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("slope_fp").alias("min_slope_fp"),
+        F.max("slope_fp").alias("max_slope_fp"),
+    )
+    n_days = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(W.orderBy("slope_fp"))
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(stats.select("n_pairs")))
+        .filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select(F.col("slope_fp").alias("theil_sen_slope_fp"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_pairs",
+            "n_days",
+            "theil_sen_slope_fp",
+            "min_slope_fp",
+            "max_slope_fp",
+        )
+    )

@@ -68,6 +68,11 @@ _BNL_OK = {
     "graph_modularity": "scalar",  # 1-row edge count m
     "sim_lsh_recall_eval": "scalar",  # 1-row truth count x 2 radius rows
     "text_burstiness_dispersion": "scalar",  # 1-row document count
+    # every theil-sen broadcast side derives from the checkpointed
+    # calendar-bounded daily/pairs frames (1-row day count, 1-row
+    # order-statistic median, 1-row pair stats) — all scan the
+    # checkpoint RDD, hence the ExistingRDD marker
+    "ts_theil_sen_trend": "ExistingRDD",
     "ts_acf_multi_lag": "scalar",  # 1-row series mean
     "ts_seasonal_residual_anomaly": "scalar",  # 1-row residual moments
     # the class x value grid broadcasts the sensitive-cardinality

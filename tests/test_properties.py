@@ -2311,3 +2311,74 @@ def test_ivm_retraction_equals_recompute(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_rake_scores_match_python_reference(spark, sf_dir):
+    # From-scratch RAKE recount: phrase runs split on the pinned
+    # stopword union, deg/freq over phrase members, floor-quantized
+    # per-word scores — the full corpus top-20 must agree exactly.
+    from collections import defaultdict
+
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        _RAKE_MAX_LEN,
+        _RAKE_STOPS,
+        _RAKE_TOP_K,
+        text_keyphrase_rake,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    got = [
+        (r.rank, r.phrase, r.n_occurrences, r.score_fp)
+        for r in text_keyphrase_rake(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    stops = set(_RAKE_STOPS)
+    phrases = []
+    for row in t(spark, sf_dir, "documents").select("text").collect():
+        run = []
+        for tok in (row.text or "").lower().split(" "):
+            if tok in stops or tok == "":
+                if 1 <= len(run) <= _RAKE_MAX_LEN:
+                    phrases.append(" ".join(run))
+                run = []
+            else:
+                run.append(tok)
+        if 1 <= len(run) <= _RAKE_MAX_LEN:
+            phrases.append(" ".join(run))
+    freq, deg = defaultdict(int), defaultdict(int)
+    for ph in phrases:
+        ws = ph.split(" ")
+        for w in ws:
+            freq[w] += 1
+            deg[w] += len(ws)
+    counts = defaultdict(int)
+    for ph in phrases:
+        counts[ph] += 1
+    scored = sorted(
+        (
+            (
+                -sum(
+                    deg[w] * 1_000_000 // freq[w]
+                    for w in sorted(set(ph.split(" ")))
+                ),
+                ph,
+            )
+            for ph in counts
+        )
+    )[:_RAKE_TOP_K]
+    want = [
+        (i + 1, ph, counts[ph], -negscore)
+        for i, (negscore, ph) in enumerate(scored)
+    ]
+    assert got == want
+
+
+def test_theil_sen_is_exact_order_statistic(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        ts_theil_sen_trend,
+    )
+
+    r = ts_theil_sen_trend(spark, sf_dir).collect()[0]
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    assert r.min_slope_fp <= r.theil_sen_slope_fp <= r.max_slope_fp
