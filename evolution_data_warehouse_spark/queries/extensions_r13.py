@@ -3389,3 +3389,199 @@ def ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_slope_fp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tok_vocab_coverage_curve — cumulative corpus coverage by vocab rank
+# ---------------------------------------------------------------------------
+
+_VCC_RANKS = (10, 100, 1000)
+_VCC_FP = 1_000_000
+
+_VCC_ORACLE = f"""
+WITH tk AS (
+    SELECT unnest(str_split(lower(COALESCE(text, '')), ' ')) AS token
+    FROM documents
+),
+wstats AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS ctf FROM tk GROUP BY token
+),
+tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS total FROM wstats),
+ranked AS (
+    SELECT token, ctf,
+           ROW_NUMBER() OVER (ORDER BY ctf DESC, token) AS rnk,
+           SUM(ctf) OVER (ORDER BY ctf DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+    FROM wstats
+)
+SELECT CAST(rnk AS BIGINT) AS vocab_size,
+       CAST(cum AS BIGINT) AS tokens_covered,
+       t.total AS total_tokens,
+       CAST(cum * {_VCC_FP} // t.total AS BIGINT) AS coverage_ppm
+FROM ranked, tot t
+WHERE rnk IN ({", ".join(str(r) for r in _VCC_RANKS)})
+"""
+
+
+@register(
+    "tok_vocab_coverage_curve",
+    _VCC_ORACLE,
+    doc="Vocabulary coverage curve: what fraction of all corpus token "
+    "OCCURRENCES do the top-10 / top-100 / top-1000 word types cover "
+    "(frequency-ranked, fully tie-broken by token text)? The "
+    "Zipf-area number that sizes a vocabulary before training a "
+    "tokenizer — coverage at the candidate vocab size bounds the OOV "
+    "mass a word-level model eats, and the curve's flatness is what "
+    "justifies subword units at all (text_zipf_slope fits the "
+    "exponent; this integrates the curve at decision points; "
+    "tok_oov_rate then measures a CHOSEN vocab). One hash aggregate "
+    "to type cardinality, a rank + running-sum window over the "
+    "vocabulary-bounded type table, integer ppm; ranks missing from "
+    "a small corpus are absent identically on both engines.",
+)
+def tok_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tk = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("token")
+    )
+    wstats = tk.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("ctf")
+    )
+    tot = wstats.agg(F.sum("ctf").cast("bigint").alias("total"))
+    order = W.orderBy(F.desc("ctf"), F.asc("token"))
+    ranked = wstats.select(
+        "token",
+        "ctf",
+        F.row_number().over(order).cast("bigint").alias("vocab_size"),
+        F.sum("ctf")
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("tokens_covered"),
+    )
+    return (
+        ranked.filter(F.col("vocab_size").isin(list(_VCC_RANKS)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            "tokens_covered",
+            F.col("total").alias("total_tokens"),
+            F.expr(f"tokens_covered * {_VCC_FP} DIV total")
+            .cast("bigint")
+            .alias("coverage_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time as-of (either direction)
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAR_TOL = "2 DAYS"
+
+
+_ASOF_NEAR_ORACLE = f"""
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+v AS (
+    SELECT user_id AS v_user, event_id AS near_view_id, ts AS near_view_ts
+    FROM events WHERE event_type = 'view'
+),
+j AS (
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           v.near_view_id, v.near_view_ts,
+           abs(epoch_us(v.near_view_ts) - epoch_us(p.purchase_ts))
+               AS gap_us
+    FROM p LEFT JOIN v
+      ON v.v_user = p.user_id
+     AND v.near_view_ts >= p.purchase_ts - INTERVAL {_ASOF_NEAR_TOL}
+     AND v.near_view_ts <= p.purchase_ts + INTERVAL {_ASOF_NEAR_TOL}
+),
+r AS (
+    SELECT purchase_id, user_id, purchase_ts, near_view_id, near_view_ts,
+           gap_us,
+           ROW_NUMBER() OVER (
+               PARTITION BY purchase_id
+               ORDER BY gap_us ASC NULLS LAST,
+                        near_view_ts ASC NULLS LAST,
+                        near_view_id ASC NULLS LAST) AS rn
+    FROM j
+)
+SELECT purchase_id, user_id, purchase_ts, near_view_id, near_view_ts,
+       CAST(gap_us AS BIGINT) AS gap_us
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "join_asof_nearest",
+    _ASOF_NEAR_ORACLE,
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): "
+    "each purchase matches its closest view in time in EITHER "
+    "direction within a +/-2-day band — the sensor/trade alignment "
+    "semantics join_asof (backward) and join_asof_tolerance "
+    "(backward + staleness) don't cover: when the context signal can "
+    "legitimately arrive just after the anchor event, nearest beats "
+    "backward. Ties (equidistant before/after) break to the EARLIER "
+    "view then lower id — exact integer microsecond gaps, fully "
+    "deterministic; unmatched purchases survive via the left join "
+    "with NULL match columns. Same scale shape as the siblings: the "
+    "two-sided band predicate bounds candidate fan-out to one window "
+    "of history per anchor, equi-join on user + per-anchor top-1 "
+    "(WindowGroupLimit), never a global sort.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("near_view_id"),
+        F.col("ts").alias("near_view_ts"),
+    )
+    j = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (
+            F.col("near_view_ts")
+            >= F.expr(f"purchase_ts - INTERVAL {_ASOF_NEAR_TOL}")
+        )
+        & (
+            F.col("near_view_ts")
+            <= F.expr(f"purchase_ts + INTERVAL {_ASOF_NEAR_TOL}")
+        ),
+        "left",
+    ).withColumn(
+        "gap_us",
+        F.abs(
+            F.unix_micros(F.col("near_view_ts"))
+            - F.unix_micros(F.col("purchase_ts"))
+        ).cast("bigint"),
+    )
+    w = W.partitionBy("purchase_id").orderBy(
+        F.asc_nulls_last("gap_us"),
+        F.asc_nulls_last("near_view_ts"),
+        F.asc_nulls_last("near_view_id"),
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "near_view_id",
+            "near_view_ts",
+            "gap_us",
+        )
+    )

@@ -68,6 +68,7 @@ _BNL_OK = {
     "graph_modularity": "scalar",  # 1-row edge count m
     "sim_lsh_recall_eval": "scalar",  # 1-row truth count x 2 radius rows
     "text_burstiness_dispersion": "scalar",  # 1-row document count
+    "tok_vocab_coverage_curve": "scalar",  # 1-row corpus token total
     # every theil-sen broadcast side derives from the checkpointed
     # calendar-bounded daily/pairs frames (1-row day count, 1-row
     # order-statistic median, 1-row pair stats) — all scan the

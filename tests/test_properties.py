@@ -2382,3 +2382,68 @@ def test_theil_sen_is_exact_order_statistic(spark, sf_dir):
     r = ts_theil_sen_trend(spark, sf_dir).collect()[0]
     assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
     assert r.min_slope_fp <= r.theil_sen_slope_fp <= r.max_slope_fp
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        tok_vocab_coverage_curve,
+    )
+
+    rows = sorted(
+        tok_vocab_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert rows and rows[0].vocab_size == 10
+    prev_cov = 0
+    for r in rows:
+        assert r.tokens_covered > prev_cov
+        prev_cov = r.tokens_covered
+        assert 0 < r.coverage_ppm <= 1_000_000
+        assert r.coverage_ppm == r.tokens_covered * 1_000_000 // r.total_tokens
+
+
+def test_asof_nearest_beats_or_ties_backward(spark, sf_dir):
+    # For every purchase matched by BOTH variants, the nearest match's
+    # |gap| can never exceed the backward match's gap (backward is a
+    # feasible candidate of nearest); unmatched purchases still appear.
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        join_asof_nearest,
+    )
+    from evolution_data_warehouse_spark.queries.common import t
+
+    near = {
+        r.purchase_id: r
+        for r in join_asof_nearest(spark, sf_dir).collect()
+    }
+    n_purchases = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(near) == n_purchases
+    # backward candidates within the same 2-day band, recomputed
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.col("ts").alias("pts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    back = (
+        p.join(
+            v,
+            (F.col("vu") == F.col("user_id"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.expr("pts - INTERVAL 2 DAYS")),
+        )
+        .groupBy("pid")
+        .agg(F.max("vts").alias("bvts"), F.max("pts").alias("pts"))
+        .collect()
+    )
+    for r in back:
+        gap_back = abs(
+            (r.pts - r.bvts).total_seconds() * 1_000_000
+        )
+        assert near[r.pid].near_view_id is not None
+        assert near[r.pid].gap_us <= gap_back + 1  # rounding slack
