@@ -3585,3 +3585,114 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# src_jsonl_quarantine — permissive JSONL ingest with corrupt routing
+# ---------------------------------------------------------------------------
+
+_JSONL_BAD_MOD = 11  # every 11th doc id emits a syntactically broken line
+
+_JSONL_ORACLE = f"""
+SELECT CASE WHEN doc_id % {_JSONL_BAD_MOD} = 0 THEN NULL
+       ELSE doc_id END AS doc_id,
+       CASE WHEN doc_id % {_JSONL_BAD_MOD} = 0 THEN NULL
+       ELSE n_chars END AS n_chars,
+       (doc_id % {_JSONL_BAD_MOD} = 0) AS is_corrupt
+FROM documents
+"""
+
+
+@register(
+    "src_jsonl_quarantine",
+    _JSONL_ORACLE,
+    doc="Error-tolerant JSONL ingestion: a landing file where one line "
+    "in 11 is SYNTACTICALLY broken JSON (truncated object — the "
+    "structural failure class src_csv_permissive's bad-cell case "
+    "doesn't cover: here the whole record is unparseable, not one "
+    "field) read in PERMISSIVE mode with columnNameOfCorruptRecord — "
+    "broken lines surface as all-null rows with the raw text "
+    "preserved in the corrupt column for the quarantine path, instead "
+    "of killing the load (FAILFAST) or silently vanishing "
+    "(DROPMALFORMED). At 100 TB of crawled JSONL, a per-record "
+    "quarantine is the only ingestion contract that survives reality. "
+    "The oracle reconstructs the expected parse/corrupt pattern from "
+    "the synthesis rule (nulls for broken lines, parsed values "
+    "elsewhere).",
+)
+def src_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.relational import _scratch
+
+    path = _scratch("src_jsonl_quarantine", sf_dir)
+    docs = t(spark, sf_dir, "documents")
+    good = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    broken = F.concat(  # no closing brace: structurally invalid JSON
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "n_chars": '),
+    )
+    docs.select(
+        F.when(F.col("doc_id") % _JSONL_BAD_MOD == 0, broken)
+        .otherwise(good)
+        .alias("value")
+    ).write.mode("overwrite").text(path)
+    raw = (
+        spark.read.schema("doc_id long, n_chars long, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return raw.select(
+        "doc_id", "n_chars", F.col("_bad").isNotNull().alias("is_corrupt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_try_arithmetic — ANSI-safe arithmetic (try_divide / try_multiply)
+# ---------------------------------------------------------------------------
+
+_TRY_MUL = 9_223_372_036_854_775  # x1001 overflows int64
+
+_TRY_ARITH_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0.0 THEN NULL
+            ELSE l_extendedprice / l_discount END AS safe_ratio,
+       CASE WHEN l_partkey > 9223372036854775807 // {_TRY_MUL} THEN NULL
+            ELSE l_partkey * {_TRY_MUL} END AS safe_product
+FROM lineitem
+"""
+
+
+@register(
+    "fn_try_arithmetic",
+    _TRY_ARITH_ORACLE,
+    doc="ANSI-safe arithmetic under the driver's default ANSI mode: "
+    "try_divide returns NULL on the zero-discount rows (plain `/` "
+    "raises DIVIDE_BY_ZERO under ANSI — at 100 TB one bad row kills "
+    "the stage 4 hours in) and try_multiply returns NULL where "
+    "l_partkey * 9.2e15 would overflow int64 (plain `*` raises "
+    "ARITHMETIC_OVERFLOW) — the per-row error-containment siblings "
+    "of fn_try_cast, turning data-dependent runtime aborts into "
+    "null-routable rows. The oracle states the same semantics as "
+    "explicit CASE guards (DuckDB errors rather than nulling, so the "
+    "guard IS the cross-engine definition of try_*). Pure "
+    "projection, codegen end to end.",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "safe_ratio"
+        ),
+        F.try_multiply(
+            F.col("l_partkey"), F.lit(_TRY_MUL).cast("bigint")
+        ).alias("safe_product"),
+    )
