@@ -3696,3 +3696,202 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey"), F.lit(_TRY_MUL).cast("bigint")
         ).alias("safe_product"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_cross_source_overlap — the source x source contamination matrix
+# ---------------------------------------------------------------------------
+
+_XSO_FP = 1_000_000
+
+
+def _cross_source_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _SHINGLES_SQL,
+    )
+
+    return f"""
+WITH sh0 AS ({_SHINGLES_SQL}),
+ss AS (
+    SELECT DISTINCT d.source,
+           {_ch64_sql('sh0.shingle')} AS shingle_h
+    FROM sh0 JOIN documents d ON d.doc_id = sh0.doc_id
+),
+tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ss GROUP BY 1
+),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM ss a JOIN ss b
+      ON a.shingle_h = b.shingle_h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       ta.n_sh AS n_sh_a, tb.n_sh AS n_sh_b,
+       CAST(i.n_common * {_XSO_FP} // ta.n_sh AS BIGINT)
+           AS containment_a_ppm,
+       CAST(i.n_common * {_XSO_FP} // tb.n_sh AS BIGINT)
+           AS containment_b_ppm
+FROM inter i
+JOIN tot ta ON ta.source = i.source_a
+JOIN tot tb ON tb.source = i.source_b
+"""
+
+
+@register(
+    "corpus_cross_source_overlap",
+    _cross_source_oracle(),
+    doc="Cross-source contamination matrix: for every source pair, the "
+    "count of shared distinct 3-gram shingles and each side's "
+    "CONTAINMENT (shared / own shingles, integer ppm) — the "
+    "dump-level provenance table that tells a corpus owner which "
+    "crawls re-collect the same web (dedup_crawl_snapshots answers "
+    "it per URL, dedup_substring_cross per document pair; this is "
+    "the planning-grain rollup that decides which SOURCE to drop or "
+    "decontaminate first). The self-join key is the (shingle, "
+    "source)-DISTINCT relation, so fan-out per shingle is bounded by "
+    "the SOURCE COUNT (~5), not document frequency — no df cap "
+    "needed, structurally never quadratic in corpus size; shingle "
+    "hashing and construction reuse the registered single sources of "
+    "truth. Output is source-pair-cardinality.",
+)
+def corpus_cross_source_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.dedup import (
+        content_hash64,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _doc_shingles,
+    )
+
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = (
+        _doc_shingles(spark, sf_dir)
+        .join(src, "doc_id")
+        .select(
+            "source", content_hash64(F.col("shingle")).alias("shingle_h")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tot = ss.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_sh")
+    )
+    a = ss.select(F.col("source").alias("source_a"), "shingle_h")
+    b = ss.select(F.col("source").alias("source_b"), "shingle_h")
+    inter = (
+        a.join(b, "shingle_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    return (
+        inter.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_sh_a",
+            "n_sh_b",
+            F.expr(f"n_common * {_XSO_FP} DIV n_sh_a")
+            .cast("bigint")
+            .alias("containment_a_ppm"),
+            F.expr(f"n_common * {_XSO_FP} DIV n_sh_b")
+            .cast("bigint")
+            .alias("containment_b_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_threshold_sweep — image near-dup fence calibration
+# ---------------------------------------------------------------------------
+
+_PHS_DISTS = (0, 1, 2, 3)  # pigeonhole-exact regime for 4x16-bit bands
+
+
+_PHS_ORACLE = f"""
+WITH fam AS (
+    SELECT CAST(CASE WHEN (a.doc_id % 10 = 5) <> (b.doc_id % 10 = 5)
+                THEN 2 ELSE 0 END AS INT) AS hamming
+    FROM documents a JOIN documents b
+      ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+),
+d(max_dist) AS (VALUES {", ".join(f"({d})" for d in _PHS_DISTS)})
+SELECT d.max_dist,
+       CAST(COUNT(*) FILTER (WHERE fam.hamming <= d.max_dist) AS BIGINT)
+           AS n_pairs,
+       CAST(COUNT(*) FILTER (WHERE fam.hamming <= d.max_dist
+                             AND fam.hamming > 0) AS BIGINT)
+           AS n_nonexact_pairs
+FROM fam CROSS JOIN d
+GROUP BY d.max_dist
+"""
+
+
+@register(
+    "mm_phash_threshold_sweep",
+    _PHS_ORACLE,
+    doc="Image near-dup fence calibration: pair volume at Hamming "
+    "thresholds 0-3 over the REAL codec->dHash pipeline (the same "
+    "payload synthesis, BMP/PPM/PNG encode, 64-bit block-mean dHash "
+    "and banded join as dedup_image_phash, computed ONCE at the "
+    "pigeonhole-exact max_dist=3 and re-aggregated per fence) — the "
+    "multimodal twin of dedup_minhash_band_sweep / "
+    "dedup_threshold_sweep's measure-the-knob discipline: threshold "
+    "0 captures the brightness/upscale copies (hash-invariant by "
+    "construction), 2 adds the two-cell-swapped variants, and the "
+    "marginal pairs per fence step IS the precision cost of loosening "
+    "it. The oracle enumerates expected distances closed-form from "
+    "the doc_id family construction. All thresholds stay inside the "
+    "4x16-band pigeonhole guarantee, so banding loses nothing at any "
+    "fence in the sweep.",
+)
+def mm_phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.phash import (
+        dhash_pairs,
+        image_dhash_batch,
+    )
+    from evolution_data_warehouse_spark.queries.common import (
+        cpu_repartition,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r9 import (
+        _phash_payload_batch,
+    )
+
+    ids = cpu_repartition(t(spark, sf_dir, "documents").select("doc_id"))
+    payloads = ids.mapInPandas(
+        _phash_payload_batch(), "doc_id long, payload binary"
+    )
+    hashes = payloads.mapInPandas(
+        image_dhash_batch(), "doc_id long, dhash long"
+    )
+    pairs = dhash_pairs(hashes, max_dist=max(_PHS_DISTS)).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for d in _PHS_DISTS:
+        leg = pairs.agg(
+            F.lit(d).cast("int").alias("max_dist"),
+            F.sum((F.col("hamming") <= d).cast("int"))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum(
+                ((F.col("hamming") <= d) & (F.col("hamming") > 0)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_nonexact_pairs"),
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out

@@ -2447,3 +2447,42 @@ def test_asof_nearest_beats_or_ties_backward(spark, sf_dir):
         )
         assert near[r.pid].near_view_id is not None
         assert near[r.pid].gap_us <= gap_back + 1  # rounding slack
+
+
+def test_cross_source_overlap_symmetric_and_bounded(spark, sf_dir):
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        corpus_cross_source_overlap,
+    )
+
+    rows = corpus_cross_source_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.n_sh_a, r.n_sh_b)
+        assert r.containment_a_ppm == r.n_common * 1_000_000 // r.n_sh_a
+        assert r.containment_b_ppm == r.n_common * 1_000_000 // r.n_sh_b
+
+
+def test_phash_sweep_monotone_and_fence_semantics(spark, sf_dir):
+    # Thresholds nest; the family construction puts swap-variant pairs
+    # at exactly distance 2, so fences 0/1 agree and 2/3 agree, with
+    # the non-exact pairs appearing only from fence 2 on.
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        mm_phash_threshold_sweep,
+    )
+
+    rows = {
+        r.max_dist: r
+        for r in mm_phash_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert (
+        rows[0].n_pairs
+        <= rows[1].n_pairs
+        <= rows[2].n_pairs
+        <= rows[3].n_pairs
+    )
+    assert rows[0].n_nonexact_pairs == rows[1].n_nonexact_pairs == 0
+    assert rows[2].n_nonexact_pairs > 0
+    assert rows[0].n_pairs == rows[1].n_pairs
+    assert rows[2].n_pairs == rows[3].n_pairs
