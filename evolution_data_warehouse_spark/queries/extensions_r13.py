@@ -3895,3 +3895,132 @@ def mm_phash_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# stream_ivm_ingest — the streaming twin of ivm_agg_retraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_ivm_ingest",
+    _IVM_ORACLE,  # identical final state as the batch twin, by design
+    doc="Streaming incremental view maintenance with retractions: the "
+    "same signed-weight algebra as ivm_agg_retraction driven through "
+    "one availableNow file stream + checkpoint — batch 1 seeds the "
+    "view with the base rows (weight +1), batch 2 carries a MIXED "
+    "insert/delete changelog (deletes as weight -1 rows), and each "
+    "foreachBatch merges the batch's signed aggregate into the "
+    "version-directory view store (full-outer + coalesce, DECIMAL "
+    "sums all the way — no base rescan ever). The drained store must "
+    "equal the batch twin's recompute oracle exactly (same SQL "
+    "string, one source of truth); a zero-input re-drain between the "
+    "batches must process nothing and leave the version count "
+    "unchanged (restart idempotence, asserted in-query). This is the "
+    "CDC-to-materialized-aggregate path a warehouse actually runs: "
+    "upstream emits +/- rows, the view stays fresh per micro-batch, "
+    "groups reaching zero vanish. Scale: per batch one "
+    "type-cardinality aggregate + one full-outer join against the "
+    "(type-cardinality) store.",
+)
+def stream_ivm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stream_ivm_")
+    src, ckpt = f"{root}/src", f"{root}/ckpt"
+    store_root = f"{root}/view"
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dec = F.col("value").cast(_IVM_DEC)
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    batch1 = base.select(
+        "event_type", F.lit(1).alias("w"), F.col("value")
+    )
+    batch2 = (
+        base.filter(F.col("event_id") % 8 == 1)
+        .select("event_type", F.lit(-1).alias("w"), F.col("value"))
+        .unionByName(
+            ev.filter(F.col("event_id") % 4 == 0).select(
+                "event_type", F.lit(1).alias("w"), F.col("value")
+            )
+        )
+    )
+
+    versions: list[int] = []
+    zero_dec = F.lit(0).cast(_IVM_DEC)
+
+    def merge(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        delta = batch_df.groupBy("event_type").agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col("value").cast(_IVM_DEC)).alias("ds"),
+        )
+        if versions:
+            cur = spark.read.parquet(f"{store_root}/v{versions[-1]}")
+            merged = cur.join(delta, "event_type", "full_outer").select(
+                "event_type",
+                (
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n"),
+                (
+                    F.coalesce(F.col("s"), zero_dec)
+                    + F.coalesce(F.col("ds"), zero_dec)
+                )
+                .cast(_IVM_DEC)
+                .alias("s"),
+            )
+        else:
+            merged = delta.select(
+                "event_type",
+                F.col("dn").alias("n"),
+                F.col("ds").cast(_IVM_DEC).alias("s"),
+            )
+        v = len(versions) + 1
+        merged.write.mode("overwrite").parquet(f"{store_root}/v{v}")
+        versions.append(v)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(
+                "event_type string, w int, value double"
+            )
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # type-cardinality merges don't need the session's analytical
+    # partition count (the stream_lateness_audit lesson: 200 vanilla
+    # partitions make tiny drains ~25x slower); pin small, restore
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        batch1.coalesce(1).write.mode("append").parquet(src)
+        drain()
+        v_after_1 = len(versions)
+        drain()  # restart idempotence: nothing new -> no new version
+        v_after_idem = len(versions)
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    if not (v_after_1 == 1 and v_after_idem == 1 and len(versions) == 2):
+        raise AssertionError(
+            f"streaming IVM idempotence violated: versions {versions}, "
+            f"after-batch1 {v_after_1}, after-idem {v_after_idem}"
+        )
+    final = spark.read.parquet(f"{store_root}/v{versions[-1]}")
+    return final.filter(F.col("n") > 0).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("s").cast("double").alias("sum_value"),
+    )

@@ -1267,3 +1267,24 @@ def test_lateness_audit_ledger_consistency(spark, sf_dir):
         "_audit_applied_late"
     ]
     assert all(r.window_start is not None for r in windows)
+
+
+def test_stream_ivm_matches_batch_twin(spark, sf_dir):
+    """The streaming IVM's drained store must equal the batch twin
+    row-for-row (same splits, same signed algebra, same decimal
+    discipline) — and idempotence of a zero-input drain is asserted
+    inside the query (it raising is the failure)."""
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        ivm_agg_retraction,
+        stream_ivm_ingest,
+    )
+
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in stream_ivm_ingest(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in ivm_agg_retraction(spark, sf_dir).collect()
+    }
+    assert got == want
