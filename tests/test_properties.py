@@ -2486,3 +2486,22 @@ def test_phash_sweep_monotone_and_fence_semantics(spark, sf_dir):
     assert rows[2].n_nonexact_pairs > 0
     assert rows[0].n_pairs == rows[1].n_pairs
     assert rows[2].n_pairs == rows[3].n_pairs
+
+
+def test_er_blocking_eval_scheme_contrast(spark, sf_dir):
+    # The stable-prefix scheme must retain every true pair (all
+    # synthesized typos touch the name's tail), the tail scheme must
+    # lose almost all of them, and costs/ledgers must be consistent.
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        er_blocking_eval,
+    )
+
+    rows = {r.scheme: r for r in er_blocking_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"prefix17", "digits_mid", "last2"}
+    assert rows["prefix17"].recall_ppm == 1_000_000
+    assert rows["digits_mid"].recall_ppm == 1_000_000
+    assert rows["last2"].recall_ppm < 100_000
+    for r in rows.values():
+        assert 0 <= r.n_retained <= r.n_true
+        assert r.n_candidate_pairs > 0
+        assert r.recall_ppm == r.n_retained * 1_000_000 // r.n_true
