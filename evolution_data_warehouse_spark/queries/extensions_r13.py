@@ -4168,3 +4168,99 @@ def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = leg if out is None else out.unionAll(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# tok_bpe_merge_curve — token count as a function of merge budget
+# ---------------------------------------------------------------------------
+
+_BMC_STEPS = (0, 4, 8, 12)  # merge-table prefixes of the pinned 12
+_BMC_FP = 1_000_000
+
+
+def _bpe_merge_curve_oracle() -> str:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_sql,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    legs = []
+    for k in _BMC_STEPS:
+        seg = bpe_segment_sql("w", _BPE_MERGES[:k])
+        legs.append(f"""
+SELECT {k} AS n_merges,
+       CAST(SUM(len(str_split({seg}, ' '))) AS BIGINT) AS n_subwords,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM words""")
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, str_split_regex(lower(text), '\\s+') AS tk
+    FROM documents
+),
+wraw AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+words AS (SELECT doc_id, w FROM wraw WHERE w <> ''),
+curve AS ({union})
+SELECT n_merges, n_words, n_subwords,
+       CAST(n_subwords * {_BMC_FP} // n_words AS BIGINT) AS fertility_fp
+FROM curve
+"""
+
+
+@register(
+    "tok_bpe_merge_curve",
+    _bpe_merge_curve_oracle(),
+    doc="BPE merge-budget curve: corpus subword count (and fertility, "
+    "subwords per word, integer ppm) under merge-table PREFIXES of "
+    "0/4/8/12 of the pinned 12 learned merges — the diminishing-"
+    "returns curve that decides how many merges (i.e. how large a "
+    "vocabulary) are worth training: each step's subword REDUCTION is "
+    "the compression that merge batch buys (0 merges = pure "
+    "character tokenization, the ceiling). Because BPE merges are "
+    "learned greedily in order, prefixes ARE the intermediate "
+    "tokenizers — no retraining per point. Segmentation reuses the "
+    "single-source bpe_segment spec per prefix on both engines; "
+    "counts are exact integers. Scale: the merge scan-replaces run "
+    "per DISTINCT word engine-side (Zipf-bounded) under "
+    "tok_bpe_encode's machinery; one aggregate per curve point.",
+)
+def tok_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.operators.bpe import (
+        bpe_segment_expr,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r8 import (
+        _BPE_MERGES,
+    )
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for k in _BMC_STEPS:
+        leg = words.select(
+            F.size(
+                F.split(bpe_segment_expr(F.col("w"), _BPE_MERGES[:k]), " ")
+            ).alias("n_subs")
+        ).agg(
+            F.lit(k).alias("n_merges"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_subs").cast("bigint").alias("n_subwords"),
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out.select(
+        "n_merges",
+        "n_words",
+        "n_subwords",
+        F.expr(f"n_subwords * {_BMC_FP} DIV n_words")
+        .cast("bigint")
+        .alias("fertility_fp"),
+    )

@@ -2505,3 +2505,24 @@ def test_er_blocking_eval_scheme_contrast(spark, sf_dir):
         assert 0 <= r.n_retained <= r.n_true
         assert r.n_candidate_pairs > 0
         assert r.recall_ppm == r.n_retained * 1_000_000 // r.n_true
+
+
+def test_bpe_merge_curve_monotone_compression(spark, sf_dir):
+    # Each merge batch can only REDUCE subword count (a merge replaces
+    # two tokens with one, never splits); 0 merges is the character-
+    # tokenization ceiling; word count is constant across the curve.
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        tok_bpe_merge_curve,
+    )
+
+    rows = sorted(
+        tok_bpe_merge_curve(spark, sf_dir).collect(),
+        key=lambda r: r.n_merges,
+    )
+    assert [r.n_merges for r in rows] == [0, 4, 8, 12]
+    assert len({r.n_words for r in rows}) == 1
+    subs = [r.n_subwords for r in rows]
+    assert subs == sorted(subs, reverse=True)
+    assert subs[0] > subs[-1]  # the 12 merges actually compress
+    for r in rows:
+        assert r.fertility_fp == r.n_subwords * 1_000_000 // r.n_words
