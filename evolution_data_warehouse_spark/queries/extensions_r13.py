@@ -4264,3 +4264,113 @@ def tok_bpe_merge_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fertility_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff — local clustering coefficient per node
+# ---------------------------------------------------------------------------
+
+_GCC_FP = 1_000_000
+
+
+def _clustering_coeff_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _MIN_EDGE_SUPPORT,
+    )
+
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS MATERIALIZED (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_EDGE_SUPPORT}
+),
+sym AS MATERIALIZED (
+    SELECT pa AS u, pb AS v FROM ed UNION ALL SELECT pb, pa FROM ed
+),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY u),
+wedges AS (
+    -- ordered neighbor pairs (v < w) around each center u
+    SELECT a.u, a.v AS x, b.v AS y
+    FROM sym a JOIN sym b ON b.u = a.u AND a.v < b.v
+),
+tri AS (
+    SELECT w.u, CAST(COUNT(*) AS BIGINT) AS n_closed
+    FROM wedges w JOIN ed e ON e.pa = w.x AND e.pb = w.y
+    GROUP BY w.u
+)
+SELECT d.node AS part, d.d AS degree,
+       CAST(COALESCE(t.n_closed, 0) AS BIGINT) AS n_closed_wedges,
+       CAST(COALESCE(t.n_closed, 0) * {_GCC_FP} * 2
+            // (d.d * (d.d - 1)) AS BIGINT) AS clustering_fp
+FROM deg d LEFT JOIN tri t ON t.u = d.node
+WHERE d.d >= 2
+"""
+
+
+@register(
+    "graph_clustering_coeff",
+    _clustering_coeff_oracle(),
+    doc="Local clustering coefficient (Watts-Strogatz): per node with "
+    "degree >= 2, the fraction of its neighbor PAIRS that are "
+    "themselves connected — 2*closed_wedges*1e6 // (d*(d-1)) in exact "
+    "integer ppm. The node-level density profile beside "
+    "graph_copurchase_triangles' global count and graph_kcore's core "
+    "membership (high coefficient + low degree = tight clique member; "
+    "high degree + low coefficient = hub bridging communities — the "
+    "distinction degree alone can't make). Wedges come from the "
+    "symmetric adjacency self-joined on the CENTER node with an "
+    "ordered (v < w) pair constraint, closed against the canonical "
+    "edge list (pa < pb matches the ordering, so each closed wedge "
+    "counts exactly once); wedge fan-out is sum d(d-1)/2 on the "
+    "support-pruned graph — the same bounded shape the triangle and "
+    "jaccard-neighbor queries carry sf1 legs for. All-integer output.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+
+    ed = (
+        _edges(spark, sf_dir)
+        .select("pa", "pb")
+        .localCheckpoint(eager=True)
+    )
+    sym = ed.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        ed.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    a = sym.select("u", F.col("v").alias("x"))
+    b = sym.select(F.col("u").alias("u2"), F.col("v").alias("y"))
+    wedges = a.join(
+        b, (F.col("u") == F.col("u2")) & (F.col("x") < F.col("y"))
+    ).select("u", "x", "y")
+    tri = (
+        wedges.join(
+            ed,
+            (F.col("pa") == F.col("x")) & (F.col("pb") == F.col("y")),
+        )
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("n_closed"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg.node == tri.u, "left")
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_closed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_closed_wedges"),
+            F.expr(
+                f"coalesce(n_closed, 0) * {_GCC_FP} * 2 DIV (d * (d - 1))"
+            )
+            .cast("bigint")
+            .alias("clustering_fp"),
+        )
+    )

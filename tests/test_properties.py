@@ -2526,3 +2526,35 @@ def test_bpe_merge_curve_monotone_compression(spark, sf_dir):
     assert subs[0] > subs[-1]  # the 12 merges actually compress
     for r in rows:
         assert r.fertility_fp == r.n_subwords * 1_000_000 // r.n_words
+
+
+def test_clustering_coeff_consistent_with_triangle_closure(spark, sf_dir):
+    # Coefficients are valid fractions; a node's closed wedges can't
+    # exceed its wedge count; and the closed-wedge ledger sums to
+    # 3x the global triangle count (each triangle closes one wedge at
+    # each of its three corners).
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        graph_clustering_coeff,
+    )
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _edges,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = graph_clustering_coeff(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.clustering_fp <= 1_000_000
+        assert r.n_closed_wedges <= r.degree * (r.degree - 1) // 2
+    ed = _edges(spark, sf_dir).select("pa", "pb")
+    e2 = ed.select(SF.col("pa").alias("qa"), SF.col("pb").alias("qb"))
+    e3 = ed.select(SF.col("pa").alias("ra"), SF.col("pb").alias("rb"))
+    n_tri = (
+        ed.join(e2, SF.col("pb") == SF.col("qa"))
+        .join(
+            e3,
+            (SF.col("ra") == SF.col("pa")) & (SF.col("rb") == SF.col("qb")),
+        )
+        .count()
+    )
+    assert sum(r.n_closed_wedges for r in rows) == 3 * n_tri
