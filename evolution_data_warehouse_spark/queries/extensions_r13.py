@@ -4374,3 +4374,90 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_lateness_policy_sweep — watermark-delay SLO tuning table
+# ---------------------------------------------------------------------------
+
+_LPS_DELAYS = ((6, "6 HOURS"), (24, "1 DAY"), (48, "2 DAYS"), (168, "7 DAYS"))
+_LPS_FP = 1_000_000
+
+
+def _lateness_policy_oracle() -> str:
+    legs = []
+    for hours, interval in _LPS_DELAYS:
+        legs.append(f"""
+SELECT {hours} AS delay_hours,
+       CAST(COUNT(*) FILTER (WHERE
+            date_trunc('day', b2.ts) + INTERVAL 1 DAY
+            > wm.mx - INTERVAL {interval}) AS BIGINT) AS n_applied_late,
+       CAST(COUNT(*) FILTER (WHERE
+            date_trunc('day', b2.ts) + INTERVAL 1 DAY
+            <= wm.mx - INTERVAL {interval}) AS BIGINT) AS n_dropped_late
+FROM b2, wm""")
+    union = " UNION ALL ".join(legs)
+    return f"""
+WITH b1 AS (SELECT ts FROM events
+            WHERE event_id % 3 <> 0 AND ts IS NOT NULL),
+wm AS (SELECT max(ts) AS mx FROM b1),
+b2 AS (SELECT ts FROM events
+       WHERE event_id % 3 = 0 AND ts IS NOT NULL),
+sweep AS ({union})
+SELECT delay_hours, n_applied_late, n_dropped_late,
+       CAST(n_dropped_late * {_LPS_FP}
+            // (n_applied_late + n_dropped_late) AS BIGINT) AS loss_ppm
+FROM sweep
+"""
+
+
+@register(
+    "stream_lateness_policy_sweep",
+    _lateness_policy_oracle(),
+    doc="Watermark-delay POLICY sweep: for candidate delays of 6h / 1d "
+    "/ 2d / 7d, how many of the late batch's rows would the 1-day "
+    "windowed aggregation apply vs drop (loss ppm) — the SLO-tuning "
+    "table that picks the delay BEFORE deploying the stream "
+    "(stream_lateness_audit measures ONE deployed policy through the "
+    "real checkpointed stream and empirically pinned the drop rule "
+    "this sweep reuses: a row drops iff its window END <= max(prior "
+    "batches' ts) - delay; that rule being oracle-checked there is "
+    "what licenses evaluating the other policies in closed form here, "
+    "without running four checkpoints). Larger delay = less loss but "
+    "proportionally more open-window STATE and later results — the "
+    "loss column is the half of that tradeoff data can measure. One "
+    "scan + calendar-bounded aggregates per policy; all-integer.",
+)
+def stream_lateness_policy_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    b1 = ev.filter(F.col("event_id") % 3 != 0).select("ts")
+    b2 = ev.filter(F.col("event_id") % 3 == 0).select("ts")
+    wm = b1.agg(F.max("ts").alias("mx"))
+    j = b2.crossJoin(F.broadcast(wm))
+    win_end = F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")
+    out = None
+    for hours, interval in _LPS_DELAYS:
+        wm_at = F.col("mx") - F.expr(f"INTERVAL {interval}")
+        leg = j.agg(
+            F.lit(hours).alias("delay_hours"),
+            F.sum((win_end > wm_at).cast("int"))
+            .cast("bigint")
+            .alias("n_applied_late"),
+            F.sum((win_end <= wm_at).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped_late"),
+        )
+        out = leg if out is None else out.unionAll(leg)
+    return out.select(
+        "delay_hours",
+        "n_applied_late",
+        "n_dropped_late",
+        F.expr(
+            f"n_dropped_late * {_LPS_FP}"
+            f" DIV (n_applied_late + n_dropped_late)"
+        )
+        .cast("bigint")
+        .alias("loss_ppm"),
+    )

@@ -70,6 +70,7 @@ _BNL_OK = {
     "text_burstiness_dispersion": "scalar",  # 1-row document count
     "tok_vocab_coverage_curve": "scalar",  # 1-row corpus token total
     "er_blocking_eval": "scalar",  # 1-row retained/cost counts per leg
+    "stream_lateness_policy_sweep": "scalar",  # 1-row max-ts watermark
     # every theil-sen broadcast side derives from the checkpointed
     # calendar-bounded daily/pairs frames (1-row day count, 1-row
     # order-statistic median, 1-row pair stats) — all scan the

@@ -1288,3 +1288,30 @@ def test_stream_ivm_matches_batch_twin(spark, sf_dir):
         for r in ivm_agg_retraction(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_lateness_policy_sweep_consistent_with_audit(spark, sf_dir):
+    """The sweep's 48h row must agree with what the REAL checkpointed
+    stream measured (stream_lateness_audit runs a 2-day watermark):
+    same applied/dropped ledger — the closed-form rule and the
+    deployed stream cannot diverge. Loss must be monotone
+    non-increasing in the delay."""
+    from evolution_data_warehouse_spark.queries.extensions_r13 import (
+        stream_lateness_audit,
+        stream_lateness_policy_sweep,
+    )
+
+    sweep = {
+        r.delay_hours: r
+        for r in stream_lateness_policy_sweep(spark, sf_dir).collect()
+    }
+    assert set(sweep) == {6, 24, 48, 168}
+    audit = {
+        r.event_type: r.n_events
+        for r in stream_lateness_audit(spark, sf_dir).collect()
+        if r.event_type.startswith("_audit_")
+    }
+    assert sweep[48].n_applied_late == audit["_audit_applied_late"]
+    assert sweep[48].n_dropped_late == audit["_audit_dropped_late"]
+    losses = [sweep[h].loss_ppm for h in (6, 24, 48, 168)]
+    assert losses == sorted(losses, reverse=True)
