@@ -42,41 +42,39 @@ from evolution_data_warehouse_spark.queries import extensions_r13 as _extensions
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-13 window (per the CLAUDE.md rotation and the r12 verdict's
-# directive #1): the 33 entries never yet in a driver window (the 11
-# r11 leftovers + 22 r12 mid-round additions, all green in
-# LOCAL_CONTRACT_r12.json and 7 of them judge-re-verified), then the
-# remaining 17 slots from the oldest-verdict block — the r5 set —
-# so after this round no entry's official verdict is older than r6.
-# Queries added during round 13 land after the window (verified
-# locally by drive_contract) and lead the round-14 window.
-_R13_WINDOW = (
-    # 11 never-driver-verified r11 additions (carried from r12 tail)
-    "sim_ann_recall_eval", "event_inter_arrival_cv", "fe_target_encoding_loo",
-    "emb_centroid_drift", "dedup_cluster_size_hist", "event_entropy_rate",
-    "sim_ann_nprobe_sweep", "ts_peak_detection", "fn_math_suite",
-    "agg_percent_of_parent", "join_asof_tolerance",
-    # 22 never-driver-verified r12 additions (registration order)
-    "dedup_substring_cross", "sim_opq_assign", "sim_pq_opq_recall",
-    "corpus_doremi_weights", "stream_minhash_ingest", "agg_hll_distinct",
-    "emb_binarize_hamming", "stats_chi2_independence",
-    "event_markov_stationary", "fe_woe_encoding", "text_quality_ccnet",
-    "stream_hll_merge", "emb_matryoshka_eval", "quality_psi_drift",
-    "graph_hits", "dedup_bloom_prefilter", "graph_kcore",
-    "stream_scd2_ingest", "event_attribution_ushape",
-    "event_attribution_timedecay", "agg_hll_sliding_distinct",
-    "text_template_ratio",
-    # 17 oldest-verdict entries (official verdict r5) — refresh them
-    "src_rest_api", "snk_jdbc_roundtrip", "src_blob_list",
-    "win_version_latest", "win_topn_recent", "win_surrogate_key",
-    "sort_multikey", "limit_topn", "sort_view", "set_union_all",
-    "set_concat_append", "fn_zfill", "udf_extra_transform",
-    "proc_log_etl", "proc_refresh_stats", "proc_backup",
-    "proc_orchestration",
+# round-14 window (per the CLAUDE.md rotation and the r13 verdict's
+# directive #1): the 39 r13 mid-round additions never yet in a driver
+# window (all green in LOCAL_CONTRACT_r13.json at sf0.01 AND sf0.1),
+# then 11 slots from the oldest-verdict block — the r5 set — so the
+# remaining r5-era verdicts (9 entries) lead the round-15 window.
+# Queries added during round 14 land after the window (verified
+# locally by drive_contract) and lead the round-15 window.
+_R14_WINDOW = (
+    # 39 never-driver-verified r13 additions (registration order)
+    "dedup_substring_maximal", "sim_ann_frontier", "stream_lateness_audit",
+    "snk_partitioned_prune", "sim_ivf_balance_report",
+    "text_query_likelihood", "corpus_dup_rate_by_source",
+    "sim_adc_batch_topk", "emb_pca_recon_error", "dedup_minhash_band_sweep",
+    "stats_permutation_test", "corpus_token_budget_plan",
+    "quality_t_closeness", "graph_modularity", "fe_feature_hashing",
+    "ts_acf_multi_lag", "ts_seasonal_residual_anomaly",
+    "stats_power_analysis", "emb_knn_graph", "corpus_quality_mix_report",
+    "tok_fertility_by_lang", "sim_lsh_recall_eval",
+    "quality_dp_count_release", "graph_assortativity",
+    "text_burstiness_dispersion", "ivm_agg_retraction",
+    "text_keyphrase_rake", "ts_theil_sen_trend", "tok_vocab_coverage_curve",
+    "join_asof_nearest", "src_jsonl_quarantine", "fn_try_arithmetic",
+    "corpus_cross_source_overlap", "mm_phash_threshold_sweep",
+    "stream_ivm_ingest", "er_blocking_eval", "tok_bpe_merge_curve",
+    "graph_clustering_coeff", "stream_lateness_policy_sweep",
+    # 11 oldest-verdict entries (official verdict r5) — refresh them
+    "win_running_sum", "sim_centroid", "sim_kmeans_assign", "sim_ann_ivf",
+    "mm_resize_stub", "mm_frame_sample", "mm_audio_features",
+    "pandas_zscore", "mm_embedding_quantize", "text_tfidf", "src_orc",
 )
-_ordered: list[str] = list(_R13_WINDOW)
+_ordered: list[str] = list(_R14_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R13_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R14_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}
