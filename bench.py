@@ -578,20 +578,25 @@ def main() -> None:
         )
     except Exception as e:  # a broken band must never sink the bench
         band_check = {"verdict": "check-error", "err": str(e)[:200]}
+    # Key order matters: the driver records only the LAST 2000 chars of
+    # output (BENCH_r13.json lost the headline total this way — r13
+    # verdict item 4).  Big blobs (queries/extras/sf1) go FIRST so the
+    # headline summary — band verdict, load sentinel, and above all
+    # `value` — lands at the end of the line, inside the recorded tail.
     print(
         json.dumps(
             {
-                "metric": "headline_query_steady_state_runtime",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
-                "sf": sf,
                 "extras": extras,
                 "sf1": sf1,
-                "load_avg_1m": load1,
+                "band_check": band_check,
+                "metric": "headline_query_steady_state_runtime",
+                "unit": "sec",
+                "sf": sf,
                 "cpus": os.cpu_count(),
                 "cpus_effective": _resolve_cpus(),
-                "band_check": band_check,
+                "load_avg_1m": load1,
+                "value": total,
             }
         )
     )

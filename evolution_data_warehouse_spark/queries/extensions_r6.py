@@ -1464,32 +1464,44 @@ CROSS JOIN n_orders n
 @register(
     "agg_market_basket",
     _BASKET_ORACLE,
-    doc="Market-basket association pairs with support and lift: the "
-    "within-basket self-join is bounded by basket size squared (never "
-    "corpus²) — the same guard shape as the LSH bucket join — and the "
+    doc="Market-basket association pairs with support and lift: pairs "
+    "come from a per-order collect_set + array pair expression, so the "
+    "fan-out is bounded by basket size squared (never corpus²) — the "
+    "same guard shape as the LSH bucket join — and the "
     "min-pair HAVING prunes the long tail before the stats joins. "
     "Integer counts with single-division doubles; the corpus size "
     "rides in as a 1-row broadcast.",
 )
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # One collect_set per order replaces the distinct + sort-merge
+    # self-join (same rewrite as extensions_r7._edges, r14): baskets
+    # are <= 7 lines in TPC-H so the array pair expression fans out
+    # <= C(7,2) rows per order, and n_orders / item_counts / pairs all
+    # read the SAME grouped subtree (ReusedExchange) instead of
+    # re-shuffling the distinct three ways.
+    arr = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n")
+    n_orders = arr.agg(F.count("*").alias("n"))
+    item_counts = (
+        arr.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n_item"))
     )
-    item_counts = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        arr.filter(F.size("parts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("n_pair"))
         .filter(F.col("n_pair") >= _BASKET_MIN_PAIRS)
     )

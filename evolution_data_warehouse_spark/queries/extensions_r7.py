@@ -392,21 +392,32 @@ JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (
+    # Pairs come from one collect_set per order + an array pair
+    # expression, NOT a self-join: baskets are tiny (TPC-H <= 7
+    # lines/order) so the per-order pair fan-out is <= C(7,2)=21, and
+    # this shape needs 2 shuffles (groupBy orderkey, groupBy pair)
+    # instead of the 3-4 of distinct + sort-merge self-join + pair agg.
+    # A/B at sf1 (r14): 8.6 s -> 4.3 s for the edge build alone,
+    # identical output (exceptAll both ways = 0).  At 100 TB the wins
+    # compound: no 6M x 6M join, and the only wide ops key on
+    # high-cardinality orderkey / pair — no skew.
+    baskets = (
         t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
     )
-    a, b = items.alias("a"), items.alias("b")
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pairs.groupBy("pa", "pb")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= _MIN_EDGE_SUPPORT)
     )
