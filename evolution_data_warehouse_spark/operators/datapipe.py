@@ -115,6 +115,94 @@ def pack_contiguous(
     )
 
 
+# Retrieval chunking: fixed-token windows with overlap. 16-token
+# chunks with 4-token overlap (stride 12) are small enough that the
+# ~25-token testdata docs produce multi-chunk outputs worth checking.
+CHUNK_SIZE = 16
+CHUNK_OVERLAP = 4
+
+
+def chunk_fixed_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Fixed-token retrieval chunking with overlap and provenance —
+    the retrieval-side twin of :func:`pack_contiguous` (pack merges
+    short docs into context windows; chunk splits long docs into
+    retrieval units). Each chunk row carries full provenance:
+    ``(doc_id, chunk_idx, tok_start, tok_end, char_start, char_end,
+    n_chunk_tokens)`` where the char span indexes the original text
+    (single-space whitespace tokenization, the corpus-wide token
+    convention).
+
+    Chunk starts sit at multiples of ``stride = size - overlap``; a
+    trailing start is emitted only if it contributes at least one
+    token beyond the previous chunk's coverage (``start == 0 OR
+    start < n_toks - overlap``), so no chunk is fully contained in
+    its predecessor.
+
+    Plan (the pack_contiguous running-sum discipline, per-doc instead
+    of per-shard): posexplode tokens → ONE shuffle partitioned by doc,
+    over which four window expressions share the exchange and sort —
+    running char offset (sum over preceding), token count, a
+    ``lead(size-1)`` that reads the char end of a full chunk directly
+    from the token stream, and a partition max for the truncated
+    trailing chunk. No join at all: an earlier join-based formulation
+    broadcast the full token-row relation (corpus-sized — fine at test
+    scale, fatal at 100 TB); the lead/max form keeps everything inside
+    one linear window pass. No global sort, no collect; docs chunk
+    independently at any corpus size.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap {overlap} must be < chunk size {size}")
+    stride = size - overlap
+    toks = df.select(
+        id_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    w_doc = Window.partitionBy(id_col)
+    w_ord = w_doc.orderBy("pos")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    cend = F.coalesce(
+        F.sum(F.length("tok") + 1).over(w_run), F.lit(0)
+    ) + F.length("tok")
+    tok_rows = toks.select(
+        id_col,
+        "pos",
+        F.coalesce(F.sum(F.length("tok") + 1).over(w_run), F.lit(0)).alias(
+            "char_start"
+        ),
+        F.count("*").over(w_doc).alias("n_toks"),
+        # char end of the chunk STARTING here: the cend of the token
+        # size-1 positions ahead (full chunk), else the doc's last
+        # token's cend (truncated trailing chunk)
+        F.coalesce(
+            F.lead(cend, size - 1).over(w_ord), F.max(cend).over(w_doc)
+        ).alias("char_end"),
+    )
+    return tok_rows.filter(
+        (F.col("pos") % stride == 0)
+        & ((F.col("pos") == 0) | (F.col("pos") < F.col("n_toks") - overlap))
+    ).select(
+        id_col,
+        F.expr(f"pos DIV {stride}").cast("bigint").alias("chunk_idx"),
+        F.col("pos").cast("bigint").alias("tok_start"),
+        (F.least(F.col("pos") + size, F.col("n_toks")) - 1)
+        .cast("bigint")
+        .alias("tok_end"),
+        F.col("char_start").cast("bigint").alias("char_start"),
+        F.col("char_end").cast("bigint").alias("char_end"),
+        (F.least(F.col("pos") + size, F.col("n_toks")) - F.col("pos"))
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+    )
+
+
 def ngram_overlap(
     candidates: DataFrame,
     benchmark: DataFrame,

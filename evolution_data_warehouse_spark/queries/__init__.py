@@ -38,6 +38,7 @@ from evolution_data_warehouse_spark.queries import extensions_r11 as _extensions
 from evolution_data_warehouse_spark.queries import extensions_r11b as _extensions_r11b  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions_r12 as _extensions_r12  # noqa: E402,F401
 from evolution_data_warehouse_spark.queries import extensions_r13 as _extensions_r13  # noqa: E402,F401
+from evolution_data_warehouse_spark.queries import extensions_r14 as _extensions_r14  # noqa: E402,F401
 
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the

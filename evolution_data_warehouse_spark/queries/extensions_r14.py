@@ -1,0 +1,241 @@
+"""Round-14 query extensions.
+
+Per the r13 verdict's build directives: retrieval chunking (the
+retrieval-side twin of context-window packing) and a quality-classifier
+calibration curve (the measure-the-knob companion to
+``text_quality_ccnet``).  Both follow the registry's determinism rules
+(queries/common.py): integer fixed-point arithmetic wherever an
+interpolated value would otherwise rank, full tie-breaks, exact DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from evolution_data_warehouse_spark.operators.datapipe import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    chunk_fixed_tokens,
+)
+from evolution_data_warehouse_spark.queries.common import register, t
+
+_CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# chunk_overlap_spans — fixed-token retrieval chunks with provenance
+# ---------------------------------------------------------------------------
+
+
+def _chunk_oracle() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           unnest(range(1, len(toks) + 1)) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM d
+),
+tr AS (
+    SELECT doc_id, pos, length(tok) AS tlen,
+           COALESCE(SUM(length(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS char_off,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_toks
+    FROM tok
+),
+starts AS (
+    SELECT doc_id, pos AS tok_start, char_off AS char_start,
+           LEAST(pos + {CHUNK_SIZE}, n_toks) AS end_excl
+    FROM tr
+    WHERE pos % {_CHUNK_STRIDE} = 0
+      AND (pos = 0 OR pos < n_toks - {CHUNK_OVERLAP})
+),
+ends AS (
+    SELECT doc_id, pos AS tok_end, char_off + tlen AS char_end FROM tr
+)
+SELECT s.doc_id,
+       CAST(s.tok_start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s.tok_start AS BIGINT) AS tok_start,
+       CAST(e.tok_end AS BIGINT) AS tok_end,
+       CAST(s.char_start AS BIGINT) AS char_start,
+       CAST(e.char_end AS BIGINT) AS char_end,
+       CAST(e.tok_end - s.tok_start + 1 AS BIGINT) AS n_chunk_tokens
+FROM starts s
+JOIN ends e ON e.doc_id = s.doc_id AND e.tok_end = s.end_excl - 1
+"""
+
+
+@register(
+    "chunk_overlap_spans",
+    _chunk_oracle(),
+    doc=f"Fixed-token retrieval chunking with overlap and provenance — "
+    f"the retrieval-side twin of pack_sequences (pack merges short "
+    f"docs into context windows; chunk splits docs into "
+    f"{CHUNK_SIZE}-token retrieval units with {CHUNK_OVERLAP}-token "
+    f"overlap). Every chunk carries (doc_id, chunk_idx, token span, "
+    f"char span into the original text) so retrieved chunks can be "
+    f"traced back to exact source offsets. A trailing start is "
+    f"emitted only if it adds tokens beyond the previous chunk "
+    f"(start == 0 OR start < n - overlap), so no chunk is contained "
+    f"in its predecessor. Plan: posexplode + ONE shuffle per doc over "
+    f"which all four window expressions share the exchange and sort "
+    f"(running char offset — the pack_contiguous running-sum "
+    f"discipline — plus lead(size-1)/partition-max for chunk char "
+    f"ends); join-free, so nothing corpus-sized is ever broadcast. "
+    f"No global sort; docs chunk independently at any corpus size.",
+)
+def chunk_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_fixed_tokens(docs)
+
+
+# ---------------------------------------------------------------------------
+# text_quality_calibration — precision/recall per decile fence
+# ---------------------------------------------------------------------------
+
+_CAL_EFP = 10**6  # the text_quality_ccnet score fixed point
+_CAL_DECILES = 10
+
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH s AS (
+    SELECT CAST(({_CAL_EFP} * len(COALESCE(text, '')))
+                // GREATEST(len(str_split(lower(COALESCE(text, '')),
+                                          ' ')), 1) AS BIGINT) AS score_q,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM documents
+),
+per_score AS (
+    SELECT score_q, CAST(COUNT(*) AS BIGINT) AS n_s,
+           CAST(SUM(pos) AS BIGINT) AS pos_s
+    FROM s GROUP BY score_q
+),
+cum AS (
+    SELECT score_q, n_s, pos_s,
+           SUM(n_s) OVER (ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+           SUM(n_s) OVER (ORDER BY score_q DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS keep_n,
+           SUM(pos_s) OVER (ORDER BY score_q DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS keep_pos
+    FROM per_score
+),
+tot AS (
+    SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+           CAST(SUM(pos_s) AS BIGINT) AS p
+    FROM per_score
+),
+fences AS (
+    SELECT d.d AS decile,
+           MIN(c.score_q) AS fence_score
+    FROM (SELECT unnest(range(1, {_CAL_DECILES} + 1)) AS d) d
+    CROSS JOIN tot
+    JOIN cum c ON c.cum_n >= (tot.n * (d.d - 1)) // {_CAL_DECILES} + 1
+    GROUP BY d.d
+)
+SELECT CAST(f.decile AS BIGINT) AS decile,
+       CAST(f.fence_score AS BIGINT) AS fence_score,
+       CAST(c.keep_n AS BIGINT) AS n_keep,
+       CAST(c.keep_pos AS BIGINT) AS tp,
+       CAST(c.keep_pos AS DOUBLE) / CAST(c.keep_n AS DOUBLE) AS precision_keep,
+       CAST(c.keep_pos AS DOUBLE) / CAST(tot.p AS DOUBLE) AS recall_keep,
+       CAST(2 * c.keep_pos AS DOUBLE)
+           / CAST(c.keep_n + tot.p AS DOUBLE) AS f1_keep
+FROM fences f
+JOIN cum c ON c.score_q = f.fence_score
+CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+@register(
+    "text_quality_calibration",
+    _calibration_oracle(),
+    doc="Quality-classifier calibration curve — the measure-the-knob "
+    "companion to text_quality_ccnet (same dedup_threshold_sweep "
+    "discipline: never deploy a filter fence without its curve). The "
+    "ccnet proxy score is bucketed into deciles; for each decile "
+    "fence the policy 'keep score >= fence' is scored against a "
+    "known-label fixture (lang = 'en' as the stand-in ground truth — "
+    "deployments swap in their human-labeled column, the same "
+    "stand-in contract as ccnet's perplexity proxy), emitting "
+    "precision / recall / F1 per fence as single-division doubles "
+    "over exact integer tallies. Plan: the corpus is touched by ONE "
+    "groupBy on the score value; deciles, fences and the whole curve "
+    "derive from the per-distinct-score aggregate (cardinality « "
+    "docs) — no per-doc global window, unlike a naive NTILE. At "
+    "100 TB the only wide op over raw data is that single hash "
+    "aggregate.",
+)
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    score = F.expr(
+        f"CAST({_CAL_EFP} * length(coalesce(text, '')) DIV "
+        f"greatest(size(split(lower(coalesce(text, '')), ' ')), 1)"
+        f" AS BIGINT)"
+    )
+    s = t(spark, sf_dir, "documents").select(
+        score.alias("score_q"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    per_score = s.groupBy("score_q").agg(
+        F.count("*").cast("bigint").alias("n_s"),
+        F.sum("pos").cast("bigint").alias("pos_s"),
+    )
+    from pyspark.sql import Window as W
+
+    asc = W.orderBy("score_q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    desc = W.orderBy(F.col("score_q").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = per_score.select(
+        "score_q",
+        "n_s",
+        "pos_s",
+        F.sum("n_s").over(asc).alias("cum_n"),
+        F.sum("n_s").over(desc).alias("keep_n"),
+        F.sum("pos_s").over(desc).alias("keep_pos"),
+    )
+    tot = per_score.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("pos_s").cast("bigint").alias("p"),
+    )
+    deciles = spark.range(1, _CAL_DECILES + 1).select(
+        F.col("id").cast("bigint").alias("decile")
+    )
+    fences = (
+        deciles.crossJoin(F.broadcast(tot))
+        .join(
+            cum.select("score_q", "cum_n"),
+            F.col("cum_n")
+            >= F.expr(f"(n * (decile - 1)) DIV {_CAL_DECILES} + 1"),
+        )
+        .groupBy("decile")
+        .agg(F.min("score_q").alias("fence_score"))
+    )
+    return (
+        fences.join(cum, F.col("fence_score") == cum["score_q"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("fence_score").cast("bigint").alias("fence_score"),
+            F.col("keep_n").cast("bigint").alias("n_keep"),
+            F.col("keep_pos").cast("bigint").alias("tp"),
+            (F.col("keep_pos").cast("double") / F.col("keep_n").cast("double"))
+            .alias("precision_keep"),
+            (F.col("keep_pos").cast("double") / F.col("p").cast("double"))
+            .alias("recall_keep"),
+            (
+                (2 * F.col("keep_pos")).cast("double")
+                / (F.col("keep_n") + F.col("p")).cast("double")
+            ).alias("f1_keep"),
+        )
+        .orderBy("decile")
+    )

@@ -82,6 +82,9 @@ _BNL_OK = {
     # (~5-row) segment distribution, with the corpus total windowed in
     "quality_t_closeness": "HashAggregate(keys=[c_mktsegment",
     "fe_woe_encoding": "scalar",  # 1-row class totals into every category
+    # 10-row decile frame x 1-row (n, p) totals; the corpus only ever
+    # passes through the single score-keyed hash aggregate
+    "text_quality_calibration": "scalar",
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing
     # the exact-comparison leg range-joins the ~30-row distinct-days
@@ -228,6 +231,35 @@ def test_minhash_guard_shares_pair_join_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in plan
     assert "Window" in plan
+
+
+def test_chunk_spans_single_doc_shuffle_no_join(spark, sf_dir):
+    # Retrieval chunking must be ONE shuffle partitioned by doc with
+    # every window (running char offset, count, lead, partition max)
+    # sharing it, and join-free: an earlier formulation equi-joined
+    # chunk starts to chunk ends, which broadcast the corpus-sized
+    # token-row relation — fine at test scale, fatal at 100 TB.
+    plan = _plan(spark, sf_dir, "chunk_overlap_spans")
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_quality_calibration_single_corpus_aggregate(spark, sf_dir):
+    # The calibration curve touches the corpus exactly once — the
+    # score-keyed hash aggregate; deciles/fences/curve all derive from
+    # the per-distinct-score frame (cardinality << docs). A naive
+    # NTILE formulation would instead global-sort every document.
+    plan = _plan(spark, sf_dir, "text_quality_calibration")
+    assert "hashpartitioning(score_q" in plan
+    assert "rangepartitioning(score_q" not in plan
+    # every documents scan reads ONLY text (never a per-doc sort key)
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        if "text" in m.group(1):
+            assert m.group(1) == "text:string"
 
 
 def test_pack_sequences_sorts_per_shard_not_globally(spark, sf_dir):

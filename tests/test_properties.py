@@ -223,6 +223,92 @@ def test_pack_contiguous_matches_sequential_model(spark, counts):
         cum[s] = before + c
 
 
+_doc_tokens = st.lists(
+    st.lists(
+        st.text(alphabet="abcdefgé0", min_size=0, max_size=5),
+        min_size=1,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_tokens)
+def test_chunk_fixed_tokens_spans_and_pack_roundtrip(spark, docs):
+    # chunk_overlap_spans' operator: (1) chunk starts walk the doc at
+    # stride steps, cover every token, and never produce a chunk
+    # contained in its predecessor; (2) the char span sliced out of the
+    # ORIGINAL text is exactly the chunk's tokens re-joined (the
+    # provenance contract retrieval depends on); (3) the chunks feed
+    # pack_contiguous unchanged (chunk -> pack round trip) with token
+    # totals conserved up to the declared overlap.
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_fixed_tokens,
+        pack_contiguous,
+    )
+
+    stride = CHUNK_SIZE - CHUNK_OVERLAP
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_fixed_tokens(df).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {i for i, _ in rows}
+
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        n = len(toks)
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        # model: starts at stride multiples, trailing start only if it
+        # adds tokens beyond the previous chunk's coverage
+        expect_starts = [
+            s
+            for s in range(0, n, stride)
+            if s == 0 or s < n - CHUNK_OVERLAP
+        ]
+        assert [c.tok_start for c in chunks] == expect_starts
+        assert chunks[-1].tok_end == n - 1  # full coverage
+        for c in chunks:
+            assert c.tok_end == min(c.tok_start + CHUNK_SIZE, n) - 1
+            assert c.n_chunk_tokens == c.tok_end - c.tok_start + 1
+            # provenance: the char span slices the original text to
+            # exactly the chunk's tokens
+            assert text[c.char_start:c.char_end] == " ".join(
+                toks[c.tok_start : c.tok_end + 1]
+            )
+        # consecutive chunks overlap by exactly CHUNK_OVERLAP tokens
+        # (less only at the trailing chunk)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start == a.tok_start + stride
+            assert b.tok_start <= a.tok_end + 1  # no coverage gap
+
+    # chunk -> pack round trip: every chunk packs, token totals conserved
+    chunk_docs = [
+        (r.doc_id * 10_000 + r.chunk_idx, int(r.n_chunk_tokens)) for r in out
+    ]
+    cdf = spark.createDataFrame(chunk_docs, "doc_id long, n_tokens int")
+    packed = pack_contiguous(cdf).collect()
+    assert len(packed) == len(out)
+    assert all(p.bin_id is not None and p.bin_pos >= 0 for p in packed)
+    total_packed = sum(p.n_tokens for p in packed)
+    for doc_id, text in rows:
+        n = len(text.split(" "))
+        k = len(by_doc[doc_id])
+        total_packed -= n + CHUNK_OVERLAP * (k - 1)
+    assert total_packed == 0  # conservation up to declared overlap
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=8,
