@@ -1,9 +1,11 @@
 """Round-14 query extensions.
 
 Per the r13 verdict's build directives: retrieval chunking (the
-retrieval-side twin of context-window packing) and a quality-classifier
+retrieval-side twin of context-window packing), a quality-classifier
 calibration curve (the measure-the-knob companion to
-``text_quality_ccnet``).  Both follow the registry's determinism rules
+``text_quality_ccnet``), and the connexion-session duration report
+that closes the last reference-parity residual (track_connexions).
+All follow the registry's determinism rules
 (queries/common.py): integer fixed-point arithmetic wherever an
 interpolated value would otherwise rank, full tie-breaks, exact DuckDB
 oracles.
@@ -238,4 +240,99 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1_keep"),
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# view_session_durations — connexion-session report (gap-and-island)
+# ---------------------------------------------------------------------------
+
+# 30-minute inactivity gap: the classic web/DB session boundary (the
+# reference's active-session view reports "duree_connexion_min" per
+# live connection; over an event log the same report is sessionization).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_oracle() -> str:
+    return f"""
+WITH e AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+),
+g AS (
+    SELECT user_id, event_id, ts, us,
+           CASE WHEN us - LAG(us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) > {_SESSION_GAP_US} OR LAG(us) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                ) IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+),
+s AS (
+    SELECT user_id, ts, us,
+           SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM g
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST((MAX(us) - MIN(us)) // 60000000 AS BIGINT) AS duration_min,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "view_session_durations",
+    _session_oracle(),
+    doc="Connexion-session duration report — the observable output of "
+    "the reference's connection tracker "
+    "(analytics/etl/track_connexions.py:79-92 projects the auth log; "
+    "its v_connexions_actives view reports duree_connexion_min per "
+    "session), re-expressed as gap-and-island sessionization over the "
+    "events log: a 30-minute inactivity gap opens a new session "
+    "(lag + running-sum flags — the standard island id), then one "
+    "aggregate per (user, session) emits start/end/duration-minutes/"
+    "event-count. Duration is integer epoch-microsecond arithmetic "
+    "(floor minutes) — no float ever ranks. Plan: ONE shuffle on "
+    "user_id shared by the lag window, the island running sum, and "
+    "the final per-session aggregate; users sessionize independently "
+    "at any event volume (no global sort, no self-join).",
+)
+def view_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("us").over(w_ord)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("us") - prev) > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    s = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr("(max(us) - min(us)) DIV 60000000")
+        .cast("bigint")
+        .alias("duration_min"),
+        F.count("*").cast("bigint").alias("n_events"),
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start",
+        "session_end",
+        "duration_min",
+        "n_events",
     )
