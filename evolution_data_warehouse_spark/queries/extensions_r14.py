@@ -336,3 +336,63 @@ def view_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_min",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_chunk_ingest — streaming retrieval-chunk maintenance
+# ---------------------------------------------------------------------------
+
+
+def _stream_chunk_oracle() -> str:
+    # the chunk_overlap_spans oracle restricted to the streamed slice
+    return _chunk_oracle().replace(
+        "FROM documents", "FROM documents WHERE doc_id % 5 = 0"
+    )
+
+
+@register(
+    "stream_chunk_ingest",
+    _stream_chunk_oracle(),
+    doc="Streaming retrieval-chunk maintenance "
+    "(streaming/incremental.py::streaming_chunk_ingest): new documents "
+    "(doc_id % 5 == 0, staged as parquet files) drain through an "
+    "availableNow file stream; each micro-batch emits its own "
+    "fixed-token chunks with char-span provenance into the chunk "
+    "store. Chunking is per-document, so the drained store is "
+    "bit-identical to batch-chunking the whole slice regardless of "
+    "how files split into micro-batches — asserted by sharing "
+    "chunk_overlap_spans' oracle restricted to the slice. The query "
+    "runs the stream TWICE against one checkpoint; the rerun must "
+    "process 0 rows (file-source restart idempotence, the "
+    "stream_minhash_ingest contract, exercised inside the "
+    "oracle-checked query itself). At 100 TB this is how a retrieval "
+    "index stays current: only new files ever re-chunk, the corpus "
+    "store is append-only.",
+)
+def stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from evolution_data_warehouse_spark.streaming.incremental import (
+        streaming_chunk_ingest,
+    )
+
+    batch = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+    )
+    root = tempfile.mkdtemp(prefix="stream_chunk_ingest_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    batch.repartition(2).write.parquet(src)
+    n1 = streaming_chunk_ingest(
+        spark, src, out, ckpt, "doc_id long, text string"
+    )
+    n2 = streaming_chunk_ingest(
+        spark, src, out, ckpt, "doc_id long, text string"
+    )
+    if n1 < 1 or n2 != 0:
+        raise AssertionError(
+            f"availableNow idempotence violated: first run {n1} "
+            f"input rows, rerun {n2} (expected >=1 then 0)"
+        )
+    return spark.read.parquet(out)

@@ -163,3 +163,51 @@ def incremental_upsert_latest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_chunk_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+) -> int:
+    """Drain new document files from ``src_dir`` (availableNow) and
+    append each micro-batch's retrieval chunks
+    (operators/datapipe.py::chunk_fixed_tokens — fixed-token windows
+    with overlap + char-span provenance) to ``out_dir``. Returns input
+    rows processed this run — 0 on an idempotent rerun (the
+    streaming_minhash_ingest row-count discipline: foreachBatch runs
+    exactly once per committed batch, and empty batches skip the write
+    so a no-op rerun leaves the store byte-identical).
+
+    foreachBatch, not a streaming window: chunking windows over
+    (doc, token position), not event time, which the streaming planner
+    would reject without a watermark the data doesn't need. Chunking
+    is per-document, so the result is batch-invariant: the union of
+    per-batch chunkings equals chunking the union, no matter how the
+    files split into micro-batches — the property the oracle checks.
+    """
+    from evolution_data_warehouse_spark.operators.datapipe import (
+        chunk_fixed_tokens,
+    )
+
+    processed_rows: list[int] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        processed_rows.append(n)
+        chunk_fixed_tokens(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(processed_rows)
