@@ -396,3 +396,218 @@ def stream_chunk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"input rows, rerun {n2} (expected >=1 then 0)"
         )
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# chunk_bm25_topk — chunk-grain BM25 retrieval with span provenance
+# ---------------------------------------------------------------------------
+
+
+def _chunk_bm25_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        _BM25_FP,
+        _BM25_QUERIES,
+        _BM25_TOP_K,
+    )
+
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, terms in _BM25_QUERIES
+        for term in terms
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS toks
+    FROM documents
+),
+tok AS (
+    SELECT doc_id,
+           unnest(range(1, len(toks) + 1)) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM d
+),
+tr AS (
+    SELECT doc_id, pos, tok, length(tok) AS tlen,
+           COALESCE(SUM(length(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS char_off,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_toks
+    FROM tok
+),
+chunk_span AS (
+    SELECT s.doc_id, s.pos // {_CHUNK_STRIDE} AS chunk_idx,
+           s.pos AS tok_start,
+           LEAST(s.pos + {CHUNK_SIZE}, s.n_toks) - 1 AS tok_end,
+           s.char_off AS char_start,
+           e.char_off + e.tlen AS char_end,
+           LEAST(s.pos + {CHUNK_SIZE}, s.n_toks) - s.pos AS dl
+    FROM tr s
+    JOIN tr e ON e.doc_id = s.doc_id
+             AND e.pos = LEAST(s.pos + {CHUNK_SIZE}, s.n_toks) - 1
+    WHERE s.pos % {_CHUNK_STRIDE} = 0
+      AND (s.pos = 0 OR s.pos < s.n_toks - {CHUNK_OVERLAP})
+),
+ct AS (
+    SELECT cs.doc_id, cs.chunk_idx, cs.dl, lower(k.tok) AS token
+    FROM chunk_span cs
+    JOIN tr k ON k.doc_id = cs.doc_id
+             AND k.pos BETWEEN cs.tok_start AND cs.tok_end
+),
+tf AS (
+    SELECT doc_id, chunk_idx, token, dl, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM ct GROUP BY 1, 2, 3, 4
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM chunk_span
+),
+dft AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+q(query_id, token) AS (VALUES {vals}),
+terms AS (
+    SELECT q.query_id, tf.doc_id, tf.chunk_idx,
+           CAST((CAST(2 * g.n_chunks - 2 * dft.df + 1 AS HUGEINT)
+                      * 22 * tf.tf * g.total_tokens * {_BM25_FP})
+                // (CAST(2 * dft.df + 1 AS HUGEINT)
+                    * (10 * g.total_tokens * tf.tf
+                       + 3 * g.total_tokens
+                       + 9 * tf.dl * g.n_chunks)) AS BIGINT) AS term_q
+    FROM tf
+    JOIN dft USING (token)
+    JOIN q ON q.token = tf.token
+    CROSS JOIN g
+),
+scored AS (
+    SELECT query_id, doc_id, chunk_idx,
+           CAST(SUM(term_q) AS BIGINT) AS score_q
+    FROM terms GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT query_id, doc_id, chunk_idx, score_q,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY score_q DESC, doc_id, chunk_idx) AS INT) AS rank
+    FROM scored
+)
+SELECT r.query_id, r.doc_id,
+       CAST(r.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(cs.char_start AS BIGINT) AS char_start,
+       CAST(cs.char_end AS BIGINT) AS char_end,
+       r.score_q, r.rank
+FROM ranked r
+JOIN chunk_span cs
+  ON cs.doc_id = r.doc_id AND cs.chunk_idx = r.chunk_idx
+WHERE r.rank <= {_BM25_TOP_K}
+"""
+
+
+@register(
+    "chunk_bm25_topk",
+    _chunk_bm25_oracle(),
+    doc="Chunk-grain BM25 retrieval — the RAG composite of "
+    "chunk_overlap_spans and text_bm25_topk: the pinned query sets "
+    "rank 16-token retrieval chunks instead of whole documents, and "
+    "every hit carries its char span into the source text (what a "
+    "retrieval service actually returns). Scoring reuses "
+    "text_bm25_topk's log-free exact-integer BM25 (rational idf, "
+    "DECIMAL-widened products, floor(x*1e6) per-term quantization "
+    "BEFORE the sum) with chunk-level df, chunk length as dl, and "
+    "chunk count as N — ranking compares pure integers, fully "
+    "tie-broken by (doc_id, chunk_idx). Scale shape: chunk spans "
+    "come from the join-free chunker; chunk-token membership is an "
+    "equi-join on (doc, token position) via a 16-element sequence "
+    "explode of each chunk's span (never BETWEEN over the corpus); "
+    "tf/df are map-side-combinable hash aggregates; corpus totals "
+    "fold in as a 1-row broadcast; top-k is rank-over-window "
+    "(WindowGroupLimit per-partition heaps).",
+)
+def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.queries.extensions_r11 import (
+        _BM25_FP,
+        _BM25_QUERIES,
+        _BM25_TOP_K,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_fixed_tokens(docs)
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+        ).alias("pos", "token"),
+    )
+    # chunk-token membership: explode each chunk's <=16-position span
+    # and equi-join token rows on (doc, pos) — bounded fan-out, never
+    # a range predicate over the corpus
+    ct = (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.col("n_chunk_tokens").alias("dl"),
+            F.explode(
+                F.sequence(F.col("tok_start"), F.col("tok_end"))
+            ).alias("pos"),
+        )
+        .join(tk, ["doc_id", "pos"])
+        .select("doc_id", "chunk_idx", "dl", "token")
+    )
+    tf = ct.groupBy("doc_id", "chunk_idx", "token").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    g = chunks.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("total_tokens"),
+    )
+    dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    q = spark.createDataFrame(
+        [
+            (qid, term)
+            for qid, terms in _BM25_QUERIES
+            for term in terms
+        ],
+        "query_id int, token string",
+    )
+    terms = (
+        tf.join(F.broadcast(dft.join(F.broadcast(q), "token")), "token")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_idx",
+            F.expr(
+                f"CAST(CAST(2 * n_chunks - 2 * df + 1 AS DECIMAL(38,0)) "
+                f"* 22 * tf * total_tokens * {_BM25_FP} DIV "
+                f"(CAST(2 * df + 1 AS DECIMAL(38,0)) "
+                f"* (10 * total_tokens * tf "
+                f"+ 3 * total_tokens + 9 * dl * n_chunks)) AS BIGINT)"
+            ).alias("term_q"),
+        )
+    )
+    scored = terms.groupBy("query_id", "doc_id", "chunk_idx").agg(
+        F.sum("term_q").cast("bigint").alias("score_q")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("score_q"), F.asc("doc_id"), F.asc("chunk_idx")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP_K)
+    )
+    return ranked.join(
+        chunks.select("doc_id", "chunk_idx", "char_start", "char_end"),
+        ["doc_id", "chunk_idx"],
+    ).select(
+        "query_id",
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "char_start",
+        "char_end",
+        "score_q",
+        "rank",
+    )

@@ -56,6 +56,7 @@ _BNL_OK = {
     "ts_acf_lag1": "scalar",  # series mean over the daily frame
     "text_bm25_topk": "scalar",  # (N, total_tokens) into the tf terms
     "sim_rrf_fusion": "scalar",  # same BM25 totals broadcast (lex leg)
+    "chunk_bm25_topk": "scalar",  # 1-row (n_chunks, total_tokens)
     "corpus_dsir_weights": "scalar",  # (T_r, T_t) into the 64 ratios
     "graph_pagerank": "scalar",  # node count into the initial ranks
     "corpus_epoch_schedule": "scalar",  # 1-row source count into the plan
