@@ -611,3 +611,265 @@ def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_q",
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_adamic_adar — common-neighbor link prediction, AA weighting
+# ---------------------------------------------------------------------------
+
+_AA_FP = 10**6
+_AA_TOP = 20
+_AA_MAX_DEG = 1000  # the graph_jaccard_neighbors hub-guard value
+
+
+def _adamic_adar_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import (
+        _EDGES_SQL,
+    )
+
+    return f"""
+WITH {_EDGES_SQL},
+adj0 AS (
+    SELECT pa AS node, pb AS nbr FROM edges
+    UNION ALL
+    SELECT pb AS node, pa AS nbr FROM edges
+),
+deg0 AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj0 GROUP BY node
+),
+keep AS (SELECT node FROM deg0 WHERE d <= {_AA_MAX_DEG}),
+adj AS (
+    SELECT a.node, a.nbr FROM adj0 a
+    JOIN keep k1 ON k1.node = a.node
+    JOIN keep k2 ON k2.node = a.nbr
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+),
+wz AS (
+    -- d >= 2: only nodes with two distinct neighbors can center a
+    -- wedge, so the filter drops nothing that joins and keeps ln(d)
+    -- away from ln(1) = 0
+    SELECT node, CAST(FLOOR({_AA_FP} / ln(d)) AS BIGINT) AS w_q
+    FROM deg WHERE d >= 2
+),
+pairs AS (
+    SELECT a.nbr AS u, b.nbr AS w,
+           CAST(COUNT(*) AS BIGINT) AS common,
+           CAST(SUM(wz.w_q) AS BIGINT) AS aa_q
+    FROM adj a
+    JOIN adj b ON b.node = a.node AND a.nbr < b.nbr
+    JOIN wz ON wz.node = a.node
+    GROUP BY a.nbr, b.nbr
+    HAVING COUNT(*) >= 2
+)
+SELECT u, w, common, aa_q
+FROM pairs
+ORDER BY aa_q DESC, u, w
+LIMIT {_AA_TOP}
+"""
+
+
+@register(
+    "graph_adamic_adar",
+    _adamic_adar_oracle(),
+    doc="Adamic-Adar link prediction over the co-purchase graph — the "
+    "frequency-weighted refinement of graph_jaccard_neighbors "
+    "(Adamic & Adar 2003): each shared neighbor z contributes "
+    "1/ln(deg(z)), so rare co-purchase hubs count more than common "
+    "ones. Same guarded wedge machinery: hub nodes above the "
+    f"{_AA_MAX_DEG}-degree cap drop with their edges, pairs need >= 2 "
+    "common neighbors, and the per-z weight quantizes to "
+    "floor(1e6/ln(d)) BEFORE the integer sum — the weight table "
+    "filters to d >= 2 (only such nodes can center a wedge), so "
+    "ln never sees 1. Ranking compares pure int64 sums, top-20 "
+    "tie-broken by "
+    "(u, w). Scale: wedge fan-out is sum(deg^2) over CAPPED degrees; "
+    "the per-node weight table joins the wedge ON THE WEDGE CENTER "
+    "(broadcastable after the cap), never per-pair.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.extensions_r7 import _edges
+
+    e = _edges(spark, sf_dir).select("pa", "pb").localCheckpoint(eager=True)
+    adj0 = e.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionAll(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    deg0 = adj0.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    keep = deg0.filter(F.col("d") <= _AA_MAX_DEG).select("node")
+    adj = (
+        adj0.join(F.broadcast(keep), "node")
+        .join(F.broadcast(keep.withColumnRenamed("node", "nbr")), "nbr")
+        .select("node", "nbr")
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    wz = F.broadcast(
+        deg.filter(F.col("d") >= 2).select(
+            F.col("node").alias("wnode"),
+            F.expr(f"CAST(FLOOR({_AA_FP} / ln(d)) AS BIGINT)").alias("w_q"),
+        )
+    )
+    a, b = adj.alias("a"), adj.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.node") == F.col("a.node"))
+            & (F.col("a.nbr") < F.col("b.nbr")),
+        )
+        .join(wz, F.col("a.node") == F.col("wnode"))
+        .groupBy(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum("w_q").cast("bigint").alias("aa_q"),
+        )
+        .filter(F.col("common") >= 2)
+    )
+    return (
+        pairs.select("u", "w", "common", "aa_q")
+        .orderBy(F.col("aa_q").desc(), "u", "w")
+        .limit(_AA_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ann_ndcg_eval — graded-relevance ranking quality for the IVF leg
+# ---------------------------------------------------------------------------
+
+_NDCG_FP = 10**6
+# Pinned integer discount table floor(1e6 / log2(i+1)) for positions
+# 1..10, computed ONCE in Python and embedded as the same literal in
+# both engines — no runtime log ever runs, so NDCG is pure int64
+# arithmetic end to end.
+_NDCG_DISCOUNT = tuple(
+    int(_NDCG_FP / __import__("math").log2(i + 1)) for i in range(1, 11)
+)
+
+
+def _ndcg_rel_case(rank_col: str) -> str:
+    return (
+        f"CASE WHEN {rank_col} <= 3 THEN 3 "
+        f"WHEN {rank_col} <= 6 THEN 2 ELSE 1 END"
+    )
+
+
+def _ann_ndcg_oracle() -> str:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        _ANN_ORACLE,
+        _ivf_oracle,
+    )
+
+    disc_vals = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISCOUNT)
+    )
+    return f"""
+WITH bf AS (
+    SELECT query_id, neighbor_id, rank,
+           {_ndcg_rel_case('rank')} AS rel
+    FROM ({_ANN_ORACLE})
+),
+iv AS (SELECT query_id, neighbor_id, rank AS pos FROM ({_ivf_oracle()})),
+disc(pos, d) AS (VALUES {disc_vals}),
+idcg AS (
+    -- the exact list is already ideally ordered (rel non-increasing
+    -- in exact rank), so IDCG is its discounted sum directly
+    SELECT bf.query_id,
+           CAST(SUM(bf.rel * disc.d) AS BIGINT) AS idcg_q
+    FROM bf JOIN disc ON disc.pos = bf.rank
+    GROUP BY 1
+),
+dcg AS (
+    SELECT iv.query_id,
+           CAST(SUM(COALESCE(bf.rel, 0) * disc.d) AS BIGINT) AS dcg_q
+    FROM iv
+    JOIN disc ON disc.pos = iv.pos
+    LEFT JOIN bf ON bf.query_id = iv.query_id
+                AND bf.neighbor_id = iv.neighbor_id
+    GROUP BY 1
+)
+SELECT i.query_id, i.idcg_q,
+       CAST(COALESCE(g.dcg_q, 0) AS BIGINT) AS dcg_q,
+       CAST((COALESCE(g.dcg_q, 0) * {_NDCG_FP}) // i.idcg_q AS BIGINT)
+           AS ndcg_fp
+FROM idcg i LEFT JOIN dcg g ON g.query_id = i.query_id
+"""
+
+
+@register(
+    "sim_ann_ndcg_eval",
+    _ann_ndcg_oracle(),
+    doc="ANN NDCG@10 evaluation — the graded-relevance companion to "
+    "sim_ann_recall_eval (recall says WHETHER the exact neighbors "
+    "come back; NDCG says whether they come back IN ORDER, which is "
+    "what a retrieval consumer experiences). Exact brute-force ranks "
+    "grade relevance (top-3 -> 3, 4-6 -> 2, 7-10 -> 1); the IVF "
+    "ranking's DCG divides by the ideal DCG (the exact list is "
+    "ideally ordered by construction, so IDCG is its own discounted "
+    "sum). Position discounts floor(1e6/log2(i+1)) are a PINNED "
+    "10-row integer literal shared by both engines — no runtime log, "
+    "pure int64 sums, a single floor division per query. Both legs "
+    "are the registered queries themselves (callables + composed "
+    "oracles, the recall-eval one-source-of-truth discipline). "
+    "Scale: the exact leg is the calibration-time O(Q*N) scan on a "
+    "query sample; the discount/grade joins are 10-row broadcasts.",
+)
+def sim_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from evolution_data_warehouse_spark.queries.llm_ops import (
+        sim_ann_bruteforce,
+        sim_ann_ivf,
+    )
+
+    # pinned: grades and IDCG both consume the O(Q*N) exact leg (the
+    # sim_ann_recall_eval checkpoint lesson)
+    bf = (
+        sim_ann_bruteforce(spark, sf_dir)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_ndcg_rel_case("rank")).cast("bigint").alias("rel"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    disc = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, d) for i, d in enumerate(_NDCG_DISCOUNT)],
+            "pos int, d long",
+        )
+    )
+    idcg = (
+        bf.join(disc, bf["rank"] == disc["pos"])
+        .groupBy("query_id")
+        .agg(F.sum(F.col("rel") * F.col("d")).cast("bigint").alias("idcg_q"))
+    )
+    iv = sim_ann_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("iq"),
+        F.col("neighbor_id").alias("inb"),
+        F.col("rank").cast("int").alias("pos"),
+    )
+    dcg = (
+        iv.join(disc, iv["pos"] == disc["pos"])
+        .join(
+            bf.select(
+                F.col("query_id").alias("bq"),
+                F.col("neighbor_id").alias("bnb"),
+                "rel",
+            ),
+            (F.col("iq") == F.col("bq")) & (F.col("inb") == F.col("bnb")),
+            "left",
+        )
+        .groupBy(F.col("iq").alias("query_id"))
+        .agg(
+            F.sum(F.coalesce(F.col("rel"), F.lit(0)) * F.col("d"))
+            .cast("bigint")
+            .alias("dcg_q")
+        )
+    )
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        "idcg_q",
+        F.coalesce("dcg_q", F.lit(0)).cast("bigint").alias("dcg_q"),
+        F.expr(f"(coalesce(dcg_q, 0) * {_NDCG_FP}) DIV idcg_q")
+        .cast("bigint")
+        .alias("ndcg_fp"),
+    )
