@@ -873,3 +873,95 @@ def sim_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_maintenance — delta-rule maintenance of a join view
+# ---------------------------------------------------------------------------
+
+_IVMJ_DEC = "decimal(28,2)"
+
+_IVMJ_ORACLE = """
+WITH r_all AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+s_all AS (SELECT c_custkey, c_mktsegment FROM customer),
+r_new AS (SELECT * FROM r_all),
+s_new AS (SELECT * FROM s_all)
+SELECT s.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(r.o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+           AS sum_price
+FROM r_new r JOIN s_new s ON s.c_custkey = r.o_custkey
+GROUP BY 1
+"""
+
+
+@register(
+    "ivm_join_maintenance",
+    _IVMJ_ORACLE,
+    doc="Incremental maintenance of an aggregated JOIN view — the "
+    "delta-rule generalization of ivm_agg_retraction from one "
+    "relation to two: V = agg(R join S) absorbs inserts to BOTH "
+    "sides via dV = agg(dR join S0) + agg(R0 join dS) + "
+    "agg(dR join dS) (the classic bag-algebra delta expansion), "
+    "merged into the pinned V0 = agg(R0 join S0). The base split is "
+    "deterministic (orderkey %% 4, custkey %% 10); correctness is "
+    "the full-recompute oracle over (R0+dR) join (S0+dS) — "
+    "delta-merge == recompute bit-for-bit because counts are signed "
+    "integers and sums stay DECIMAL(28,2) until one final double "
+    "cast. Scale: V0 is aggregated once and checkpoint-pinned; the "
+    "R0-side delta leg joins against the dS KEY SET (broadcast — at "
+    "100 TB this is the pruned index lookup a join view keeps, never "
+    "a base rescan per batch); dR legs touch only the delta.",
+)
+def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r_all = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    s_all = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dec = F.col("o_totalprice").cast(_IVMJ_DEC)
+
+    r0 = r_all.filter(F.col("o_orderkey") % 4 != 0)
+    dr = r_all.filter(F.col("o_orderkey") % 4 == 0)
+    s0 = s_all.filter(F.col("c_custkey") % 10 != 0)
+    ds = s_all.filter(F.col("c_custkey") % 10 == 0)
+
+    def agg_leg(r, s):
+        return (
+            r.join(F.broadcast(s), r["o_custkey"] == s["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("dn"),
+                F.sum(dec).alias("dsum"),
+            )
+        )
+
+    # the materialized view state: aggregated once, pinned
+    v0 = agg_leg(r0, s0).withColumnRenamed("dn", "n0").withColumnRenamed(
+        "dsum", "s0"
+    ).localCheckpoint(eager=True)
+    # delta legs: dR x S0, R0 x dS (dS keys broadcast = index lookup),
+    # dR x dS
+    legs = (
+        agg_leg(dr, s0)
+        .unionByName(agg_leg(r0, ds))
+        .unionByName(agg_leg(dr, ds))
+    )
+    delta = legs.groupBy("c_mktsegment").agg(
+        F.sum("dn").cast("bigint").alias("dn"),
+        F.sum("dsum").alias("ds"),
+    )
+    zero = F.lit(0).cast(_IVMJ_DEC)
+    return v0.join(delta, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        (
+            F.coalesce(F.col("n0"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("s0"), zero) + F.coalesce(F.col("ds"), zero)
+        )
+        .cast("double")
+        .alias("sum_price"),
+    )
