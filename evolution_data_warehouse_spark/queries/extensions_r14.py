@@ -965,3 +965,116 @@ def ivm_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fe_quantile_binning — equal-frequency feature binning, grid-bounded
+# ---------------------------------------------------------------------------
+
+_QBIN_N = 10
+
+
+def _qbin_oracle() -> str:
+    return f"""
+WITH v AS (
+    SELECT CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+),
+per_val AS (
+    SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_v FROM v GROUP BY cents
+),
+cum AS (
+    SELECT cents, n_v,
+           SUM(n_v) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM per_val
+),
+tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM per_val),
+fences AS (
+    SELECT d.d AS bin, MIN(c.cents) AS fence_cents
+    FROM (SELECT unnest(range(1, {_QBIN_N} + 1)) AS d) d
+    CROSS JOIN tot
+    JOIN cum c ON c.cum_n >= (tot.n * (d.d - 1)) // {_QBIN_N} + 1
+    GROUP BY d.d
+),
+fc AS (
+    SELECT f.bin, f.fence_cents, c.cum_n
+    FROM fences f JOIN cum c ON c.cents = f.fence_cents
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(fence_cents AS BIGINT) AS fence_cents,
+       CAST(COALESCE(LEAD(cum_n) OVER (ORDER BY bin), tot.n)
+            - (cum_n - (SELECT n_v FROM per_val p
+                        WHERE p.cents = fc.fence_cents))
+            AS BIGINT) AS n_in_bin
+FROM fc CROSS JOIN tot
+ORDER BY bin
+"""
+
+
+@register(
+    "fe_quantile_binning",
+    _qbin_oracle(),
+    doc="Equal-frequency (quantile) feature binning — the "
+    "feature-engineering workhorse beside fe_woe_encoding / "
+    "fe_feature_hashing: 10 bins over account balance, each bin's "
+    "fence being the smallest value whose cumulative count reaches "
+    "the bin's rank threshold (exact, fully deterministic — no "
+    "approx-percentile sketch variance). The value is pre-quantized "
+    "to a fixed cents grid, so the ordered cumulative pass runs over "
+    "GRID-cardinality rows (bounded by the value range, independent "
+    "of corpus size) — the text_quality_calibration discipline; the "
+    "raw table is touched by one hash aggregate only. Bin counts "
+    "derive from consecutive fence cumulative counts via a 10-row "
+    "window (lead), never a per-row range join.",
+)
+def fe_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = t(spark, sf_dir, "customer").select(
+        F.expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").alias("cents")
+    )
+    per_val = v.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("n_v")
+    )
+    cum = per_val.select(
+        "cents",
+        "n_v",
+        F.sum("n_v")
+        .over(
+            W.orderBy("cents").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum_n"),
+    )
+    tot = per_val.agg(F.sum("n_v").cast("bigint").alias("n"))
+    bins = spark.range(1, _QBIN_N + 1).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    fences = (
+        bins.crossJoin(F.broadcast(tot))
+        .join(
+            cum.select("cents", "cum_n"),
+            F.col("cum_n") >= F.expr(f"(n * (bin - 1)) DIV {_QBIN_N} + 1"),
+        )
+        .groupBy("bin")
+        .agg(F.min("cents").alias("fence_cents"))
+    )
+    fc = fences.join(
+        cum, F.col("fence_cents") == cum["cents"]
+    ).select("bin", "fence_cents", "cum_n", "n_v")
+    wl = W.orderBy("bin")
+    return (
+        fc.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("fence_cents").cast("bigint").alias("fence_cents"),
+            (
+                F.coalesce(F.lead("cum_n").over(wl), F.col("n"))
+                - (F.col("cum_n") - F.col("n_v"))
+            )
+            .cast("bigint")
+            .alias("n_in_bin"),
+        )
+        .orderBy("bin")
+    )

@@ -86,6 +86,7 @@ _BNL_OK = {
     # 10-row decile frame x 1-row (n, p) totals; the corpus only ever
     # passes through the single score-keyed hash aggregate
     "text_quality_calibration": "scalar",
+    "fe_quantile_binning": "scalar",  # same 10-row x 1-row fence shape
     "stats_chi2_independence": "scalar",  # 1-row grand total into cells
     "quality_psi_drift": "scalar",  # 1-row time span into the bucketing
     # the exact-comparison leg range-joins the ~30-row distinct-days
