@@ -202,6 +202,17 @@ SF1_QUERIES = [
     "sim_adc_batch_topk",
     "sim_ann_frontier",
     "text_query_likelihood",
+    # r14 shapes with non-obvious scaling: the join-free chunker (full
+    # token explode + 4-window doc pass), the chunk-grain BM25 (the
+    # registry's new heaviest retrieval composite: chunker + bounded
+    # sequence-explode membership join + tf/df aggregates), and the
+    # AA-weighted wedge join (jaccard's machinery + a weight join on
+    # the wedge center). The remaining r14 additions (session islands,
+    # join-view IVM, quantile binning, calibration) are single-window /
+    # aggregate-join shapes already represented above.
+    "chunk_overlap_spans",
+    "chunk_bm25_topk",
+    "graph_adamic_adar",
 ]
 
 

@@ -256,12 +256,16 @@ def test_quality_calibration_single_corpus_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_quality_calibration")
     assert "hashpartitioning(score_q" in plan
     assert "rangepartitioning(score_q" not in plan
-    # every documents scan reads ONLY text (never a per-doc sort key)
+    # every documents scan reads ONLY the score/label inputs (text,
+    # lang) — never doc_id or a per-doc sort key
     import re
 
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         if "text" in m.group(1):
-            assert m.group(1) == "text:string"
+            assert set(m.group(1).split(",")) <= {
+                "text:string",
+                "lang:string",
+            }, m.group(1)
 
 
 def test_pack_sequences_sorts_per_shard_not_globally(spark, sf_dir):
