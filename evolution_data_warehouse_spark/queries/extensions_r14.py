@@ -1078,3 +1078,95 @@ def fe_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk_sentence_bins — sentence-boundary-aware chunk assignment
+# ---------------------------------------------------------------------------
+
+_SENT_BUDGET = 24  # tokens per chunk budget (testdata docs ~25 tokens)
+
+
+def _sentence_bins_oracle() -> str:
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           str_split(COALESCE(text, ''), '. ') AS sents
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           unnest(range(1, len(sents) + 1)) - 1 AS sent_idx,
+           unnest(sents) AS sent
+    FROM d
+),
+tok AS (
+    SELECT doc_id, sent_idx,
+           CAST(len(str_split(sent, ' ')) AS BIGINT) AS n_tok
+    FROM s
+),
+runs AS (
+    SELECT doc_id, sent_idx, n_tok,
+           COALESCE(SUM(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS cum_before
+    FROM tok
+)
+SELECT doc_id,
+       CAST(cum_before // {_SENT_BUDGET} AS BIGINT) AS chunk_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(sent_idx) AS BIGINT) AS first_sent,
+       CAST(MAX(sent_idx) AS BIGINT) AS last_sent
+FROM runs
+GROUP BY doc_id, cum_before // {_SENT_BUDGET}
+"""
+
+
+@register(
+    "chunk_sentence_bins",
+    _sentence_bins_oracle(),
+    doc="Sentence-boundary-aware chunking — the production RAG "
+    "strategy beside chunk_overlap_spans' fixed-token windows: "
+    "sentences ('. ' boundaries, the corpus convention) pack into "
+    f"~{_SENT_BUDGET}-token chunks by running token count, so no "
+    "sentence is ever split across chunks (one straddling sentence "
+    "per boundary is admitted — the pack_contiguous contiguous-fill "
+    "trade, which keeps assignment a single linear window instead of "
+    "a serialized greedy repack). Output per chunk: sentence span + "
+    "token count provenance. Plan: sentence posexplode + ONE "
+    "doc-keyed window (running sum) + one hash aggregate — docs "
+    "chunk independently at any corpus size; no global sort.",
+)
+def chunk_sentence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    sents = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\\. ")
+        ).alias("sent_idx", "sent"),
+    )
+    tok = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.size(F.split(F.col("sent"), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    runs = tok.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    ).withColumn(
+        "chunk_idx",
+        F.expr(f"cum_before DIV {_SENT_BUDGET}").cast("bigint"),
+    )
+    return runs.groupBy("doc_id", "chunk_idx").agg(
+        F.count("*").cast("bigint").alias("n_sentences"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("sent_idx").cast("bigint").alias("first_sent"),
+        F.max("sent_idx").cast("bigint").alias("last_sent"),
+    )
