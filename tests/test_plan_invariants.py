@@ -268,6 +268,27 @@ def test_quality_calibration_single_corpus_aggregate(spark, sf_dir):
             }, m.group(1)
 
 
+def test_session_durations_single_user_shuffle(spark, sf_dir):
+    # Gap-and-island sessionization: the lag window, island running
+    # sum, and per-session aggregate must all ride ONE user-keyed
+    # exchange — a second Exchange hashpartitioning means a stage
+    # stopped sharing the partitioning.
+    plan = _plan(spark, sf_dir, "view_session_durations")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_sentence_bins_single_doc_window(spark, sf_dir):
+    # Sentence chunking: one doc-keyed shuffle feeding the running-sum
+    # window; the bin aggregate reuses the doc partitioning (no second
+    # corpus exchange keyed on doc alone is required, but there must
+    # be no global sort anywhere).
+    plan = _plan(spark, sf_dir, "chunk_sentence_bins")
+    assert "hashpartitioning(doc_id" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Join" not in plan
+
+
 def test_pack_sequences_sorts_per_shard_not_globally(spark, sf_dir):
     # The running-sum window partitions by shard: the sort under it must
     # be a local (non-global) sort after a hash repartition on shard —
