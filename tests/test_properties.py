@@ -309,6 +309,73 @@ def test_chunk_fixed_tokens_spans_and_pack_roundtrip(spark, docs):
     assert total_packed == 0  # conservation up to declared overlap
 
 
+_gap_minutes = st.lists(
+    st.integers(min_value=0, max_value=120), min_size=1, max_size=40
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(gaps=_gap_minutes)
+def test_sessionization_matches_sequential_model(spark, gaps):
+    # view_session_durations' gap-and-island construction must equal
+    # the obvious sequential model: walk a user's events in time
+    # order, open a new session when the gap exceeds 30 minutes.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    base = dt.datetime(2024, 1, 1)
+    ts = []
+    cur = base
+    for g in gaps:
+        cur = cur + dt.timedelta(minutes=g)
+        ts.append(cur)
+    rows = [(1, i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+
+    gap_us = 30 * 60 * 1_000_000
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(F.unix_micros("ts")).over(w_ord)
+    new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    s = df.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    got = (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("session_seq")
+        .collect()
+    )
+
+    # sequential model
+    sessions = []
+    for i, t in enumerate(ts):
+        if i == 0 or (t - ts[i - 1]) > dt.timedelta(minutes=30):
+            sessions.append([t, t, 1])
+        else:
+            sessions[-1][1] = t
+            sessions[-1][2] += 1
+    assert len(got) == len(sessions)
+    for r, (t0, t1, n) in zip(got, sessions):
+        assert (r.t0, r.t1, r.n) == (t0, t1, n)
+
+
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=8,
