@@ -1170,3 +1170,70 @@ def chunk_sentence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sent_idx").cast("bigint").alias("first_sent"),
         F.max("sent_idx").cast("bigint").alias("last_sent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_session_ingest — mergeable streaming sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_ingest",
+    _session_oracle(),
+    doc="Streaming sessionization with a MERGEABLE session store "
+    "(streaming/incremental.py::streaming_session_ingest): the events "
+    "table drains through an availableNow file stream in 1-file "
+    "micro-batches; each batch sessionizes only ITSELF, then merges "
+    "into the store by per-user interval coalescing under the same "
+    "30-minute gap rule (sort by start, running-max end, island sum). "
+    "Interval coalescing is ORDER-INDEPENDENT — coalescing partial "
+    "sessionizations equals sessionizing the union of events no "
+    "matter how files split into batches — so the drained store is "
+    "hash-identical to view_session_durations' batch output over the "
+    "same events (the two entries share ONE oracle, the "
+    "recall-eval one-source-of-truth discipline). The query reruns "
+    "the stream against its checkpoint and asserts the rerun "
+    "processes 0 rows (restart idempotence). At 100 TB this is how "
+    "session state stays fresh: closed sessions are never "
+    "reprocessed, only new files sessionize, and the merge touches "
+    "store+batch intervals (users x sessions), never the event log.",
+)
+def stream_session_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from evolution_data_warehouse_spark.streaming.incremental import (
+        streaming_session_ingest,
+    )
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    root = tempfile.mkdtemp(prefix="stream_session_ingest_")
+    src, store, ckpt = f"{root}/src", f"{root}/store", f"{root}/ckpt"
+    # 4 files -> 4 micro-batches (maxFilesPerTrigger=1): the random
+    # repartition split is exactly what the order-independence claim
+    # must survive
+    ev.repartition(4).write.parquet(src)
+    schema = "user_id long, event_id long, ts timestamp"
+    n1 = streaming_session_ingest(spark, src, store, ckpt, schema)
+    n2 = streaming_session_ingest(spark, src, store, ckpt, schema)
+    if n1 < 1 or n2 != 0:
+        raise AssertionError(
+            f"availableNow idempotence violated: first run {n1} "
+            f"input rows, rerun {n2} (expected >=1 then 0)"
+        )
+    sessions = spark.read.parquet(store)
+    w = W.partitionBy("user_id").orderBy("session_start", "session_end")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_seq"),
+        "session_start",
+        "session_end",
+        F.expr(
+            "(unix_micros(session_end) - unix_micros(session_start))"
+            " DIV 60000000"
+        )
+        .cast("bigint")
+        .alias("duration_min"),
+        "n_events",
+    )

@@ -211,3 +211,110 @@ def streaming_chunk_ingest(
     )
     q.awaitTermination()
     return sum(processed_rows)
+
+
+def streaming_session_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema,
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> int:
+    """Streaming gap-and-island sessionization with a MERGEABLE session
+    store. Each micro-batch sessionizes ITS OWN events into
+    ``(user_id, session_start, session_end, n_events)`` intervals, then
+    merges them into the store by per-user interval coalescing under
+    the same gap rule (sort by start; running-max end; new island when
+    the next start exceeds the running end by more than the gap).
+
+    Interval coalescing is ORDER-INDEPENDENT: coalescing partial
+    sessionizations equals sessionizing the union of events, no matter
+    how the files split into micro-batches — connectivity between
+    intervals depends only on their endpoints under the same gap
+    relation that built them (within-interval gaps are already <= gap).
+    That batch-split invariance is what the oracle checks, and it is
+    the property that lets a 100 TB event stream keep sessions fresh
+    without ever reprocessing closed ones. Counts merge by sum.
+
+    The store rewrite follows the incremental_upsert_latest
+    read-merge-overwrite discipline (localCheckpoint before the
+    self-overwrite); restart idempotence rides the file-source
+    checkpoint (row-count-zero rerun, the streaming_minhash_ingest
+    signal). Returns input rows processed this run.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    processed_rows: list[int] = []
+
+    def _sessions_of(batch_df: DataFrame) -> DataFrame:
+        w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros("ts")
+        prev = F.lag(F.unix_micros("ts")).over(w_ord)
+        new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+        s = batch_df.withColumn(
+            "g",
+            F.sum(new_sess).over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        return s.groupBy("user_id", "g").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        ).drop("g")
+
+    def _coalesce(intervals: DataFrame) -> DataFrame:
+        w_ord = W.partitionBy("user_id").orderBy(
+            "session_start", "session_end"
+        )
+        run_end = F.max(F.unix_micros("session_end")).over(
+            w_ord.rowsBetween(W.unboundedPreceding, -1)
+        )
+        new_isl = F.when(
+            run_end.isNull()
+            | ((F.unix_micros("session_start") - run_end) > gap_us),
+            1,
+        ).otherwise(0)
+        s = intervals.withColumn(
+            "isl",
+            F.sum(new_isl).over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        return s.groupBy("user_id", "isl").agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        ).drop("isl")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        processed_rows.append(n)
+        batch_sessions = _sessions_of(
+            batch_df.select("user_id", "event_id", "ts")
+        )
+        try:
+            store = spark.read.parquet(store_dir)
+            merged = _coalesce(store.unionByName(batch_sessions))
+        except Exception:  # first batch: no store yet
+            merged = _coalesce(batch_sessions)
+        # pin before the self-overwrite (read-merge-overwrite discipline)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            store_dir
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(processed_rows)
