@@ -320,6 +320,107 @@ _gap_minutes = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@given(
+    gaps=st.lists(
+        st.integers(min_value=0, max_value=90), min_size=2, max_size=24
+    ),
+    split=st.lists(st.integers(min_value=0, max_value=2), min_size=24, max_size=24),
+)
+def test_session_interval_coalesce_is_split_invariant(spark, gaps, split):
+    # streaming_session_ingest's merge claim: sessionizing arbitrary
+    # event subsets and coalescing the resulting intervals (running-max
+    # end, 30-min gap) equals sessionizing ALL events at once — for ANY
+    # 3-way split, including time-interleaved ones.
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    base = dt.datetime(2024, 1, 1)
+    ts, cur = [], base
+    for g in gaps:
+        cur = cur + dt.timedelta(minutes=g)
+        ts.append(cur)
+    rows = [(1, i, t) for i, t in enumerate(ts)]
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessions_of(df):
+        w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros("ts")
+        prev = F.lag(F.unix_micros("ts")).over(w_ord)
+        new_sess = F.when(
+            prev.isNull() | ((us - prev) > gap_us), 1
+        ).otherwise(0)
+        s = df.withColumn(
+            "g",
+            F.sum(new_sess).over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        return (
+            s.groupBy("user_id", "g")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count("*").cast("bigint").alias("n_events"),
+            )
+            .drop("g")
+        )
+
+    def coalesce(intervals):
+        w_ord = W.partitionBy("user_id").orderBy(
+            "session_start", "session_end"
+        )
+        run_end = F.max(F.unix_micros("session_end")).over(
+            w_ord.rowsBetween(W.unboundedPreceding, -1)
+        )
+        new_isl = F.when(
+            run_end.isNull()
+            | ((F.unix_micros("session_start") - run_end) > gap_us),
+            1,
+        ).otherwise(0)
+        s = intervals.withColumn(
+            "isl",
+            F.sum(new_isl).over(
+                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        return (
+            s.groupBy("user_id", "isl")
+            .agg(
+                F.min("session_start").alias("session_start"),
+                F.max("session_end").alias("session_end"),
+                F.sum("n_events").cast("bigint").alias("n_events"),
+            )
+            .drop("isl")
+        )
+
+    schema = "user_id long, event_id long, ts timestamp"
+    full = sessions_of(spark.createDataFrame(rows, schema))
+    parts = [
+        [r for i, r in enumerate(rows) if split[i] == b] for b in range(3)
+    ]
+    merged = None
+    for part in parts:
+        if not part:
+            continue
+        ps = sessions_of(spark.createDataFrame(part, schema))
+        merged = ps if merged is None else coalesce(merged.unionByName(ps))
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events) for r in merged.collect()
+    )
+    want = sorted(
+        (r.session_start, r.session_end, r.n_events) for r in full.collect()
+    )
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(gaps=_gap_minutes)
 def test_sessionization_matches_sequential_model(spark, gaps):
     # view_session_durations' gap-and-island construction must equal
