@@ -213,13 +213,83 @@ def streaming_chunk_ingest(
     return sum(processed_rows)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_events(
+    batch_df: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Gap-and-island sessionization of an event frame into
+    ``(user_id, session_start, session_end, n_events)`` intervals —
+    the per-batch leg of ``streaming_session_ingest`` and the core of
+    the batch ``view_session_durations`` query (module-level so the
+    split-invariance property test exercises THIS code, not a copy)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(F.unix_micros("ts")).over(w_ord)
+    new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    s = batch_df.withColumn(
+        "g",
+        F.sum(new_sess).over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        s.groupBy("user_id", "g")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .drop("g")
+    )
+
+
+def coalesce_session_intervals(
+    intervals: DataFrame, gap_us: int = SESSION_GAP_US
+) -> DataFrame:
+    """Per-user interval coalescing under the session gap rule (sort
+    by start, running-max end, island sum; counts merge by sum) — the
+    order-independent merge of ``streaming_session_ingest``."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w_ord = W.partitionBy("user_id").orderBy("session_start", "session_end")
+    run_end = F.max(F.unix_micros("session_end")).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_isl = F.when(
+        run_end.isNull()
+        | ((F.unix_micros("session_start") - run_end) > gap_us),
+        1,
+    ).otherwise(0)
+    s = intervals.withColumn(
+        "isl",
+        F.sum(new_isl).over(
+            w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        s.groupBy("user_id", "isl")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .drop("isl")
+    )
+
+
 def streaming_session_ingest(
     spark: SparkSession,
     src_dir: str,
     store_dir: str,
     checkpoint_dir: str,
     schema,
-    gap_us: int = 30 * 60 * 1_000_000,
+    gap_us: int = SESSION_GAP_US,
 ) -> int:
     """Streaming gap-and-island sessionization with a MERGEABLE session
     store. Each micro-batch sessionizes ITS OWN events into
@@ -243,65 +313,23 @@ def streaming_session_ingest(
     checkpoint (row-count-zero rerun, the streaming_minhash_ingest
     signal). Returns input rows processed this run.
     """
-    from pyspark.sql import Window as W
-    from pyspark.sql import functions as F
-
     processed_rows: list[int] = []
-
-    def _sessions_of(batch_df: DataFrame) -> DataFrame:
-        w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
-        us = F.unix_micros("ts")
-        prev = F.lag(F.unix_micros("ts")).over(w_ord)
-        new_sess = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
-        s = batch_df.withColumn(
-            "g",
-            F.sum(new_sess).over(
-                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        return s.groupBy("user_id", "g").agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.count("*").cast("bigint").alias("n_events"),
-        ).drop("g")
-
-    def _coalesce(intervals: DataFrame) -> DataFrame:
-        w_ord = W.partitionBy("user_id").orderBy(
-            "session_start", "session_end"
-        )
-        run_end = F.max(F.unix_micros("session_end")).over(
-            w_ord.rowsBetween(W.unboundedPreceding, -1)
-        )
-        new_isl = F.when(
-            run_end.isNull()
-            | ((F.unix_micros("session_start") - run_end) > gap_us),
-            1,
-        ).otherwise(0)
-        s = intervals.withColumn(
-            "isl",
-            F.sum(new_isl).over(
-                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        return s.groupBy("user_id", "isl").agg(
-            F.min("session_start").alias("session_start"),
-            F.max("session_end").alias("session_end"),
-            F.sum("n_events").cast("bigint").alias("n_events"),
-        ).drop("isl")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         n = batch_df.count()
         if n == 0:
             return
         processed_rows.append(n)
-        batch_sessions = _sessions_of(
-            batch_df.select("user_id", "event_id", "ts")
+        batch_sessions = sessionize_events(
+            batch_df.select("user_id", "event_id", "ts"), gap_us
         )
         try:
             store = spark.read.parquet(store_dir)
-            merged = _coalesce(store.unionByName(batch_sessions))
+            merged = coalesce_session_intervals(
+                store.unionByName(batch_sessions), gap_us
+            )
         except Exception:  # first batch: no store yet
-            merged = _coalesce(batch_sessions)
+            merged = coalesce_session_intervals(batch_sessions, gap_us)
         # pin before the self-overwrite (read-merge-overwrite discipline)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             store_dir

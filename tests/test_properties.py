@@ -333,8 +333,10 @@ def test_session_interval_coalesce_is_split_invariant(spark, gaps, split):
     # 3-way split, including time-interleaved ones.
     import datetime as dt
 
-    from pyspark.sql import functions as F
-    from pyspark.sql import Window as W
+    from evolution_data_warehouse_spark.streaming.incremental import (
+        coalesce_session_intervals,
+        sessionize_events,
+    )
 
     base = dt.datetime(2024, 1, 1)
     ts, cur = [], base
@@ -342,61 +344,9 @@ def test_session_interval_coalesce_is_split_invariant(spark, gaps, split):
         cur = cur + dt.timedelta(minutes=g)
         ts.append(cur)
     rows = [(1, i, t) for i, t in enumerate(ts)]
-    gap_us = 30 * 60 * 1_000_000
-
-    def sessions_of(df):
-        w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
-        us = F.unix_micros("ts")
-        prev = F.lag(F.unix_micros("ts")).over(w_ord)
-        new_sess = F.when(
-            prev.isNull() | ((us - prev) > gap_us), 1
-        ).otherwise(0)
-        s = df.withColumn(
-            "g",
-            F.sum(new_sess).over(
-                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        return (
-            s.groupBy("user_id", "g")
-            .agg(
-                F.min("ts").alias("session_start"),
-                F.max("ts").alias("session_end"),
-                F.count("*").cast("bigint").alias("n_events"),
-            )
-            .drop("g")
-        )
-
-    def coalesce(intervals):
-        w_ord = W.partitionBy("user_id").orderBy(
-            "session_start", "session_end"
-        )
-        run_end = F.max(F.unix_micros("session_end")).over(
-            w_ord.rowsBetween(W.unboundedPreceding, -1)
-        )
-        new_isl = F.when(
-            run_end.isNull()
-            | ((F.unix_micros("session_start") - run_end) > gap_us),
-            1,
-        ).otherwise(0)
-        s = intervals.withColumn(
-            "isl",
-            F.sum(new_isl).over(
-                w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
-        return (
-            s.groupBy("user_id", "isl")
-            .agg(
-                F.min("session_start").alias("session_start"),
-                F.max("session_end").alias("session_end"),
-                F.sum("n_events").cast("bigint").alias("n_events"),
-            )
-            .drop("isl")
-        )
 
     schema = "user_id long, event_id long, ts timestamp"
-    full = sessions_of(spark.createDataFrame(rows, schema))
+    full = sessionize_events(spark.createDataFrame(rows, schema))
     parts = [
         [r for i, r in enumerate(rows) if split[i] == b] for b in range(3)
     ]
@@ -404,8 +354,12 @@ def test_session_interval_coalesce_is_split_invariant(spark, gaps, split):
     for part in parts:
         if not part:
             continue
-        ps = sessions_of(spark.createDataFrame(part, schema))
-        merged = ps if merged is None else coalesce(merged.unionByName(ps))
+        ps = sessionize_events(spark.createDataFrame(part, schema))
+        merged = (
+            ps
+            if merged is None
+            else coalesce_session_intervals(merged.unionByName(ps))
+        )
     got = sorted(
         (r.session_start, r.session_end, r.n_events) for r in merged.collect()
     )
