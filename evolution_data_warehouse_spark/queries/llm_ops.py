@@ -394,7 +394,9 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
     "broadcast, corpus scan stays parallel; per-query row_number top-k.",
 )
 def sim_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    # Corpus-side spread: the per-row cosine math otherwise runs inside
+    # the under-split embeddings scan stage (single-row-group file).
+    emb = cpu_repartition(t(spark, sf_dir, "embeddings"), "vec_id")
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.brute_force_topk(queries, emb, k=10)
 
@@ -837,7 +839,7 @@ SELECT vec_id, CAST(CASE {chain} END AS INT) AS cluster FROM d
 def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.similarity import as_double
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = cpu_repartition(t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", as_double(F.col("embedding")).alias("_v")
     )
     dist_cols = []

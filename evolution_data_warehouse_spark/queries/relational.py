@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from evolution_data_warehouse_spark.functions.naming import normalize_name
 from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
     davg,
     davg_sql,
     dsum,
@@ -352,7 +353,9 @@ GROUP BY r_name, year(o_orderdate)
     "fact scan is pruned to join keys + measures.",
 )
 def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    # Probe-side spread: the broadcast-join probe + partial agg otherwise
+    # run inside an under-split scan stage (single-row-group files).
+    li = cpu_repartition(t(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
@@ -474,7 +477,7 @@ GROUP BY p_brand
     "(get_dim_mapping). F.broadcast avoids shuffling the fact side.",
 )
 def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
+    li = cpu_repartition(t(spark, sf_dir, "lineitem"), "l_partkey")
     part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -661,8 +664,15 @@ GROUP BY l_returnflag, l_linestatus
     "load_facts.py:305-308. Spark: partial (map-side) + final hash agg.",
 )
 def agg_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    # Spread to core width before the decimal-heavy partial aggregation:
+    # single-row-group input files give the scan fewer splits than cores,
+    # serializing the whole map-side aggregate (guide §2.4/§6; measured
+    # 1.92 s -> 0.55 s at sf0.1, r14 opt). No-op once the scan is wide.
+    li = cpu_repartition(
+        t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        ),
+        "l_orderkey",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -826,7 +836,10 @@ FROM events GROUP BY user_id
     "groupBy with N conditional sums — a single shuffle.",
 )
 def agg_filtered_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # Keyed on the group-by column, so the aggregate reuses this exchange
+    # (no extra shuffle) and the decimal sums run at core width instead of
+    # inside the under-split scan stage.
+    ev = cpu_repartition(t(spark, sf_dir, "events"), "user_id")
     return ev.groupBy("user_id").agg(
         dsum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
             "purchase_value"

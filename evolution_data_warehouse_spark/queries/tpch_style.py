@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
     davg,
     davg_sql,
     dsum,
@@ -45,13 +46,27 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    # Probe-side spread to core width (see common.cpu_repartition: the
+    # single-row-group inputs under-split the scan; no-op when wide).
+    li = cpu_repartition(
+        t(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+        ),
+        "l_orderkey",
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Star orientation: probe FROM the fact (lineitem), broadcast the
+    # dim side (orders ⋈ customer). Without the hint Spark's size
+    # estimate broadcasts the filtered LINEITEM instead — fine at
+    # sf0.1, impossible at 100 TB — and the whole probe+agg then runs
+    # in the under-split orders scan stage. The hinted shape is the one
+    # that scales AND it lets the l_orderkey spread above parallelize
+    # the probe; the aggregate reuses that exchange (group keys ⊇
+    # partition key → no second shuffle). Inner joins commute, so the
+    # result is unchanged (oracle-verified).
+    dim = orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(dim), dim.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -87,14 +102,17 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = t(spark, sf_dir, "lineitem")
+    li = cpu_repartition(t(spark, sf_dir, "lineitem"), "l_orderkey")
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Star orientation (same rationale as tpch_q3): probe from the fact,
+    # broadcast orders ⋈ customer — the only shape possible at 100 TB,
+    # and the one that keeps the probe parallel after the spread above.
+    dim = orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(dim), dim.o_orderkey == li.l_orderkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)
