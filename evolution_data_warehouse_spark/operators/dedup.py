@@ -144,6 +144,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     sig_storage: str = "cache",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    bands_storage: str = "checkpoint",
 ) -> DataFrame:
     """Candidate near-dup pairs + estimated Jaccard (fraction of equal
     minhashes). The pair join runs on (band, band_key) — the LSH bucket —
@@ -181,6 +182,18 @@ def minhash_lsh_pairs(
     ReusedExchange computes that shuffle once. The groupBy+join
     formulation added an extra aggregate + join that re-evaluated on
     both sides (~2.1× measured at sf0.1).
+
+    ``bands_storage`` ("checkpoint" default, "none" to opt out):
+    materialize the guarded band table once (eager localCheckpoint)
+    before the pair self-join. Under the static planner the two join
+    sides share the guard via ReusedExchange, but under AQE the
+    runtime stage-reuse does NOT fire for this shape (profiled r14:
+    two duplicated 32-task guard stages, ~5 s executorRunTime each at
+    sf0.1) — both sides re-expanded bands and re-ran the window count.
+    The checkpoint enforces compute-once by construction; r14 A/B at
+    sf0.1 (warm, min of 4): 1.644 → 1.357 s with identical output.
+    The table is slim (id, band, band_key — 4 rows/doc) and the
+    checkpoint is per-invocation, so nothing persists across runs.
     """
     sig = minhash_signature(shingled, id_col)
     if sig_storage == "cache":
@@ -188,6 +201,8 @@ def minhash_lsh_pairs(
     elif sig_storage == "checkpoint":
         sig = sig.localCheckpoint(eager=True)
     bands = cap_lsh_buckets(lsh_bands(sig, id_col), max_bucket)
+    if bands_storage == "checkpoint":
+        bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -25,7 +25,11 @@ from evolution_data_warehouse_spark.operators.datapipe import (
     stratified_hash_sample,
 )
 from evolution_data_warehouse_spark.operators.dedup import content_hash64_sql
-from evolution_data_warehouse_spark.queries.common import register, t
+from evolution_data_warehouse_spark.queries.common import (
+    cpu_repartition,
+    register,
+    t,
+)
 
 # DuckDB mirror of operators.datapipe.hash_bucket.
 def _bucket_sql(expr: str, buckets: int) -> str:
@@ -136,8 +140,14 @@ WHERE d.source <> 'src0'
 
 def _shingles_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, shingle) — 3-gram word shingles, same recipe as
-    llm_ops._doc_shingles plus the source column."""
-    docs = t(spark, sf_dir, "documents")
+    llm_ops._doc_shingles plus the source column.
+
+    Spread to core width before the tokenize+explode for the same
+    reason as _doc_shingles (r14 profile: split_leakage_audit's
+    shingle stage held 57.5 s of executorRunTime in the 10 scan tasks
+    at sf1; the raw-doc shuffle is tiny next to the exploded output,
+    and the spread is a no-op once the scan is already wide)."""
+    docs = cpu_repartition(t(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     shingles = F.when(

@@ -1540,7 +1540,14 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup,
     )
 
-    raw = semantic_dedup(t(spark, sf_dir, "embeddings"), _SEM_TAU)
+    # Spread to core width before the quadratic within-cluster pair
+    # join (r14 profile: the pair stage held 121.9 s of executorRunTime
+    # in the 10 embeddings-scan tasks at sf1 — the checkpointed cc
+    # relation inherits the scan's partitioning, so the spread must
+    # happen on the input; no-op once the scan is wide).
+    raw = semantic_dedup(
+        cpu_repartition(t(spark, sf_dir, "embeddings"), "vec_id"), _SEM_TAU
+    )
     return raw.select(
         "vec_id",
         "label",

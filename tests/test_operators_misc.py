@@ -306,10 +306,53 @@ def test_minhash_max_bucket_guards_degenerate_buckets(spark):
         p = df._jdf.queryExecution().executedPlan().toString()
         return sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
 
-    un = minhash_lsh_pairs(shingled, sig_storage="none", max_bucket=None)
-    gu = minhash_lsh_pairs(shingled, sig_storage="none", max_bucket=10)
+    # (bands_storage="none" keeps the guard subtree visible in the
+    # plan — the registry default checkpoints the bands, which hides
+    # the Window behind a materialized RDD scan.)
+    un = minhash_lsh_pairs(
+        shingled, sig_storage="none", max_bucket=None, bands_storage="none"
+    )
+    gu = minhash_lsh_pairs(
+        shingled, sig_storage="none", max_bucket=10, bands_storage="none"
+    )
     assert _njoins(gu) == _njoins(un)
     assert "Window" in gu._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_bands_checkpoint_output_identical(spark):
+    # r14 optimization: the guarded band table is eagerly
+    # localCheckpoint-ed before the pair self-join (AQE does not
+    # stage-reuse the guarded subtree across the two sides; the
+    # checkpoint halves the guard work). Materialization must be
+    # invisible in the result: identical pair sets and est_jaccard
+    # either way.
+    from evolution_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six eight"),
+        (5, "totally unrelated content goes here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = _word_shingles(docs)
+    ckpt = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(
+            shingled, sig_storage="none", bands_storage="checkpoint"
+        ).collect()
+    }
+    plain = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(
+            shingled, sig_storage="none", bands_storage="none"
+        ).collect()
+    }
+    assert ckpt == plain
+    assert len(ckpt) > 0
 
 
 def _word_shingles(docs):

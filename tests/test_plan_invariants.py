@@ -217,18 +217,40 @@ def test_hash_split_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in _plan(spark, sf_dir, "split_train_hash")
 
 
+def test_minhash_bands_materialized_once(spark, sf_dir):
+    # The guarded band table must be computed exactly once. r14
+    # profiling showed AQE does NOT stage-reuse the guarded subtree
+    # across the pair self-join's two sides (two duplicated 32-task
+    # guard stages, ~5 s executorRunTime each at sf0.1), so
+    # minhash_lsh_pairs eagerly checkpoints the bands: both self-join
+    # sides must scan the materialized RDD, and no Window (the guard)
+    # may remain in the query-side plan.
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    assert "ExistingRDD" in plan
+    assert "Window" not in plan
+
+
 def test_minhash_guard_shares_pair_join_exchange(spark, sf_dir):
     # The hot-bucket guard (window count over (band, band_key)) must
     # reuse the pair self-join's shuffle, not add its own: both sides
     # of the self-join share the guarded subtree, so ReusedExchange
     # appears. Losing it re-created the r3 2.1x regression
     # (groupBy+join guard formulation). Asserted under the static
-    # planner — with AQE on the same reuse happens at runtime via
-    # stage-level exchange reuse, which a plan-only test can't see.
+    # planner with bands_storage="none" (the un-materialized guard
+    # formulation this lock protects) — the registry default
+    # checkpoints the bands, see test_minhash_bands_materialized_once.
+    from evolution_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
+
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+        df = minhash_lsh_pairs(
+            _doc_shingles(spark, sf_dir), bands_storage="none"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "ReusedExchange" in plan
