@@ -139,6 +139,17 @@ def cap_lsh_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
     )
 
 
+def materialize_bands(bands: DataFrame) -> DataFrame:
+    """Eagerly materialize a guarded band table before a pair
+    self-join. Under AQE, runtime stage-reuse does NOT fire across the
+    two sides of the band self-join (profiled r14: both sides
+    re-expanded the bands and re-ran the guard window), so every
+    banded pipeline checkpoints the slim (id, band, band_key) table
+    once instead. Shared so the call sites cannot drift from
+    :func:`minhash_lsh_pairs`'s ``bands_storage="checkpoint"``."""
+    return bands.localCheckpoint(eager=True)
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str = "doc_id",

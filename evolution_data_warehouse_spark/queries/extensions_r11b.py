@@ -2860,6 +2860,7 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         cap_lsh_buckets,
         cap_shingle_df,
         lsh_bands,
+        materialize_bands,
         minhash_signature,
     )
     from evolution_data_warehouse_spark.queries.llm_ops import _doc_shingles
@@ -2914,7 +2915,13 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back for est_jaccard, two joins recall never reads; building the
     # band self-join directly keeps this leg pairs-only
     sig = minhash_signature(shingled)
-    bands = cap_lsh_buckets(lsh_bands(sig), DEFAULT_MAX_BUCKET)
+    # materialized once: AQE does not stage-reuse the guarded band
+    # subtree across the self-join's two sides, so without this both
+    # sides recompute the signature aggregate + band expansion + guard
+    # window (see operators.dedup.materialize_bands).
+    bands = materialize_bands(
+        cap_lsh_buckets(lsh_bands(sig), DEFAULT_MAX_BUCKET)
+    )
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (
         ba.join(

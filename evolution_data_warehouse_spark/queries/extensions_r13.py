@@ -1235,6 +1235,15 @@ def dedup_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in parts[1:]:
             bands = bands.unionByName(p)
         guard = W.partitionBy("band", "band_key")
+        # NOT materialized (unlike minhash_lsh_pairs/recall_eval): an
+        # eager per-config checkpoint serializes the 4 configs'
+        # materialization and loses their inter-config stage
+        # parallelism — r14 A/B at sf1 (warm min-of-4): plain 10.30 s
+        # vs eager-checkpoint 11.18 s vs lazy-checkpoint 12.30 s with
+        # a 60-85 s recompute-race tail. The guard duplication across
+        # the self-join sides costs less than one config's worth of
+        # lost overlap here because the bands derive from the already-
+        # checkpointed sigs (projection + union + one window).
         bands = (
             bands.withColumn("_n", F.count("*").over(guard))
             .filter(F.col("_n") <= DEFAULT_MAX_BUCKET)
