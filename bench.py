@@ -2,12 +2,21 @@
 """Benchmark the engine's headline queries.
 
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line (big blobs
+first so `value` survives a 2000-char tail capture):
+  {"queries": {name: min-of-3 sec, ...},
+   "queries_run2": {name: first-timed-run sec, ...},
+   "extras": {...}, "sf1": {...}, "band_check": {...},
+   "metric": ..., "unit": "sec", "sf": <float>, "cpus": N,
+   "cpus_effective": N, "load_avg_1m": x, "scaling": {...},
+   "value_run2": <sum of queries_run2>, "value": <sum of queries>}
 
-Each query is materialized with the noop sink (full execution, no
-driver-side collect) so the number measures the distributed plan.
+Per-query numbers in `queries` are the MIN of 3 timed runs after one
+untimed warm-up (steady state); `queries_run2`/`value_run2` keep the
+pre-r14 "second of two runs" methodology verbatim for comparison with
+r13-and-earlier artifacts. Each query is materialized with the noop
+sink (full execution, no driver-side collect) so the number measures
+the distributed plan.
 """
 
 from __future__ import annotations
@@ -516,6 +525,71 @@ def _sf1_timings(spark, registry) -> dict | None:
         return {"error": f"{type(ex).__name__}: {ex}"}
 
 
+def _scaling_probe(spark, registry, sf1_ok: bool) -> dict | None:
+    """Core-scaling self-report (r14 verdict item 5).
+
+    The sf0.1 headline queries are fixed-overhead-bound (job scheduling
+    + single-row-group scans), so the driver's low-core headline rerun
+    carries no parallelism signal — BENCH_r14_c8's 8-core total BEAT
+    the 32-core total. This probe puts the core-ratio evidence in the
+    artifact itself: ONE compute-bound sf1 leg (mm_image_curation —
+    mapInPandas codec work, embarrassingly parallel, no shuffle on the
+    heavy path) timed warm on the main session at the full core count,
+    then again on a fresh low-core session. Runs LAST because it stops
+    the main session. Disable with SPARK_GRAFT_SCALING=0.
+
+    Both measurements run on FRESH contexts (the main session is
+    stopped first): the first probe version reused the main session for
+    the high-core number and inherited the sf1 sweep's heap/GC state,
+    reading 5.35 s where the leg's idle steady state is ~3.3 s and
+    flattening the ratio to 1.98. Symmetric fresh contexts in the same
+    JVM (warm-up run absorbs codegen) make the two numbers comparable.
+    """
+    import time
+
+    if not sf1_ok or os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
+        return None
+    try:
+        from evolution_data_warehouse_spark.session import (
+            get_spark,
+            resolve_cpus,
+        )
+
+        leg = "mm_image_curation"
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench/sf1")
+        hi = resolve_cpus()
+        lo = max(2, hi // 8)
+        fn = registry[leg].fn
+
+        def timed(s) -> float:
+            fn(s, sf1_dir).write.mode("overwrite").format("noop").save()
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(s, sf1_dir).write.mode("overwrite").format("noop").save()
+                runs.append(time.time() - t0)
+            return round(min(runs), 3)
+
+        spark.stop()
+        hi_spark = get_spark(app_name="bench-scaling-hi", master=f"local[{hi}]")
+        hi_sec = timed(hi_spark)
+        hi_spark.stop()
+        lo_spark = get_spark(app_name="bench-scaling-lo", master=f"local[{lo}]")
+        lo_sec = timed(lo_spark)
+        lo_spark.stop()
+        return {
+            "leg": leg,
+            "sf": 1.0,
+            "cores_hi": hi,
+            "sec_hi": hi_sec,
+            "cores_lo": lo,
+            "sec_lo": lo_sec,
+            "speedup_hi_over_lo": round(lo_sec / hi_sec, 2) if hi_sec else None,
+        }
+    except Exception as ex:  # noqa: BLE001 — the probe must not sink the bench
+        return {"error": f"{type(ex).__name__}: {ex}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -610,6 +684,10 @@ def main() -> None:
         )
     except Exception as e:  # a broken band must never sink the bench
         band_check = {"verdict": "check-error", "err": str(e)[:200]}
+    # core-scaling self-report LAST — it stops the main session
+    scaling = _scaling_probe(
+        spark, REGISTRY, sf1_ok=bool(sf1) and "error" not in (sf1 or {})
+    )
     # Key order matters: the driver records only the LAST 2000 chars of
     # output (BENCH_r13.json lost the headline total this way — r13
     # verdict item 4).  Big blobs (queries/extras/sf1) go FIRST so the
@@ -629,6 +707,7 @@ def main() -> None:
                 "cpus": os.cpu_count(),
                 "cpus_effective": _resolve_cpus(),
                 "load_avg_1m": load1,
+                "scaling": scaling,
                 "value_run2": total_run2,
                 "value": total,
             }

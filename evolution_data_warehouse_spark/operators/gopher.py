@@ -205,3 +205,77 @@ def gopher_flags_sql(
     }
     flags["gopher_pass"] = "(" + " AND ".join(flags.values()) + ")"
     return {p + name: sql for name, sql in flags.items()}
+
+
+def repetition_ngram_stats_batch(
+    top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+):
+    """mapInPandas fn for the repetition-rule n-gram statistics:
+    ``(doc_id, text)`` (text already lower-cased; single-space
+    tokenization) → one row per doc with >= 2 tokens carrying
+    ``total_chars``, ``top_cov_{n}`` for each n in ``top_ns`` (MAX over
+    grams of count x gram-char-length) and ``dup_chars_{n}`` for each n
+    in ``dup_ns`` (SUM over grams seen >= 2 of count x char-length).
+
+    Pure integer math over exact token tuples — no hashing, no floats —
+    so the output is bit-identical to the previous JVM formulation
+    (sorted-gram-array + run-length F.aggregate) and to the DuckDB
+    oracle, independent of partitioning. The rewrite exists because
+    Spark evaluates higher-order functions (transform / array_sort /
+    aggregate) INTERPRETED per array element with a struct allocation
+    per step — 9 sort+RLE passes per doc made this the heaviest sf1
+    bench leg (r14 verdict item 6). Counting n-gram tuples with
+    ``collections.Counter`` runs the same per-doc loop in C: tuple
+    hashes reuse each token's cached str hash, and char lengths are
+    summed once per DISTINCT gram. Embarrassingly parallel, zero
+    shuffle, one narrow Arrow batch across the boundary per task —
+    the guide-§4.2 shape.
+    """
+    import pandas as pd
+
+    cols = (
+        ["doc_id", "total_chars"]
+        + [f"top_cov_{n}" for n in top_ns]
+        + [f"dup_chars_{n}" for n in dup_ns]
+    )
+
+    def fn(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = text.split(" ")
+                if len(toks) < 2:
+                    continue
+                total = sum(map(len, toks))
+                row = [int(doc_id), total]
+                for n in top_ns:
+                    c = Counter(zip(*(toks[k:] for k in range(n))))
+                    row.append(
+                        max(
+                            (
+                                cnt * sum(map(len, g))
+                                for g, cnt in c.items()
+                            ),
+                            default=0,
+                        )
+                    )
+                for n in dup_ns:
+                    c = Counter(zip(*(toks[k:] for k in range(n))))
+                    row.append(
+                        sum(
+                            cnt * sum(map(len, g))
+                            for g, cnt in c.items()
+                            if cnt >= 2
+                        )
+                    )
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+            else:
+                yield pd.DataFrame(
+                    {c: pd.Series(dtype="int64") for c in cols}
+                )
+
+    return fn

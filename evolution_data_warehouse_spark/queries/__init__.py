@@ -43,39 +43,38 @@ from evolution_data_warehouse_spark.queries import extensions_r14 as _extensions
 # Registration order is verification priority, not import order: the
 # driver verifies the FIRST 50 registry entries each round, so the
 # front of the registry is the set we most need a verdict on.  The
-# round-14 window (per the CLAUDE.md rotation and the r13 verdict's
-# directive #1): the 39 r13 mid-round additions never yet in a driver
-# window (all green in LOCAL_CONTRACT_r13.json at sf0.01 AND sf0.1),
-# then 11 slots from the oldest-verdict block — the r5 set — so the
-# remaining r5-era verdicts (9 entries) lead the round-15 window.
-# Queries added during round 14 land after the window (verified
-# locally by drive_contract) and lead the round-15 window.
-_R14_WINDOW = (
-    # 39 never-driver-verified r13 additions (registration order)
-    "dedup_substring_maximal", "sim_ann_frontier", "stream_lateness_audit",
-    "snk_partitioned_prune", "sim_ivf_balance_report",
-    "text_query_likelihood", "corpus_dup_rate_by_source",
-    "sim_adc_batch_topk", "emb_pca_recon_error", "dedup_minhash_band_sweep",
-    "stats_permutation_test", "corpus_token_budget_plan",
-    "quality_t_closeness", "graph_modularity", "fe_feature_hashing",
-    "ts_acf_multi_lag", "ts_seasonal_residual_anomaly",
-    "stats_power_analysis", "emb_knn_graph", "corpus_quality_mix_report",
-    "tok_fertility_by_lang", "sim_lsh_recall_eval",
-    "quality_dp_count_release", "graph_assortativity",
-    "text_burstiness_dispersion", "ivm_agg_retraction",
-    "text_keyphrase_rake", "ts_theil_sen_trend", "tok_vocab_coverage_curve",
-    "join_asof_nearest", "src_jsonl_quarantine", "fn_try_arithmetic",
-    "corpus_cross_source_overlap", "mm_phash_threshold_sweep",
-    "stream_ivm_ingest", "er_blocking_eval", "tok_bpe_merge_curve",
-    "graph_clustering_coeff", "stream_lateness_policy_sweep",
-    # 11 oldest-verdict entries (official verdict r5) — refresh them
-    "win_running_sum", "sim_centroid", "sim_kmeans_assign", "sim_ann_ivf",
-    "mm_resize_stub", "mm_frame_sample", "mm_audio_features",
-    "pandas_zscore", "mm_embedding_quantize", "text_tfidf", "src_orc",
+# round-15 window (per the CLAUDE.md rotation and the r14 verdict's
+# directive #2): the 11 entries with no driver verdict yet (the 10 r14
+# mid-round additions + stream_session_ingest; all green in
+# LOCAL_CONTRACT_r14.json at sf0.01 AND LOCAL_CONTRACT_r14_sf01.json
+# at sf0.1), then the oldest-verdict block — the 9 remaining r5-era
+# verdicts followed by the first 30 of the r6 block (registration
+# order) — keeping the window at exactly 50.
+_R15_WINDOW = (
+    # 11 never-driver-verified entries
+    "chunk_overlap_spans", "text_quality_calibration",
+    "view_session_durations", "stream_chunk_ingest", "chunk_bm25_topk",
+    "graph_adamic_adar", "sim_ann_ndcg_eval", "ivm_join_maintenance",
+    "fe_quantile_binning", "chunk_sentence_bins", "stream_session_ingest",
+    # 9 oldest-verdict entries (official verdict r5) — refresh them
+    "stream_window_counts", "stream_interval_join", "view_open_errors",
+    "profile_columns", "tpch_q7", "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q18",
+    # 30 from the next-oldest block (official verdict r6)
+    "snk_clustered_prune", "join_effective_dated", "snk_csv",
+    "src_schema_evolution", "join_null_safe", "join_right_outer",
+    "fn_try_cast", "fn_explode_outer", "text_bigram_topk",
+    "emb_norm_outliers", "dedup_exact_normalized", "text_lm_score",
+    "dedup_minhash_incremental", "mm_filter_by_meta", "text_chunk_overlap",
+    "quality_expectations", "proc_maintenance_layout", "win_moving_avg",
+    "agg_stats_suite", "agg_histogram", "agg_incremental_merge",
+    "agg_sketch_union", "win_range_7d", "win_share_of_total",
+    "agg_approx_sample_mean", "geo_nearest_hub", "agg_pivot_multi",
+    "agg_weighted_avg", "tpch_q17", "tpch_q21",
 )
-_ordered: list[str] = list(_R14_WINDOW)
+_ordered: list[str] = list(_R15_WINDOW)
 _ordered.extend(n for n in REGISTRY if n not in _ordered)
-_missing = [n for n in _R14_WINDOW if n not in REGISTRY]
+_missing = [n for n in _R15_WINDOW if n not in REGISTRY]
 if _missing:
     raise RuntimeError(f"priority names absent from REGISTRY: {_missing}")
 _reordered = {name: REGISTRY[name] for name in _ordered}

@@ -147,6 +147,45 @@ def cpu_repartition(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(width)
 
 
+def gated_broadcast(df: DataFrame, sf_dir: str, *tables: str) -> DataFrame:
+    """Broadcast hint gated on the hinted branch's SOURCE bytes.
+
+    A hard ``F.broadcast`` on a branch derived from scaling tables
+    (e.g. ``orders ⋈ customer`` in the TPC-H star shapes) bypasses the
+    size threshold entirely: right at the bench SFs, an OOM at 100 TB
+    (r14 verdict item 3). But simply dropping the hint lets the
+    planner's post-filter size ESTIMATE pick the build side, and at
+    small SFs it picks the filtered FACT side — the exact inverted
+    orientation the r14 star fix removed. This gate keeps the hint
+    exactly while it is provably safe: apply it only when the branch's
+    source parquet files total under ``SPARK_GRAFT_BROADCAST_GATE_BYTES``
+    (default 256 MB — the guide §3.1 "a few hundred MB is usually
+    fine" bound; sf1 orders+customer ≈ 24 MB, a 100 TB run is orders of
+    magnitude over). Past the gate the hint vanishes and AQE picks the
+    strategy from measured sizes. File metadata only — no data is read
+    and nothing about the query's result changes.
+    """
+    import os
+
+    limit = int(
+        os.environ.get("SPARK_GRAFT_BROADCAST_GATE_BYTES", str(256 << 20))
+    )
+    total = 0
+    for name in tables:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            total += sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        elif os.path.exists(path):
+            total += os.path.getsize(path)
+        else:  # unknown source (e.g. a remote URI): be scale-safe
+            return df
+    return F.broadcast(df) if total < limit else df
+
+
 def dsum(col: Column | str, scale: int = 2) -> Column:
     """Order-independent double sum.
 

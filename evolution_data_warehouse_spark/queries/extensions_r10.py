@@ -900,112 +900,47 @@ FROM tot t JOIN wide w ON t.doc_id = w.doc_id
     "every gram seen twice), each tested against the paper's integer-"
     "percent threshold by cross-multiplication (100*cov <= pct*total "
     "— no float ever decides). Shape: ZERO-shuffle — the grouping key "
-    "(doc, n, gram) never crosses documents, so per n the doc's gram "
-    "array is sorted and run-length-encoded in ONE JVM-side "
-    "F.aggregate pass (accumulator = prev gram, run length, stat); "
-    "gram counts never leave their row. r11 A/B at sf1 vs the "
-    "explode + two-hash-aggregate shape: 75.8 s -> 14.8 s (the "
-    "~22M-row exchange was the cost; an md5-narrowed shuffle key had "
-    "already been A/B-rejected at +75% in r10). Per-doc cost is "
-    "O(grams log grams) and embarrassingly parallel — linear in "
-    "corpus tokens at 100 TB.",
+    "(doc, n, gram) never crosses documents, so all 9 per-n gram "
+    "counts are taken inside ONE narrow Arrow-batched mapInPandas "
+    "pass (collections.Counter over exact token tuples — integer "
+    "math only, bit-identical to the oracle; operators/gopher.py::"
+    "repetition_ngram_stats_batch). History: explode + two hash "
+    "aggregates shuffled ~22M rows (75.8 s sf1, r11); the r11-r14 "
+    "JVM sort+RLE F.aggregate form removed the shuffle but Spark "
+    "evaluates higher-order functions interpreted per element, which "
+    "made it the heaviest sf1 leg (r14 verdict item 6; 384 s "
+    "executorRunTime); the r15 Counter form is the guide-§4.2 move "
+    "(r15 idle sf1 A/B: 15.57 s -> 1.54 s same-session min-of-3, "
+    "output-identical via exceptAll both ways at sf0.01 AND sf1). "
+    "Per-doc cost is O(grams) and embarrassingly parallel — linear "
+    "in corpus tokens at 100 TB.",
 )
 def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.gopher import (
         DUP_NGRAM_MAX_PCT,
         TOP_NGRAM_MAX_PCT,
+        repetition_ngram_stats_batch,
     )
 
-    text = F.coalesce(F.col("text"), F.lit(""))
-    toks = F.split(F.lower(text), " ")
-    sz = F.size(toks)
-    total_chars = F.aggregate(
-        F.transform(toks, lambda w: F.length(w).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    top_ns = tuple(sorted(TOP_NGRAM_MAX_PCT))
+    dup_ns = tuple(sorted(DUP_NGRAM_MAX_PCT))
+    schema = ", ".join(
+        ["doc_id bigint", "total_chars bigint"]
+        + [f"top_cov_{n} bigint" for n in top_ns]
+        + [f"dup_chars_{n} bigint" for n in dup_ns]
     )
-
-    def sorted_grams(n: int):
-        # Index binds via this closure, never a lambda default arg
-        # (`lambda i, n=n:` is a BINARY lambda — Spark would pass the
-        # array position as n). Sort order is irrelevant beyond
-        # adjacency of equal grams.
-        return F.array_sort(
-            F.when(
-                sz >= n,
-                F.transform(
-                    F.sequence(F.lit(0), sz - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-
-    def zero():
-        return F.lit(0).cast("long")
-
-    def run_stats(n: int, want_top: bool):
-        """One F.aggregate pass over the sorted gram array.
-
-        Accumulator (prev, run, stat): a run flushes into `stat` when
-        the gram changes (finish() flushes the last run). `stat` is
-        MAX(run * charlen) for the top-coverage rules, SUM over runs
-        with run >= 2 for the duplicate-chars rules. The '' sentinel
-        for "no previous gram" is safe: every gram with n >= 2
-        contains at least one space.
-        """
-
-        def charlen(prev):
-            return F.length(prev).cast("long") - F.lit(n - 1)
-
-        def flushed(acc, closing_run):
-            cov = closing_run * charlen(acc["prev"])
-            if want_top:
-                return F.greatest(acc["stat"], cov)
-            return acc["stat"] + F.when(closing_run >= 2, cov).otherwise(
-                zero()
-            )
-
-        def merge(acc, x):
-            same = x == acc["prev"]
-            return F.struct(
-                x.alias("prev"),
-                F.when(same, acc["run"] + 1)
-                .otherwise(F.lit(1).cast("long"))
-                .alias("run"),
-                F.when(same, acc["stat"])
-                .otherwise(flushed(acc, acc["run"]))
-                .alias("stat"),
-            )
-
-        def finish(acc):
-            return F.when(
-                acc["run"] >= 1, flushed(acc, acc["run"])
-            ).otherwise(acc["stat"])
-
-        init = F.struct(
-            F.lit("").alias("prev"),
-            zero().alias("run"),
-            zero().alias("stat"),
-        )
-        return F.aggregate(sorted_grams(n), init, merge, finish)
-
-    stats = [
-        run_stats(n, True).alias(f"top_cov_{n}")
-        for n in sorted(TOP_NGRAM_MAX_PCT)
-    ] + [
-        run_stats(n, False).alias(f"dup_chars_{n}")
-        for n in sorted(DUP_NGRAM_MAX_PCT)
-    ]
-    # Docs with zero grams at every n (fewer than 2 tokens) are absent
-    # from the oracle's inner join — keep that. The per-doc sort+RLE is
+    # Lower-casing stays JVM-side so tokenization semantics are
+    # byte-identical to the oracle's lower() on any input (the Python
+    # pass only splits on single spaces and counts). Docs with fewer
+    # than 2 tokens are dropped inside the batch fn — absent from the
+    # oracle's inner join, same as before. The per-doc counting is
     # CPU-bound, so the slim projection repartitions to core width.
-    wide = (
-        cpu_repartition(
-            t(spark, sf_dir, "documents").select("doc_id", "text")
+    wide = cpu_repartition(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("text"),
         )
-        .where(sz >= 2)
-        .select("doc_id", total_chars.alias("total_chars"), *stats)
-    )
+    ).mapInPandas(repetition_ngram_stats_batch(top_ns, dup_ns), schema)
     flags = [
         (100 * F.col(f"top_cov_{n}") <= pct * F.col("total_chars")).alias(
             f"r_top_{n}"

@@ -13,6 +13,7 @@ from evolution_data_warehouse_spark.queries.common import (
     davg_sql,
     dsum,
     dsum_sql,
+    gated_broadcast,
     register,
     t,
 )
@@ -63,10 +64,17 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that scales AND it lets the l_orderkey spread above parallelize
     # the probe; the aggregate reuses that exchange (group keys ⊇
     # partition key → no second shuffle). Inner joins commute, so the
-    # result is unchanged (oracle-verified).
+    # result is unchanged (oracle-verified). The dim-branch hint is
+    # GATED on source bytes (r15, verdict item 3): q3's orders filter
+    # keeps most of orders, so at 100 TB this branch is fact-scale and
+    # a hard hint would OOM — past 256 MB of source the hint vanishes
+    # and AQE picks the strategy from measured sizes.
     dim = orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
     return (
-        li.join(F.broadcast(dim), dim.o_orderkey == li.l_orderkey)
+        li.join(
+            gated_broadcast(dim, sf_dir, "orders", "customer"),
+            dim.o_orderkey == li.l_orderkey,
+        )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -108,11 +116,15 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t(spark, sf_dir, "region")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # Star orientation (same rationale as tpch_q3): probe from the fact,
-    # broadcast orders ⋈ customer — the only shape possible at 100 TB,
-    # and the one that keeps the probe parallel after the spread above.
+    # never broadcast lineitem. The orders ⋈ customer branch hint is
+    # gated on source bytes like q3's — the 1-year orders filter still
+    # leaves a fact-scale branch at 100 TB.
     dim = orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
     return (
-        li.join(F.broadcast(dim), dim.o_orderkey == li.l_orderkey)
+        li.join(
+            gated_broadcast(dim, sf_dir, "orders", "customer"),
+            dim.o_orderkey == li.l_orderkey,
+        )
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey)

@@ -163,6 +163,41 @@ def test_flagship_star_join_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Extract the build-side subtree under EVERY BroadcastExchange
+    node (any mode — the BNL helper above restricts to identity
+    broadcasts)."""
+    lines = plan.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        depth = ln.find("BroadcastExchange")
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            stripped = nxt.lstrip(" :+-")
+            if not stripped or nxt.find(stripped[:1]) <= depth:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "join_inner_equi"])
+def test_star_orientation_fact_never_broadcast(spark, sf_dir, name):
+    """The star shapes must probe FROM the fact: lineitem may never sit
+    under a BroadcastExchange (r14 verdict item 3 — the pre-r14 plans
+    broadcast the filtered FACT off a size estimate, an impossible
+    shape at 100 TB). Whether the dim branch broadcasts is left to the
+    gated hint / AQE; this locks only the orientation."""
+    subs = _broadcast_subtrees(_plan(spark, sf_dir, name))
+    assert subs, f"{name}: expected at least one broadcast dim branch"
+    for sub in subs:
+        assert "lineitem" not in sub, (
+            f"{name}: the lineitem fact is under a BroadcastExchange:\n{sub}"
+        )
+
+
 def test_spatial_grid_join_is_cell_keyed_broadcast(spark, sf_dir):
     """The radius join must go through the (cx, cy) grid-cell equi-join
     — BroadcastHashJoin on cell keys, never a nested-loop over the

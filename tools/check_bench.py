@@ -66,7 +66,12 @@ def check_bench(
     # half the core count separates the two regimes cleanly
     cpus = os.cpu_count() or 1
     contended = load1 is not None and load1 > 0.5 * cpus
-    verdict = "ok" if not drift and not drift_sf1 else "drift"
+    # sf1 legs are single-timed-run (vs the headline's min-of-3) and run
+    # inside a 60+-leg sweep under the bench's own load, so their drift
+    # is dominated by host/self-contention noise (6 spurious flags in
+    # r14 alone — ADVICE r14). Report it, but only HEADLINE drift flips
+    # the verdict; sf1 drift is informational.
+    verdict = "ok" if not drift else "drift"
     out = {
         "verdict": verdict,
         "drift_ratio": ratio,
@@ -77,6 +82,7 @@ def check_bench(
         out["headline_drift"] = drift
     if drift_sf1:
         out["sf1_drift"] = drift_sf1
+        out["sf1_drift_informational"] = True
     return out
 
 
@@ -103,10 +109,16 @@ def _parse_input(text: str) -> tuple[dict, dict, float | None]:
                 p.get("load_avg_1m"),
             )
         t = d.get("tail", "")
-        hm = re.search(r'"queries": (\{.*?\}), "sf":', t)
+        # the headline dict is flat, so [^{}]* is exact; the old
+        # `, "sf":` anchor predates the r14 key reorder (queries_run2
+        # now sits between queries and sf)
+        hm = re.search(r'"queries": (\{[^{}]*\})', t)
         head = json.loads(hm.group(1)) if hm else {}
         if not head:  # truncated mid-dict: scrape name/sec pairs
-            pre = t.split('"sf":')[0]
+            # stop the scrape at queries_run2 — its keys shadow the
+            # min-of-3 queries dict and a dict comprehension would keep
+            # the later run-2 values (ADVICE r14)
+            pre = t.split('"queries_run2":')[0].split('"sf":')[0]
             head = {
                 k: float(v)
                 for k, v in re.findall(r'"(\w+)": ([0-9.]+)', pre)
