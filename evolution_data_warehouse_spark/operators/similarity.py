@@ -455,6 +455,103 @@ def pca_project(
 DEFAULT_MAX_CLUSTER = 1000
 
 
+def _neighbor_counts_grouped(
+    guarded: DataFrame, tau: float, label_col: str, id_col: str
+) -> DataFrame:
+    """Per-slice better-neighbor counts for :func:`semantic_dedup`'s
+    guarded path: one applyInPandas group per (label, _sub) slice
+    (bounded by the max_cluster guard), pairwise cosines in numpy.
+
+    Exactness contract (the oracle models the JVM expressions, so this
+    must be bit-identical to the former self-join):
+
+    * dot products reproduce ``F.aggregate``'s sequential left-to-right
+      float64 fold — elementwise product (IEEE-exact either way), then
+      ``np.add.accumulate`` over a 0.0-seeded row (accumulate IS the
+      sequential scan; the 0.0 seed covers the -0.0 first-term edge);
+    * rows whose vector contains a NULL element are flagged JVM-side
+      (``_bad``): in the join formulation every pair touching them has
+      a NULL dot → NULL cosine → filtered, so here they join no pair
+      (they still surface in the output with count 0, as before). The
+      flag is computed in the JVM because Arrow conversion collapses
+      NULL and NaN — and the two behave OPPOSITELY downstream;
+    * rows whose centroid cosine is NULL (zero norms) are likewise
+      flagged: every rank comparison against a NULL is NULL → filtered;
+    * genuine NaNs follow Spark's ordering (NaN is the LARGEST value
+      and equal to itself): a NaN pair cosine passes ``>= tau``, and
+      the rank comparator mirrors that ordering explicitly;
+    * a zero norm product is excluded (``nullif`` → NULL in the JVM);
+    * vectors of different lengths never pair (zip_with pads with NULL
+      → NULL dot), so slices are processed per distinct dimension.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(guarded.dtypes)[id_col]
+    out_schema = f"_ida {id_type}, _n_better bigint"
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        work = pdf[~pdf["_bad"]]
+        out_ids, out_counts = [], []
+        arrs = [np.asarray(v, dtype="float64") for v in work["_vec"]]
+        lens = np.array([a.shape[0] for a in arrs])
+        for dim in np.unique(lens):
+            sel = lens == dim
+            if sel.sum() < 2:
+                continue
+            V = np.stack([a for a, s in zip(arrs, sel) if s])
+            sub = work[sel]
+            ids = sub[id_col].to_numpy()
+            ccv = sub["_cc"].to_numpy(dtype="float64")
+            norms = sub["_norm"].to_numpy(dtype="float64")
+            n = V.shape[0]
+            seeded = np.empty((n, dim + 1), dtype="float64")
+            seeded[:, 0] = 0.0
+            cc_nan = np.isnan(ccv)
+            for i in range(n):
+                np.multiply(V[i], V, out=seeded[:, 1:])
+                dots = np.add.accumulate(seeded, axis=1)[:, -1]
+                denom = norms[i] * norms
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                qual = ((cos >= tau) | np.isnan(cos)) & (denom != 0.0)
+                ci = ccv[i]
+                if np.isnan(ci):
+                    lt = ~cc_nan
+                    eq = cc_nan
+                else:
+                    lt = ccv < ci
+                    eq = ccv == ci
+                qual &= lt | (eq & (ids < ids[i]))
+                qual[i] = False
+                c = int(np.count_nonzero(qual))
+                if c:
+                    out_ids.append(ids[i])
+                    out_counts.append(c)
+        if not out_ids:  # empty frames need explicit dtypes for Arrow
+            return pd.DataFrame(
+                {
+                    "_ida": pd.Series(dtype=pdf[id_col].dtype),
+                    "_n_better": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame({"_ida": out_ids, "_n_better": out_counts})
+
+    slim = guarded.select(
+        label_col,
+        "_sub",
+        id_col,
+        "_vec",
+        "_norm",
+        "_cc",
+        (
+            F.exists(F.col("_vec"), lambda x: x.isNull())
+            | F.col("_cc").isNull()
+        ).alias("_bad"),
+    )
+    return slim.groupBy(label_col, "_sub").applyInPandas(counts, out_schema)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     tau: float,
@@ -558,8 +655,32 @@ def semantic_dedup(
             content_hash64(F.col(id_col).cast("string"))
             % F.expr(f"(_cl_n + {max_cluster - 1}) div {max_cluster}"),
         )
-    else:
-        guarded = cc.withColumn("_sub", F.lit(0).cast("bigint"))
+        # Guarded fast path (r15, guide §4.2): the within-slice pair
+        # stage used to be a JVM self-join whose per-pair 64-dim cosine
+        # runs through zip_with/aggregate — higher-order functions that
+        # Spark evaluates INTERPRETED per element (r15 profile at sf1:
+        # 111.8 s executorRunTime in that one stage for ~17M pairs).
+        # With the guard ON every (label, _sub) slice is bounded by
+        # ~max_cluster rows, so the whole slice fits one applyInPandas
+        # group and the pairwise math runs vectorized in numpy — with
+        # the fold's EXACT left-to-right float64 addition order
+        # reproduced via np.add.accumulate over a 0.0-seeded product
+        # row, so every cosine is bit-identical to the JVM expression
+        # (r15 A/B: output identical via exceptAll at sf0.1 AND sf1;
+        # sf1 same-session min-of-3 5.83 s -> 2.32 s). The unguarded
+        # opt-out keeps the JVM join: a degenerate unbounded cluster
+        # must melt CPU gradually there, not OOM a Python worker.
+        nb = _neighbor_counts_grouped(guarded, tau, label_col, id_col)
+        return cc.join(nb, cc[id_col] == nb["_ida"], "left").select(
+            id_col,
+            label_col,
+            F.col("_cc").alias("cent_cos"),
+            F.coalesce(F.col("_n_better"), F.lit(0))
+            .cast("long")
+            .alias("n_better_neighbors"),
+            (F.coalesce(F.col("_n_better"), F.lit(0)) > 0).alias("removed"),
+        )
+    guarded = cc.withColumn("_sub", F.lit(0).cast("bigint"))
     a = guarded.select(
         F.col(label_col).alias("_lbl"),
         F.col("_sub"),

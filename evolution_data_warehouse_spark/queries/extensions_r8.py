@@ -1528,12 +1528,18 @@ FROM cc c LEFT JOIN nb ON nb.vec_id = c.vec_id
     "order-dependent greedy sweep. Centroids are fixed-point "
     "(floor(v*1e12) int64 sums), so exact under any partitioning; "
     "cosine folds are sequential and oracle-matchable. The only "
-    "quadratic term is the within-cluster pair join, bounded two ways: "
-    "SemDeDup grows CLUSTER COUNT with the corpus, and (r9) the "
+    "quadratic term is the within-cluster pair stage, bounded two "
+    "ways: SemDeDup grows CLUSTER COUNT with the corpus, and (r9) the "
     "engine's default-on max_cluster guard sub-splits any oversize "
     "cluster by an md5-based id hash — modeled EXACTLY in this oracle "
     "(the g CTE), so the query stays scale-independent even on a "
-    "degenerate clustering.",
+    "degenerate clustering. r15: the guarded pair stage runs as one "
+    "numpy applyInPandas group per bounded slice with the fold's "
+    "exact addition order (np.add.accumulate, 0.0-seeded) — "
+    "bit-identical output (exceptAll-proven at sf0.1/sf1 plus a "
+    "JVM-vs-numpy differential test on NULL/NaN/tie edges), sf1 "
+    "5.83 s -> 2.32 s, the 17M-pair interpreted-HOF cosine stage "
+    "(111.8 s executorRunTime) gone from the plan.",
 )
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.similarity import (

@@ -3234,3 +3234,53 @@ def test_audio_fingerprint_and_spectrum():
     wide = (sig * (2**15)).astype(np.int64)  # amps up to ~2^31 range
     assert audio_fingerprint64(wide) == fp
     assert audio_fingerprint64(wide * 2) == fp
+
+
+def test_semantic_dedup_grouped_path_matches_join_path(spark):
+    """The r15 guarded fast path (numpy applyInPandas per slice) must be
+    row-identical to the unguarded JVM pair-join formulation whenever no
+    cluster exceeds the cap (slice count 1 → same pair set), including
+    the edge inputs the numpy mirror handles explicitly: cent_cos ties
+    (id tiebreak), a zero vector (NULL cosine — excluded), a vector
+    with a NULL element (NULL dot — joins no pair), and a NaN element
+    (Spark NaN ordering: largest, equal to itself)."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        # label 1: two identical vectors (tie in cent_cos, id tiebreak)
+        # plus a near-duplicate and an outlier
+        (1, 1, [1.0, 0.0, 0.0, 0.0]),
+        (2, 1, [1.0, 0.0, 0.0, 0.0]),
+        (3, 1, [0.999, 0.01, 0.0, 0.0]),
+        (4, 1, [0.0, 1.0, 0.0, 0.0]),
+        # label 2: zero vector (zero norm -> NULL cosine), NULL element,
+        # NaN element, and two near-duplicates
+        (5, 2, [0.0, 0.0, 0.0, 0.0]),
+        (6, 2, [0.5, None, 0.5, 0.5]),
+        (7, 2, [float("nan"), 1.0, 1.0, 1.0]),
+        (8, 2, [0.1, 0.2, 0.3, 0.4]),
+        (9, 2, [0.1, 0.2, 0.3, 0.41]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    fast = semantic_dedup(df, 0.95)  # guarded: applyInPandas path
+    ref = semantic_dedup(df, 0.95, max_cluster=None)  # JVM join path
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
+    # at least one removal must actually occur or the test is vacuous
+    assert fast.filter(F.col("removed")).count() >= 2
+    # oversize-cluster regime: the guard's sub-split may only UNDERCOUNT
+    capped = semantic_dedup(df, 0.95, max_cluster=2)
+    joined = (
+        capped.select("vec_id", F.col("n_better_neighbors").alias("c"))
+        .join(
+            ref.select("vec_id", F.col("n_better_neighbors").alias("r")),
+            "vec_id",
+        )
+    )
+    assert joined.filter(F.col("c") > F.col("r")).count() == 0
