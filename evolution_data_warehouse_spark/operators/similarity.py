@@ -824,6 +824,117 @@ def pq_code_from_fixed(
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def pq_assign_batch(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_assign` as one Arrow-batched numpy pass — same
+    (id, code0..code{m-1} INT) output, bit-identical by construction:
+    ``floor(x*PQ_SCALE)`` over float64 is the same IEEE multiply+floor
+    the JVM evaluates, distances are exact int64, and numpy argmin
+    returns the FIRST minimum (the array_position tie rule).
+
+    Exists because the expression form's per-subspace argmin runs
+    through transform/zip_with/aggregate — higher-order functions
+    Spark evaluates interpreted per element. opq_assign took this
+    shape in r12 ("~100x faster than the interpreted form"); r15
+    extends it to the unrotated assignment after profiling showed the
+    ADC-family sf1 legs spending 9+ s of executorRunTime in the argmin
+    folds. No shuffle; partitioning preserved; codebooks ride in the
+    task closure (model-sized).
+    """
+    import numpy as np
+
+    qbooks = np.array(
+        pq_quantize_codebooks(codebooks), dtype=np.int64
+    )  # m × k × dsub
+    m, _k, dsub = qbooks.shape
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vq = np.floor(x * PQ_SCALE).astype(np.int64)
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j in range(m):
+                sub = vq[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - qbooks[j][None]) ** 2).sum(axis=2)
+                out[f"code{j}"] = d.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} long, " + ", ".join(
+        f"code{j} int" for j in range(m)
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def pq_adc_scan(
+    embeddings: DataFrame,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    lut: list[list[int]],
+    probes: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fused single-pass IVF-PQ compressed-domain scan: coarse
+    assignment, probed-list pruning, fine assignment and the ADC sum,
+    all inside one Arrow-batched numpy pass over the embeddings scan —
+    (id, list_id INT, adc_dist BIGINT) for probed-list rows only.
+
+    Bit-identical to the expression composition it replaces (coarse
+    :func:`pq_code_column` → isin filter → per-book fine code +
+    element_at LUT terms): every step is exact int64 over the same
+    floor(x*PQ_SCALE) fixed-point values, argmin takes the first
+    minimum, and the pruned rows never reach the fine stage either
+    way. Same §4.2 rationale as :func:`pq_assign_batch`; additionally
+    the vectors cross the Python boundary ONCE and only list_id +
+    adc_dist come back — at 100 TB this is the scan-speed shape for a
+    ~32x-compressed ANN sweep.
+    """
+    import numpy as np
+
+    qcoarse = np.array(
+        pq_quantize_codebooks([coarse])[0], dtype=np.int64
+    )  # k × d
+    qbooks = np.array(
+        pq_quantize_codebooks(codebooks), dtype=np.int64
+    )  # m × k × dsub
+    lut_np = np.array(lut, dtype=np.int64)  # m × k
+    probe_set = np.array(sorted(probes), dtype=np.int64)
+    m, _k, dsub = qbooks.shape
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vq = np.floor(x * PQ_SCALE).astype(np.int64)
+            dc = ((vq[:, None, :] - qcoarse[None]) ** 2).sum(axis=2)
+            list_id = dc.argmin(axis=1).astype(np.int64)
+            keep = np.isin(list_id, probe_set)
+            vq = vq[keep]
+            adc = np.zeros(vq.shape[0], dtype=np.int64)
+            for j in range(m):
+                sub = vq[:, j * dsub : (j + 1) * dsub]
+                d = ((sub[:, None, :] - qbooks[j][None]) ** 2).sum(axis=2)
+                adc += lut_np[j][d.argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "list_id": list_id[keep].astype("int32"),
+                    "adc_dist": adc,
+                }
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        scan, f"{id_col} long, list_id int, adc_dist long"
+    )
+
+
 def pq_adc_lut(
     codebooks: list[list[list[float]]], query: list[float]
 ) -> list[list[int]]:

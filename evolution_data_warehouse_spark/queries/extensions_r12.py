@@ -335,7 +335,7 @@ def sim_pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         opq_assign,
         opq_rotate_query,
         pq_adc_lut,
-        pq_assign,
+        pq_assign_batch,
     )
 
     emb = t(spark, sf_dir, "embeddings")
@@ -367,7 +367,7 @@ def sim_pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pq_adc = adc_col(
-        pq_assign(emb, _PQ_BOOKS), pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
+        pq_assign_batch(emb, _PQ_BOOKS), pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
     )
     opq_adc = adc_col(
         opq_assign(emb, _OPQ_R, _OPQ_BOOKS),

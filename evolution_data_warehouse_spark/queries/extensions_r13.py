@@ -263,7 +263,7 @@ def sim_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         opq_assign,
         opq_rotate_query,
         pq_adc_lut,
-        pq_assign,
+        pq_assign_batch,
         with_norm,
     )
     from evolution_data_warehouse_spark.queries.llm_ops import (
@@ -306,7 +306,7 @@ def sim_ann_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", xdist.alias("d_exact"))
         .join(
             adc_col(
-                pq_assign(emb, _PQ_BOOKS),
+                pq_assign_batch(emb, _PQ_BOOKS),
                 pq_adc_lut(_PQ_BOOKS, _PQ_QUERY),
                 "d_pq",
             ),
@@ -1007,10 +1007,15 @@ def sim_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from evolution_data_warehouse_spark.operators.similarity import (
         pq_adc_lut,
-        pq_assign,
+        pq_assign_batch,
     )
 
-    codes = pq_assign(t(spark, sf_dir, "embeddings"), _PQ_BOOKS)
+    # r15: assignment via the numpy batch pass (bit-identical int64
+    # argmin; see pq_assign_batch) — the expression form's interpreted
+    # folds were this leg's whole cost (9.2 s executorRunTime at sf1).
+    # The 3-query explode + LUT element_at sums stay JVM-side: plain
+    # codegen'd expressions over the already-narrow code columns.
+    codes = pq_assign_batch(t(spark, sf_dir, "embeddings"), _PQ_BOOKS)
     luts = [pq_adc_lut(_PQ_BOOKS, q) for q in _BATCH_QUERIES]
     ex = codes.select(
         "vec_id",

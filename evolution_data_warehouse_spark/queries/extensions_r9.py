@@ -724,10 +724,10 @@ FROM c
 def sim_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from evolution_data_warehouse_spark.operators.similarity import (
         pq_adc_lut,
-        pq_assign,
+        pq_assign_batch,
     )
 
-    codes = pq_assign(t(spark, sf_dir, "embeddings"), _PQ_BOOKS)
+    codes = pq_assign_batch(t(spark, sf_dir, "embeddings"), _PQ_BOOKS)
     lut = pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
     packed = None
     adc = None
@@ -1372,43 +1372,28 @@ def _ivfpq_adc_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRUNE to the probed lists, and only then compute the 8 fine codes
     + ADC — the at-scale order (a prior version scanned twice and
     shuffle-joined the code tables; review finding). Returns
-    (vec_id, list_id INT, adc_dist BIGINT) for probed-list rows."""
+    (vec_id, list_id INT, adc_dist BIGINT) for probed-list rows.
+
+    r15: the coarse/fine argmin + ADC chain runs as ONE numpy
+    mapInPandas pass (operators/similarity.py::pq_adc_scan) — the
+    expression form's higher-order-function folds were the leg's
+    whole cost (9.5 s executorRunTime at sf1, interpreted per
+    element). Exact int64 end to end, so the output is bit-identical
+    (exceptAll-proven at sf1 + oracle green; same-session alternating
+    sf1 A/B: sim_ivfpq_topk 3.24 -> 0.67 s, refine 4.25 -> 2.62 s)."""
     from evolution_data_warehouse_spark.operators.similarity import (
         pq_adc_lut,
-        pq_code_column,
+        pq_adc_scan,
         pq_probe_lists,
-        pq_quantize_codebooks,
     )
     from evolution_data_warehouse_spark.queries.pq_codebooks import (
         PQ_COARSE,
     )
 
     probes = pq_probe_lists(PQ_COARSE, _PQ_QUERY, _IVFPQ_NPROBE)
-    coarse_q = pq_quantize_codebooks([PQ_COARSE])[0]
-    fine_q = pq_quantize_codebooks(_PQ_BOOKS)
     lut = pq_adc_lut(_PQ_BOOKS, _PQ_QUERY)
-    probed = (
-        t(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            "embedding",
-            pq_code_column(F.col("embedding"), coarse_q, 0).alias(
-                "list_id"
-            ),
-        )
-        .filter(F.col("list_id").isin(probes))
-    )
-    adc = None
-    for j in range(_PQ_M):
-        code = pq_code_column(
-            F.col("embedding"), fine_q[j], j * _PQ_DSUB
-        )
-        aterm = F.element_at(
-            F.array(*[F.lit(x).cast("bigint") for x in lut[j]]), code + 1
-        )
-        adc = aterm if adc is None else adc + aterm
-    return probed.select(
-        "vec_id", "list_id", adc.cast("bigint").alias("adc_dist")
+    return pq_adc_scan(
+        t(spark, sf_dir, "embeddings"), PQ_COARSE, _PQ_BOOKS, lut, probes
     )
 
 

@@ -3284,3 +3284,65 @@ def test_semantic_dedup_grouped_path_matches_join_path(spark):
         )
     )
     assert joined.filter(F.col("c") > F.col("r")).count() == 0
+
+
+def test_pq_batch_paths_match_expression_forms(spark):
+    """The r15 numpy PQ paths (pq_assign_batch, pq_adc_scan) must be
+    row-identical to the expression forms they replaced (pq_assign /
+    pq_code_column + LUT element_at chain) — exact int64 either way,
+    argmin ties to the first minimum. Synthetic vectors include exact
+    centroid ties and negative components."""
+    from pyspark.sql import functions as F
+
+    from evolution_data_warehouse_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_adc_scan,
+        pq_assign,
+        pq_assign_batch,
+        pq_code_column,
+        pq_quantize_codebooks,
+    )
+
+    books = [
+        [[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]],  # duplicate centroid: tie
+        [[-1.0, 0.5], [0.25, -0.75], [1.0, 1.0]],
+    ]
+    coarse = [[0.0] * 4, [1.0] * 4, [-1.0] * 4]
+    rows = [
+        (1, [0.0, 0.0, -1.0, 0.5]),
+        (2, [1.0, 1.0, 0.25, -0.75]),
+        (3, [0.5, 0.5, 0.5, 0.5]),  # equidistant: first-min tiebreak
+        (4, [-1.0, -1.0, 1.0, 1.0]),
+        (5, [0.1234567, -0.7654321, 0.9999999, -0.0000001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = pq_assign_batch(df, books)
+    ref = pq_assign(df, books)
+    assert got.exceptAll(ref).count() == 0
+    assert ref.exceptAll(got).count() == 0
+
+    query = [0.3, -0.2, 0.7, 0.1]
+    lut = pq_adc_lut(books, query)
+    probes = [0, 2]
+    got2 = pq_adc_scan(df, coarse, books, lut, probes)
+    coarse_q = pq_quantize_codebooks([coarse])[0]
+    fine_q = pq_quantize_codebooks(books)
+    probed = df.select(
+        "vec_id",
+        "embedding",
+        pq_code_column(F.col("embedding"), coarse_q, 0).alias("list_id"),
+    ).filter(F.col("list_id").isin(probes))
+    adc = None
+    for j in range(len(books)):
+        code = pq_code_column(F.col("embedding"), fine_q[j], j * 2)
+        aterm = F.element_at(
+            F.array(*[F.lit(x).cast("bigint") for x in lut[j]]), code + 1
+        )
+        adc = aterm if adc is None else adc + aterm
+    ref2 = probed.select(
+        "vec_id", "list_id", adc.cast("bigint").alias("adc_dist")
+    )
+    assert got2.exceptAll(ref2).count() == 0
+    assert ref2.exceptAll(got2).count() == 0
+    assert got2.count() > 0  # pruning must leave rows or this is vacuous
