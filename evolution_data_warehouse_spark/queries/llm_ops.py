@@ -1667,32 +1667,65 @@ GROUP BY doc_id
     doc="Bigram-LM quality scoring: every document scored by its "
     "average bigram log-probability under the corpus' own counts — "
     "the statistical filter that ranks word salad below fluent text "
-    "without any external model. Plan: one explode for the bigram "
-    "relation, pre-aggregated to (doc, bigram, k) so the model join "
-    "shuffles doc-distinct pairs instead of every instance (map-side "
-    "combinable; ~12% at sf1), two hash aggregates for the model, one "
-    "aggregate per doc — the corpus is never joined to itself. The "
+    "without any external model. Plan: the (doc, bigram, k) relation "
+    "comes out of ONE Arrow-batched Counter pass (bigram counts never "
+    "cross docs, so no exchange is needed to build it — r15; "
+    "previously an interpreted-HOF transform + explode + two-phase "
+    "aggregate), two hash aggregates for the model, one aggregate per "
+    "doc — the corpus is never joined to itself. The "
     "weighted decimal sum logp·k is exact (decimal(28,12) × "
     "decimal(9,0) fits decimal(38,12)), so the result is bit-"
     "identical to the oracle's per-instance sum.",
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.split(F.lower(F.col("text")), " ")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # (doc, bigram, k) in ONE narrow Arrow-batched mapInPandas pass:
+    # a doc's bigram counts never cross rows, so Counter per doc
+    # replaces BOTH the interpreted higher-order bigram transform
+    # (guide §4.2 — the r15 profile put 53.4 s of executorRunTime in
+    # that scan stage at sf1) AND the (doc_id, bigram) exchange + final
+    # aggregate behind it (§2.4 — the counts arrive complete; r14's
+    # "spread collapses map-side aggregation" objection dissolves with
+    # the aggregation). Strings are exact (JVM lower, single-space
+    # split, " ".join == concat_ws), counts are integers: the relation
+    # is bit-identical to the old explode + groupBy (exceptAll-proven
+    # at sf1, oracle green). Idle sf1 full-query A/B 8.48 -> 7.09 s —
+    # a 16% win; the remaining cost is the downstream model joins.
+    import pandas as pd
+
+    def bigram_counts(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, bgs, ks = [], [], []
+            for doc_id, text in zip(
+                pdf["doc_id"].values, pdf["text"].values
+            ):
+                if text is None:  # NULL text = no bigrams, as before
+                    continue
+                toks = text.split(" ")
+                if len(toks) < 2:
+                    continue
+                c = Counter(map(" ".join, zip(toks, toks[1:])))
+                ids.extend([doc_id] * len(c))
+                bgs.extend(c.keys())
+                ks.extend(c.values())
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "bigram": bgs, "k": ks}
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "bigram": pd.Series(dtype="object"),
+                        "k": pd.Series(dtype="int64"),
+                    }
+                )
+
     bgc = (
         t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("k"))
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+        .mapInPandas(bigram_counts, "doc_id bigint, bigram string, k bigint")
         .localCheckpoint(eager=True)
     )
     counts = bgc.groupBy("bigram").agg(F.sum("k").alias("cnt"))
