@@ -162,6 +162,7 @@ def test_connected_components_bounded_plan(spark, caplog):
     assert any("fixpoint" in r.message for r in caplog.records)
 
 
+@pytest.mark.slow
 def test_connected_components_storage_bounded_long_loop(spark):
     # The per-iteration localCheckpoint lifecycle relies on
     # ContextCleaner GC (no explicit unpersist — see dedup.py): after a
@@ -553,6 +554,7 @@ def test_ivf_multiprobe_recall_monotone(spark, sf_dir):
     assert r3 > 0.6, f"probe3 recall too low: {r3:.3f}"
 
 
+@pytest.mark.slow
 def test_kmeans_fit_properties(spark, sf_dir):
     # Distributed Lloyd's: deterministic across runs, inertia
     # non-increasing over iterations, every vector assigned, empty-
@@ -637,6 +639,7 @@ def test_mix_sample_rate_is_approximately_honored(spark):
     assert 700 <= kept <= 900
 
 
+@pytest.mark.slow
 def test_ivf_index_persistence_roundtrip(spark, sf_dir, tmp_path):
     from evolution_data_warehouse_spark.operators.similarity import (
         as_double,

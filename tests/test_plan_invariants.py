@@ -119,9 +119,20 @@ def _bnl_build_subtrees(plan: str) -> list[str]:
     return out
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def _plan(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Several sweeps assert on the same query's plan; building it once
+    # per session halves the suite's plan-construction cost (the
+    # session and sf_dir are fixtures with session scope, so the key
+    # is just the name).
+    if name not in _PLAN_CACHE:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        _PLAN_CACHE[name] = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+    return _PLAN_CACHE[name]
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

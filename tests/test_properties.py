@@ -581,6 +581,7 @@ def test_twap_and_moving_avg_bounded_by_extremes(spark, sf_dir):
         max_size=5,
     )
 )
+@pytest.mark.slow
 def test_mix_sample_rate_monotonic_and_subset(spark, rates):
     from evolution_data_warehouse_spark.operators.datapipe import mix_sample
 
@@ -1090,6 +1091,7 @@ def test_semantic_dedup_matches_sequential_model(spark, rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=_sem_vecs)
+@pytest.mark.slow
 def test_semantic_dedup_guard_properties(spark, rows):
     """The max_cluster guard's contract: with the cap above every
     cluster size the result is bit-identical to unguarded; with the cap

@@ -507,6 +507,7 @@ def test_incremental_append_bounded_batches(spark, sf_dir, tmp_path):
         ev.select(F.sum("event_id")).collect()[0][0]
 
 
+@pytest.mark.slow
 def test_windowed_state_stays_bounded_over_soak(spark, tmp_path):
     """State-bound soak (r5 verdict item 7): drain an 8-file backlog in
     single-file micro-batches through a watermarked windowed aggregation
@@ -967,6 +968,7 @@ def test_stream_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     assert any(v[1] > 0 for v in streamed.values())
 
 
+@pytest.mark.slow
 def test_python_datasource_stream_exactly_once_across_restart(
     spark, tmp_path
 ):
@@ -1030,6 +1032,7 @@ def test_python_datasource_stream_exactly_once_across_restart(
     assert all(r.part_id == r.row_id % 8 for r in rows)
 
 
+@pytest.mark.slow
 def test_python_datasource_stream_writer_epoch_commits(spark, tmp_path):
     """Streaming custom-sink leg: synth stream -> JsonlStreamWriter.
     Each micro-batch must land as one committed epoch manifest, and
@@ -1156,6 +1159,7 @@ def test_python_datasource_batch_writer_abort_leaves_no_visible_output(
         assert os.path.exists(os.path.join(out, f))
 
 
+@pytest.mark.slow
 def test_streaming_minhash_ingest_restart_and_incremental_append(
     spark, sf_dir, tmp_path
 ):
